@@ -1,0 +1,643 @@
+"""Relational core: scans, filters, joins, aggregations, windows, set ops.
+
+Covers SURVEY.md §2b-§2f reference operators plus the §2i north-star
+relational matrix, re-expressed as declarative DataFrame plans. Every
+query here is paired with a DuckDB oracle (see plans/__init__.py for the
+cross-engine determinism rules).
+
+Scale notes (100 TB):
+- dimension joins carry explicit ``broadcast()`` hints — at fact scale the
+  dim side stays far under the broadcast threshold, so no shuffle of the
+  fact table happens for decodes/lookups;
+- aggregations are expressed as single groupBy chains → Catalyst emits
+  partial (map-side) aggregation before the exchange;
+- top-k uses window row_number (shuffle by partition key only) or
+  orderBy+limit (Spark's TakeOrderedAndProject — no full sort of the
+  dataset);
+- all filters sit directly over the scan so they push into the parquet
+  reader (verified via .explain → PushedFilters).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from censo_escolar_spark.plans.registry import register
+from censo_escolar_spark.sources.readers import load_table
+
+DEC = "decimal(18,2)"
+
+
+def _dec(c: str):
+    return F.col(c).cast(DEC)
+
+
+# ---------------------------------------------------------------------------
+# q01 — pricing summary (TPC-H Q1 shape): scan → filter → hash-agg → sort.
+# The flagship query: filter pushes to parquet, partial agg before the
+# single exchange on (returnflag, linestatus).
+# ---------------------------------------------------------------------------
+@register(
+    "q01_pricing_summary",
+    oracle="""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+      CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    disc_price = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    charge = disc_price * (F.lit(1) + _dec("l_tax"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(_dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.count("*")).alias("avg_price"),
+            (F.sum(_dec("l_discount")).cast("double") / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q02 — top-k revenue customers: fact⋈fact join, agg, TakeOrderedAndProject.
+# ---------------------------------------------------------------------------
+@register(
+    "q02_top_revenue_customers",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+      CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 10
+    """,
+)
+def q02_top_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q03 — star-schema rollup through two broadcast dims (customer→nation→region).
+# The dict-decode idiom (SURVEY §2c J2): dimension lookups as broadcast joins.
+# ---------------------------------------------------------------------------
+@register(
+    "q03_acctbal_by_region",
+    oracle="""
+    SELECT r.r_name AS region_name,
+      COUNT(*) AS n_customers,
+      CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal,
+      CAST(MIN(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS min_acctbal,
+      CAST(MAX(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS max_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    ORDER BY region_name
+    """,
+)
+def q03_acctbal_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("total_acctbal"),
+            F.min(_dec("c_acctbal")).cast("double").alias("min_acctbal"),
+            F.max(_dec("c_acctbal")).cast("double").alias("max_acctbal"),
+        )
+        .orderBy("region_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q04 — semi join (EXISTS): orders having any heavy lineitem.
+# ---------------------------------------------------------------------------
+@register(
+    "q04_priority_with_heavy_items",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45
+    )
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def q04_priority_with_heavy_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q05 — window top-n per group: row_number over (custkey, totalprice desc).
+# ---------------------------------------------------------------------------
+@register(
+    "q05_top3_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice, rn
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+        CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+      FROM orders
+    )
+    WHERE rn <= 3
+    ORDER BY o_custkey, rn
+    """,
+)
+def q05_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            _dec("o_totalprice").cast("double").alias("totalprice"),
+            "rn",
+        )
+        .orderBy("o_custkey", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q06 — selective filter + scalar agg (TPC-H Q6 shape): tests pushdown of a
+# conjunctive range predicate and a no-groupBy aggregate.
+# ---------------------------------------------------------------------------
+@register(
+    "q06_revenue_increase",
+    oracle="""
+    SELECT
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS promo_revenue,
+      COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q06_revenue_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount").between(0.03, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec("l_discount")).cast("double").alias("promo_revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q07 — set operations: intersect / except over yearly customer sets.
+# ---------------------------------------------------------------------------
+@register(
+    "q07_retained_customers",
+    oracle="""
+    WITH y1995 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+         y1996 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+    SELECT 'retained' AS cohort, o_custkey FROM (SELECT o_custkey FROM y1995 INTERSECT SELECT o_custkey FROM y1996)
+    UNION ALL
+    SELECT 'churned' AS cohort, o_custkey FROM (SELECT o_custkey FROM y1995 EXCEPT SELECT o_custkey FROM y1996)
+    ORDER BY cohort, o_custkey
+    """,
+)
+def q07_retained_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    y1995 = o.filter(F.year("o_orderdate") == 1995).select("o_custkey").distinct()
+    y1996 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
+    retained = y1995.intersect(y1996).select(F.lit("retained").alias("cohort"), "o_custkey")
+    churned = y1995.exceptAll(y1996).select(F.lit("churned").alias("cohort"), "o_custkey")
+    return retained.unionByName(churned).orderBy("cohort", "o_custkey")
+
+
+# ---------------------------------------------------------------------------
+# q08 — distinct aggregation: exact count-distinct per group.
+# ---------------------------------------------------------------------------
+@register(
+    "q08_supplier_stats_by_nation",
+    oracle="""
+    SELECT n.n_name AS nation_name,
+      CAST(COUNT(DISTINCT s.s_suppkey) AS BIGINT) AS n_suppliers,
+      CAST(SUM(CAST(s.s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    ORDER BY nation_name
+    """,
+)
+def q08_supplier_stats_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            F.countDistinct("s_suppkey").alias("n_suppliers"),
+            F.sum(_dec("s_acctbal")).cast("double").alias("total_acctbal"),
+        )
+        .orderBy("nation_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q09 — rollup with grouping indicator (multi-dimensional aggregation).
+# ---------------------------------------------------------------------------
+@register(
+    "q09_rollup_flag_status",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+      CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+      CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+      COUNT(*) AS n_rows,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY g_flag, g_status, l_returnflag, l_linestatus
+    """,
+)
+def q09_rollup_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            F.count("*").alias("n_rows"),
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        )
+        .orderBy("g_flag", "g_status", "l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q10 — outer join with null-handling aggregation: customers incl. zero-order.
+# ---------------------------------------------------------------------------
+@register(
+    "q10_orders_per_customer_outer",
+    oracle="""
+    SELECT c.c_custkey,
+      CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
+      CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_spent
+    FROM customer c
+    LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+    ORDER BY c.c_custkey
+    """,
+)
+def q10_orders_per_customer_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(_dec("o_totalprice")), F.lit(0).cast(DEC))
+            .cast("double")
+            .alias("total_spent"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q11 — anti join: parts never shipped.
+# ---------------------------------------------------------------------------
+@register(
+    "q11_parts_never_shipped",
+    oracle="""
+    SELECT p.p_partkey, p.p_name
+    FROM part p
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+    ORDER BY p.p_partkey
+    """,
+)
+def q11_parts_never_shipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        p.join(l, p.p_partkey == l.l_partkey, "left_anti")
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q12 — scalar function library: string/date/math expressions stay JVM-side
+# (whole-stage codegen; zero Python UDFs).
+# ---------------------------------------------------------------------------
+@register(
+    "q12_scalar_functions",
+    oracle="""
+    SELECT
+      p_partkey,
+      upper(p_brand) AS brand_upper,
+      lower(p_type) AS type_lower,
+      CAST(length(p_name) AS INTEGER) AS name_len,
+      substr(p_name, 1, 5) AS name_prefix,
+      concat(p_brand, ':', p_type) AS brand_type,
+      replace(p_type, ' ', '_') AS type_snake,
+      trim(p_name) AS name_trim,
+      CAST(abs(p_size - 25) AS INTEGER) AS size_dist,
+      CAST(p_size % 5 AS INTEGER) AS size_mod,
+      CAST(round(CAST(p_retailprice AS DECIMAL(18,2)) / 100, 1) AS DOUBLE) AS price_hundreds,
+      CASE WHEN p_size >= 25 THEN 'large' ELSE 'small' END AS size_class
+    FROM part
+    ORDER BY p_partkey
+    """,
+)
+def q12_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.lower("p_type").alias("type_lower"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.trim("p_name").alias("name_trim"),
+        F.abs(F.col("p_size") - 25).alias("size_dist"),
+        (F.col("p_size") % 5).alias("size_mod"),
+        F.round(_dec("p_retailprice") / 100, 1).cast("double").alias("price_hundreds"),
+        F.when(F.col("p_size") >= 25, "large").otherwise("small").alias("size_class"),
+    ).orderBy("p_partkey")
+
+
+# ---------------------------------------------------------------------------
+# q13 — CASE buckets + HAVING over a date dimension derived on the fly.
+# ---------------------------------------------------------------------------
+@register(
+    "q13_monthly_order_buckets",
+    oracle="""
+    SELECT
+      CAST(year(o_orderdate) AS INTEGER) AS order_year,
+      CAST(month(o_orderdate) AS INTEGER) AS order_month,
+      SUM(CASE WHEN o_totalprice >= 200000 THEN 1 ELSE 0 END) AS n_big,
+      SUM(CASE WHEN o_totalprice < 200000 THEN 1 ELSE 0 END) AS n_small,
+      COUNT(*) AS n_total
+    FROM orders
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 5
+    ORDER BY order_year, order_month
+    """,
+)
+def q13_monthly_order_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+        )
+        .agg(
+            F.sum(F.when(F.col("o_totalprice") >= 200000, 1).otherwise(0)).alias("n_big"),
+            F.sum(F.when(F.col("o_totalprice") < 200000, 1).otherwise(0)).alias("n_small"),
+            F.count("*").alias("n_total"),
+        )
+        .filter(F.col("n_total") >= 5)
+        .orderBy("order_year", "order_month")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q14 — analytic windows: running sum, lag, lead over customer order history.
+# ---------------------------------------------------------------------------
+@register(
+    "q14_customer_order_history",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spent,
+      CAST(lag(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS prev_order,
+      CAST(lead(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS next_order
+    FROM orders
+    ORDER BY o_custkey, o_orderdate, o_orderkey
+    """,
+)
+def q14_customer_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(_dec("o_totalprice"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double")
+        .alias("running_spent"),
+        F.lag("o_orderkey").over(w).alias("prev_order"),
+        F.lead("o_orderkey").over(w).alias("next_order"),
+    ).orderBy("o_custkey", "o_orderdate", "o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# q15 — ranking family: dense_rank + ntile quartiles over part prices.
+# ---------------------------------------------------------------------------
+@register(
+    "q15_part_price_ranks",
+    oracle="""
+    SELECT p_partkey, p_brand,
+      CAST(dense_rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS INTEGER) AS price_rank,
+      CAST(ntile(4) OVER (ORDER BY p_retailprice DESC, p_partkey) AS INTEGER) AS price_quartile
+    FROM part
+    ORDER BY p_partkey
+    """,
+)
+def q15_part_price_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    w_brand = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    w_all = Window.orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return p.select(
+        "p_partkey",
+        "p_brand",
+        F.dense_rank().over(w_brand).alias("price_rank"),
+        F.ntile(4).over(w_all).alias("price_quartile"),
+    ).orderBy("p_partkey")
+
+
+# ---------------------------------------------------------------------------
+# q16 — SQL entry point: correlated scalar subquery through spark.sql().
+# ---------------------------------------------------------------------------
+_Q16_SQL = """
+SELECT s.s_suppkey, s.s_name,
+  CAST(CAST(s.s_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal
+FROM supplier s
+WHERE s.s_acctbal > (
+  SELECT avg(s2.s_acctbal) FROM supplier s2
+  WHERE s2.s_nationkey = s.s_nationkey
+)
+ORDER BY s.s_suppkey
+"""
+
+
+@register("q16_sql_entry_subquery", oracle=_Q16_SQL)
+def q16_sql_entry_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    return spark.sql(_Q16_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q17 — cross join (small×small) + inequality predicate: region pairs.
+# ---------------------------------------------------------------------------
+@register(
+    "q17_region_pairs",
+    oracle="""
+    SELECT a.r_name AS region_a, b.r_name AS region_b
+    FROM region a CROSS JOIN region b
+    WHERE a.r_regionkey < b.r_regionkey
+    ORDER BY region_a, region_b
+    """,
+)
+def q17_region_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, sf_dir, "region")
+    a = r.alias("a")
+    b = r.alias("b")
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a.r_regionkey") < F.col("b.r_regionkey"))
+        .select(F.col("a.r_name").alias("region_a"), F.col("b.r_name").alias("region_b"))
+        .orderBy("region_a", "region_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q18 — JSON extraction from the events.props column (string JSON).
+# ---------------------------------------------------------------------------
+@register(
+    "q18_json_extract",
+    oracle="""
+    SELECT event_type,
+      COUNT(*) AS n_events,
+      CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+      CAST(MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS min_k,
+      CAST(MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q18_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(k).alias("sum_k"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q19 — full outer join over disjoint-ish aggregates (null sides both ways).
+# ---------------------------------------------------------------------------
+@register(
+    "q19_nation_customer_supplier_full",
+    oracle="""
+    WITH cn AS (SELECT c_nationkey AS nationkey, COUNT(*) AS n_customers FROM customer GROUP BY 1),
+         sn AS (SELECT s_nationkey AS nationkey, COUNT(*) AS n_suppliers FROM supplier GROUP BY 1)
+    SELECT COALESCE(cn.nationkey, sn.nationkey) AS nationkey,
+      COALESCE(cn.n_customers, 0) AS n_customers,
+      COALESCE(sn.n_suppliers, 0) AS n_suppliers
+    FROM cn FULL OUTER JOIN sn ON cn.nationkey = sn.nationkey
+    ORDER BY nationkey
+    """,
+)
+def q19_nation_customer_supplier_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    cn = c.groupBy(F.col("c_nationkey").alias("nationkey")).agg(F.count("*").alias("n_customers"))
+    sn = s.groupBy(F.col("s_nationkey").alias("nationkey")).agg(F.count("*").alias("n_suppliers"))
+    return (
+        cn.join(sn, "nationkey", "full_outer")
+        .select(
+            "nationkey",
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q20 — pivot-style conditional aggregation across order statuses.
+# ---------------------------------------------------------------------------
+@register(
+    "q20_status_pivot_by_year",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+      SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
+      SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
+      SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_pending
+    FROM orders
+    GROUP BY 1
+    ORDER BY order_year
+    """,
+)
+def q20_status_pivot_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias("n_open"),
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("n_finished"),
+            F.sum(F.when(F.col("o_orderstatus") == "P", 1).otherwise(0)).alias("n_pending"),
+        )
+        .orderBy("order_year")
+    )

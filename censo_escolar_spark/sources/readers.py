@@ -1,0 +1,101 @@
+"""Source connectors: parquet tables, CSV-with-explicit-schema, JSON sidecars.
+
+Reference parity (SURVEY.md §2a):
+- S1 CSV scan with explicit schema  (reference transform.py:53-65)
+- S2 schema sidecar via StructType.fromJson (reference transform.py:54-55)
+- S3 JSON sidecar load              (reference transform.py:26-30)
+
+All readers are declarative: explicit schemas skip the inference scan, and
+parquet scans get column pruning + predicate/partition pushdown from
+Catalyst for free. Never collect, never infer on the hot path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+#: The driver's test tables (TESTDATA.md).
+TEST_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one named parquet table from a scale-factor directory.
+
+    ``events.parquet`` stores INT64 TIMESTAMP(NANOS) which Spark's parquet
+    reader rejects (PARQUET_TYPE_ILLEGAL). We read nanos as long via the
+    runtime-settable legacy conf, then truncate to microsecond timestamps
+    with integer division — matching DuckDB's nanos->micros truncation
+    (double division would ROUND: 2^63-scale longs exceed double's 2^53
+    integer range).
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name != "events":
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    ts_fields = {f.name for f in df.schema.fields if f.name == "ts"}
+    if "ts" in ts_fields and dict(df.dtypes)["ts"] == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables: Iterable[str] = TEST_TABLES) -> None:
+    """Register every table as a temp view so ``spark.sql`` works over them."""
+    for name in tables:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def load_json_sidecar(path: str) -> dict:
+    """Load a JSON sidecar (schema or code->label maps) from local disk.
+
+    Reference parity: S3 (transform.py:26-30) fetched these from GCS; the
+    engine reads local/driver-shipped files — the format is identical.
+    """
+    with open(path, encoding="utf-8") as f:
+        return json.load(f)
+
+
+def load_schema_sidecar(path: str) -> StructType:
+    """Load a Spark StructType serialized as JSON (S2, transform.py:54-55)."""
+    return StructType.fromJson(load_json_sidecar(path))
+
+
+def load_csv_with_schema(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    *,
+    delimiter: str = "|",
+    header: bool = True,
+    encoding: str = "utf8",
+) -> DataFrame:
+    """CSV scan with an explicit schema — no inference pass (S1).
+
+    Matches the reference reader options (transform.py:62-64): pipe
+    delimiter, header row, UTF-8. With an explicit schema Spark's
+    vectorized CSV reader runs a single pass and malformed cells become
+    NULL (PERMISSIVE mode), which is the null-on-error semantics the
+    reference gets from its UDFs.
+    """
+    return (
+        spark.read.options(header=header, delimiter=delimiter, encoding=encoding)
+        .schema(schema)
+        .csv(path)
+    )
