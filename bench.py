@@ -1,0 +1,70 @@
+"""Benchmark harness: runs the engine's headline queries and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Data dir from $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1);
+parallelism from $SPARK_GRAFT_CPUS (default 32). Each query is forced to
+full materialization through the noop sink (no collect -> no driver
+transfer skew, no count() projection pruning).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf_label = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
+    try:
+        sf = float(sf_label)
+    except ValueError:
+        sf = sf_label
+
+    from censo_escolar_spark.session import get_spark
+
+    spark = get_spark("censo_escolar_spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    queries = entrymod.queries()
+
+    def run(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    # JVM/codegen warm-up (not timed).
+    run(queries["q01_pricing_summary"](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in sorted(queries):
+        t0 = time.perf_counter()
+        try:
+            run(queries[name](spark, sf_dir))
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as exc:  # keep benching; a broken query shows as -1
+            timings[name] = -1.0
+            print(f"bench error in {name}: {exc}", file=sys.stderr)
+
+    total = round(sum(t for t in timings.values() if t >= 0), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
