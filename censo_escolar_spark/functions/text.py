@@ -1,0 +1,156 @@
+"""Text-analysis column expressions — all JVM-side (zero Python UDFs).
+
+Building blocks for the LLM-data-pipeline operators: tokenization,
+shingling, quality scoring, language heuristics, and document
+fingerprints (md5 / simhash / bottom-k). Everything is a Column
+expression inside whole-stage codegen, and — critically for 100 TB —
+the signature computations (simhash, minhash) are *narrow*: per-row
+higher-order functions with no shuffle at all.
+
+Cross-engine notes (the DuckDB oracles mirror these semantics):
+- ``split(text, ' ')`` == DuckDB ``string_split(text, ' ')``;
+- ``md5`` hex strings are identical across engines;
+- hex→int is Spark ``conv(hex,16,10)`` vs DuckDB nibble arithmetic —
+  different mechanics, identical 60-bit value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Tiny English stopword list for the quality/language heuristics; kept
+#: inline so DuckDB oracles can embed the identical list.
+EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "on", "for")
+
+
+def _c(col: str | Column) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokens(col: str | Column) -> Column:
+    """Whitespace tokens (literal-space split, keeps empties on runs)."""
+    return F.split(_c(col), " ")
+
+
+def token_count(col: str | Column) -> Column:
+    return F.size(tokens(col))
+
+
+def distinct_token_count(col: str | Column) -> Column:
+    return F.size(F.array_distinct(tokens(col)))
+
+
+def char_count(col: str | Column) -> Column:
+    return F.length(_c(col))
+
+
+def avg_token_len(col: str | Column) -> Column:
+    """Mean token length = (chars - separators) / tokens — closed form, so
+    the oracle reproduces it without per-token aggregation."""
+    return (F.length(_c(col)) - (token_count(col) - 1)).cast("double") / token_count(
+        col
+    ).cast("double")
+
+
+def stopword_ratio(col: str | Column, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
+    """Fraction of tokens that are stopwords (quality / language-ID signal)."""
+    toks = tokens(col)
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return n_stop.cast("double") / F.size(toks).cast("double")
+
+
+def digit_ratio(col: str | Column) -> Column:
+    c = _c(col)
+    return (F.length(c) - F.length(F.regexp_replace(c, "[0-9]", ""))).cast(
+        "double"
+    ) / F.length(c).cast("double")
+
+
+def fingerprint_md5(col: str | Column) -> Column:
+    """Exact-dedup fingerprint: md5 of whitespace-normalized lowercase text."""
+    return F.md5(F.lower(F.trim(F.regexp_replace(_c(col), "\\s+", " "))))
+
+
+def shingles(col: str | Column, n: int = 3) -> Column:
+    """Word n-gram shingles as array<string> (Jaccard/minhash input).
+
+    Documents shorter than ``n`` tokens yield an empty array; consumers
+    using ``explode`` drop them — matching the SQL
+    ``generate_series(1, len-n+1)`` formulation which emits no rows.
+    """
+    toks = tokens(col)
+    make = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(F.size(toks) >= n, make).otherwise(F.array().cast("array<string>"))
+
+
+# --- simhash (60-bit, md5-based, deterministic) --------------------------
+
+SIMHASH_BITS = 60  # 15 hex chars of md5 → fits a signed 64-bit integer
+
+def _pow2() -> Column:
+    """2^j masks as an array literal — shiftleft/shiftright take only
+    literal ints, so bit j is tested as (h & 2^j) != 0 inside lambdas.
+    Built lazily: Column construction needs an active SparkContext."""
+    return F.array(*[F.lit(1 << j).cast("bigint") for j in range(SIMHASH_BITS)])
+
+
+def token_hash60(tok: Column) -> Column:
+    """First 60 bits of md5(token) as a non-negative bigint."""
+    return F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("bigint")
+
+
+def simhash(col: str | Column) -> Column:
+    """60-bit simhash over the document's *distinct* token set.
+
+    Narrow plan: tokens → per-token 60-bit md5 → fold into 60 per-bit
+    vote counters (+1 if bit set, −1 otherwise) → bit j of the result is
+    set iff its counter is > 0 (tie → 0). No shuffle, no UDF; the whole
+    thing is one codegen'd expression tree.
+    """
+    pow2 = _pow2()
+    toks = F.array_distinct(tokens(col))
+    hashes = F.transform(toks, token_hash60)
+    zeros = F.array_repeat(F.lit(0).cast("bigint"), SIMHASH_BITS)
+    votes = F.aggregate(
+        hashes,
+        zeros,
+        lambda acc, h: F.zip_with(
+            acc,
+            pow2,
+            lambda a, p: a
+            + F.when(h.bitwiseAND(p) != 0, F.lit(1)).otherwise(F.lit(-1)).cast("bigint"),
+        ),
+    )
+    bits = F.zip_with(
+        votes, pow2, lambda s, p: F.when(s > 0, p).otherwise(F.lit(0).cast("bigint"))
+    )
+    return F.aggregate(bits, F.lit(0).cast("bigint"), lambda acc, b: acc + b)
+
+
+def hamming60(a: Column, b: Column) -> Column:
+    """Hamming distance between two 60-bit simhashes (bit_count of XOR)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_bands(col: Column, n_bands: int = 4) -> Column:
+    """Split a 60-bit simhash into ``n_bands`` equal bit-bands.
+
+    Pigeonhole: two hashes within hamming distance ``n_bands - 1`` share
+    at least one identical band — the candidate-generation key for
+    distributed near-dup search (join on (band_idx, band_value) instead
+    of O(n²) pairs).
+    """
+    assert SIMHASH_BITS % n_bands == 0
+    width = SIMHASH_BITS // n_bands
+    mask = (1 << width) - 1
+    return F.array(
+        *[
+            F.shiftright(col, i * width).bitwiseAND(F.lit(mask).cast("bigint"))
+            for i in range(n_bands)
+        ]
+    )

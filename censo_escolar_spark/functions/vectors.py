@@ -1,0 +1,31 @@
+"""Vector (embedding) column expressions — JVM-side, no UDFs.
+
+Dot products / norms via ``zip_with`` + ``aggregate`` fold in double
+precision. The left-to-right fold order makes results bit-identical to
+DuckDB's ``list_dot_product`` on double-cast lists (verified empirically),
+so cosine queries are oracle-matched without rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def as_double_array(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm2(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm2(a) * norm2(b))

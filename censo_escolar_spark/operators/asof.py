@@ -1,0 +1,68 @@
+"""As-of (point-in-time) join — an operator Spark lacks natively.
+
+For each left row, attach the most recent right row with the same key and
+``right_ts <= left_ts`` (backward direction; ties included). Implemented
+as the union-and-carry-forward trick:
+
+1. tag right rows side=0, left rows side=1, union by name;
+2. one window per key, ordered by (ts, side) — right rows at an equal
+   timestamp sort before left rows so ties match;
+3. ``last(<right payload struct>, ignorenulls=True)`` carries the latest
+   right row forward onto each left row;
+4. keep only left rows.
+
+Cost: ONE shuffle on the key (the window), regardless of table sizes —
+versus the naive inequality-join + groupBy-max which is a quadratic
+range join. This is the formulation that survives 100 TB: both inputs
+partition by key, and skewed keys are handled by AQE like any window.
+
+Equivalent to DuckDB/Pandas ``ASOF JOIN`` with >= semantics (left join:
+unmatched left rows keep NULL payload).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str | list[str],
+    left_ts: str,
+    right_ts: str,
+) -> DataFrame:
+    """Backward as-of left join. Right payload columns (everything except
+    the key) must not collide with left column names, except that
+    ``right_ts`` may equal ``left_ts`` in name only if distinct columns."""
+    keys = [on] if isinstance(on, str) else list(on)
+    payload_cols = [c for c in right.columns if c not in keys]
+    if not payload_cols:
+        raise ValueError("right side has no payload columns")
+    collisions = set(payload_cols) & set(left.columns)
+    if collisions:
+        raise ValueError(f"right payload columns collide with left: {sorted(collisions)}")
+
+    r = right.select(
+        *keys,
+        F.col(right_ts).alias("__ts"),
+        F.struct(*payload_cols).alias("__payload"),
+    ).withColumn("__side", F.lit(0))
+    l = left.withColumn("__ts", F.col(left_ts)).withColumn("__side", F.lit(1))
+
+    unioned = l.unionByName(r, allowMissingColumns=True)
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.withColumn("__match", F.last("__payload", ignorenulls=True).over(w))
+
+    out = filled.filter(F.col("__side") == 1).select(
+        *left.columns,
+        *[F.col("__match")[c].alias(c) for c in payload_cols],
+    )
+    return out

@@ -1,0 +1,231 @@
+"""Deduplication operators for large-scale document corpora.
+
+Four strategies, all UDF-free:
+
+1. **Exact** — group on a normalized fingerprint, keep the min-id
+   representative. One shuffle on the fingerprint; AQE handles skew.
+2. **N-gram Jaccard** — exact near-dup pairs via shingle inverted-index
+   self-join. Correct but candidate generation is O(Σ f(s)²) over shingle
+   frequencies; the scale path is minhash below. Hot shingles should be
+   stop-listed at 100 TB (df cut), documented here rather than silently.
+3. **MinHash + LSH** — narrow per-doc signature (64 hashes via
+   xxhash64(i, shingle), no shuffle), banded into (band_idx, band_hash)
+   keys; candidates = equi-join on bands; exact Jaccard verification on
+   the candidate set only. This is the 100 TB design: shuffle volume is
+   O(docs × bands), never O(docs²).
+4. **SimHash** — 60-bit fingerprints (functions.text.simhash), hamming-
+   banded for candidate generation by pigeonhole.
+
+Embedding-cosine near-dup lives in operators/similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from censo_escolar_spark.functions.text import (
+    fingerprint_md5,
+    hamming60,
+    shingles,
+    simhash,
+    simhash_bands,
+)
+
+MINHASH_K = 64  # signature length
+MINHASH_BANDS = 32  # 32 bands × 2 rows: P(miss | J=0.5) ≈ (1-0.25)^32 ≈ 1e-4
+MINHASH_ROWS = MINHASH_K // MINHASH_BANDS
+
+
+def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup on normalized-text fingerprint; keeps min-id winner.
+
+    Equivalent to ``dropDuplicates`` but with a *deterministic*
+    representative (dropDuplicates keeps an arbitrary row — unacceptable
+    for reproducible corpus builds).
+    """
+    return (
+        df.withColumn("__fp", fingerprint_md5(text_col))
+        .groupBy("__fp")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_copies"))
+        .drop("__fp")
+    )
+
+
+def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) pairs, distinct — the inverted-index input."""
+    return (
+        df.select(F.col(id_col), F.explode(shingles(text_col, n)).alias("shingle"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs (id_a < id_b, jaccard >= t).
+
+    Inverted-index self-join: docs sharing no shingle never meet. The
+    per-shingle fan-out is quadratic in shingle frequency — at corpus
+    scale apply a document-frequency cut first (or use minhash_pairs).
+    """
+    sh = shingle_sets(df, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col(f"a.shingle") == F.col(f"b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") * F.lit(1.0) / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, *, n: int = 3, k: int = MINHASH_K
+) -> DataFrame:
+    """Per-doc minhash signature as array<bigint> — fully narrow (no shuffle).
+
+    Hash family i (0..k-1) is xxhash64(i, shingle); signature[i] is the
+    min over the doc's shingles. Docs with < n tokens (no shingles) are
+    dropped, matching jaccard_pairs.
+    """
+    sh = shingles(text_col, n)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.array_min(F.transform(sh, lambda s: F.xxhash64(i, s))),
+    )
+    return df.filter(F.size(sh) > 0).select(F.col(id_col), sig.alias("signature"))
+
+
+def minhash_candidates(
+    signatures: DataFrame,
+    id_col: str,
+    *,
+    bands: int = MINHASH_BANDS,
+    rows: int = MINHASH_ROWS,
+) -> DataFrame:
+    """LSH banding: docs agreeing on any (band_idx, band_hash) are candidates.
+
+    Shuffle key is the band hash — O(docs × bands) rows, never O(docs²).
+    """
+    banded = signatures.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda j: F.xxhash64(j, F.slice(F.col("signature"), j * rows + 1, rows)),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs with exact Jaccard verification.
+
+    Output = pairs whose TRUE shingle Jaccard >= threshold, found through
+    LSH candidates (recall ≈ 1 − (1−t^rows)^bands; ~0.9999 at t=0.5 with
+    32×2). Verification joins each candidate to its shingle set and
+    computes exact set Jaccard via array_intersect — so precision is
+    exact, and the result is deterministic given recall holds.
+    """
+    sigs = minhash_signatures(df, id_col, text_col, n=n)
+    cands = minhash_candidates(sigs, id_col)
+    sets_df = (
+        df.select(
+            F.col(id_col), F.array_distinct(shingles(text_col, n)).alias("sh_set")
+        )
+        .filter(F.size("sh_set") > 0)
+    )
+    sa = sets_df.select(F.col(id_col).alias("id_a"), F.col("sh_set").alias("sh_a"))
+    sb = sets_df.select(F.col(id_col).alias("id_b"), F.col("sh_set").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", inter * F.lit(1.0) / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-doc 60-bit simhash (narrow, codegen'd end-to-end)."""
+    return df.select(F.col(id_col), simhash(text_col).alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs with simhash hamming distance <= max_hamming.
+
+    Band join finds every pair within hamming ``n_bands - 1`` (pigeonhole),
+    then the exact hamming filter runs on candidates only. Requires
+    ``max_hamming < n_bands`` for exactness — asserted, because silently
+    lossy candidate generation would diverge from the brute-force oracle.
+    """
+    assert max_hamming < n_bands, "pigeonhole exactness requires max_hamming < n_bands"
+    fps = simhash_fingerprints(df, id_col, text_col)
+    banded = fps.select(
+        F.col(id_col),
+        "simhash",
+        F.posexplode(simhash_bands(F.col("simhash"), n_bands)).alias("band_idx", "band_val"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            hamming60(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

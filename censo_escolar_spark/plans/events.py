@@ -1,0 +1,164 @@
+"""Event-time window queries over the events table.
+
+These are the batch-checkable form of the streaming surface: Spark's
+``window()`` / ``session_window()`` produce identical groupings in batch
+and streaming mode, so the DuckDB oracles here (time_bucket / gaps-and-
+islands) verify the exact semantics the Structured Streaming pipelines in
+censo_escolar_spark/streaming reuse. Watermark/late-data behavior is
+streaming-only and covered in tests/test_streaming.py instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from censo_escolar_spark.plans.registry import register
+from censo_escolar_spark.sources.readers import load_table
+
+DEC = "decimal(18,2)"
+
+
+# ---------------------------------------------------------------------------
+# e01 — tumbling 1-hour windows: count + exact sum per (window, event_type).
+# ---------------------------------------------------------------------------
+@register(
+    "e01_tumbling_hourly",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+      event_type,
+      COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY window_start, event_type
+    """,
+)
+def e01_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+        .orderBy("window_start", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# e02 — sliding windows (30 min wide, 15 min slide): each event lands in
+# exactly 2 windows; the oracle enumerates both via the two bucket offsets.
+# ---------------------------------------------------------------------------
+@register(
+    "e02_sliding_windows",
+    oracle="""
+    WITH expanded AS (
+      SELECT time_bucket(INTERVAL '15 minutes', ts) - (k * INTERVAL '15 minutes') AS window_start,
+        value
+      FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k)
+    )
+    SELECT window_start, COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM expanded
+    GROUP BY 1
+    ORDER BY window_start
+    """,
+)
+def e02_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "30 minutes", "15 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+        .orderBy("window_start")
+    )
+
+
+# ---------------------------------------------------------------------------
+# e03 — session windows (30 min gap) per user; oracle is gaps-and-islands.
+# Session end follows Spark semantics: last event + gap; a new session
+# starts when the inter-event gap is >= the gap duration ([start, end)).
+# ---------------------------------------------------------------------------
+@register(
+    "e03_user_sessions",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+        CASE WHEN lag(ts) OVER w IS NULL
+               OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+             THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, value
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id,
+      MIN(ts) AS session_start,
+      MAX(ts) + INTERVAL '30 minutes' AS session_end,
+      COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM sess
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+)
+def e03_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+# ---------------------------------------------------------------------------
+# e04 — as-of join (most recent prior event of another type, per user):
+# Spark lacks a native as-of join; the scalable formulation is the
+# union-and-ffill window trick — tag both streams, sort once per user,
+# carry the last 'view' timestamp forward with last_value(ignorenulls).
+# The oracle uses DuckDB's native ASOF JOIN.
+# ---------------------------------------------------------------------------
+@register(
+    "e04_asof_click_to_view",
+    oracle="""
+    SELECT c.event_id, c.user_id, c.ts AS click_ts, v.ts AS view_ts
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON c.user_id = v.user_id AND c.ts >= v.ts
+    ORDER BY c.event_id
+    """,
+)
+def e04_asof_click_to_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from censo_escolar_spark.operators.asof import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    views = e.filter(F.col("event_type") == "view").select("user_id", F.col("ts").alias("view_ts"))
+    return (
+        asof_join(
+            clicks,
+            views,
+            on="user_id",
+            left_ts="ts",
+            right_ts="view_ts",
+        )
+        .select("event_id", "user_id", F.col("ts").alias("click_ts"), "view_ts")
+        .orderBy("event_id")
+    )

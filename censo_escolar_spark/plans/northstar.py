@@ -1,0 +1,299 @@
+"""North-star operators: dedup, similarity search, text analysis.
+
+Each query pairs a Spark-first distributed implementation (see
+operators/dedup.py, operators/similarity.py, functions/text.py) with a
+DuckDB oracle computing the same result by brute force. Approximate
+operators (minhash-LSH, simhash-banding, hyperplane-LSH) verify their
+candidates *exactly*, so their output equals the brute-force oracle
+whenever recall holds (see each docstring for the recall bound).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from censo_escolar_spark.functions import text as T
+from censo_escolar_spark.operators import dedup, similarity
+from censo_escolar_spark.plans.registry import register
+from censo_escolar_spark.sources.readers import load_table
+
+# Shared SQL fragment: 60-bit md5 token hash (DuckDB side of
+# functions.text.token_hash60 — verified to equal Spark's conv()).
+_SQL_H60 = (
+    "list_sum(list_transform(range(0,15), k -> "
+    "(strpos('0123456789abcdef', substr(md5(tok),k+1,1)) - 1)::BIGINT << (4*(14-k))))"
+)
+
+# Shared SQL fragment: distinct word-3-gram shingles per document.
+_SQL_SHINGLES = """
+  toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+  sh AS (
+    SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+    FROM toks, UNNEST(range(1, len(t)-1)) AS u(i)
+  )
+"""
+
+
+# ---------------------------------------------------------------------------
+# d01 — exact dedup on normalized-text fingerprint.
+# ---------------------------------------------------------------------------
+@register(
+    "d01_dedup_exact",
+    oracle=r"""
+    SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+    ORDER BY doc_id
+    """,
+)
+def d01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.dedup_exact(docs, "doc_id", "text").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# d02 — exact n-gram Jaccard near-dup pairs (inverted-index self-join).
+# ---------------------------------------------------------------------------
+_D02_ORACLE = f"""
+WITH {_SQL_SHINGLES},
+  sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+  inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  )
+SELECT id_a, id_b, i * 1.0 / (sa.n + sb.n - i) AS jaccard
+FROM inter
+JOIN sz sa ON sa.doc_id = id_a
+JOIN sz sb ON sb.doc_id = id_b
+WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
+@register("d02_jaccard_pairs", oracle=_D02_ORACLE)
+def d02_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).orderBy(
+        "id_a", "id_b"
+    )
+
+
+# ---------------------------------------------------------------------------
+# d03 — MinHash-LSH near-dup pairs, exact-verified: same oracle as d02.
+# Recall bound: P(miss | J=t) = (1-t^2)^32 ≈ 1e-4 at the 0.5 threshold and
+# vanishing for the planted near-dups (J≈0.9) — so LSH output == exact.
+# ---------------------------------------------------------------------------
+@register("d03_minhash_lsh_pairs", oracle=_D02_ORACLE)
+def d03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_pairs(docs, "doc_id", "text", n=3, threshold=0.5).orderBy(
+        "id_a", "id_b"
+    )
+
+
+# ---------------------------------------------------------------------------
+# d04 — simhash fingerprints (60-bit, md5-based, set-simhash).
+# ---------------------------------------------------------------------------
+_D04_ORACLE = f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), th AS (
+  SELECT doc_id, {_SQL_H60} AS h FROM tok
+), votes AS (
+  SELECT doc_id, j, SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM th CROSS JOIN (SELECT unnest(range(0,60)) AS j)
+  GROUP BY doc_id, j
+)
+SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN 1::BIGINT << j ELSE 0::BIGINT END) AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register("d04_simhash_fingerprints", oracle=_D04_ORACLE)
+def d04_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_fingerprints(docs, "doc_id", "text").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# d05 — simhash near-dup pairs (hamming <= 3) via 4-band pigeonhole join;
+# oracle is the brute-force O(n²) hamming scan.
+# ---------------------------------------------------------------------------
+@register(
+    "d05_simhash_pairs",
+    oracle=f"""
+    WITH fp AS ({_D04_ORACLE.replace("ORDER BY doc_id", "")})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    ORDER BY id_a, id_b
+    """,
+)
+def d05_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=3, n_bands=4)
+        .withColumn("hamming", F.col("hamming").cast("int"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# s01 — brute-force cosine top-k: the ANN correctness baseline.
+# ---------------------------------------------------------------------------
+@register(
+    "s01_cosine_topk",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        list_dot_product(q.v, c.v) /
+          sqrt(list_dot_product(q.v, q.v) * list_dot_product(c.v, c.v)) AS cos
+      FROM e q JOIN e c ON q.vec_id != c.vec_id
+      WHERE q.vec_id < 8
+    )
+    SELECT query_id, neighbor_id, cos,
+      CAST(rnk AS INTEGER) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+      FROM scored
+    )
+    WHERE rnk <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def s01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return similarity.cosine_topk(emb, queries, k=5).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# s02 — embedding-cosine near-dup pairs above a threshold (brute force).
+# ---------------------------------------------------------------------------
+@register(
+    "s02_cosine_pairs",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      list_dot_product(a.v, b.v) /
+        sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)) AS cos
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v) /
+        sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)) >= 0.45
+    ORDER BY id_a, id_b
+    """,
+)
+def s02_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_pairs(emb, threshold=0.45).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# s03 — hyperplane-LSH bucketed pairs: the 100 TB scale path for s02.
+# Approximate recall at low thresholds → rows-only check (no oracle);
+# tests/test_similarity.py asserts recall against s02 on planted data.
+# ---------------------------------------------------------------------------
+@register("s03_lsh_bucketed_pairs")
+def s03_lsh_bucketed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_bucketed_pairs(emb, threshold=0.45).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# t01 — per-document text statistics (quality-scoring features).
+# ---------------------------------------------------------------------------
+@register(
+    "t01_text_stats",
+    oracle="""
+    SELECT doc_id,
+      CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+      CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct_tokens,
+      CAST(length(text) AS INTEGER) AS n_chars,
+      (length(text) - (len(string_split(text, ' ')) - 1)) * 1.0
+        / len(string_split(text, ' ')) AS avg_token_len,
+      len(list_filter(string_split(text, ' '),
+          t -> list_contains(['the','a','of','and','to','in','is','it','on','for'], t))) * 1.0
+        / len(string_split(text, ' ')) AS stopword_ratio
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def t01_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        T.distinct_token_count("text").alias("n_distinct_tokens"),
+        T.char_count("text").alias("n_chars"),
+        T.avg_token_len("text").alias("avg_token_len"),
+        T.stopword_ratio("text").alias("stopword_ratio"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# t02 — corpus profile by language: integer-sum ratios (exact, order-free).
+# ---------------------------------------------------------------------------
+@register(
+    "t02_lang_profile",
+    oracle="""
+    SELECT lang,
+      COUNT(*) AS n_docs,
+      SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS total_tokens,
+      SUM(CAST(length(text) AS BIGINT)) AS total_chars,
+      SUM(CAST(len(list_filter(string_split(text, ' '),
+          t -> list_contains(['the','a','of','and','to','in','is','it','on','for'], t))) AS BIGINT)) * 1.0
+        / SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS stopword_ratio
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def t02_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sw = F.array(*[F.lit(s) for s in T.EN_STOPWORDS])
+    n_stop = F.size(F.filter(T.tokens("text"), lambda t: F.array_contains(sw, t)))
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(T.token_count("text").cast("bigint")).alias("total_tokens"),
+            F.sum(T.char_count("text").cast("bigint")).alias("total_chars"),
+            (
+                F.sum(n_stop.cast("bigint")) * F.lit(1.0)
+                / F.sum(T.token_count("text").cast("bigint"))
+            ).alias("stopword_ratio"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# t03 — document fingerprints: md5 (exact) + bottom-1 shingle sketch.
+# ---------------------------------------------------------------------------
+@register(
+    "t03_fingerprints",
+    oracle=rf"""
+    WITH {_SQL_SHINGLES}
+    SELECT d.doc_id,
+      md5(lower(trim(regexp_replace(d.text, '\s+', ' ', 'g')))) AS fp_md5,
+      MIN(md5(sh.shingle)) AS fp_min_shingle
+    FROM documents d JOIN sh ON sh.doc_id = d.doc_id
+    GROUP BY 1, 2
+    ORDER BY d.doc_id
+    """,
+)
+def t03_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            T.fingerprint_md5("text").alias("fp_md5"),
+            F.array_min(F.transform(T.shingles("text", 3), F.md5)).alias("fp_min_shingle"),
+        )
+        .filter(F.col("fp_min_shingle").isNotNull())
+        .orderBy("doc_id")
+    )
