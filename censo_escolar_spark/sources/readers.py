@@ -84,12 +84,13 @@ def load_csv_with_schema(
     *,
     delimiter: str = "|",
     header: bool = True,
-    encoding: str = "utf8",
+    encoding: str = "utf-8",
 ) -> DataFrame:
     """CSV scan with an explicit schema — no inference pass (S1).
 
     Matches the reference reader options (transform.py:62-64): pipe
-    delimiter, header row, UTF-8. With an explicit schema Spark's
+    delimiter, header row, UTF-8 (spelled "utf-8": Spark 4 validates
+    charset names strictly and rejects the reference's "utf8"). With an explicit schema Spark's
     vectorized CSV reader runs a single pass and malformed cells become
     NULL (PERMISSIVE mode), which is the null-on-error semantics the
     reference gets from its UDFs.

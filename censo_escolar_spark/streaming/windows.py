@@ -1,0 +1,138 @@
+"""Structured Streaming pipelines over event streams.
+
+The batch-mode semantics of these exact groupings are oracle-verified in
+plans/events.py (window()/session_window() group identically in batch and
+streaming); this module supplies the streaming-only machinery: watermarks,
+late-data eviction, streaming dedup, and a custom stateful operator.
+
+Scale notes: state store size is bounded by the watermark (late rows are
+dropped, closed windows evicted); shuffle partitioning of the state is
+the normal groupBy hash on (window, keys). At 1000 executors the same
+code runs unchanged — state lives per shuffle-partition, and
+``spark.sql.shuffle.partitions`` governs state-store parallelism.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import StructType
+
+DEC = "decimal(18,2)"
+
+
+def read_event_stream(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    """File-source stream over a directory of event parquet files.
+
+    Explicit schema (mandatory for streaming file sources — no inference)
+    keeps this a drop-in for any directory the batch reader handles.
+    """
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def tumbling_counts(
+    events: DataFrame,
+    *,
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Tumbling event-time aggregation with late-data eviction.
+
+    Batch-equivalent: plans/events.py::e01_tumbling_hourly (oracle-checked).
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    *,
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Session windows per user (gap-based), watermarked.
+
+    Batch-equivalent: plans/events.py::e03_user_sessions (oracle-checked).
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def dedup_within_watermark(
+    events: DataFrame, *, keys: list[str], watermark: str = "1 hour", ts_col: str = "ts"
+) -> DataFrame:
+    """Streaming exact dedup with bounded state: duplicates arriving within
+    the watermark horizon are dropped; state for old keys is evicted."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def running_user_stats(events: DataFrame, *, ts_col: str = "ts") -> DataFrame:
+    """Custom stateful operator: per-user running (count, max value) via
+    applyInPandasWithState — the escape hatch for state machines the
+    built-in windows can't express. Arrow-batched; state is one small
+    tuple per user."""
+
+    out_schema = "user_id bigint, n_events bigint, max_value double"
+    state_schema = "n bigint, mx double"
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, mx = state.get if state.exists else (0, float("-inf"))
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                mx = max(mx, float(pdf["value"].max()))
+        state.update((n, mx))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "max_value": [mx]}
+        )
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_available_now(
+    df: DataFrame, *, sink_table: str, checkpoint: str, output_mode: str = "append"
+) -> None:
+    """Drain everything currently available through a memory sink and stop —
+    the batch-boundary trigger used by tests and backfills."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import math
 import os
-from datetime import datetime
+from datetime import date, datetime
 from decimal import Decimal
 
 import duckdb
@@ -44,6 +44,9 @@ def _normalize_cell(v):
         return v.to_pydatetime()
     if isinstance(v, datetime):
         return v
+    if isinstance(v, date):
+        # pandas transports SQL DATE as midnight Timestamp; align.
+        return datetime(v.year, v.month, v.day)
     return v
 
 

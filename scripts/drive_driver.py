@@ -41,7 +41,12 @@ for name in sorted(Q):
                     if not ((av.fillna(0) - bv.fillna(0)).abs().max() <= 1e-9 * (1+bv.abs().max())):
                         ok_vals = False; print(f"  {name}.{c}: max diff {(av-bv).abs().max()}")
                 else:
-                    same = (av.astype(str).values == bv.astype(str).values).all()
+                    def _s(v):
+                        try:
+                            if pd.isna(v): return "<NULL>"
+                        except (TypeError, ValueError): pass
+                        return str(v)
+                    same = (av.map(_s).values == bv.map(_s).values).all()
                     if not same: ok_vals = False; print(f"  {name}.{c}: value mismatch")
         status = "OK" if (ok_cols and ok_rows and ok_vals) else f"MISMATCH cols={ok_cols} rows={ok_rows} vals={ok_vals}"
         print(f"{name}: {status} ({len(mine)} rows)")

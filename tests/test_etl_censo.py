@@ -1,0 +1,233 @@
+"""Censo-parity ETL tests on synthesized Family-B fixtures (FIXTURES.md).
+
+Golden rules checked (FIXTURES.md §Golden-output rules):
+1. mapped TP_/CO_ values → sidecar labels; unmapped/NULL → NULL
+2. IN_ columns → BooleanType, "1"→true "0"→false else NULL
+3. NU_/QT_ → IntegerType, malformed → NULL
+4. DT_ → DateType per the year's format, malformed → NULL
+5. pre-2019 escolas: OR-merge present + sources dropped; renames per intent
+6. union of shards preserves row counts
+7. hive-partitioned output; small tables 1 file per partition
+"""
+
+from __future__ import annotations
+
+import datetime
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType, StringType
+
+from censo_escolar_spark.etl.maps import alias_maps, composite_key_map, load_maps
+from censo_escolar_spark.etl.pipeline import (
+    missing_partitions,
+    transform_table,
+    union_shards,
+)
+from censo_escolar_spark.sources.readers import load_csv_with_schema
+from censo_escolar_spark.sources.writers import (
+    write_partitioned_parquet,
+    write_single_file,
+)
+
+MAPS = {
+    "TP_SITUACAO_FUNCIONAMENTO": {"1": "Em atividade", "2": "Paralisada", "3": "Extinta", "4": "Extinta anos anteriores"},
+    "CO_REGIAO": {"1": "Norte", "2": "Nordeste", "3": "Sudeste", "4": "Sul", "5": "Centro-Oeste"},
+    "CO_LINGUA_INDIGENA_1": {"10001": "Ticuna", "10002": "Guarani"},
+}
+# pre-2019 files carry the OLD column name; the maps sidecar aliases it to
+# the same dict (reference maps.ipynb aliased-keys pattern, SURVEY §1).
+MAPS["CO_LINGUA_INDIGENA"] = MAPS["CO_LINGUA_INDIGENA_1"]
+
+ESCOLAS_COLUMNS = [
+    "NU_ANO_CENSO", "CO_ENTIDADE", "NO_ENTIDADE",
+    "TP_SITUACAO_FUNCIONAMENTO", "CO_REGIAO",
+    "DT_ANO_LETIVO_INICIO", "DT_ANO_LETIVO_TERMINO",
+    "IN_AGUA_POTAVEL",
+    "IN_MANT_ESCOLA_PRIVADA_ONG", "IN_MANT_ESCOLA_PRIVADA_OSCIP",
+    "IN_ESGOTO_FOSSA_SEPTICA", "IN_ESGOTO_FOSSA_COMUM",
+    "IN_ALOJAM_ALUNO", "IN_ALOJAM_PROFESSOR", "CO_LINGUA_INDIGENA",
+    "QT_SALAS_UTILIZADAS",
+]
+
+
+def _write_csv(path: str, header: list[str], rows: list[list[str | None]]) -> None:
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("|".join(header) + "\n")
+        for row in rows:
+            f.write("|".join("" if v is None else v for v in row) + "\n")
+
+
+def _escolas_rows(year: int) -> list[list[str | None]]:
+    y = str(year)
+    pre2019 = year < 2019
+    date_ok = f"15/02/{year}" if year > 2014 else f"15FEB{year}:00:00:00"
+    rows = [
+        # fully-valid row
+        [y, "11000001", "ESCOLA A", "1", "1", date_ok, date_ok, "1",
+         "1" if pre2019 else None, "0" if pre2019 else None,
+         "0" if pre2019 else None, "1" if pre2019 else None,
+         "1" if pre2019 else None, "0" if pre2019 else None,
+         "10001" if pre2019 else None, "12"],
+        # unmapped code, bad bool, bad int, bad date
+        [y, "11000002", "ESCOLA B", "9", "5", "garbage", None, "2",
+         "0" if pre2019 else None, "0" if pre2019 else None,
+         "0" if pre2019 else None, "0" if pre2019 else None,
+         "0" if pre2019 else None, "1" if pre2019 else None,
+         "99999" if pre2019 else None, "abc"],
+        # NULL code, NULL bool, empty int
+        [y, "11000003", "ESCOLA C", None, "3", None, date_ok, None,
+         "1" if pre2019 else None, "1" if pre2019 else None,
+         "1" if pre2019 else None, "0" if pre2019 else None,
+         None, None, None, None],
+    ]
+    return rows
+
+
+@pytest.fixture(scope="module")
+def escolas_fixture(tmp_path_factory):
+    root = tmp_path_factory.mktemp("censo_mini")
+    paths = {}
+    for year in (2013, 2016, 2020):
+        p = os.path.join(root, f"escolas_{year}.csv")
+        header = list(ESCOLAS_COLUMNS)
+        if year >= 2019:
+            # post-2019 files carry the NEW column names natively
+            header = [h for h in header if h not in (
+                "IN_MANT_ESCOLA_PRIVADA_ONG", "IN_MANT_ESCOLA_PRIVADA_OSCIP",
+                "IN_ESGOTO_FOSSA_SEPTICA", "IN_ESGOTO_FOSSA_COMUM",
+                "IN_ALOJAM_ALUNO", "IN_ALOJAM_PROFESSOR", "CO_LINGUA_INDIGENA",
+            )] + ["IN_MANT_ESCOLA_PRIV_ONG_OSCIP", "IN_ESGOTO_FOSSA",
+                  "IN_DORMITORIO_ALUNO", "IN_DORMITORIO_PROFESSOR", "CO_LINGUA_INDIGENA_1"]
+            rows = [
+                [str(year), "11000001", "ESCOLA A", "1", "1",
+                 f"15/02/{year}", f"15/02/{year}", "1", "12",
+                 "1", "0", "1", "0", "10001"],
+                [str(year), "11000002", "ESCOLA B", "9", "5",
+                 "garbage", None, "2", "abc",
+                 "0", "1", "0", "1", "99999"],
+            ]
+        else:
+            rows = _escolas_rows(year)
+        _write_csv(p, header, rows)
+        paths[year] = (p, header)
+    return paths
+
+
+def _load(spark, path, header):
+    schema = StructType([StructField(c, StringType(), True) for c in header])
+    return load_csv_with_schema(spark, path, schema)
+
+
+def test_conventions_pre2019(spark, escolas_fixture):
+    path, header = escolas_fixture[2013]
+    raw = _load(spark, path, header)
+    out = transform_table(raw, table="escolas", year=2013, maps=MAPS)
+    rows = {r["CO_ENTIDADE"]: r for r in out.collect()}
+    dtypes = dict(out.dtypes)
+
+    # rule 1: map decode with null-on-miss
+    assert rows["11000001"]["TP_SITUACAO_FUNCIONAMENTO"] == "Em atividade"
+    assert rows["11000002"]["TP_SITUACAO_FUNCIONAMENTO"] is None  # unmapped "9"
+    assert rows["11000003"]["TP_SITUACAO_FUNCIONAMENTO"] is None  # NULL in
+    assert rows["11000001"]["CO_REGIAO"] == "Norte"
+    # rule 2: boolean decode
+    assert dtypes["IN_AGUA_POTAVEL"] == "boolean"
+    assert rows["11000001"]["IN_AGUA_POTAVEL"] is True
+    assert rows["11000002"]["IN_AGUA_POTAVEL"] is None  # "2"
+    assert rows["11000003"]["IN_AGUA_POTAVEL"] is None
+    # rule 3: int cast, malformed → NULL
+    assert dtypes["QT_SALAS_UTILIZADAS"] == "int"
+    assert rows["11000001"]["QT_SALAS_UTILIZADAS"] == 12
+    assert rows["11000002"]["QT_SALAS_UTILIZADAS"] is None
+    # rule 4: SAS-format date for year <= 2014
+    assert dtypes["DT_ANO_LETIVO_INICIO"] == "date"
+    assert rows["11000001"]["DT_ANO_LETIVO_INICIO"] == datetime.date(2013, 2, 15)
+    assert rows["11000002"]["DT_ANO_LETIVO_INICIO"] is None  # garbage
+    # rule 5: OR-merge + sources dropped
+    assert rows["11000001"]["IN_MANT_ESCOLA_PRIV_ONG_OSCIP"] is True  # 1|0
+    assert rows["11000002"]["IN_MANT_ESCOLA_PRIV_ONG_OSCIP"] is False  # 0|0
+    assert rows["11000001"]["IN_ESGOTO_FOSSA"] is True  # 0|1
+    for dropped in ("IN_MANT_ESCOLA_PRIVADA_ONG", "IN_MANT_ESCOLA_PRIVADA_OSCIP",
+                    "IN_ESGOTO_FOSSA_SEPTICA", "IN_ESGOTO_FOSSA_COMUM"):
+        assert dropped not in out.columns
+    # rule 5: renames per INTENT (old dropped, new present and populated)
+    assert "IN_ALOJAM_ALUNO" not in out.columns
+    assert rows["11000001"]["IN_DORMITORIO_ALUNO"] is True
+    assert "CO_LINGUA_INDIGENA" not in out.columns
+    assert rows["11000001"]["CO_LINGUA_INDIGENA_1"] == "Ticuna"
+    assert rows["11000002"]["CO_LINGUA_INDIGENA_1"] is None  # unmapped 99999
+
+
+def test_conventions_modern_date_format(spark, escolas_fixture):
+    path, header = escolas_fixture[2016]
+    raw = _load(spark, path, header)
+    out = transform_table(raw, table="escolas", year=2016, maps=MAPS)
+    rows = {r["CO_ENTIDADE"]: r for r in out.collect()}
+    assert rows["11000001"]["DT_ANO_LETIVO_INICIO"] == datetime.date(2016, 2, 15)
+    assert rows["11000002"]["DT_ANO_LETIVO_INICIO"] is None
+
+
+def test_conventions_post2019_no_drift_logic(spark, escolas_fixture):
+    path, header = escolas_fixture[2020]
+    raw = _load(spark, path, header)
+    out = transform_table(raw, table="escolas", year=2020, maps=MAPS)
+    rows = {r["CO_ENTIDADE"]: r for r in out.collect()}
+    # native post-2019 columns pass through the convention engine only
+    assert rows["11000001"]["IN_MANT_ESCOLA_PRIV_ONG_OSCIP"] is True
+    assert rows["11000001"]["IN_DORMITORIO_ALUNO"] is True
+    assert rows["11000001"]["CO_LINGUA_INDIGENA_1"] == "Ticuna"
+    assert rows["11000002"]["CO_LINGUA_INDIGENA_1"] is None
+
+
+def test_union_shards_preserves_counts(spark):
+    shards = [
+        spark.createDataFrame([(i, f"r{i}")] * n, "id int, region string")
+        for i, n in enumerate([10, 5, 3, 1, 1])
+    ]
+    assert union_shards(shards).count() == 20
+
+
+def test_partitioned_write_and_incremental(spark, tmp_path):
+    sink = str(tmp_path / "escolas_out")
+    df = spark.createDataFrame(
+        [(2013, "a"), (2013, "b"), (2016, "c")], "NU_ANO_CENSO int, v string"
+    )
+    write_single_file(df, sink, ["NU_ANO_CENSO"])
+    # rule 7: hive layout + exactly one file per partition
+    for year in (2013, 2016):
+        files = glob.glob(f"{sink}/NU_ANO_CENSO={year}/*.parquet")
+        assert len(files) == 1, files
+    # partition pruning readable
+    back = spark.read.parquet(sink)
+    assert back.filter(F.col("NU_ANO_CENSO") == 2013).count() == 2
+    # O1 incremental: only 2020 missing
+    assert missing_partitions(spark, [2013, 2016, 2020], sink) == [2020]
+    # nonexistent sink → everything missing
+    assert missing_partitions(spark, [2011, 2012], str(tmp_path / "nope")) == [2011, 2012]
+
+
+def test_max_records_per_file_bounds_output(spark, tmp_path):
+    sink = str(tmp_path / "bounded")
+    df = spark.range(1000).withColumn("NU_ANO_CENSO", F.lit(2020))
+    write_partitioned_parquet(
+        df.repartition(1), sink, ["NU_ANO_CENSO"], max_records_per_file=250
+    )
+    files = glob.glob(f"{sink}/NU_ANO_CENSO=2020/*.parquet")
+    assert len(files) >= 4  # 1000 rows / 250 cap
+    assert spark.read.parquet(sink).count() == 1000
+
+
+def test_maps_sidecar_roundtrip(tmp_path):
+    import json
+
+    p = tmp_path / "maps_mini.json"
+    p.write_text(json.dumps(MAPS))
+    loaded = load_maps(str(p))
+    assert loaded["CO_REGIAO"]["3"] == "Sudeste"
+    aliased = alias_maps(loaded, {"CO_REGIAO_NASC": "CO_REGIAO"})
+    assert aliased["CO_REGIAO_NASC"] is loaded["CO_REGIAO"]
+    comp = composite_key_map({"1": "Meso A", "2": "Meso B"}, {"11": "RO"}, width=2)
+    assert comp == {"1101": "Meso A", "1102": "Meso B"}
