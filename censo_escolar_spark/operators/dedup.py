@@ -21,9 +21,13 @@ Embedding-cosine near-dup lives in operators/similarity.py.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
+from censo_escolar_spark.functions.hashing import splitmix64
 from censo_escolar_spark.functions.text import (
     fingerprint_md5,
     hamming60,
@@ -97,21 +101,47 @@ def jaccard_pairs(
     )
 
 
+def _sig_udf(k: int):
+    """Arrow-vectorized signature step: per doc, min over shingles of the
+    k-member multiply-add hash family applied to the base shingle hashes.
+
+    Interpreted higher-order functions cost ~µs per lambda eval — at
+    k=64 × |shingles| per doc that dominated everything; numpy does the
+    (k × |sh|) broadcast in one shot. Constants derive from splitmix64
+    (multipliers forced odd — a 2^64 multiply-shift universal family)."""
+    mult = splitmix64(0x5EED_A, k) | np.uint64(1)
+    add = splitmix64(0x5EED_B, k)
+
+    @pandas_udf("array<long>")
+    def sig(base_hashes: pd.Series) -> pd.Series:
+        out = []
+        with np.errstate(over="ignore"):
+            for arr in base_hashes:
+                h = np.asarray(arr, dtype=np.int64).view(np.uint64)
+                out.append(
+                    (mult[:, None] * h[None, :] + add[:, None]).min(axis=1).view(np.int64)
+                )
+        return pd.Series(out)
+
+    return sig
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, *, n: int = 3, k: int = MINHASH_K
 ) -> DataFrame:
     """Per-doc minhash signature as array<bigint> — fully narrow (no shuffle).
 
-    Hash family i (0..k-1) is xxhash64(i, shingle); signature[i] is the
-    min over the doc's shingles. Docs with < n tokens (no shingles) are
-    dropped, matching jaccard_pairs.
+    Each shingle is hashed ONCE JVM-side (xxhash64); the k-fold hash
+    family is k multiply-adds over those base hashes in a pandas UDF
+    (one numpy broadcast per doc). Docs with < n tokens (no shingles)
+    are dropped, matching jaccard_pairs.
     """
-    sh = shingles(text_col, n)
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(k - 1)),
-        lambda i: F.array_min(F.transform(sh, lambda s: F.xxhash64(i, s))),
+    base = F.transform(shingles(text_col, n), lambda s: F.xxhash64(s))
+    return (
+        df.select(F.col(id_col), base.alias("__bh"))
+        .filter(F.size("__bh") > 0)
+        .select(F.col(id_col), _sig_udf(k)("__bh").alias("signature"))
     )
-    return df.filter(F.size(sh) > 0).select(F.col(id_col), sig.alias("signature"))
 
 
 def minhash_candidates(

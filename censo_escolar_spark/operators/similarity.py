@@ -4,22 +4,34 @@
   side is broadcast; the corpus is scanned once — at 100 TB this is one
   pass, embarrassingly parallel, no shuffle until the final per-query
   top-k (window over query_id).
-- ``cosine_pairs``: all-pairs above a threshold — the *correctness
-  baseline*; O(n²), only for validation scales.
-- ``lsh_bucketed_pairs``: the scale path — deterministic random-hyperplane
-  LSH (hyperplanes derived from xxhash64, no RNG state), candidates from
-  shared sign-buckets, exact cosine verification on candidates.
+- ``cosine_pairs``: all pairs above a threshold. Block nested-loop with
+  BLAS: vectors are grouped into blocks, block pairs cross-joined, and
+  each block pair scored with one numpy GEMM inside ``mapInPandas``
+  (Arrow-batched). Survivors are re-scored JVM-side with the exact
+  left-to-right fold so the reported cosine is bit-identical to DuckDB's
+  ``list_dot_product`` oracle. Shuffle is O(n·B) block replicas, task
+  memory is O((n/B)²) — both tunable via ``n_blocks``.
+- ``lsh_bucketed_pairs``: the sub-quadratic scale path — deterministic
+  random-hyperplane LSH (fixed splitmix64-derived planes, no RNG state),
+  candidates from shared sign-bucket bands, exact cosine verification on
+  candidates only.
 
-All cosines are computed in double via zip_with/aggregate folds —
-bit-identical to DuckDB's list_dot_product (see functions/vectors.py).
+Exact cosines are computed in double via zip_with/aggregate folds —
+bit-identical to DuckDB's ``list_dot_product`` on double-cast lists
+(verified empirically), so cosine queries are oracle-matched without
+rounding.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
-from censo_escolar_spark.functions.vectors import as_double_array, cosine, dot
+from censo_escolar_spark.functions.hashing import splitmix64
+from censo_escolar_spark.functions.vectors import as_double_array, cosine
 
 
 def _prep(df: DataFrame, id_col: str, vec_col: str, alias: str) -> DataFrame:
@@ -62,42 +74,89 @@ def cosine_topk(
     )
 
 
+def _verify_exact(
+    cands: DataFrame, df: DataFrame, id_col: str, vec_col: str, threshold: float
+) -> DataFrame:
+    """Join candidate (id_a, id_b) pairs back to their vectors and keep
+    pairs whose EXACT fold-order cosine clears the threshold."""
+    v = as_double_array(vec_col)
+    va = df.select(F.col(id_col).alias("id_a"), v.alias("__va"))
+    vb = df.select(F.col(id_col).alias("id_b"), v.alias("__vb"))
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cos", cosine(F.col("__va"), F.col("__vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
 def cosine_pairs(
     df: DataFrame,
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.45,
+    n_blocks: int = 8,
 ) -> DataFrame:
-    """All pairs with cosine >= threshold (brute force — validation only)."""
-    a = _prep(df, id_col, vec_col, "a")
-    b = _prep(df, id_col, vec_col, "b")
-    return (
-        a.join(b, F.col("a_id") < F.col("b_id"))
-        .withColumn("cos", cosine(F.col("a_v"), F.col("b_v")))
-        .filter(F.col("cos") >= threshold)
-        .select(F.col("a_id").alias("id_a"), F.col("b_id").alias("id_b"), "cos")
-    )
+    """All pairs with cosine >= threshold — blocked GEMM brute force.
 
-
-def _hyperplanes(dim: int, n_planes: int) -> F.Column:
-    """Deterministic pseudo-random hyperplanes as array<array<double>>.
-
-    Component (p, d) = (xxhash64(p*dim + d) % 10007) / 10007 - 0.5 — fixed
-    given (dim, n_planes); no RNG, so plans are reproducible across runs
-    and executors.
+    Interpreted higher-order-function cosines over n²/2 joined rows are
+    ~100× slower than BLAS; instead each id is hashed into one of
+    ``n_blocks`` blocks, blocks are packed into single rows
+    (collect_list of structs keeps ids and vectors aligned), the
+    B·(B+1)/2 block pairs are cross-joined, and one normalized matrix
+    product per block pair finds candidates. A small epsilon widens the
+    GEMM threshold so summation-order rounding can never drop a true
+    pair; the exact fold-order re-score (_verify_exact) makes the final
+    cut and the reported value.
     """
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(n_planes - 1)),
-        lambda p: F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda d: (
-                F.pmod(F.xxhash64(p * F.lit(dim) + d), F.lit(10007)).cast("double")
-                / F.lit(10007.0)
-                - F.lit(0.5)
-            ),
-        ),
+    v = as_double_array(vec_col)
+    rows = df.select(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("blk"),
+        F.struct(F.col(id_col).alias("id"), v.alias("v")).alias("row"),
     )
+    packed = rows.groupBy("blk").agg(F.collect_list("row").alias("rows"))
+    a = packed.select(F.col("blk").alias("blk_a"), F.col("rows").alias("rows_a"))
+    b = packed.select(F.col("blk").alias("blk_b"), F.col("rows").alias("rows_b"))
+    block_pairs = a.join(b, F.col("blk_a") <= F.col("blk_b"))
+    eps = 1e-9
+
+    def score_blocks(batches):
+        for pdf in batches:
+            out_a, out_b = [], []
+            for t in pdf.itertuples(index=False):
+                ids_a = np.asarray([r["id"] for r in t.rows_a], dtype=np.int64)
+                mat_a = np.vstack([r["v"] for r in t.rows_a])
+                ids_b = np.asarray([r["id"] for r in t.rows_b], dtype=np.int64)
+                mat_b = np.vstack([r["v"] for r in t.rows_b])
+                na = mat_a / np.linalg.norm(mat_a, axis=1, keepdims=True)
+                nb = mat_b / np.linalg.norm(mat_b, axis=1, keepdims=True)
+                sim = na @ nb.T
+                ii, jj = np.nonzero(sim >= threshold - eps)
+                if t.blk_a == t.blk_b:  # self pair: upper triangle only
+                    keep = ids_a[ii] < ids_b[jj]
+                else:
+                    keep = np.ones(len(ii), dtype=bool)
+                pa, pb = ids_a[ii[keep]], ids_b[jj[keep]]
+                out_a.append(np.minimum(pa, pb))
+                out_b.append(np.maximum(pa, pb))
+            empty = np.array([], dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    "id_a": np.concatenate(out_a) if out_a else empty,
+                    "id_b": np.concatenate(out_b) if out_b else empty,
+                }
+            )
+
+    cands = block_pairs.mapInPandas(score_blocks, "id_a long, id_b long")
+    return _verify_exact(cands, df, id_col, vec_col, threshold)
+
+
+def _hyperplanes(dim: int, n_planes: int) -> np.ndarray:
+    """(n_planes, dim) pseudo-random hyperplanes in [-0.5, 0.5)."""
+    raw = splitmix64(0xC0FFEE, n_planes * dim)
+    return (raw.astype(np.float64) / 2.0**64 - 0.5).reshape(n_planes, dim)
 
 
 def lsh_bucketed_pairs(
@@ -112,40 +171,41 @@ def lsh_bucketed_pairs(
 ) -> DataFrame:
     """Random-hyperplane LSH near-dup pairs with exact cosine verification.
 
-    Signature bit p = sign(v · hyperplane_p); bits grouped into bands;
-    candidates share a (band_idx, band_value); exact cosine filters them.
-    Approximate recall (P(bit match) = 1 − θ/π), intended for high
-    thresholds (near-dup range ≥0.9) where recall is excellent. Shuffle
-    is O(rows × bands).
+    Signature bit p = sign(v · hyperplane_p), computed for a whole Arrow
+    batch with one GEMM in a pandas UDF; bits are packed per band into a
+    bucket key (rows <= 16 bits, bijective — no re-hash needed).
+    Candidates share a (band_idx, band_value); only (id, band) pairs
+    enter the self-join — vectors rejoin AFTER the distinct, so the
+    shuffle carries 24 bytes/row, not the embedding. Approximate recall
+    (P(bit match) = 1 − θ/π), intended for high thresholds (near-dup
+    range ≥0.9) where recall is excellent. Shuffle is O(rows × bands).
     """
     assert n_planes % n_bands == 0
-    rows = n_planes // n_bands
+    rows_per_band = n_planes // n_bands
     planes = _hyperplanes(dim, n_planes)
-    v = as_double_array(vec_col)
-    bits = F.transform(planes, lambda pl: (dot(pl, v) > 0).cast("int"))
-    bands = F.transform(
-        F.sequence(F.lit(0), F.lit(n_bands - 1)),
-        lambda j: F.xxhash64(j, F.slice(bits, j * rows + 1, rows)),
-    )
-    prepped = df.select(
+
+    @pandas_udf("array<long>")
+    def band_keys(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack(vecs.to_numpy())  # (batch, dim)
+        bits = (mat @ planes.T > 0).astype(np.int64)  # (batch, n_planes)
+        weights = 1 << np.arange(rows_per_band, dtype=np.int64)
+        packed = bits.reshape(len(mat), n_bands, rows_per_band) @ weights
+        return pd.Series(list(packed))
+
+    banded = df.select(
         F.col(id_col).alias("id"),
-        v.alias("v"),
-        F.posexplode(bands).alias("band_idx", "band_val"),
+        F.posexplode(band_keys(as_double_array(vec_col))).alias("band_idx", "band_val"),
     )
-    a = prepped.alias("a")
-    b = prepped.alias("b")
-    return (
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cands = (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_val") == F.col("b.band_val"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            cosine(F.col("a.v"), F.col("b.v")).alias("cos"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
-        .filter(F.col("cos") >= threshold)
     )
+    return _verify_exact(cands, df, id_col, vec_col, threshold)
