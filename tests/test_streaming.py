@@ -1,0 +1,178 @@
+"""Structured Streaming tests: the streaming-only semantics that the batch
+oracles (plans/events.py) cannot check — watermark late-data eviction
+across checkpointed restarts, streaming dedup, session windows, and the
+applyInPandasWithState custom stateful operator.
+
+All tests run file-source streams with trigger(availableNow) into memory
+sinks, so they exercise the REAL streaming engine (state store,
+watermark tracking, checkpoint recovery) without wall-clock waits.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from censo_escolar_spark.streaming import windows as W
+
+SCHEMA = "ts timestamp, user_id bigint, event_type string, value double"
+
+
+def _write_batch(spark, path: str, rows) -> None:
+    spark.createDataFrame(rows, schema=SCHEMA).coalesce(1).write.mode("append").parquet(path)
+
+
+def _drain(df, name: str, checkpoint: str, mode: str) -> None:
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def _ts(h: int, m: int) -> datetime:
+    return datetime(2024, 3, 1, h, m)
+
+
+def _drain_to_files(df, sink: str, checkpoint: str) -> None:
+    """File sink supports checkpoint recovery (memory sink does not)."""
+    q = (
+        df.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def test_tumbling_watermark_drops_late_rows(spark, tmp_path):
+    """A row older than the persisted watermark must be dropped on restart:
+    the closed window is emitted exactly once, WITHOUT the late row."""
+    src, ckpt, sink = str(tmp_path / "src"), str(tmp_path / "ckpt"), str(tmp_path / "out")
+    _write_batch(
+        spark,
+        src,
+        [
+            (_ts(10, 5), 1, "a", 1.0),
+            (_ts(10, 20), 2, "a", 2.0),
+            (_ts(13, 0), 3, "z", 100.0),  # advances watermark to 12:30
+        ],
+    )
+    schema = spark.read.parquet(src).schema
+    stream = W.tumbling_counts(
+        W.read_event_stream(spark, src, schema), window="1 hour", watermark="30 minutes"
+    )
+    _drain_to_files(stream, sink, ckpt)
+
+    # Late arrival: 10:07 is far behind the 12:30 watermark -> dropped.
+    # 13:10 is on time but its window is still open -> not emitted.
+    _write_batch(spark, src, [(_ts(10, 7), 4, "a", 50.0), (_ts(13, 10), 5, "b", 5.0)])
+    stream = W.tumbling_counts(
+        W.read_event_stream(spark, src, schema), window="1 hour", watermark="30 minutes"
+    )
+    _drain_to_files(stream, sink, ckpt)
+
+    rows = spark.read.parquet(sink).collect()
+    emitted = {(r.window_start, r.event_type): r for r in rows}
+    key = (_ts(10, 0), "a")
+    assert key in emitted, "closed 10:00 window was never emitted"
+    assert emitted[key].n_events == 2, "late row leaked into a closed window"
+    assert emitted[key].total_value == pytest.approx(3.0)
+    # exactly once across restarts, and no open-window rows
+    assert len(rows) == len(emitted)
+    assert all(k[0] < _ts(13, 0) for k in emitted)
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    _write_batch(
+        spark,
+        src,
+        [
+            (_ts(9, 0), 1, "click", 1.0),
+            (_ts(9, 1), 1, "click", 99.0),  # duplicate (user_id, event_type)
+            (_ts(9, 2), 1, "view", 2.0),
+            (_ts(9, 3), 2, "click", 3.0),
+        ],
+    )
+    schema = spark.read.parquet(src).schema
+    deduped = W.dedup_within_watermark(
+        W.read_event_stream(spark, src, schema), keys=["user_id", "event_type"]
+    )
+    _drain(deduped, "dedup1", ckpt, "append")
+    out = spark.table("dedup1").collect()
+    assert len(out) == 3
+    assert {(r.user_id, r.event_type) for r in out} == {(1, "click"), (1, "view"), (2, "click")}
+
+
+def test_sessionize_matches_batch(spark, tmp_path):
+    """Streaming session windows group identically to the batch
+    session_window the e03 oracle verifies."""
+    from pyspark.sql import functions as F
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    rows = [
+        (_ts(9, 0), 1, "a", 1.0),
+        (_ts(9, 10), 1, "a", 1.0),  # same session (gap 30m)
+        (_ts(11, 0), 1, "a", 1.0),  # new session
+        (_ts(9, 5), 2, "a", 1.0),
+    ]
+    _write_batch(spark, src, rows)
+    batch_df = spark.read.parquet(src)
+    expected = {
+        (r.user_id, r["w"].start, r["w"].end, r.n)
+        for r in batch_df.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    stream = W.sessionize(
+        W.read_event_stream(spark, src, batch_df.schema), gap="30 minutes"
+    )
+    _drain(stream, "sessions1", ckpt, "complete")
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.table("sessions1").collect()
+    }
+    assert got == expected
+    assert len(got) == 3
+
+
+def test_running_user_stats_stateful(spark, tmp_path):
+    """applyInPandasWithState accumulates across micro-batches: state from
+    run 1 must survive the checkpoint into run 2."""
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    _write_batch(spark, src, [(_ts(9, 0), 1, "a", 10.0), (_ts(9, 1), 1, "a", 30.0)])
+    schema = spark.read.parquet(src).schema
+
+    def drain_foreach(df, checkpoint: str) -> list:
+        # foreachBatch supports checkpoint recovery; memory sink does not.
+        batch_rows: list = []
+        q = (
+            df.writeStream.foreachBatch(
+                lambda bdf, _id: batch_rows.extend(bdf.collect())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return batch_rows
+
+    stats = W.running_user_stats(W.read_event_stream(spark, src, schema))
+    first = {r.user_id: r for r in drain_foreach(stats, ckpt)}
+    assert first[1].n_events == 2 and first[1].max_value == pytest.approx(30.0)
+
+    _write_batch(spark, src, [(_ts(9, 2), 1, "a", 20.0), (_ts(9, 3), 2, "b", 7.0)])
+    stats = W.running_user_stats(W.read_event_stream(spark, src, schema))
+    second = {r.user_id: r for r in drain_foreach(stats, ckpt)}
+    assert second[1].n_events == 3, "state lost across restart"
+    assert second[1].max_value == pytest.approx(30.0)
+    assert second[2].n_events == 1 and second[2].max_value == pytest.approx(7.0)
