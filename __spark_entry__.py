@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 # Importing the plan modules populates the registry.
 import censo_escolar_spark.plans.censo  # noqa: F401
 import censo_escolar_spark.plans.events  # noqa: F401
+import censo_escolar_spark.plans.multimodal  # noqa: F401
 import censo_escolar_spark.plans.northstar  # noqa: F401
 import censo_escolar_spark.plans.relational  # noqa: F401
 from censo_escolar_spark.plans.registry import ORACLE, QUERIES

@@ -1,0 +1,184 @@
+"""Multimodal (image/audio/video) columns as opaque binary + typed metadata.
+
+The 100 TB training-data pattern: media payloads travel as a ``binary``
+column next to a typed metadata struct; everything cheap (format
+sniffing, sizing, frame-index planning) is a native JVM expression over
+the bytes, and only the genuinely pixel-level work (decode, resize,
+feature extraction) crosses into Python — as Arrow-batched
+``mapInPandas`` over bounded batches, never per-row UDFs.
+
+Decoders are pluggable because the real codec libraries (Pillow,
+ffmpeg, torchaudio, ...) are NOT in this environment: ``decode_media``
+with no decoder raises ``NotImplementedError`` (clearly-marked stub),
+while ``fake_decode`` is a deterministic stand-in (pixels derived from a
+splitmix64 stream seeded by the payload) that makes the Spark-side
+plumbing — schema, batch shape, partitioning, feature math — fully
+testable. Swapping in a real decoder changes ONE function.
+
+Scale notes:
+- payload columns are large: size shuffle partitions by bytes, not rows
+  (``repartition_by_bytes``), and bound Arrow batches via
+  ``spark.sql.execution.arrow.maxRecordsPerBatch`` when decoding;
+- metadata-only pipelines (sniff/stats/plan) never deserialize payloads
+  into Python — column pruning drops the binary column when unused.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from censo_escolar_spark.functions.hashing import splitmix64
+
+#: Magic-byte prefixes → media format (hex, uppercase). Public file
+#: signatures; extend freely.
+MAGIC_PREFIXES = (
+    ("FFD8FF", "jpeg"),
+    ("89504E47", "png"),
+    ("52494646", "wav"),  # RIFF container
+    ("000000", "mp4"),  # ISO BMFF size-box prefix (heuristic)
+)
+
+
+def sniff_format(bytes_col: str | Column) -> Column:
+    """Media format from magic bytes — pure JVM expression, no decode."""
+    c = F.col(bytes_col) if isinstance(bytes_col, str) else bytes_col
+    head = F.upper(F.hex(F.substring(c, 1, 4)))
+    expr = F.lit(None).cast("string")
+    for prefix, fmt in reversed(MAGIC_PREFIXES):
+        expr = F.when(head.startswith(prefix), fmt).otherwise(expr)
+    return expr
+
+
+def media_metadata(bytes_col: str | Column) -> Column:
+    """Typed metadata struct computed without decoding: format, byte size,
+    and a 64-bit content hash (dedup / cache key)."""
+    c = F.col(bytes_col) if isinstance(bytes_col, str) else bytes_col
+    return F.struct(
+        sniff_format(c).alias("format"),
+        F.octet_length(c).alias("n_bytes"),
+        F.xxhash64(c).alias("content_hash"),
+    )
+
+
+def plan_frame_sample(n_frames_col: str | Column, k: int) -> Column:
+    """Indices of ``k`` evenly-spaced frames out of ``n_frames`` — the
+    metadata-only half of video frame sampling (the decode of those
+    frames is the pluggable-decoder half). Matches the standard
+    floor(i * n / k) spacing; fewer than k frames → all frames."""
+    n = F.col(n_frames_col) if isinstance(n_frames_col, str) else n_frames_col
+    return F.when(
+        n <= k, F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)))
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda i: F.floor(i * n / F.lit(k)).cast("int"),
+        )
+    )
+
+
+def repartition_by_bytes(
+    df: DataFrame, bytes_col: str, *, target_partition_bytes: int = 128 * 1024 * 1024
+) -> DataFrame:
+    """Partition a payload table by total BYTES, not rows — media sizes are
+    wildly skewed, so row-count partitioning makes straggler tasks. One
+    cheap count+sum pass sizes the shuffle; round-robin spread."""
+    total = df.select(F.sum(F.octet_length(bytes_col))).first()[0] or 0
+    n_parts = max(1, int(total / target_partition_bytes) + 1)
+    return df.repartition(n_parts)
+
+
+# --------------------------------------------------------------------------
+# Decoders: (payload bytes, fmt) -> np.ndarray of shape (h, w) grayscale.
+# --------------------------------------------------------------------------
+
+Decoder = Callable[[bytes, str], np.ndarray]
+
+
+def fake_decode(payload: bytes, fmt: str, *, h: int = 8, w: int = 8) -> np.ndarray:
+    """DETERMINISTIC FAKE DECODER (the real codec libs are not in this
+    container). Pixels are a splitmix64 stream seeded by the payload's
+    first/last bytes and length — stable across runs and processes, so
+    feature tests have golden values. Shape mimics a tiny grayscale
+    thumbnail; real decoders return (h, w) uint8 exactly the same way."""
+    seed = (len(payload) << 16) ^ (payload[0] if payload else 0) ^ (
+        (payload[-1] << 8) if payload else 0
+    )
+    vals = splitmix64(seed, h * w)
+    return (vals % np.uint64(256)).astype(np.uint8).reshape(h, w)
+
+
+def real_decode_stub(payload: bytes, fmt: str) -> np.ndarray:
+    """STUB: wire Pillow/soundfile/pyav here when available."""
+    raise NotImplementedError(
+        "media decoding requires codec libraries not present in this "
+        "environment; pass decoder=fake_decode for deterministic testing"
+    )
+
+
+def decode_media(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    bytes_col: str = "payload",
+    decoder: Decoder = real_decode_stub,
+    out_h: int = 8,
+    out_w: int = 8,
+) -> DataFrame:
+    """Decode + resize: (id, payload) → (id, h, w, pixels array<int>).
+
+    mapInPandas so one Arrow batch crosses the JVM↔Python boundary per
+    ~10k rows (not per row); the decoder runs inside the iterator. Resize
+    here is nearest-neighbor index sampling — replace alongside the
+    decoder when real libs exist.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pixels = []
+            for payload, fmt in zip(pdf[bytes_col], pdf["__fmt"]):
+                img = decoder(bytes(payload), fmt)
+                yi = (np.arange(out_h) * img.shape[0] // out_h)[:, None]
+                xi = (np.arange(out_w) * img.shape[1] // out_w)[None, :]
+                pixels.append(img[yi, xi].astype(np.int64).ravel())
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].to_numpy(),
+                    "h": np.full(len(pdf), out_h, dtype=np.int32),
+                    "w": np.full(len(pdf), out_w, dtype=np.int32),
+                    "pixels": pixels,
+                }
+            )
+
+    prepped = df.select(
+        F.col(id_col), F.col(bytes_col), sniff_format(bytes_col).alias("__fmt")
+    )
+    return prepped.mapInPandas(run, "id long, h int, w int, pixels array<long>")
+
+
+def media_features(decoded: DataFrame, *, n_bins: int = 8) -> DataFrame:
+    """Pixel-level features from decoded thumbnails — JVM-side over the
+    array column (mean/std/histogram), so only the decode itself ever
+    touched Python."""
+    px = F.col("pixels")
+    n = F.size(px)
+    mean = F.aggregate(px, F.lit(0.0), lambda a, x: a + x) / n
+    bin_width = 256 // n_bins
+    hist = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bins - 1)),
+        lambda b: F.size(
+            F.filter(px, lambda x: F.floor(x / bin_width) == b.cast("bigint"))
+        ),
+    )
+    return decoded.select(
+        "id",
+        mean.alias("px_mean"),
+        F.sqrt(
+            F.aggregate(px, F.lit(0.0), lambda a, x: a + x * x) / n - mean * mean
+        ).alias("px_std"),
+        hist.alias("px_hist"),
+    )

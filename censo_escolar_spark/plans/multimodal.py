@@ -1,0 +1,98 @@
+"""Multimodal-column queries: binary payload plumbing, driver-checked.
+
+No media fixture exists, so payloads are STAGED from documents.text —
+utf-8 bytes behind a planted magic prefix keyed on doc_id — and pushed
+through the real operators (operators/multimodal.py). m01 keeps every
+output JVM-computable so the DuckDB oracle hash-checks the whole binary
+path (concat/sniff/octet_length/md5 over identical bytes); m02 runs the
+decode → resize → feature pipeline on the deterministic fake decoder
+(rows-only: numpy decode is not SQL-expressible; golden-value tests
+live in tests/test_multimodal.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from censo_escolar_spark.operators import multimodal as M
+from censo_escolar_spark.plans.registry import register
+from censo_escolar_spark.sources.readers import load_table
+
+#: doc_id % 3 → planted magic prefix (hex) and the format it sniffs as.
+_PLANT = {0: "FFD8FF", 1: "89504E47", 2: "52494646"}
+
+
+def _staged_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    magic = (
+        F.when(F.col("doc_id") % 3 == 0, F.unhex(F.lit(_PLANT[0])))
+        .when(F.col("doc_id") % 3 == 1, F.unhex(F.lit(_PLANT[1])))
+        .otherwise(F.unhex(F.lit(_PLANT[2])))
+    )
+    return docs.select(
+        "doc_id", F.concat(magic, F.encode("text", "utf-8")).alias("payload")
+    )
+
+
+@register(
+    "m01_media_metadata",
+    oracle="""
+    WITH staged AS (
+      SELECT doc_id,
+        (CASE doc_id % 3 WHEN 0 THEN unhex('FFD8FF')
+                         WHEN 1 THEN unhex('89504E47')
+                         ELSE unhex('52494646') END
+         || encode(text)) AS payload,
+        CAST(doc_id % 10 + 1 AS INTEGER) AS n_frames
+      FROM documents
+    )
+    SELECT doc_id,
+      CASE doc_id % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'wav' END AS format,
+      CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+      md5(hex(payload)) AS payload_md5,
+      array_to_string(
+        CASE WHEN n_frames <= 4
+             THEN list_transform(range(0, CAST(greatest(n_frames, 1) AS BIGINT)),
+                                 i -> CAST(i AS INTEGER))
+             ELSE list_transform(range(0, 4),
+                                 i -> CAST((i * n_frames) // 4 AS INTEGER))
+        END, ',') AS frame_plan
+    FROM staged
+    ORDER BY doc_id
+    """,
+)
+def m01_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only media pipeline: sniff + size + content hash + frame
+    plan, all without the payload ever leaving the JVM."""
+    staged = _staged_payloads(spark, sf_dir).withColumn(
+        "n_frames", (F.col("doc_id") % 10 + 1).cast("int")
+    )
+    meta = M.media_metadata("payload")
+    return staged.select(
+        "doc_id",
+        meta["format"].alias("format"),
+        meta["n_bytes"].cast("bigint").alias("n_bytes"),
+        # md5 over the hex encoding: DuckDB's md5 is VARCHAR-only, and
+        # hex(blob) is uppercase-identical in both engines.
+        F.md5(F.hex("payload")).alias("payload_md5"),
+        F.array_join(M.plan_frame_sample("n_frames", 4), ",").alias("frame_plan"),
+    ).orderBy("doc_id")
+
+
+@register("m02_image_features")
+def m02_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode → resize → feature pipeline on the deterministic fake
+    decoder (rows-only check; golden values in tests/test_multimodal.py)."""
+    staged = _staged_payloads(spark, sf_dir)
+    decoded = M.decode_media(staged, bytes_col="payload", decoder=M.fake_decode)
+    return (
+        M.media_features(decoded)
+        .select(
+            F.col("id").alias("doc_id"),
+            "px_mean",
+            "px_std",
+            F.array_join("px_hist", ",").alias("px_hist"),
+        )
+        .orderBy("doc_id")
+    )

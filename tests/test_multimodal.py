@@ -1,0 +1,83 @@
+"""Multimodal plumbing tests: schema, batch shape, determinism, stub gating."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from censo_escolar_spark.operators import multimodal as M
+
+
+@pytest.fixture()
+def payloads(spark):
+    rows = [
+        (0, bytes.fromhex("FFD8FF") + b"jpeg-ish-body"),
+        (1, bytes.fromhex("89504E47") + b"png-ish-body"),
+        (2, bytes.fromhex("52494646") + b"wav-ish-body-longer" * 10),
+        (3, b"\x7fELF not media"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, payload binary")
+
+
+def test_sniff_format(spark, payloads):
+    got = {r.doc_id: r.fmt for r in payloads.select("doc_id", M.sniff_format("payload").alias("fmt")).collect()}
+    assert got == {0: "jpeg", 1: "png", 2: "wav", 3: None}
+
+
+def test_media_metadata_struct(spark, payloads):
+    row = payloads.select(M.media_metadata("payload").alias("m")).filter(F.col("m.format") == "jpeg").first()
+    assert row.m.n_bytes == 3 + len(b"jpeg-ish-body")
+    assert isinstance(row.m.content_hash, int)
+
+
+def test_plan_frame_sample(spark):
+    df = spark.createDataFrame([(n,) for n in [1, 3, 4, 10, 100]], "n int")
+    got = {r.n: list(r.plan) for r in df.select("n", M.plan_frame_sample("n", 4).alias("plan")).collect()}
+    assert got[1] == [0]
+    assert got[3] == [0, 1, 2]  # fewer than k -> all frames
+    assert got[4] == [0, 1, 2, 3]
+    assert got[10] == [0, 2, 5, 7]  # floor(i*10/4)
+    assert got[100] == [0, 25, 50, 75]
+
+
+def test_decode_stub_raises(spark, payloads):
+    decoded = M.decode_media(payloads, bytes_col="payload")  # default = stub
+    with pytest.raises(Exception, match="NotImplementedError|media decoding requires"):
+        decoded.collect()
+
+
+def test_fake_decode_deterministic():
+    a = M.fake_decode(b"same-bytes", "jpeg")
+    b = M.fake_decode(b"same-bytes", "jpeg")
+    c = M.fake_decode(b"other-bytes", "jpeg")
+    assert a.shape == (8, 8) and a.dtype == np.uint8
+    assert np.array_equal(a, b)
+    assert not np.array_equal(a, c)
+
+
+def test_decode_resize_features_pipeline(spark, payloads):
+    decoded = M.decode_media(payloads, bytes_col="payload", decoder=M.fake_decode, out_h=4, out_w=4)
+    rows = decoded.collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert (r.h, r.w) == (4, 4)
+        assert len(r.pixels) == 16
+        assert all(0 <= p <= 255 for p in r.pixels)
+
+    feats = {r.id: r for r in M.media_features(decoded, n_bins=8).collect()}
+    assert set(feats) == {0, 1, 2, 3}
+    for r in feats.values():
+        assert 0.0 <= r.px_mean <= 255.0
+        assert r.px_std >= 0.0
+        assert sum(r.px_hist) == 16  # every pixel lands in exactly one bin
+
+    # determinism across runs (fake decoder is seeded by payload)
+    again = {r.id: r for r in M.media_features(decoded, n_bins=8).collect()}
+    assert all(feats[i].px_mean == again[i].px_mean for i in feats)
+
+
+def test_repartition_by_bytes(spark, payloads):
+    out = M.repartition_by_bytes(payloads, "payload", target_partition_bytes=100)
+    assert out.rdd.getNumPartitions() >= 2
+    assert out.count() == 4
