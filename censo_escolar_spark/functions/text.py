@@ -61,6 +61,52 @@ def stopword_ratio(col: str | Column, stopwords: tuple[str, ...] = EN_STOPWORDS)
     return n_stop.cast("double") / F.size(toks).cast("double")
 
 
+#: Marker stopwords per language for the lang-ID heuristic. Tiny on
+#: purpose: inline-able in a DuckDB oracle, and a broadcast-free literal
+#: in the Spark plan. Extendable without changing the operator.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "und", "nicht", "das"),
+    "en": ("the", "of", "and", "is", "to"),
+    "es": ("el", "los", "las", "y", "es"),
+    "fr": ("le", "la", "les", "et", "est"),
+}
+
+
+def lang_id(col: str | Column, markers: dict[str, tuple[str, ...]] | None = None) -> Column:
+    """Marker-word language ID: argmax of per-language marker-token counts,
+    ties broken alphabetically, no markers at all → 'unknown'.
+
+    Entirely JVM-side: one tokenize, one count per language, then a
+    sort_array over (−score, lang) structs picks the winner — struct
+    ordering is field-by-field in both Spark and DuckDB, so the oracle
+    states the identical argmax. A real system would use char-n-gram
+    profiles (fasttext-style); the *operator shape* — per-class score →
+    deterministic argmax — is the same, and scoring stays narrow."""
+    if markers is None:
+        markers = LANG_MARKERS
+    toks = tokens(col)
+    scored = []
+    for lang in sorted(markers):
+        mk = F.array(*[F.lit(m) for m in markers[lang]])
+        score = F.size(F.filter(toks, lambda t: F.array_contains(mk, t)))
+        scored.append(F.struct((-score).alias("neg"), F.lit(lang).alias("lang")))
+    best = F.sort_array(F.array(*scored))[0]
+    return F.when(best["neg"] < 0, best["lang"]).otherwise(F.lit("unknown"))
+
+
+#: GPT-2-style pre-tokenizer, minus constructs RE2 (DuckDB) lacks
+#: (lookahead, contraction alternates): letter runs, digit runs, and
+#: punctuation runs each with an optional leading space, plus whitespace.
+BPE_PRETOKEN_RE = r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"
+
+
+def bpe_token_count(col: str | Column) -> Column:
+    """Token count under the BPE-ish pre-tokenizer — the standard proxy
+    for LLM token budgets (whitespace splitting undercounts punctuation-
+    heavy text). regexp_count stays in codegen; no UDF."""
+    return F.regexp_count(_c(col), F.lit(BPE_PRETOKEN_RE))
+
+
 def digit_ratio(col: str | Column) -> Column:
     c = _c(col)
     return (F.length(c) - F.length(F.regexp_replace(c, "[0-9]", ""))).cast(

@@ -144,9 +144,7 @@ def d05_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # s01 — brute-force cosine top-k: the ANN correctness baseline.
 # ---------------------------------------------------------------------------
-@register(
-    "s01_cosine_topk",
-    oracle="""
+_S01_ORACLE = """
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -163,8 +161,10 @@ def d05_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     WHERE rnk <= 5
     ORDER BY query_id, rank
-    """,
-)
+    """
+
+
+@register("s01_cosine_topk", oracle=_S01_ORACLE)
 def s01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
@@ -190,6 +190,22 @@ def s01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def s02_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.cosine_pairs(emb, threshold=0.45).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# s04 — IVF top-k through the REAL train/assign/probe machinery, run at
+# nprobe = n_centroids (exhaustive) so the result equals brute force and
+# the s01 oracle hash-checks it. Recall at nprobe < C is asserted in
+# tests/test_similarity_ivf.py against the brute-force baseline.
+# ---------------------------------------------------------------------------
+@register("s04_ivf_topk", oracle=_S01_ORACLE)
+def s04_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = similarity.train_centroids(emb, n_centroids=8, iters=1)
+    queries = emb.filter(F.col("vec_id") < 8)
+    return similarity.ivf_topk(
+        emb, queries, centroids, k=5, nprobe=8
+    ).orderBy("query_id", "rank")
 
 
 # ---------------------------------------------------------------------------
@@ -269,6 +285,66 @@ def t02_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# t04 — language ID: marker-word argmax (heuristic replicated by the
+# oracle; the fixture's lang column is uncorrelated with its synthetic
+# text, so the CHECK is heuristic determinism, not label recovery).
+# ---------------------------------------------------------------------------
+_T04_MARKERS_SQL = """
+    [
+      {m: ['der','die','und','nicht','das'], l: 'de'},
+      {m: ['the','of','and','is','to'],      l: 'en'},
+      {m: ['el','los','las','y','es'],       l: 'es'},
+      {m: ['le','la','les','et','est'],      l: 'fr'}
+    ]
+"""
+
+
+@register(
+    "t04_language_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+        list_sort(list_transform({_T04_MARKERS_SQL},
+          s -> {{neg: -len(list_filter(string_split(text, ' '),
+                                       t -> list_contains(s.m, t))),
+                 lang: s.l}}))[1] AS best
+      FROM documents
+    )
+    SELECT doc_id,
+      CASE WHEN best.neg < 0 THEN best.lang ELSE 'unknown' END AS lang_pred
+    FROM scored
+    ORDER BY doc_id
+    """,
+)
+def t04_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.lang_id("text").alias("lang_pred")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# t05 — LLM token budgeting: BPE-ish pre-tokenizer counts vs whitespace
+# counts (identical regex engines' semantics on this RE2-safe pattern).
+# ---------------------------------------------------------------------------
+@register(
+    "t05_bpe_token_count",
+    oracle=rf"""
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(text, '{T.BPE_PRETOKEN_RE}')) AS INTEGER) AS n_bpe_tokens,
+      CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def t05_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.bpe_token_count("text").alias("n_bpe_tokens"),
+        T.token_count("text").alias("n_ws_tokens"),
+    ).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
