@@ -641,3 +641,186 @@ def q20_status_pivot_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("order_year")
     )
+
+
+# ---------------------------------------------------------------------------
+# q21 — CUBE: all 4 grouping combinations in one pass (partial aggregates
+# expand grouping-set rows map-side; one shuffle regardless of set count).
+# ---------------------------------------------------------------------------
+@register(
+    "q21_cube_flag_status",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+      CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+      CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+      COUNT(*) AS n_rows,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY g_flag, g_status, l_returnflag, l_linestatus
+    """,
+)
+def q21_cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            F.count("*").alias("n_rows"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_price"),
+        )
+        .orderBy("g_flag", "g_status", "l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q22 — explicit GROUPING SETS (neither rollup nor cube) via the SQL entry
+# point: (status), (priority), and grand total — but NOT (status, priority).
+# ---------------------------------------------------------------------------
+_Q22_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+  CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+  CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_prio,
+  COUNT(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority
+"""
+
+
+@register("q22_grouping_sets", oracle=_Q22_SQL)
+def q22_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_Q22_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q23 — statistical aggregates: stddev/variance (sample), exact
+# interpolated percentiles (Spark percentile == DuckDB quantile_cont),
+# and exact distinct counts per group.
+# ---------------------------------------------------------------------------
+@register(
+    "q23_stats_by_flag",
+    oracle="""
+    SELECT l_returnflag,
+      COUNT(DISTINCT l_suppkey) AS n_suppliers,
+      stddev_samp(CAST(l_quantity AS DOUBLE)) AS std_qty,
+      var_samp(CAST(l_quantity AS DOUBLE)) AS var_qty,
+      quantile_cont(CAST(l_quantity AS DOUBLE), 0.5) AS median_qty,
+      quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.9) AS p90_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q23_stats_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("double")
+    price = F.col("l_extendedprice").cast("double")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.count_distinct("l_suppkey").alias("n_suppliers"),
+            F.stddev_samp(qty).alias("std_qty"),
+            F.var_samp(qty).alias("var_qty"),
+            F.percentile(qty, F.lit(0.5)).alias("median_qty"),
+            F.percentile(price, F.lit(0.9)).alias("p90_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q24 — left-semi join: customers that have at least one urgent order
+# (semi returns each left row at most once — no post-join dedup needed).
+# ---------------------------------------------------------------------------
+@register(
+    "q24_customers_with_urgent_orders",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+    )
+    ORDER BY c.c_custkey
+    """,
+)
+def q24_customers_with_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q25 — ordered array aggregation: per region, the sorted nation roster
+# (array_sort(collect_list) == string_agg ORDER BY; joined to one string
+# so the cross-engine compare is scalar).
+# ---------------------------------------------------------------------------
+@register(
+    "q25_region_nation_roster",
+    oracle="""
+    SELECT r.r_name AS region,
+      COUNT(*) AS n_nations,
+      string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    ORDER BY region
+    """,
+)
+def q25_region_nation_roster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        r.join(n, n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count("*").alias("n_nations"),
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+        )
+        .orderBy("region")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q26 — unpivot (wide → long): per-order charge components as rows.
+# Spark's unpivot == SQL UNION ALL of the component columns.
+# ---------------------------------------------------------------------------
+@register(
+    "q26_unpivot_charges",
+    oracle="""
+    WITH base AS (
+      SELECT l_orderkey, l_linenumber,
+        CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
+        CAST(CAST(l_discount AS DECIMAL(18,2)) AS DOUBLE) AS discount,
+        CAST(CAST(l_tax AS DECIMAL(18,2)) AS DOUBLE) AS tax
+      FROM lineitem WHERE l_orderkey < 64
+    )
+    SELECT l_orderkey, l_linenumber, 'price' AS component, price AS amount FROM base
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount', discount FROM base
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'tax', tax FROM base
+    ORDER BY l_orderkey, l_linenumber, component
+    """,
+)
+def q26_unpivot_charges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 64)
+    base = l.select(
+        "l_orderkey",
+        "l_linenumber",
+        _dec("l_extendedprice").cast("double").alias("price"),
+        _dec("l_discount").cast("double").alias("discount"),
+        _dec("l_tax").cast("double").alias("tax"),
+    )
+    return base.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["price", "discount", "tax"],
+        "component",
+        "amount",
+    ).orderBy("l_orderkey", "l_linenumber", "component")
