@@ -1,0 +1,67 @@
+"""Physical-plan quality gates — the properties that make these plans
+survive a 100 TB / 1000-executor scale-up, asserted so a refactor can't
+silently regress them:
+
+- predicate pushdown + column pruning reach the parquet scan;
+- dimension joins broadcast (no shuffle of the fact side);
+- the relational/text hot paths contain NO Python eval nodes — every
+  expression stays inside whole-stage codegen (the allowed exceptions
+  are the deliberately Arrow-batched operators: GEMM cosine, minhash
+  signatures, IVF assignment, media decode).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+#: Queries allowed to cross into Python (Arrow-vectorized by design).
+ARROW_OK = {
+    "d03_minhash_lsh_pairs",
+    "m02_image_features",
+    "s02_cosine_pairs",
+    "s03_lsh_bucketed_pairs",
+    "s04_ivf_topk",
+}
+
+
+def _formatted_plan(spark, df) -> str:
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+@pytest.mark.parametrize("name", sorted(entrymod.queries()))
+def test_no_rowwise_python_in_any_plan(spark, sf_dir, name):
+    """Row-at-a-time Python UDFs (BatchEvalPython) are banned everywhere;
+    Arrow nodes only in the operators designed around them."""
+    plan = _formatted_plan(spark, entrymod.queries()[name](spark, sf_dir))
+    assert "BatchEvalPython" not in plan, f"{name}: row-wise Python UDF in plan"
+    if name not in ARROW_OK:
+        assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan, (
+            f"{name}: unexpected Python boundary in a JVM-native operator"
+        )
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = _formatted_plan(
+        spark, entrymod.queries()["q01_pricing_summary"](spark, sf_dir)
+    )
+    assert "LessThanOrEqual(l_shipdate" in plan, "shipdate filter not pushed to scan"
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    plan = _formatted_plan(
+        spark, entrymod.queries()["q02_top_revenue_customers"](spark, sf_dir)
+    )
+    # lineitem is 16 columns; the scan must read only the 3 used.
+    assert "struct<l_orderkey:bigint,l_extendedprice:double,l_discount:double>" in plan
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    plan = _formatted_plan(
+        spark, entrymod.queries()["q03_acctbal_by_region"](spark, sf_dir)
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, "dim join fell back to sort-merge"
