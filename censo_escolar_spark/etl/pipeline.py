@@ -56,6 +56,15 @@ RENAMES = {
 }
 
 
+def prefix_columns(df: DataFrame, prefix: str) -> DataFrame:
+    """P1: alias every column to ``{prefix}_{column}`` — one projection.
+
+    (Defined-but-never-called in the reference, transform.py:21-23;
+    shipped here because namespacing columns before a wide join is the
+    actual use the reference anticipated.)"""
+    return df.select([F.col(c).alias(f"{prefix}_{c}") for c in df.columns])
+
+
 def decode_column(
     name: str,
     *,

@@ -267,3 +267,12 @@ def test_external_table_ddl_and_full_refresh(spark, tmp_path):
         C.full_refresh(spark, {"escolas_ext": path}, partition_cols=("NU_ANO_CENSO",))
     assert spark.sql("SELECT COUNT(*) AS n FROM escolas_ext").first().n == 3
     C.drop_table(spark, "escolas_ext")
+
+
+def test_prefix_columns(spark):
+    from censo_escolar_spark.etl.pipeline import prefix_columns
+
+    df = spark.createDataFrame([(1, "x")], "a int, b string")
+    out = prefix_columns(df, "esc")
+    assert out.columns == ["esc_a", "esc_b"]
+    assert out.first().esc_a == 1
