@@ -32,8 +32,8 @@ from censo_escolar_spark.functions.text import (
     fingerprint_md5,
     hamming60,
     shingles,
-    simhash,
     simhash_bands,
+    token_hash60,
 )
 
 MINHASH_K = 64  # signature length
@@ -154,7 +154,14 @@ def minhash_candidates(
     """LSH banding: docs agreeing on any (band_idx, band_hash) are candidates.
 
     Shuffle key is the band hash — O(docs × bands) rows, never O(docs²).
+    Signatures are materialized (eager localCheckpoint) before the
+    self-join: both join sides share the lineage, and without the
+    materialization Spark computes the whole shingle→hash→signature
+    chain twice — a lazy persist doesn't help because the self-join's
+    two scans race the cache fill within one job. (At 100 TB you would
+    write signatures to a table and join against that.)
     """
+    signatures = signatures.localCheckpoint(eager=True)
     banded = signatures.select(
         F.col(id_col),
         F.posexplode(
@@ -196,9 +203,17 @@ def minhash_pairs(
     """
     sigs = minhash_signatures(df, id_col, text_col, n=n)
     cands = minhash_candidates(sigs, id_col)
+    # Verification compares HASHED shingle sets (array<bigint>), not the
+    # strings: set Jaccard is identical absent an xxhash64 collision
+    # inside one document pair (P ≈ |sh|²/2⁶⁵ — vanishing), and the
+    # candidate join then shuffles 8-byte longs instead of ~20-char
+    # strings and intersects integers instead of strings.
     sets_df = (
         df.select(
-            F.col(id_col), F.array_distinct(shingles(text_col, n)).alias("sh_set")
+            F.col(id_col),
+            F.array_distinct(
+                F.transform(shingles(text_col, n), lambda s: F.xxhash64(s))
+            ).alias("sh_set"),
         )
         .filter(F.size("sh_set") > 0)
     )
@@ -215,9 +230,40 @@ def minhash_pairs(
     )
 
 
+def _simhash_pack_udf():
+    """Arrow-vectorized vote-packing: per doc, the 60 per-bit ±1 vote sums
+    over the token hashes, then bit j set iff votes[j] > 0. The token
+    hashes themselves stay JVM-side (md5-derived token_hash60 — identical
+    to the DuckDB oracle's nibble arithmetic), so this computes the exact
+    same integer as functions.text.simhash's fold — asserted by test —
+    at numpy speed instead of 60×|tokens| lambda evals."""
+    masks = np.uint64(1) << np.arange(60, dtype=np.uint64)
+
+    @pandas_udf("long")
+    def pack(hashes: pd.Series) -> pd.Series:
+        out = np.zeros(len(hashes), dtype=np.int64)
+        for i, arr in enumerate(hashes):
+            h = np.asarray(arr, dtype=np.uint64)
+            if not len(h):
+                continue
+            bits = (h[:, None] & masks[None, :]) != 0
+            votes = (2 * bits.astype(np.int32) - 1).sum(axis=0)
+            out[i] = int(((votes > 0) * masks).sum())
+        return pd.Series(out)
+
+    return pack
+
+
 def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Per-doc 60-bit simhash (narrow, codegen'd end-to-end)."""
-    return df.select(F.col(id_col), simhash(text_col).alias("simhash"))
+    """Per-doc 60-bit simhash: JVM md5 token hashing (narrow) + vectorized
+    vote packing. Semantically identical to the pure-JVM
+    functions.text.simhash (the slow-path reference implementation)."""
+    hashes = F.transform(
+        F.array_distinct(F.split(F.col(text_col), " ")), token_hash60
+    )
+    return df.select(
+        F.col(id_col), _simhash_pack_udf()(hashes).alias("simhash")
+    )
 
 
 def simhash_pairs(
@@ -236,7 +282,9 @@ def simhash_pairs(
     lossy candidate generation would diverge from the brute-force oracle.
     """
     assert max_hamming < n_bands, "pigeonhole exactness requires max_hamming < n_bands"
-    fps = simhash_fingerprints(df, id_col, text_col)
+    # materialize: the band self-join would otherwise compute every
+    # fingerprint twice (same rationale as minhash_candidates)
+    fps = simhash_fingerprints(df, id_col, text_col).localCheckpoint(eager=True)
     banded = fps.select(
         F.col(id_col),
         "simhash",

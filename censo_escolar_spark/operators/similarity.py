@@ -78,12 +78,33 @@ def _verify_exact(
     cands: DataFrame, df: DataFrame, id_col: str, vec_col: str, threshold: float
 ) -> DataFrame:
     """Join candidate (id_a, id_b) pairs back to their vectors and keep
-    pairs whose EXACT fold-order cosine clears the threshold."""
+    pairs whose EXACT fold-order cosine clears the threshold.
+
+    Two stages: a numpy batch pre-score culls the (possibly huge) LSH
+    candidate set at ``threshold − 1e-6`` — summation-order rounding is
+    ~1e-15 relative, so no true pair can be culled — then the survivors
+    (few) are re-scored with the interpreted JVM fold that is
+    bit-identical to the DuckDB oracle. Without the pre-score, a 500k
+    candidate set costs 500k × 2·dim lambda evaluations."""
     v = as_double_array(vec_col)
     va = df.select(F.col(id_col).alias("id_a"), v.alias("__va"))
     vb = df.select(F.col(id_col).alias("id_b"), v.alias("__vb"))
+    joined = cands.join(va, "id_a").join(vb, "id_b")
+
+    def prescore(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a = np.vstack(pdf["__va"].to_numpy())
+            b = np.vstack(pdf["__vb"].to_numpy())
+            cos = (a * b).sum(axis=1) / (
+                np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+            )
+            yield pdf.loc[cos >= threshold - 1e-6, ["id_a", "id_b"]]
+
+    survivors = joined.mapInPandas(prescore, "id_a long, id_b long")
     return (
-        cands.join(va, "id_a")
+        survivors.join(va, "id_a")
         .join(vb, "id_b")
         .withColumn("cos", cosine(F.col("__va"), F.col("__vb")))
         .filter(F.col("cos") >= threshold)

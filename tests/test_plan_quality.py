@@ -19,6 +19,8 @@ import __spark_entry__ as entrymod
 #: Queries allowed to cross into Python (Arrow-vectorized by design).
 ARROW_OK = {
     "d03_minhash_lsh_pairs",
+    "d04_simhash_fingerprints",
+    "d05_simhash_pairs",
     "m02_image_features",
     "s02_cosine_pairs",
     "s03_lsh_bucketed_pairs",
