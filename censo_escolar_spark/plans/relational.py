@@ -824,3 +824,76 @@ def q26_unpivot_charges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "component",
         "amount",
     ).orderBy("l_orderkey", "l_linenumber", "component")
+
+
+# ---------------------------------------------------------------------------
+# q27 — RIGHT outer join + date arithmetic: every order keeps a row even
+# with no lineitems; ship delay in days via datediff.
+# ---------------------------------------------------------------------------
+@register(
+    "q27_right_join_ship_delay",
+    oracle="""
+    SELECT o.o_orderstatus,
+      COUNT(*) AS n_rows,
+      COUNT(l.l_orderkey) AS n_lineitems,
+      CAST(SUM(date_diff('day', o.o_orderdate, l.l_shipdate)) AS BIGINT) AS total_delay_days
+    FROM lineitem l
+    RIGHT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus
+    ORDER BY o.o_orderstatus
+    """,
+)
+def q27_right_join_ship_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey, "right")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count("l_orderkey").alias("n_lineitems"),
+            F.sum(F.datediff("l_shipdate", "o_orderdate")).cast("bigint").alias("total_delay_days"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q28 — JSON/map function family: to_json → from_json(map) round-trip,
+# map_keys/map_values, explode to long format. The oracle states the
+# result from first principles (the staged keys are known constants).
+# ---------------------------------------------------------------------------
+@register(
+    "q28_map_explode",
+    oracle="""
+    WITH base AS (SELECT * FROM orders WHERE o_orderkey < 100)
+    SELECT o_orderkey, 2 AS n_keys, 'priority,status' AS keys_sorted,
+           'priority' AS key, o_orderpriority AS value
+    FROM base
+    UNION ALL
+    SELECT o_orderkey, 2, 'priority,status', 'status', o_orderstatus
+    FROM base
+    ORDER BY o_orderkey, key
+    """,
+)
+def q28_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 100)
+    as_map = F.from_json(
+        F.to_json(
+            F.struct(
+                F.col("o_orderstatus").alias("status"),
+                F.col("o_orderpriority").alias("priority"),
+            )
+        ),
+        "map<string,string>",
+    )
+    staged = o.select("o_orderkey", as_map.alias("m"))
+    return (
+        staged.select(
+            "o_orderkey",
+            F.size("m").alias("n_keys"),
+            F.array_join(F.array_sort(F.map_keys("m")), ",").alias("keys_sorted"),
+            F.explode("m").alias("key", "value"),
+        )
+        .orderBy("o_orderkey", "key")
+    )

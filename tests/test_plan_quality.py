@@ -67,3 +67,18 @@ def test_dimension_joins_broadcast(spark, sf_dir):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan, "dim join fell back to sort-merge"
+
+
+def test_approx_count_distinct_accuracy(spark, sf_dir):
+    """approx_count_distinct (HLL++) can't hash-match an oracle; assert
+    its documented error bound against the exact count instead."""
+    from pyspark.sql import functions as F
+
+    from censo_escolar_spark.sources.readers import load_table
+
+    l = load_table(spark, sf_dir, "lineitem")
+    row = l.agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx"),
+        F.count_distinct("l_partkey").alias("exact"),
+    ).first()
+    assert abs(row.approx - row.exact) <= max(2, 0.05 * row.exact)
