@@ -101,47 +101,60 @@ def jaccard_pairs(
     )
 
 
-def _sig_udf(k: int):
-    """Arrow-vectorized signature step: per doc, min over shingles of the
-    k-member multiply-add hash family applied to the base shingle hashes.
-
-    Interpreted higher-order functions cost ~µs per lambda eval — at
-    k=64 × |shingles| per doc that dominated everything; numpy does the
-    (k × |sh|) broadcast in one shot. Constants derive from splitmix64
-    (multipliers forced odd — a 2^64 multiply-shift universal family)."""
-    mult = splitmix64(0x5EED_A, k) | np.uint64(1)
-    add = splitmix64(0x5EED_B, k)
-
-    @pandas_udf("array<long>")
-    def sig(base_hashes: pd.Series) -> pd.Series:
-        out = []
-        with np.errstate(over="ignore"):
-            for arr in base_hashes:
-                h = np.asarray(arr, dtype=np.int64).view(np.uint64)
-                out.append(
-                    (mult[:, None] * h[None, :] + add[:, None]).min(axis=1).view(np.int64)
-                )
-        return pd.Series(out)
-
-    return sig
+#: Odd 64-bit mixing constants for the shingle-window combiner (splitmix64
+#: stream, forced odd so multiplication is a bijection mod 2^64).
+_WIN_C = splitmix64(0x5EED_C, 4) | np.uint64(1)
 
 
-def minhash_signatures(
+def minhash_sketches(
     df: DataFrame, id_col: str, text_col: str, *, n: int = 3, k: int = MINHASH_K
 ) -> DataFrame:
-    """Per-doc minhash signature as array<bigint> — fully narrow (no shuffle).
+    """Per-doc (signature, shingle-hash set) in ONE narrow Arrow pass.
 
-    Each shingle is hashed ONCE JVM-side (xxhash64); the k-fold hash
-    family is k multiply-adds over those base hashes in a pandas UDF
-    (one numpy broadcast per doc). Docs with < n tokens (no shingles)
-    are dropped, matching jaccard_pairs.
+    Tokens are hashed once JVM-side (xxhash64 — |tokens| lambda evals,
+    the only per-element JVM work); everything downstream is numpy:
+    shingle identity is an avalanche-mixed linear combination of the n
+    consecutive token hashes (collision odds ~|sh|²/2⁶⁵ per doc pair —
+    the same tolerance as hashed-set Jaccard verification), the distinct
+    window hashes ARE the verification set, and the k-member
+    multiply-shift family min over them is the signature. One pass
+    produces both outputs, so candidate generation and exact
+    verification share a single materialized sketch table. Docs with
+    < n tokens (no shingles) are dropped, matching jaccard_pairs.
     """
-    base = F.transform(shingles(text_col, n), lambda s: F.xxhash64(s))
-    return (
-        df.select(F.col(id_col), base.alias("__bh"))
-        .filter(F.size("__bh") > 0)
-        .select(F.col(id_col), _sig_udf(k)("__bh").alias("signature"))
+    mult = splitmix64(0x5EED_A, k) | np.uint64(1)
+    add = splitmix64(0x5EED_B, k)
+    win = _WIN_C[:n]
+
+    def run(batches):
+        for pdf in batches:
+            ids, sigs, sets_ = [], [], []
+            with np.errstate(over="ignore"):
+                for doc_id, th in zip(pdf["id"], pdf["th"]):
+                    h = np.asarray(th, dtype=np.int64).view(np.uint64)
+                    w = np.zeros(len(h) - n + 1, dtype=np.uint64)
+                    for j in range(n):
+                        w += win[j] * h[j : len(h) - n + 1 + j]
+                    # splitmix-style avalanche so linear structure can't
+                    # produce systematic collisions across documents
+                    w = (w ^ (w >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+                    w = (w ^ (w >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+                    w ^= w >> np.uint64(31)
+                    u = np.unique(w)
+                    ids.append(doc_id)
+                    sets_.append(u.view(np.int64))
+                    sigs.append(
+                        (mult[:, None] * u[None, :] + add[:, None]).min(axis=1).view(np.int64)
+                    )
+            yield pd.DataFrame({"id": ids, "signature": sigs, "sh_set": sets_})
+
+    base = F.transform(F.split(F.col(text_col), " "), lambda t: F.xxhash64(t))
+    prepped = df.select(F.col(id_col).alias("id"), base.alias("th")).filter(
+        F.size("th") >= n
     )
+    return prepped.mapInPandas(
+        run, "id long, signature array<long>, sh_set array<long>"
+    ).withColumnRenamed("id", id_col)
 
 
 def minhash_candidates(
@@ -150,6 +163,7 @@ def minhash_candidates(
     *,
     bands: int = MINHASH_BANDS,
     rows: int = MINHASH_ROWS,
+    materialize: bool = True,
 ) -> DataFrame:
     """LSH banding: docs agreeing on any (band_idx, band_hash) are candidates.
 
@@ -159,9 +173,11 @@ def minhash_candidates(
     materialization Spark computes the whole shingle→hash→signature
     chain twice — a lazy persist doesn't help because the self-join's
     two scans race the cache fill within one job. (At 100 TB you would
-    write signatures to a table and join against that.)
+    write signatures to a table and join against that.) Pass
+    ``materialize=False`` if the input is already materialized.
     """
-    signatures = signatures.localCheckpoint(eager=True)
+    if materialize:
+        signatures = signatures.localCheckpoint(eager=True)
     banded = signatures.select(
         F.col(id_col),
         F.posexplode(
@@ -201,24 +217,18 @@ def minhash_pairs(
     computes exact set Jaccard via array_intersect — so precision is
     exact, and the result is deterministic given recall holds.
     """
-    sigs = minhash_signatures(df, id_col, text_col, n=n)
-    cands = minhash_candidates(sigs, id_col)
-    # Verification compares HASHED shingle sets (array<bigint>), not the
-    # strings: set Jaccard is identical absent an xxhash64 collision
-    # inside one document pair (P ≈ |sh|²/2⁶⁵ — vanishing), and the
-    # candidate join then shuffles 8-byte longs instead of ~20-char
-    # strings and intersects integers instead of strings.
-    sets_df = (
-        df.select(
-            F.col(id_col),
-            F.array_distinct(
-                F.transform(shingles(text_col, n), lambda s: F.xxhash64(s))
-            ).alias("sh_set"),
-        )
-        .filter(F.size("sh_set") > 0)
+    # One materialized sketch table feeds BOTH candidate generation and
+    # exact verification. Verification compares HASHED shingle sets
+    # (array<bigint>), not strings: set Jaccard is identical absent a
+    # hash collision inside one document pair (P ≈ |sh|²/2⁶⁵ —
+    # vanishing), and the joins shuffle 8-byte longs instead of ~20-char
+    # strings.
+    sketches = minhash_sketches(df, id_col, text_col, n=n).localCheckpoint(eager=True)
+    cands = minhash_candidates(
+        sketches.select(id_col, "signature"), id_col, materialize=False
     )
-    sa = sets_df.select(F.col(id_col).alias("id_a"), F.col("sh_set").alias("sh_a"))
-    sb = sets_df.select(F.col(id_col).alias("id_b"), F.col("sh_set").alias("sh_b"))
+    sa = sketches.select(F.col(id_col).alias("id_a"), F.col("sh_set").alias("sh_a"))
+    sb = sketches.select(F.col(id_col).alias("id_b"), F.col("sh_set").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
