@@ -100,3 +100,26 @@ def load_csv_with_schema(
         .schema(schema)
         .csv(path)
     )
+
+
+def read_table(
+    spark: SparkSession,
+    path: str,
+    *,
+    format: str = "parquet",
+    schema: StructType | None = None,
+    **options,
+) -> DataFrame:
+    """Generic format-dispatched scan (parquet / orc / json / csv).
+
+    Self-describing formats (parquet, orc) carry their types; text
+    formats (json, csv) should be given the explicit schema — inference
+    costs an extra pass and degrades types (dates as strings), exactly
+    the failure mode the reference avoided with schema sidecars (S1/S2).
+    """
+    reader = spark.read.format(format)
+    if schema is not None:
+        reader = reader.schema(schema)
+    if format == "csv":
+        reader = reader.option("header", True)
+    return reader.options(**options).load(path)

@@ -95,3 +95,18 @@ def salted_repartition(
         .drop("count", "__salt")
     )
     return salted
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    *,
+    format: str = "parquet",
+    mode: str = "overwrite",
+    **options,
+) -> None:
+    """Generic format-dispatched sink (parquet / orc / json / csv)."""
+    writer = df.write.format(format).mode(mode)
+    if format == "csv":
+        writer = writer.option("header", True)
+    writer.options(**options).save(path)

@@ -1,0 +1,28 @@
+"""Hyperplane-LSH recall on planted near-duplicates: identical vectors
+share every band key, so recall on exact dups is deterministic 100%;
+precision is always exact (candidates are cosine-verified)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from censo_escolar_spark.operators import similarity as S
+from censo_escolar_spark.sources.readers import load_table
+
+
+def test_lsh_finds_planted_duplicates(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.limit(10).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(planted)
+    pairs = {
+        (r.id_a, r.id_b): r.cos
+        for r in S.lsh_bucketed_pairs(corpus, threshold=0.99).collect()
+    }
+    for r in emb.limit(10).collect():
+        key = (r.vec_id, r.vec_id + 1_000_000)
+        assert key in pairs, f"planted duplicate {key} missed"
+        assert pairs[key] >= 0.99
+    # precision: every reported pair really clears the threshold
+    assert all(c >= 0.99 for c in pairs.values())
