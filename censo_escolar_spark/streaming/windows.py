@@ -122,6 +122,36 @@ def running_user_stats(events: DataFrame, *, ts_col: str = "ts") -> DataFrame:
     )
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    lower: str = "0 seconds",
+    upper: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream inner join on a key within an event-time interval:
+    right_ts ∈ [left_ts − lower, left_ts + upper].
+
+    Both sides are watermarked and the join condition bounds event time
+    in both directions — that pair of constraints is what lets the state
+    store evict rows once the watermark passes their interval, so state
+    stays bounded no matter how long the streams run. Column names other
+    than the key must be disjoint (pre-rename upstream).
+    """
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{on}") == F.col(f"r.{on}"))
+        & (F.col(f"r.{right_ts}") >= F.expr(f"l.{left_ts} - interval {lower}"))
+        & (F.col(f"r.{right_ts}") <= F.expr(f"l.{left_ts} + interval {upper}"))
+    )
+    return l.join(r, cond, "inner").drop(F.col(f"r.{on}"))
+
+
 def run_available_now(
     df: DataFrame, *, sink_table: str, checkpoint: str, output_mode: str = "append"
 ) -> None:

@@ -176,3 +176,44 @@ def test_running_user_stats_stateful(spark, tmp_path):
     assert second[1].n_events == 3, "state lost across restart"
     assert second[1].max_value == pytest.approx(30.0)
     assert second[2].n_events == 1 and second[2].max_value == pytest.approx(7.0)
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Stream-stream inner join within an event-time interval matches the
+    identical batch join (both watermarked sides, bounded state)."""
+    clicks_src, views_src = str(tmp_path / "clicks"), str(tmp_path / "views")
+    ckpt = str(tmp_path / "ckpt")
+    clicks = [
+        (_ts(9, 0), 1, "click", 1.0),
+        (_ts(9, 30), 1, "click", 2.0),
+        (_ts(9, 5), 2, "click", 3.0),
+    ]
+    views = [
+        (_ts(9, 2), 1, "view", 10.0),   # within 10m of 9:00 click
+        (_ts(9, 29), 1, "view", 20.0),  # within 10m (backward) of 9:30 click
+        (_ts(9, 50), 2, "view", 30.0),  # too far from 9:05 click
+    ]
+    _write_batch(spark, clicks_src, clicks)
+    _write_batch(spark, views_src, views)
+    schema = spark.read.parquet(clicks_src).schema
+
+    def prep(df, prefix):
+        cols = {"ts": f"{prefix}_ts", "event_type": f"{prefix}_type", "value": f"{prefix}_val"}
+        for a, b in cols.items():
+            df = df.withColumnRenamed(a, b)
+        return df
+
+    l_stream = prep(W.read_event_stream(spark, clicks_src, schema), "c")
+    r_stream = prep(W.read_event_stream(spark, views_src, schema), "v")
+    joined = W.interval_join(
+        l_stream, r_stream, on="user_id", left_ts="c_ts", right_ts="v_ts",
+        lower="5 minutes", upper="10 minutes",
+    )
+    _drain(joined, "sjoin", ckpt, "append")
+    got = {(r.user_id, r.c_ts, r.v_ts) for r in spark.table("sjoin").collect()}
+
+    expected = {
+        (1, _ts(9, 0), _ts(9, 2)),
+        (1, _ts(9, 30), _ts(9, 29)),
+    }
+    assert got == expected
