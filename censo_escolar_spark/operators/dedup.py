@@ -71,14 +71,58 @@ def jaccard_pairs(
     *,
     n: int = 3,
     threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram-Jaccard near-dup pairs (id_a < id_b, jaccard >= t).
 
     Inverted-index self-join: docs sharing no shingle never meet. The
-    per-shingle fan-out is quadratic in shingle frequency — at corpus
-    scale apply a document-frequency cut first (or use minhash_pairs).
+    per-shingle fan-out is quadratic in shingle frequency, so
+    ``max_doc_freq`` drops shingles appearing in more than that many
+    documents from CANDIDATE GENERATION only — the standard stop-shingle
+    cut for corpus scale. Set sizes and intersections still count every
+    shingle, so reported Jaccard values are exact; the approximation is
+    one-sided (a pair overlapping *only* on stop-shingles is missed —
+    such pairs are far below any useful threshold anyway). Default None
+    = fully exact; minhash_pairs is the sub-quadratic alternative.
     """
     sh = shingle_sets(df, id_col, text_col, n)
+    if max_doc_freq is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("shingle")
+        )
+        cand_sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+        a = cand_sh.alias("a")
+        b = cand_sh.alias("b")
+        cands = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+            )
+            .distinct()
+        )
+        # exact verification over FULL shingle sets — Jaccard values are
+        # unaffected by the cut, only candidate discovery is
+        sets_df = df.select(
+            F.col(id_col), F.array_distinct(shingles(text_col, n)).alias("sh_set")
+        ).filter(F.size("sh_set") > 0)
+        sa = sets_df.select(F.col(id_col).alias("id_a"), F.col("sh_set").alias("sh_a"))
+        sb = sets_df.select(F.col(id_col).alias("id_b"), F.col("sh_set").alias("sh_b"))
+        inter_sz = F.size(F.array_intersect("sh_a", "sh_b"))
+        union_sz = F.size("sh_a") + F.size("sh_b") - inter_sz
+        return (
+            cands.join(sa, "id_a")
+            .join(sb, "id_b")
+            .withColumn("jaccard", inter_sz * F.lit(1.0) / union_sz)
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -276,3 +276,34 @@ def test_prefix_columns(spark):
     out = prefix_columns(df, "esc")
     assert out.columns == ["esc_a", "esc_b"]
     assert out.first().esc_a == 1
+
+
+def test_convention_engine_full_width_single_projection(spark):
+    """The real escolas table is 241 string columns; the engine must fold
+    every prefix rule into ONE projection (the reference ran 70-240
+    sequential UDF plan nodes). Assert output types across a full-width
+    synthetic schema and exactly one Project over the scan."""
+    from censo_escolar_spark.etl.pipeline import apply_conventions
+
+    n_each = 60
+    cols = (
+        [f"TP_C{i}" for i in range(n_each)]
+        + [f"IN_C{i}" for i in range(n_each)]
+        + [f"NU_C{i}" for i in range(n_each)]
+        + [f"NO_C{i}" for i in range(n_each)]
+    )
+    row = (["1"] * n_each) + (["1"] * n_each) + (["7"] * n_each) + (["x"] * n_each)
+    df = spark.createDataFrame([row], schema=", ".join(f"`{c}` string" for c in cols))
+    maps = {c: {"1": "um"} for c in cols if c.startswith("TP_")}
+    out = apply_conventions(df, table="escolas", year=2020, maps=maps)
+
+    dtypes = dict(out.dtypes)
+    assert all(dtypes[f"TP_C{i}"] == "string" for i in range(n_each))
+    assert all(dtypes[f"IN_C{i}"] == "boolean" for i in range(n_each))
+    assert all(dtypes[f"NU_C{i}"] == "int" for i in range(n_each))
+    r = out.first()
+    assert r["TP_C0"] == "um" and r["IN_C0"] is True and r["NU_C0"] == 7 and r["NO_C0"] == "x"
+
+    # exactly one Project node between result and the source scan
+    optimized = out._jdf.queryExecution().optimizedPlan().toString()
+    assert optimized.count("Project") == 1, optimized[:500]

@@ -26,3 +26,20 @@ def test_lsh_finds_planted_duplicates(spark, sf_dir):
         assert pairs[key] >= 0.99
     # precision: every reported pair really clears the threshold
     assert all(c >= 0.99 for c in pairs.values())
+
+
+def test_jaccard_df_cut_matches_exact(spark, sf_dir):
+    """The stop-shingle document-frequency cut gates candidate generation
+    only — pairs and Jaccard values match the exact inverted index."""
+    from censo_escolar_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.jaccard_pairs(docs, "doc_id", "text").collect()
+    }
+    cut = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.jaccard_pairs(docs, "doc_id", "text", max_doc_freq=50).collect()
+    }
+    assert cut == exact  # near-dups overlap on rare shingles, not hot ones
