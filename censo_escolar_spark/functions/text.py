@@ -114,6 +114,52 @@ def digit_ratio(col: str | Column) -> Column:
     ) / F.length(c).cast("double")
 
 
+def quality_keep(
+    col: str | Column,
+    *,
+    min_tokens: int = 10,
+    max_digit_ratio: float = 0.3,
+    min_avg_token_len: float = 2.0,
+) -> Column:
+    """Corpus-curation keep/drop decision from the quality signals —
+    boolean column, so the filter composes with any other predicate and
+    pushes into the scan where possible."""
+    return (
+        (token_count(col) >= min_tokens)
+        & (digit_ratio(col) <= max_digit_ratio)
+        & (avg_token_len(col) >= min_avg_token_len)
+    )
+
+
+def deterministic_sample(col: str | Column, keep_percent: int) -> Column:
+    """Content-hash sampling: keep rows whose md5(text) first byte falls
+    under the cut. Deterministic across runs/engines (unlike rand() or
+    sampleBy), so train/eval splits are reproducible and the same row
+    always lands in the same split. keep_percent ∈ [0, 100] maps to a
+    0-255 byte threshold (resolution ~0.4%)."""
+    cut = int(256 * keep_percent / 100)
+    return F.conv(F.substring(F.md5(_c(col)), 1, 2), 16, 10).cast("int") < cut
+
+
+def chunk_spans(col: str | Column, max_tokens: int) -> Column:
+    """Token-window chunking for LLM context budgets: array of
+    (chunk_idx, chunk_text) structs, each chunk ≤ max_tokens whitespace
+    tokens, concatenation losslessly reconstructs the token stream.
+    Explode downstream for one row per chunk — a narrow op; long
+    documents fan out without any shuffle."""
+    toks = tokens(col)
+    n_chunks = F.ceil(F.size(toks) / F.lit(max_tokens)).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_idx"),
+            F.concat_ws(" ", F.slice(toks, i * max_tokens + 1, max_tokens)).alias(
+                "chunk_text"
+            ),
+        ),
+    )
+
+
 def fingerprint_md5(col: str | Column) -> Column:
     """Exact-dedup fingerprint: md5 of whitespace-normalized lowercase text."""
     return F.md5(F.lower(F.trim(F.regexp_replace(_c(col), "\\s+", " "))))

@@ -373,3 +373,70 @@ def t03_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("fp_min_shingle").isNotNull())
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# t06 — corpus curation: quality filter + deterministic content-hash
+# sampling (reproducible splits — no rand()). Both predicates restated
+# from first principles in the oracle.
+# ---------------------------------------------------------------------------
+@register(
+    "t06_quality_sample",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, text,
+        len(string_split(text, ' ')) AS n_tok,
+        (length(text) - (len(string_split(text, ' ')) - 1)) * 1.0
+          / len(string_split(text, ' ')) AS avg_len,
+        (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0
+          / length(text) AS dig_ratio
+      FROM documents
+    )
+    SELECT doc_id, CAST(n_tok AS INTEGER) AS n_tokens
+    FROM scored
+    WHERE n_tok >= 10 AND dig_ratio <= 0.3 AND avg_len >= 2.0
+      AND CAST(('0x' || substr(md5(text), 1, 2))::BIGINT AS INTEGER) < 128
+    ORDER BY doc_id
+    """,
+)
+def t06_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(T.quality_keep("text") & T.deterministic_sample("text", 50))
+        .select("doc_id", T.token_count("text").alias("n_tokens"))
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# t07 — token-window chunking for context budgets: one row per ≤64-token
+# chunk; lossless (concatenating a doc's chunks rebuilds its token
+# stream). Narrow fan-out, no shuffle.
+# ---------------------------------------------------------------------------
+@register(
+    "t07_chunk_documents",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    )
+    SELECT doc_id,
+      CAST(i AS INTEGER) AS chunk_idx,
+      array_to_string(t[i*64+1 : i*64+64], ' ') AS chunk_text,
+      CAST(len(t[i*64+1 : i*64+64]) AS INTEGER) AS chunk_tokens
+    FROM toks, UNNEST(range(0, CAST(ceil(len(t) / 64.0) AS BIGINT))) AS u(i)
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def t07_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    chunk = F.explode(T.chunk_spans("text", 64)).alias("c")
+    return (
+        docs.select("doc_id", chunk)
+        .select(
+            "doc_id",
+            F.col("c.chunk_idx").alias("chunk_idx"),
+            F.col("c.chunk_text").alias("chunk_text"),
+            T.token_count(F.col("c.chunk_text")).alias("chunk_tokens"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
