@@ -897,3 +897,37 @@ def q28_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey", "key")
     )
+
+
+# ---------------------------------------------------------------------------
+# q29 — RANGE window frame (value-based, not row-based): per customer,
+# rolling 30-day spend. Ordering key is integer days-since-epoch so the
+# frame is a value range both engines state identically.
+# ---------------------------------------------------------------------------
+@register(
+    "q29_rolling_30d_spend",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+      CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)) OVER (
+        PARTITION BY o_custkey
+        ORDER BY date_diff('day', DATE '1970-01-01', o_orderdate)
+        RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
+      ) AS DOUBLE) AS spend_30d
+    FROM orders
+    WHERE o_custkey < 200
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def q29_rolling_30d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    day = F.datediff("o_orderdate", F.lit("1970-01-01")).cast("long")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day)
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(_dec("o_totalprice").cast("double")).over(w).alias("spend_30d"),
+    ).orderBy("o_custkey", "o_orderkey")
