@@ -1,0 +1,69 @@
+"""as-of join edge cases beyond the e04 oracle: ties, unmatched left
+rows, multi-column keys, and the collision guard."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from censo_escolar_spark.operators.asof import asof_join
+
+
+def _t(m):
+    return datetime(2024, 1, 1, 12, m)
+
+
+@pytest.fixture()
+def sides(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _t(10), "c1"),   # matches r@10 (tie, inclusive)
+            (1, _t(15), "c2"),   # matches r@12 (latest <= 15)
+            (1, _t(1), "c3"),    # before any right row -> NULL
+            (2, _t(30), "c4"),   # key with no right rows at all -> NULL
+        ],
+        "user_id long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, _t(5), 50.0), (1, _t(10), 100.0), (1, _t(12), 120.0), (1, _t(20), 200.0)],
+        "user_id long, rts timestamp, rval double",
+    )
+    return left, right
+
+
+def test_backward_asof_semantics(spark, sides):
+    left, right = sides
+    out = {
+        r.tag: (r.rts, r.rval)
+        for r in asof_join(left, right, on="user_id", left_ts="ts", right_ts="rts").collect()
+    }
+    assert out["c1"] == (_t(10), 100.0)  # tie at equal ts matches
+    assert out["c2"] == (_t(12), 120.0)  # latest prior, not first
+    assert out["c3"] == (None, None)     # nothing at-or-before
+    assert out["c4"] == (None, None)     # key absent on right
+    assert len(out) == 4                 # left join: every left row kept
+
+
+def test_asof_multi_key(spark):
+    left = spark.createDataFrame(
+        [("a", 1, _t(10)), ("b", 1, _t(10))], "k1 string, k2 long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("a", 1, _t(5), 1.0), ("b", 1, _t(6), 2.0), ("a", 2, _t(7), 3.0)],
+        "k1 string, k2 long, rts timestamp, rval double",
+    )
+    out = {
+        (r.k1, r.k2): r.rval
+        for r in asof_join(
+            left, right, on=["k1", "k2"], left_ts="ts", right_ts="rts"
+        ).collect()
+    }
+    assert out == {("a", 1): 1.0, ("b", 1): 2.0}  # (a,2) never leaks across keys
+
+
+def test_asof_collision_guard(spark, sides):
+    left, right = sides
+    bad_right = right.withColumnRenamed("rval", "tag")  # collides with left
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, bad_right, on="user_id", left_ts="ts", right_ts="rts")
