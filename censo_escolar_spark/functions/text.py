@@ -16,6 +16,7 @@ Cross-engine notes (the DuckDB oracles mirror these semantics):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -178,6 +179,36 @@ def shingles(col: str | Column, n: int = 3) -> Column:
         lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
     )
     return F.when(F.size(toks) >= n, make).otherwise(F.array().cast("array<string>"))
+
+
+def min_shingle_md5_udf(n: int = 3):
+    """Bottom-1 shingle sketch, Arrow-vectorized: min md5 hex over the
+    doc's word n-gram shingles (None below n tokens).
+
+    hashlib md5 of ~50 short strings per doc costs ~25 µs; the same min
+    through nested higher-order functions (sequence → concat_ws(slice) →
+    md5 → array_min) costs ~100× that in lambda-eval overhead. Python
+    ``str.split(' ')`` keeps empty tokens exactly like Spark's literal
+    split, and hexdigest matches Spark/DuckDB md5 output — asserted by
+    the t03 oracle."""
+    import hashlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    def _one(t: str) -> str | None:
+        toks = t.split(" ")
+        if len(toks) < n:
+            return None
+        return min(
+            hashlib.md5(" ".join(toks[i : i + n]).encode()).hexdigest()
+            for i in range(len(toks) - n + 1)
+        )
+
+    @pandas_udf("string")
+    def min_md5(texts: pd.Series) -> pd.Series:
+        return texts.map(_one)
+
+    return min_md5
 
 
 # --- simhash (60-bit, md5-based, deterministic) --------------------------

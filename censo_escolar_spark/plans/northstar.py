@@ -368,7 +368,7 @@ def t03_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(
             "doc_id",
             T.fingerprint_md5("text").alias("fp_md5"),
-            F.array_min(F.transform(T.shingles("text", 3), F.md5)).alias("fp_min_shingle"),
+            T.min_shingle_md5_udf(3)("text").alias("fp_min_shingle"),
         )
         .filter(F.col("fp_min_shingle").isNotNull())
         .orderBy("doc_id")
