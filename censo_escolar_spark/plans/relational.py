@@ -931,3 +931,32 @@ def q29_rolling_30d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.sum(_dec("o_totalprice").cast("double")).over(w).alias("spend_30d"),
     ).orderBy("o_custkey", "o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# q30 — native pivot API (groupBy().pivot() with explicit value list —
+# always declare the values at scale: skipping them costs an extra
+# distinct scan AND makes the output schema data-dependent).
+# ---------------------------------------------------------------------------
+@register(
+    "q30_pivot_priority_by_status",
+    oracle="""
+    SELECT o_orderstatus,
+      CAST(COALESCE(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END), 0) AS BIGINT) AS urgent,
+      CAST(COALESCE(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END), 0) AS BIGINT) AS medium,
+      CAST(COALESCE(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END), 0) AS BIGINT) AS low
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def q30_pivot_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", ["1-URGENT", "3-MEDIUM", "5-LOW"])
+        .count()
+        .na.fill(0)
+        .withColumnsRenamed({"1-URGENT": "urgent", "3-MEDIUM": "medium", "5-LOW": "low"})
+        .orderBy("o_orderstatus")
+    )
