@@ -960,3 +960,25 @@ def q30_pivot_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnsRenamed({"1-URGENT": "urgent", "3-MEDIUM": "medium", "5-LOW": "low"})
         .orderBy("o_orderstatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# q31 — distinct / dropDuplicates on a projection (full-row dedup is
+# deterministic; subset dropDuplicates keeps an arbitrary row and is the
+# reason dedup_exact uses groupBy-min instead — see operators/dedup.py).
+# ---------------------------------------------------------------------------
+@register(
+    "q31_distinct_flag_status",
+    oracle="""
+    SELECT DISTINCT l_returnflag, l_linestatus
+    FROM lineitem
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q31_distinct_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.select("l_returnflag", "l_linestatus")
+        .dropDuplicates()
+        .orderBy("l_returnflag", "l_linestatus")
+    )
