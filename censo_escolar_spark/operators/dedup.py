@@ -95,8 +95,12 @@ def jaccard_pairs(
     one-sided (a pair overlapping *only* on stop-shingles is missed —
     such pairs are far below any useful threshold anyway). Default None
     = fully exact; minhash_pairs is the sub-quadratic alternative.
+
+    The index is materialized once — it feeds the self-join (twice) and
+    the per-doc sizes, and each consumer would otherwise re-run the
+    tokenize→shingle→explode chain.
     """
-    sh = shingle_sets(df, id_col, text_col, n)
+    sh = shingle_sets(df, id_col, text_col, n).localCheckpoint(eager=True)
     if max_doc_freq is not None:
         hot = (
             sh.groupBy("shingle")
