@@ -982,3 +982,24 @@ def q31_distinct_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates()
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# q32 — intersectAll (bag semantics: duplicates survive up to the min
+# multiplicity on each side) — completes the set-op family with q07
+# (intersect) and q06 (exceptAll).
+# ---------------------------------------------------------------------------
+@register(
+    "q32_intersect_all_quantities",
+    oracle="""
+    SELECT l_quantity FROM lineitem WHERE l_returnflag = 'A'
+    INTERSECT ALL
+    SELECT l_quantity FROM lineitem WHERE l_returnflag = 'R'
+    ORDER BY l_quantity
+    """,
+)
+def q32_intersect_all_quantities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    a = l.filter(F.col("l_returnflag") == "A").select("l_quantity")
+    r = l.filter(F.col("l_returnflag") == "R").select("l_quantity")
+    return a.intersectAll(r).orderBy("l_quantity")
