@@ -1003,3 +1003,156 @@ def q32_intersect_all_quantities(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = l.filter(F.col("l_returnflag") == "A").select("l_quantity")
     r = l.filter(F.col("l_returnflag") == "R").select("l_quantity")
     return a.intersectAll(r).orderBy("l_quantity")
+
+
+# ---------------------------------------------------------------------------
+# q33 — conditional / boolean aggregates + deterministic argmax.
+# count_if maps to COUNT(*) FILTER; argmax is max-of-struct (field-by-field
+# struct ordering is identical in Spark and DuckDB), which stays a plain
+# hash aggregate — no window, no self-join, one shuffle on the group key.
+# ---------------------------------------------------------------------------
+@register(
+    "q33_conditional_aggregates",
+    oracle="""
+    SELECT o_orderstatus,
+      COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+      bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+      bool_and(o_totalprice > 0) AS all_positive,
+      (max(struct_pack(p := CAST(o_totalprice AS DOUBLE), k := o_orderkey))).k AS top_order
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def q33_conditional_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("double")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.count_if(price > 200000).alias("n_big"),
+            F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
+            F.bool_and(price > 0).alias("all_positive"),
+            F.max(F.struct(price.alias("p"), F.col("o_orderkey").alias("k")))
+            .getField("k")
+            .alias("top_order"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q34 — ordered string aggregation (listagg). Spark's collect_list is
+# order-nondeterministic under parallel merge, so the deterministic form
+# is array_sort before join — same contract as DuckDB's ORDER BY clause.
+# ---------------------------------------------------------------------------
+@register(
+    "q34_nations_listagg",
+    oracle="""
+    SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM region JOIN nation ON r_regionkey = n_regionkey
+    GROUP BY r_name ORDER BY r_name
+    """,
+)
+def q34_nations_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"))
+        .orderBy("r_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q35 — bivariate statistics: corr / covar_samp / linear regression, all
+# streaming co-moment aggregates (single pass, partial+final merge — no
+# materialized intermediate, scale-free).
+# ---------------------------------------------------------------------------
+@register(
+    "q35_price_quantity_regression",
+    oracle="""
+    SELECT l_returnflag,
+      corr(CAST(l_extendedprice AS DOUBLE), CAST(l_quantity AS DOUBLE)) AS corr_pq,
+      covar_samp(CAST(l_extendedprice AS DOUBLE), CAST(l_quantity AS DOUBLE)) AS cov_pq,
+      regr_slope(CAST(l_extendedprice AS DOUBLE), CAST(l_quantity AS DOUBLE)) AS slope,
+      regr_intercept(CAST(l_extendedprice AS DOUBLE), CAST(l_quantity AS DOUBLE)) AS icept
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q35_price_quantity_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    y = F.col("l_extendedprice").cast("double")
+    x = F.col("l_quantity").cast("double")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.corr(y, x).alias("corr_pq"),
+            F.covar_samp(y, x).alias("cov_pq"),
+            F.regr_slope(y, x).alias("slope"),
+            F.regr_intercept(y, x).alias("icept"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q36 — positional explode (lateral fan-out with ordinality). posexplode
+# is a generator expression inside codegen — rows fan out without leaving
+# the JVM, and the scan still prunes to the two referenced columns.
+# ---------------------------------------------------------------------------
+@register(
+    "q36_part_type_words",
+    oracle="""
+    SELECT p_partkey, CAST(z[2] AS BIGINT) AS pos, CAST(z[1] AS VARCHAR) AS word
+    FROM (SELECT p_partkey,
+            unnest(list_zip(string_split(p_type, ' '),
+                            range(0, len(string_split(p_type, ' '))))) AS z
+          FROM part) t
+    ORDER BY p_partkey, pos
+    """,
+)
+def q36_part_type_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.select(
+            "p_partkey",
+            F.posexplode(F.split("p_type", " ")).alias("pos", "word"),
+        )
+        .withColumn("pos", F.col("pos").cast("bigint"))
+        .orderBy("p_partkey", "pos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q37 — value-navigation window functions: first/last/nth over an
+# explicit unbounded ROWS frame (the default frame stops at CURRENT ROW,
+# which silently breaks last_value — always declare the frame).
+# ---------------------------------------------------------------------------
+@register(
+    "q37_first_last_order_price",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+      CAST(first_value(o_totalprice) OVER w AS DOUBLE) AS first_price,
+      CAST(last_value(o_totalprice)  OVER w AS DOUBLE) AS last_price,
+      CAST(nth_value(o_totalprice, 2) OVER w AS DOUBLE) AS second_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def q37_first_last_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    price = F.col("o_totalprice").cast("double")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first(price).over(w).alias("first_price"),
+        F.last(price).over(w).alias("last_price"),
+        F.nth_value(price, 2).over(w).alias("second_price"),
+    ).orderBy("o_custkey", "o_orderkey")
