@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
@@ -375,4 +375,66 @@ def simhash_pairs(
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, MOSS).
+
+    Rolling k-token-gram hashes; every window of ``w`` consecutive gram
+    positions contributes its minimum ``(hash, position)`` pair; the
+    distinct selected pairs are the document's fingerprint. Guarantees
+    any shared token run of >= k + w - 1 tokens between two documents
+    yields at least one shared fingerprint — the classic plagiarism /
+    near-dup detection sketch, and (unlike t03's global bottom-k) it is
+    *positional*: matches localize to regions.
+
+    The reference has no fingerprinting at all (SURVEY §2h — its only
+    hashing is Python dict lookups, transform.py:33-38); this is a
+    north-star operator.
+
+    Scale: the gram fan-out is narrow (explode, no shuffle); the single
+    shuffle is the window partition on ``id_col``, whose state per key is
+    bounded by document length — cap documents upstream (t07 chunking)
+    rather than letting one 10 GB doc pin an executor. min-of-struct is
+    an order-statistic the JVM evaluates inside the frame without
+    Python. The distinct that removes windows sharing one minimum
+    re-uses the window shuffle's partitioning (no second exchange).
+    """
+    t = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = df.select(F.col(id_col), t.alias("t"), (F.size(t) - (k - 1)).alias("n_grams"))
+    gram = F.concat_ws(
+        " ", *[F.element_at(F.col("t"), F.col("i") + j) for j in range(k)]
+    )
+    grams = (
+        toks.select(
+            id_col,
+            "n_grams",
+            F.explode(F.sequence(F.lit(1), F.col("n_grams"))).alias("i"),
+            "t",
+        )
+        .select(
+            id_col,
+            "n_grams",
+            F.col("i").cast("bigint").alias("i"),
+            F.md5(gram).alias("h"),
+        )
+    )
+    win = Window.partitionBy(id_col).orderBy("i").rowsBetween(0, w - 1)
+    sel = F.min(F.struct(F.col("h").alias("h"), F.col("i").alias("p"))).over(win)
+    return (
+        grams.select(id_col, "n_grams", "i", sel.alias("s"))
+        .filter(F.col("i") <= F.col("n_grams") - (w - 1))
+        .select(
+            id_col,
+            F.col("s.h").alias("fp_hash"),
+            F.col("s.p").alias("fp_pos"),
+        )
+        .distinct()
     )

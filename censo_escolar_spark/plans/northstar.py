@@ -440,3 +440,39 @@ def t07_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# t08 — winnowing fingerprints (rolling k-gram hash + per-window minimum;
+# MOSS). Positional, locality-preserving — complements t03's global
+# bottom-k sketch. Oracle restates the window-minimum from first
+# principles over the same md5 gram hashes.
+# ---------------------------------------------------------------------------
+@register(
+    "t08_winnow_fingerprints",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS i, len(t) - 2 AS n_grams,
+             md5(concat_ws(' ', t[i], t[i+1], t[i+2])) AS h
+      FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+    ),
+    sel AS (
+      SELECT doc_id, i, n_grams,
+             min(struct_pack(h := h, p := i))
+               OVER (PARTITION BY doc_id ORDER BY i
+                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS s
+      FROM grams
+    )
+    SELECT DISTINCT doc_id, (s).h AS fp_hash, (s).p AS fp_pos
+    FROM sel WHERE i <= n_grams - 3
+    ORDER BY doc_id, fp_pos
+    """,
+)
+def t08_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.winnow_fingerprints(docs, "doc_id", "text", k=3, w=4).orderBy(
+        "doc_id", "fp_pos"
+    )
