@@ -162,3 +162,51 @@ def e04_asof_click_to_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", F.col("ts").alias("click_ts"), "view_ts")
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# e05 — bounded range join: all views by the same user in the 5 minutes
+# up to each click (bucketized interval join, operators/rangejoin.py),
+# then per-click aggregation with left-outer semantics so zero-view
+# clicks survive. The oracle is the naive inequality left join.
+# ---------------------------------------------------------------------------
+@register(
+    "e05_views_before_click",
+    oracle="""
+    SELECT c.event_id, c.user_id, c.ts AS click_ts,
+      CAST(COUNT(v.ts) AS BIGINT) AS n_views_5m,
+      MAX(v.ts) AS last_view_ts
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON v.user_id = c.user_id
+     AND v.ts BETWEEN c.ts - INTERVAL 5 MINUTE AND c.ts
+    GROUP BY 1, 2, 3
+    ORDER BY c.event_id
+    """,
+)
+def e05_views_before_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from censo_escolar_spark.operators.rangejoin import bounded_range_join
+
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("view_ts")
+    )
+    pairs = bounded_range_join(
+        clicks, views, on="user_id", left_ts="ts", right_ts="view_ts", lower=-300, upper=0
+    )
+    per_click = pairs.groupBy("event_id").agg(
+        F.count("*").alias("n_views_5m"),
+        F.max("view_ts").alias("last_view_ts"),
+    )
+    return (
+        clicks.join(per_click, "event_id", "left")
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").alias("click_ts"),
+            F.coalesce("n_views_5m", F.lit(0).cast("bigint")).alias("n_views_5m"),
+            "last_view_ts",
+        )
+        .orderBy("event_id")
+    )
