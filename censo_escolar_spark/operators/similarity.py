@@ -327,10 +327,14 @@ def lsh_bucketed_pairs(
         packed = bits.reshape(len(mat), n_bands, rows_per_band) @ weights
         return pd.Series(list(packed))
 
+    # materialize: the self-join below would otherwise run the banding
+    # GEMM twice (lazy persist loses the race inside one job — same
+    # rationale as minhash_candidates); the checkpoint rows are just
+    # (id, band_idx, band_val), never the vectors.
     banded = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(band_keys(as_double_array(vec_col))).alias("band_idx", "band_val"),
-    )
+    ).localCheckpoint(eager=True)
     a = banded.alias("a")
     b = banded.alias("b")
     cands = (
