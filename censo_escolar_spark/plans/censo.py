@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from censo_escolar_spark.etl.pipeline import apply_conventions
+from censo_escolar_spark.etl.pipeline import decode_column
 from censo_escolar_spark.plans.registry import register
 from censo_escolar_spark.sources.readers import load_table
 
@@ -34,7 +34,6 @@ _STATUS_MAP = {"O": "Open", "F": "Finished"}
       CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS DT_MODERN,
       CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS DT_LEGACY
     FROM orders
-    ORDER BY o_orderkey
     """,
 )
 def c01_censo_conventions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -65,26 +64,24 @@ def c01_censo_conventions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(":00:00:00"),
         ).alias("DT_LEGACY"),
     )
-    modern = apply_conventions(
-        staged.drop("DT_LEGACY"),
-        table="synthetic",
-        year=2020,
-        maps={"TP_STATUS": _STATUS_MAP},
-        date_columns=("DT_MODERN",),
-    )
-    legacy = apply_conventions(
-        staged.select("o_orderkey", "DT_LEGACY"),
-        table="synthetic",
-        year=2013,
-        maps={},
-        date_columns=("DT_LEGACY",),
+    # decode_column is the per-column convention engine that
+    # apply_conventions fans out over a whole table (the fused path is
+    # oracle-adjacent via tests/test_etl_censo.py). Using it directly here
+    # lets the two date columns take different year branches in ONE narrow
+    # projection — the alternative (two apply_conventions calls joined on
+    # o_orderkey) re-scans orders and shuffles 150k rows per side at sf0.1.
+    common = dict(table="synthetic", maps={"TP_STATUS": _STATUS_MAP})
+    decoded = staged.select(
+        "o_orderkey",
+        decode_column("TP_STATUS", year=2020, date_columns=(), **common),
+        decode_column("IN_URGENT", year=2020, date_columns=(), **common),
+        decode_column("NU_YEAR", year=2020, date_columns=(), **common),
+        decode_column("DT_MODERN", year=2020, date_columns=("DT_MODERN",), **common),
+        decode_column("DT_LEGACY", year=2013, date_columns=("DT_LEGACY",), **common),
     )
     # DateType → midnight timestamp for the hash compare only: pandas (the
     # oracle's transport) has no date dtype. The DateType semantics proper
     # are asserted in tests/test_etl_censo.py.
-    return (
-        modern.join(legacy, "o_orderkey")
-        .withColumn("DT_MODERN", F.col("DT_MODERN").cast("timestamp"))
-        .withColumn("DT_LEGACY", F.col("DT_LEGACY").cast("timestamp"))
-        .orderBy("o_orderkey")
+    return decoded.withColumn("DT_MODERN", F.col("DT_MODERN").cast("timestamp")).withColumn(
+        "DT_LEGACY", F.col("DT_LEGACY").cast("timestamp")
     )

@@ -1,4 +1,8 @@
-"""Simulate the driver: plain SparkSession, sf0.01, side-by-side with DuckDB."""
+"""Simulate the driver: plain SparkSession, sf0.01, side-by-side with DuckDB.
+
+Usage: drive_driver.py [substring ...] — with args, only queries whose
+name contains any substring are swept (smoke check still runs).
+"""
 import sys, math
 sys.path.insert(0, "/root/repo")
 from pyspark.sql import SparkSession
@@ -22,8 +26,11 @@ for t in "region nation customer supplier part orders lineitem events documents 
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
 
 Q, O = E.queries(), E.oracle_sql()
+only = sys.argv[1:]
 fails = []
 for name in sorted(Q):
+    if only and not any(s in name for s in only):
+        continue
     try:
         mine = Q[name](spark, sf).toPandas()
         if name not in O:
