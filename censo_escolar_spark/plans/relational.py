@@ -1168,3 +1168,71 @@ def q37_first_last_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last(price).over(w).alias("last_price"),
         F.nth_value(price, 2).over(w).alias("second_price"),
     ).orderBy("o_custkey", "o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# q38 — relative-rank windows: percent_rank and cume_dist (the remaining
+# members of the ranking family after row_number/rank/dense_rank/ntile).
+# Both are pure functions of the ORDER BY value within the partition, so
+# ties are deterministic under the order-insensitive compare.
+# ---------------------------------------------------------------------------
+@register(
+    "q38_price_percentiles_by_brand",
+    oracle="""
+    SELECT p_partkey, p_brand,
+      percent_rank() OVER w AS pct_rank,
+      cume_dist()    OVER w AS cum_dist
+    FROM part
+    WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice)
+    ORDER BY p_partkey
+    """,
+)
+def q38_price_percentiles_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy("p_retailprice")
+    return p.select(
+        "p_partkey",
+        "p_brand",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cum_dist"),
+    ).orderBy("p_partkey")
+
+
+# ---------------------------------------------------------------------------
+# q39 — correlated scalar aggregate subquery (TPC-H Q17 pattern),
+# hand-decorrelated the way Catalyst would: the tiny filtered part list
+# broadcasts into BOTH the fact scan and the per-part average, so the
+# full-corpus avg-per-partkey never materializes — at 100 TB the
+# aggregation runs over only the ~0.1% of lineitem that can survive the
+# final join. One shuffle (per-part avg), one broadcast-rejoin.
+# ---------------------------------------------------------------------------
+@register(
+    "q39_small_quantity_revenue",
+    oracle="""
+    SELECT CAST(SUM(l_extendedprice) / 7.0 AS DOUBLE) AS avg_yearly
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND p_brand = 'Brand#1' AND p_size < 15
+      AND l_quantity < (
+        SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = p_partkey)
+    """,
+)
+def q39_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    parts = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_brand") == "Brand#1") & (F.col("p_size") < 15))
+        .select("p_partkey")
+    )
+    touched = li.join(F.broadcast(parts), li.l_partkey == parts.p_partkey).drop("p_partkey")
+    limits = touched.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg(F.col("l_quantity").cast("double"))).alias("qty_limit")
+    )
+    return (
+        touched.join(F.broadcast(limits), "l_partkey")
+        .filter(F.col("l_quantity").cast("double") < F.col("qty_limit"))
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast("double")) / F.lit(7.0)).alias("avg_yearly")
+        )
+    )
