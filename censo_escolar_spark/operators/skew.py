@@ -1,0 +1,67 @@
+"""Skew-mitigated shuffle join (salting).
+
+The reference never joins at scale (its one wide table is built by
+per-year unions — transform.py:151-152), but a 100 TB fact⋈dim join with
+a hot key is the canonical Spark failure mode this engine must survive:
+one reduce partition receives the hot key's entire row set and spills or
+OOMs while 999 executors idle.
+
+``salted_join`` is the standard mitigation for the regime AQE's skew
+split doesn't cover (build side too large to broadcast, probe-side hot
+key concentrated in one shuffle partition *and* the matching build rows
+needed by every salt replica):
+
+- probe (big) side: append ``__salt = pmod(xxhash64(salt_from), n)``,
+  computed from a probe-side column that varies WITHIN a join key, so a
+  hot key's rows spread over ``n_salts`` reduce partitions;
+- build (small) side: replicate each row ``n_salts`` times via
+  ``explode(sequence(0, n-1))`` — size cost n·|build|, bounded and
+  chosen by the caller;
+- equi-join on (keys + __salt): every probe row meets exactly one
+  replica of each matching build row, so the result is row-identical to
+  the un-salted join (verified by the q40 oracle).
+
+AQE's ``skewJoin`` handles the common case adaptively; this operator is
+the explicit, planner-independent form for when the salt must be chosen
+ahead of time (e.g. feeding a downstream bucketed write).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["salted_join"]
+
+
+def salted_join(
+    probe: DataFrame,
+    build: DataFrame,
+    on: Sequence[str],
+    *,
+    salt_from: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join ``probe ⋈ build on (on)``, row-identical to a plain join,
+    with the probe side's hot keys spread across ``n_salts`` partitions.
+
+    ``salt_from`` must be a probe-side column that varies within a join
+    key (a line number, a timestamp, an id) — salting on the join key
+    itself would keep every hot-key row in one partition.
+
+    ``how`` supports the probe-preserving joins (inner / left /
+    left_semi / left_anti): build-preserving sides would see each
+    unmatched build row ``n_salts`` times.
+    """
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(f"salted_join: probe-preserving joins only, got {how!r}")
+    salt = F.pmod(F.xxhash64(F.col(salt_from)), F.lit(n_salts)).cast("int")
+    salted_probe = probe.withColumn("__salt", salt)
+    replicated_build = build.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    joined = salted_probe.join(replicated_build, [*on, "__salt"], how)
+    return joined.drop("__salt")

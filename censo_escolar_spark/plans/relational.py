@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from censo_escolar_spark.operators.skew import salted_join
 from censo_escolar_spark.plans.registry import register
 from censo_escolar_spark.sources.readers import load_table
 
@@ -1235,4 +1236,33 @@ def q39_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             (F.sum(F.col("l_extendedprice").cast("double")) / F.lit(7.0)).alias("avg_yearly")
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q40 — salted skew join (operators/skew.py): row-identical to the plain
+# lineitem⋈part join, with hot probe keys spread over n_salts reduce
+# partitions. The oracle is the UN-salted join — proving the salt is
+# invisible to results, which is the operator's whole contract.
+# ---------------------------------------------------------------------------
+@register(
+    "q40_salted_join_brand_revenue",
+    oracle="""
+    SELECT p_brand,
+      CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE) AS revenue,
+      CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+)
+def q40_salted_join_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").withColumnRenamed("l_partkey", "p_partkey")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    joined = salted_join(li, p, ["p_partkey"], salt_from="l_orderkey", n_salts=8)
+    rev = F.col("l_extendedprice").cast("double") * (1 - F.col("l_discount").cast("double"))
+    return (
+        joined.groupBy("p_brand")
+        .agg(F.sum(rev).alias("revenue"), F.count("*").alias("n_lines"))
+        .orderBy("p_brand")
     )
