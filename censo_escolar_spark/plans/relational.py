@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from censo_escolar_spark.operators.ranking import global_ntile
 from censo_escolar_spark.operators.skew import salted_join
 from censo_escolar_spark.plans.registry import register
 from censo_escolar_spark.sources.readers import load_table
@@ -498,14 +499,23 @@ def q14_customer_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q15_part_price_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The global quartile is NOT a naked Window.orderBy (which would pull
+    # every row through one task — Spark's own "No Partition Defined"
+    # warning): operators/ranking.py computes exact ntile(4) via
+    # range-repartition + per-partition row_number + driver-side offsets.
     p = load_table(spark, sf_dir, "part")
     w_brand = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
-    w_all = Window.orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
-    return p.select(
+    quartiled = global_ntile(
+        p.select("p_partkey", "p_brand", "p_retailprice"),
+        [F.desc("p_retailprice"), F.asc("p_partkey")],
+        4,
+        out_col="price_quartile",
+    )
+    return quartiled.select(
         "p_partkey",
         "p_brand",
         F.dense_rank().over(w_brand).alias("price_rank"),
-        F.ntile(4).over(w_all).alias("price_quartile"),
+        "price_quartile",
     ).orderBy("p_partkey")
 
 

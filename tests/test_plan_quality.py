@@ -47,6 +47,34 @@ def test_no_rowwise_python_in_any_plan(spark, sf_dir, name):
         )
 
 
+def _iter_physical_nodes(jplan):
+    """Depth-first walk of a JVM SparkPlan tree (pre-AQE, so Window nodes
+    are directly visible, not hidden inside AdaptiveSparkPlan)."""
+    stack = [jplan]
+    while stack:
+        node = stack.pop()
+        yield node
+        children = node.children()
+        for i in range(children.size()):
+            stack.append(children.apply(i))
+
+
+@pytest.mark.parametrize("name", sorted(entrymod.queries()))
+def test_no_unpartitioned_window(spark, sf_dir, name):
+    """A Window with an empty partitionSpec serializes EVERY row through
+    one task ("No Partition Defined for Window operation!") — correct at
+    sf0.01, fatal at 100 TB. Global rankings must go through
+    operators/ranking.py (range-repartition two-phase) instead."""
+    df = entrymod.queries()[name](spark, sf_dir)
+    jplan = df._jdf.queryExecution().sparkPlan()
+    for node in _iter_physical_nodes(jplan):
+        if node.nodeName() in ("Window", "WindowGroupLimit"):
+            assert not node.partitionSpec().isEmpty(), (
+                f"{name}: unpartitioned {node.nodeName()} — single-task "
+                "window; use operators.ranking.global_row_number/global_ntile"
+            )
+
+
 def test_filter_pushdown_reaches_scan(spark, sf_dir):
     plan = _formatted_plan(
         spark, entrymod.queries()["q01_pricing_summary"](spark, sf_dir)
