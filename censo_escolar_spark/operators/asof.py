@@ -45,7 +45,13 @@ def asof_join(
     if collisions:
         raise ValueError(f"right payload columns collide with left: {sorted(collisions)}")
 
-    r = right.select(
+    # A NULL right timestamp must match nothing (DuckDB/pandas ASOF
+    # semantics: ts >= NULL is never true). Without this filter the NULL
+    # row sorts FIRST (Spark asc = NULLS FIRST) and its payload would be
+    # carried forward onto every left row preceding the first real right
+    # row. Left rows with NULL ts still sort first themselves and
+    # correctly see no match.
+    r = right.filter(F.col(right_ts).isNotNull()).select(
         *keys,
         F.col(right_ts).alias("__ts"),
         F.struct(*payload_cols).alias("__payload"),

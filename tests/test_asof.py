@@ -62,6 +62,38 @@ def test_asof_multi_key(spark):
     assert out == {("a", 1): 1.0, ("b", 1): 2.0}  # (a,2) never leaks across keys
 
 
+def test_asof_null_right_ts_never_matches(spark):
+    """A right row with NULL ts must be invisible: DuckDB/pandas ASOF
+    (l.ts >= r.ts) never matches NULL. Regression: NULLS-FIRST ordering
+    used to carry the NULL row's payload onto left rows preceding all
+    real right rows."""
+    left = spark.createDataFrame(
+        [(1, _t(3), "early"), (1, _t(15), "late")],
+        "user_id long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, None, 666.0), (1, _t(10), 100.0)],
+        "user_id long, rts timestamp, rval double",
+    )
+    out = {
+        r.tag: (r.rts, r.rval)
+        for r in asof_join(left, right, on="user_id", left_ts="ts", right_ts="rts").collect()
+    }
+    assert out["early"] == (None, None)   # NOT the NULL-ts row's 666.0
+    assert out["late"] == (_t(10), 100.0)
+
+
+def test_asof_null_left_ts_gets_no_match(spark):
+    left = spark.createDataFrame(
+        [(1, None, "nul")], "user_id long, ts timestamp, tag string"
+    )
+    right = spark.createDataFrame(
+        [(1, _t(5), 50.0)], "user_id long, rts timestamp, rval double"
+    )
+    row = asof_join(left, right, on="user_id", left_ts="ts", right_ts="rts").first()
+    assert (row.rts, row.rval) == (None, None)
+
+
 def test_asof_collision_guard(spark, sides):
     left, right = sides
     bad_right = right.withColumnRenamed("rval", "tag")  # collides with left
