@@ -24,6 +24,13 @@ Year-conditional drift handling [transform.py:112-137]:
   The reference drops the two dormitório columns it just created
   (transform.py:135 lists the NEW names) — almost certainly a bug; the
   divergence is deliberate and documented here and in SURVEY.md §2b.
+  Second divergence, also deliberate: the reference's drop list runs
+  UNCONDITIONALLY — year >= 2019 escolas (and any table carrying these
+  names) also lose IN_DORMITORIO_ALUNO / IN_DORMITORIO_PROFESSOR /
+  CO_LINGUA_INDIGENA there, while this engine applies the drift logic
+  only where drift exists (pre-2019 escolas) and KEEPS the native
+  post-2019 columns. Consumers expecting reference-identical post-2019
+  schemas will see these extra (populated) columns here.
 """
 
 from __future__ import annotations
@@ -35,7 +42,19 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from censo_escolar_spark.functions.dates import parse_census_date
-from censo_escolar_spark.functions.decode import map_expr
+from censo_escolar_spark.functions.decode import (
+    decode_with_broadcast_join,
+    map_as_dimension,
+    map_expr,
+)
+
+#: Above this many entries a dict is decoded via broadcast LEFT join
+#: instead of an inline ``create_map`` literal. The reference's biggest
+#: dicts (CO_IES 6,296 entries, CO_MUNICIPIO 5,570 — maps.json) would
+#: otherwise each become a 12k+-literal Catalyst expression; several such
+#: columns in one projection blow up analysis/codegen time and constant
+#: pool size, while a broadcast join ships the dict ONCE per executor.
+BROADCAST_DECODE_THRESHOLD = 1024
 
 #: Columns decoded as dates, per table (transform.py:104-109: escolas only).
 DATE_COLUMNS = {"escolas": ("DT_ANO_LETIVO_INICIO", "DT_ANO_LETIVO_TERMINO")}
@@ -97,14 +116,37 @@ def apply_conventions(
     year: int,
     maps: Mapping[str, Mapping[str, str]],
     date_columns: Sequence[str] | None = None,
+    broadcast_threshold: int = BROADCAST_DECODE_THRESHOLD,
 ) -> DataFrame:
-    """P3+P4+P5+P7 as a single projection (one plan node, codegen-friendly)."""
-    return df.select(
+    """P3+P4+P5+P7 as a single projection (one plan node, codegen-friendly).
+
+    Map columns whose dict exceeds ``broadcast_threshold`` entries are
+    decoded by broadcast LEFT join after the projection instead of an
+    inline map literal — same miss→NULL semantics, no fact-side shuffle,
+    but the dict travels as broadcast data rather than a giant expression
+    tree (see BROADCAST_DECODE_THRESHOLD)."""
+    big_map_cols = [
+        n
+        for n in df.columns
+        if n.startswith(("TP_", "CO_"))
+        and n in maps
+        and len(maps[n]) > broadcast_threshold
+    ]
+    small_maps = {k: v for k, v in maps.items() if k not in set(big_map_cols)}
+    out = df.select(
         *[
-            decode_column(n, year=year, table=table, maps=maps, date_columns=date_columns)
+            F.col(n)
+            if n in big_map_cols
+            else decode_column(
+                n, year=year, table=table, maps=small_maps, date_columns=date_columns
+            )
             for n in df.columns
         ]
     )
+    spark = df.sparkSession
+    for n in big_map_cols:
+        out = decode_with_broadcast_join(out, map_as_dimension(spark, maps[n]), n)
+    return out
 
 
 def merge_or_columns(df: DataFrame, *, table: str, year: int) -> DataFrame:
@@ -167,10 +209,20 @@ def missing_partitions(
     here the wanted set left-anti-joins the sink's partition values (a
     metadata-only scan: partition pruning reads no row data).
     """
+    from pyspark.errors import AnalysisException
+
     wanted_df = spark.createDataFrame([(int(y),) for y in wanted], f"{partition_col} int")
     try:
         existing = spark.read.parquet(sink_path).select(partition_col).distinct()
-    except Exception:  # sink does not exist yet → everything is missing
-        return [int(y) for y in wanted]
+    except AnalysisException as e:
+        # ONLY "sink does not exist yet" means everything is missing. A
+        # transient failure (permissions, bad mount) must raise — treating
+        # it as empty would re-append every year and duplicate the sink
+        # (the O1 idempotency guarantee, reference censo_escolar.py:39-60).
+        cond = getattr(e, "getCondition", None) or getattr(e, "getErrorClass", None)
+        condition = cond() if cond is not None else None
+        if condition == "PATH_NOT_FOUND" or "Path does not exist" in str(e):
+            return [int(y) for y in wanted]
+        raise
     remaining = wanted_df.join(existing, partition_col, "left_anti")
     return sorted(r[0] for r in remaining.collect())

@@ -229,8 +229,11 @@ def test_maps_sidecar_roundtrip(tmp_path):
     assert loaded["CO_REGIAO"]["3"] == "Sudeste"
     aliased = alias_maps(loaded, {"CO_REGIAO_NASC": "CO_REGIAO"})
     assert aliased["CO_REGIAO_NASC"] is loaded["CO_REGIAO"]
-    comp = composite_key_map({"1": "Meso A", "2": "Meso B"}, {"11": "RO"}, width=2)
-    assert comp == {"1101": "Meso A", "1102": "Meso B"}
+    # composite keys: the short code is unique only WITHIN a UF
+    comp = composite_key_map(
+        [("11", "2", "Leste Rondoniense"), ("21", "2", "Centro Maranhense")], width=2
+    )
+    assert comp == {"1102": "Leste Rondoniense", "2102": "Centro Maranhense"}
 
 
 # ---------------------------------------------------------------------------
@@ -307,3 +310,117 @@ def test_convention_engine_full_width_single_projection(spark):
     # exactly one Project node between result and the source scan
     optimized = out._jdf.queryExecution().optimizedPlan().toString()
     assert optimized.count("Project") == 1, optimized[:500]
+
+
+# ---------------------------------------------------------------------------
+# Large-map decode: auto-cutover to broadcast join at reference dict sizes
+# (CO_IES 6,296 entries, CO_MUNICIPIO 5,570 — reference maps.json).
+# ---------------------------------------------------------------------------
+def test_big_map_decodes_via_broadcast_join(spark):
+    from censo_escolar_spark.etl.pipeline import apply_conventions
+
+    ies_map = {str(k): f"IES {k}" for k in range(1, 6297)}        # CO_IES-sized
+    mun_map = {str(1100000 + k): f"MUN {k}" for k in range(5570)}  # CO_MUNICIPIO-sized
+    maps = {"CO_IES": ies_map, "CO_MUNICIPIO": mun_map,
+            "TP_SITUACAO": {"1": "ativa", "2": "extinta"}}
+    df = spark.createDataFrame(
+        [("1", "1100007", "1", "9"), ("6296", "1105569", "2", "3"),
+         ("99999", "nope", "9", "1"), (None, None, None, None)],
+        "CO_IES string, CO_MUNICIPIO string, TP_SITUACAO string, QT_X string",
+    )
+    out = apply_conventions(df, table="matricula", year=2020, maps=maps)
+
+    # both big columns decode through a broadcast LEFT join, not a 6k-literal map
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    # formatted explain prints each node in the tree AND the detail
+    # section: two joins → 4 mentions
+    assert plan.count("BroadcastHashJoin") == 4, plan[:800]
+    assert "SortMergeJoin" not in plan
+    assert "keys: [" not in plan or "IES 6296" not in plan  # dict not inlined
+
+    rows = out.collect()
+    by_ies = {r["QT_X"]: r for r in rows}
+    assert by_ies[9]["CO_IES"] == "IES 1" and by_ies[9]["CO_MUNICIPIO"] == "MUN 7"
+    assert by_ies[3]["CO_IES"] == "IES 6296" and by_ies[3]["CO_MUNICIPIO"] == "MUN 5569"
+    assert by_ies[1]["CO_IES"] is None and by_ies[1]["CO_MUNICIPIO"] is None  # miss → NULL
+    none_row = next(r for r in rows if r["QT_X"] is None)
+    assert none_row["CO_IES"] is None
+    # small map still decodes inline; other conventions unaffected
+    assert by_ies[9]["TP_SITUACAO"] == "ativa" and by_ies[1]["TP_SITUACAO"] is None
+
+    # parity: broadcast path == inline-literal path on identical input
+    inline = apply_conventions(
+        df, table="matricula", year=2020, maps=maps, broadcast_threshold=10**9
+    )
+    keyfn = lambda t: tuple("" if v is None else str(v) for v in t)
+    assert sorted(map(tuple, out.collect()), key=keyfn) == sorted(
+        map(tuple, inline.collect()), key=keyfn
+    )
+
+
+# ---------------------------------------------------------------------------
+# Composite/alias maps end-to-end from a ufs.csv-shaped lookup fixture
+# (reference transform/tables/ufs.csv; maps.ipynb cell 13).
+# ---------------------------------------------------------------------------
+UFS_CSV_HEADER = (
+    "Código da Região,Nome da Região,Código da UF,Nome da UF,Sigla da UF,"
+    "Código da Mesorregião,Nome da Mesorregião,Código da Microrregião,"
+    "Nome da Microrregião,Código do Município,Nome do Município"
+)
+UFS_CSV_ROWS = [
+    "1,Norte,11,Rondônia,RO,2,Leste Rondoniense,6,Cacoal,1100049,Cacoal",
+    "1,Norte,11,Rondônia,RO,2,Leste Rondoniense,3,Ariquemes,1100023,Ariquemes",
+    "2,Nordeste,21,Maranhão,MA,2,Centro Maranhense,10,Alto Mearim,2100055,Bacabal",
+]
+
+
+def test_ufs_csv_maps_end_to_end(spark, tmp_path):
+    from censo_escolar_spark.etl.maps import maps_from_ufs_csv
+    from censo_escolar_spark.etl.pipeline import apply_conventions
+
+    p = tmp_path / "ufs.csv"
+    p.write_text(UFS_CSV_HEADER + "\n" + "\n".join(UFS_CSV_ROWS), encoding="utf-8")
+    maps = maps_from_ufs_csv(str(p))
+
+    # simple maps
+    assert maps["CO_REGIAO"] == {"1": "Norte", "2": "Nordeste"}
+    assert maps["CO_UF"]["11"] == "Rondônia"
+    assert maps["CO_MUNICIPIO"]["1100049"] == "Cacoal"
+    # composite: same short code (meso 2) resolves per-UF
+    assert maps["CO_MESORREGIAO"] == {
+        "1102": "Leste Rondoniense", "2102": "Centro Maranhense"
+    }
+    assert maps["CO_MICRORREGIAO"]["11006"] == "Cacoal"   # f"11{6:03d}"
+    assert maps["CO_MICRORREGIAO"]["21010"] == "Alto Mearim"
+
+    # alias columns share the dict (maps.ipynb: CO_UF_NASC = CO_UF)
+    maps = alias_maps(maps, {"CO_UF_NASC": "CO_UF", "CO_MUNICIPIO_NASC": "CO_MUNICIPIO"})
+
+    df = spark.createDataFrame(
+        [("11", "11", "1102", "11006", "1100049"),
+         ("21", "11", "2102", "21010", "2100055"),
+         ("99", "99", "9999", "99999", "nope")],
+        "CO_UF string, CO_UF_NASC string, CO_MESORREGIAO string, "
+        "CO_MICRORREGIAO string, CO_MUNICIPIO_NASC string",
+    )
+    out = apply_conventions(df, table="matricula", year=2020, maps=maps)
+    keyfn = lambda t: tuple("" if v is None else str(v) for v in t)
+    rows = sorted(map(tuple, out.collect()), key=keyfn)
+    assert rows == sorted([
+        ("Rondônia", "Rondônia", "Leste Rondoniense", "Cacoal", "Cacoal"),
+        ("Maranhão", "Rondônia", "Centro Maranhense", "Alto Mearim", "Bacabal"),
+        (None, None, None, None, None),
+    ], key=keyfn)
+
+
+def test_missing_partitions_raises_on_non_path_errors(spark, tmp_path):
+    """Only path-not-found means 'sink empty'. Any other read failure must
+    raise — silently returning all years would duplicate-append (O1)."""
+    broken = tmp_path / "broken_sink"
+    broken.mkdir()
+    (broken / "not_parquet.txt").write_text("hello")
+    # corrupt sink → SparkException (CANNOT_READ_FILE_FOOTER), propagated
+    with pytest.raises(Exception, match="FOOTER|footer|PATH|parquet|Parquet"):
+        missing_partitions(spark, [2013], str(broken))
