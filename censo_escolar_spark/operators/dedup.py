@@ -94,7 +94,9 @@ def jaccard_pairs(
     shingle, so reported Jaccard values are exact; the approximation is
     one-sided (a pair overlapping *only* on stop-shingles is missed —
     such pairs are far below any useful threshold anyway). Default None
-    = fully exact; minhash_pairs is the sub-quadratic alternative.
+    = fully exact — meant for bounded inputs (oracles, fixtures) only;
+    corpus jobs should go through ``corpus_jaccard_pairs`` (cut on by
+    default) or ``minhash_pairs`` (sub-quadratic).
 
     The index is materialized once — it feeds the self-join (twice) and
     the per-doc sizes, and each consumer would otherwise re-run the
@@ -157,6 +159,40 @@ def jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+#: Stop-shingle cut applied by the corpus-facing entry point below: a
+#: shingle shared by more than this many documents is dropped from
+#: candidate generation (its self-join fan-out is quadratic in document
+#: frequency: one 10k-doc boilerplate shingle alone is 5·10⁷ candidate
+#: pairs). Reported Jaccard values remain exact; only discovery of pairs
+#: overlapping SOLELY on stop-shingles is lost — far below any useful
+#: threshold.
+DEFAULT_MAX_DOC_FREQ = 256
+
+
+def corpus_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int = DEFAULT_MAX_DOC_FREQ,
+) -> DataFrame:
+    """Corpus-scale entry point for exact-Jaccard near-dup pairs.
+
+    Same semantics as ``jaccard_pairs`` but the stop-shingle cut is ON by
+    default (``DEFAULT_MAX_DOC_FREQ``): calling the raw operator with
+    ``max_doc_freq=None`` on a real corpus invites a quadratic hot-shingle
+    fan-out. Use ``jaccard_pairs`` directly only for bounded inputs
+    (oracle checks, fixtures) or after verifying shingle frequencies;
+    ``minhash_pairs`` is the sub-quadratic path when even the cut index
+    is too hot.
+    """
+    return jaccard_pairs(
+        df, id_col, text_col, n=n, threshold=threshold, max_doc_freq=max_doc_freq
     )
 
 

@@ -112,13 +112,25 @@ def _verify_exact(
     )
 
 
+#: target rows per GEMM block when auto-sizing. A packed block row is
+#: ~rows × (8 B id + dim × 8 B) ≈ 1 MB at dim 64 — far under Arrow's 2 GB
+#: record batch ceiling even at dim 4096 — and the per-task sim matrix is
+#: 2048² × 8 B = 32 MB.
+TARGET_BLOCK_ROWS = 2048
+
+
+def auto_n_blocks(n_rows: int, target: int = TARGET_BLOCK_ROWS) -> int:
+    """Blocks needed so E[rows per block] <= target (ids hash uniformly)."""
+    return max(1, -(-int(n_rows) // int(target)))
+
+
 def cosine_pairs(
     df: DataFrame,
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.45,
-    n_blocks: int = 8,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """All pairs with cosine >= threshold — blocked GEMM brute force.
 
@@ -131,7 +143,14 @@ def cosine_pairs(
     GEMM threshold so summation-order rounding can never drop a true
     pair; the exact fold-order re-score (_verify_exact) makes the final
     cut and the reported value.
+
+    ``n_blocks=None`` (default) sizes blocks from the corpus count so a
+    block can never outgrow an Arrow batch as the corpus grows: one cheap
+    count, then ceil(n / TARGET_BLOCK_ROWS) blocks. Pass an explicit
+    ``n_blocks`` to skip the count (e.g. when the caller already knows n).
     """
+    if n_blocks is None:
+        n_blocks = auto_n_blocks(df.count())
     v = as_double_array(vec_col)
     rows = df.select(
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("blk"),

@@ -149,7 +149,7 @@ _S01_ORACLE = """
     scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
         list_dot_product(q.v, c.v) /
-          sqrt(list_dot_product(q.v, q.v) * list_dot_product(c.v, c.v)) AS cos
+          (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
       FROM e q JOIN e c ON q.vec_id != c.vec_id
       WHERE q.vec_id < 8
     )
@@ -180,10 +180,10 @@ def s01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
       list_dot_product(a.v, b.v) /
-        sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)) AS cos
+        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
     FROM e a JOIN e b ON a.vec_id < b.vec_id
     WHERE list_dot_product(a.v, b.v) /
-        sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)) >= 0.45
+        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.45
     ORDER BY id_a, id_b
     """,
 )
@@ -210,13 +210,44 @@ def s04_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # s03 — hyperplane-LSH bucketed pairs: the 100 TB scale path for s02.
-# Approximate recall at low thresholds → rows-only check (no oracle);
-# tests/test_similarity.py asserts recall against s02 on planted data.
+#
+# LSH is designed for the near-dup regime (threshold >= 0.9), but the
+# synthetic embeddings table has NO pairs above 0.8 — an oracle at 0.9
+# over the raw table would be trivially empty. So the query plants
+# near-duplicates inside the query itself (vec_id < 100 re-entered under
+# vec_id + 100000 with the identical vector — the same UNION is in the
+# oracle SQL): identical vectors get identical signatures in every band,
+# so recall is structurally 1 and the result is deterministic. The full
+# pipeline (banding GEMM, checkpoint, band self-join, distinct, exact
+# fold-order verification) runs for real and hash-matches the DuckDB
+# brute-force oracle. Approximate recall at lower thresholds is asserted
+# separately in tests/test_lsh_recall.py.
 # ---------------------------------------------------------------------------
-@register("s03_lsh_bucketed_pairs")
+@register(
+    "s03_lsh_bucketed_pairs",
+    oracle="""
+    WITH all_v AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id < 100
+    ), e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM all_v)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      list_dot_product(a.v, b.v) /
+        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v) /
+        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.9
+    ORDER BY id_a, id_b
+    """,
+)
 def s03_lsh_bucketed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.lsh_bucketed_pairs(emb, threshold=0.45).orderBy("id_a", "id_b")
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dups = emb.filter(F.col("vec_id") < 100).select(
+        (F.col("vec_id") + F.lit(100000)).alias("vec_id"), "embedding"
+    )
+    return similarity.lsh_bucketed_pairs(
+        emb.unionByName(dups), threshold=0.9
+    ).orderBy("id_a", "id_b")
 
 
 # ---------------------------------------------------------------------------

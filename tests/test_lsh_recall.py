@@ -43,3 +43,44 @@ def test_jaccard_df_cut_matches_exact(spark, sf_dir):
         for r in dedup.jaccard_pairs(docs, "doc_id", "text", max_doc_freq=50).collect()
     }
     assert cut == exact  # near-dups overlap on rare shingles, not hot ones
+
+
+def test_corpus_jaccard_entry_applies_cut(spark, sf_dir):
+    """corpus_jaccard_pairs is the production path: stop-shingle cut ON
+    by default, same pairs/values as exact on this corpus."""
+    from censo_escolar_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.jaccard_pairs(docs, "doc_id", "text").collect()
+    }
+    corpus = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.corpus_jaccard_pairs(docs, "doc_id", "text").collect()
+    }
+    assert corpus == exact
+    assert dedup.DEFAULT_MAX_DOC_FREQ is not None  # cut genuinely on
+
+
+def test_auto_n_blocks_bounds():
+    from censo_escolar_spark.operators.similarity import TARGET_BLOCK_ROWS, auto_n_blocks
+
+    assert auto_n_blocks(0) == 1
+    assert auto_n_blocks(TARGET_BLOCK_ROWS) == 1
+    assert auto_n_blocks(TARGET_BLOCK_ROWS + 1) == 2
+    for n in (10**5, 10**6, 10**8):
+        assert n / auto_n_blocks(n) <= TARGET_BLOCK_ROWS
+
+
+def test_cosine_pairs_autosized_matches_explicit(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    auto = {
+        (r.id_a, r.id_b): r.cos
+        for r in S.cosine_pairs(emb, threshold=0.45).collect()
+    }
+    explicit = {
+        (r.id_a, r.id_b): r.cos
+        for r in S.cosine_pairs(emb, threshold=0.45, n_blocks=8).collect()
+    }
+    assert auto == explicit and len(auto) > 0
