@@ -47,21 +47,26 @@ def main() -> None:
         t0 = time.perf_counter()
         try:
             run(queries[name](spark, sf_dir))
-            timings[name] = round(time.perf_counter() - t0, 4)
+            # 2 decimals: keeps the one-line JSON inside the driver's
+            # capture window (r01's 4-decimal line was truncated ->
+            # "parsed": null in BENCH_r01.json)
+            timings[name] = round(time.perf_counter() - t0, 2)
         except Exception as exc:  # keep benching; a broken query shows as -1
             timings[name] = -1.0
             print(f"bench error in {name}: {exc}", file=sys.stderr)
 
-    total = round(sum(t for t in timings.values() if t >= 0), 4)
+    total = round(sum(t for t in timings.values() if t >= 0), 2)
+    # headline fields FIRST so even a truncated capture keeps the totals
     print(
         json.dumps(
             {
                 "metric": "total_query_wall_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": sf,
-            }
+                "queries": timings,
+            },
+            separators=(",", ":"),
         )
     )
 

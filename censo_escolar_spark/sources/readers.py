@@ -48,8 +48,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name != "events":
         return spark.read.parquet(path)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
+    # The legacy conf only needs to hold while the read is ANALYZED (the
+    # schema is baked into the plan; execution was verified to succeed
+    # after restore) — save/restore so a session-wide toggle can't leak
+    # into later parquet reads and silently turn their nano timestamps
+    # into bigint.
+    conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, "true")
+    try:
+        df = spark.read.parquet(path)
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
     ts_fields = {f.name for f in df.schema.fields if f.name == "ts"}
     if "ts" in ts_fields and dict(df.dtypes)["ts"] == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -40,12 +40,29 @@ for name in sorted(Q):
         ok_rows = len(mine) == len(ref)
         ok_vals = True
         if ok_cols and ok_rows:
-            a = mine[sorted(mine.columns)].sort_values(by=sorted(mine.columns), ignore_index=True)
-            b = ref[sorted(ref.columns)].sort_values(by=sorted(ref.columns), ignore_index=True)
-            for c in a.columns:
+            cols = sorted(mine.columns)
+            a0, b0 = mine[cols], ref[cols]
+            # sort on non-float keys only: near-equal floats (1-ULP engine
+            # differences) must not scramble row alignment
+            is_f = lambda df, c: df[c].dtype.kind == 'f'
+            fcols = [c for c in cols if is_f(a0, c) or is_f(b0, c)]
+            # exact columns are the primary sort; floats participate only
+            # ROUNDED and last, so rows tied on all exact keys still align
+            # but a 1-ULP engine diff can't flip the order
+            def _sorted(df):
+                aug = df.copy()
+                for c in fcols:
+                    aug[f"__r_{c}"] = pd.to_numeric(df[c], errors="coerce").round(6)
+                keys = [c for c in cols if c not in fcols] + [f"__r_{c}" for c in fcols]
+                return aug.sort_values(by=keys, ignore_index=True)[cols]
+            a = _sorted(a0)
+            b = _sorted(b0)
+            for c in cols:
                 av, bv = a[c], b[c]
                 if av.dtype.kind == 'f' or bv.dtype.kind == 'f':
-                    if not ((av.fillna(0) - bv.fillna(0)).abs().max() <= 1e-9 * (1+bv.abs().max())):
+                    if not (av.isna() == bv.isna()).all():  # NULL vs 0.0 is a real diff
+                        ok_vals = False; print(f"  {name}.{c}: null-mask mismatch")
+                    elif not ((av.fillna(0) - bv.fillna(0)).abs().max() <= 1e-9 * (1+bv.abs().max())):
                         ok_vals = False; print(f"  {name}.{c}: max diff {(av-bv).abs().max()}")
                 else:
                     def _s(v):
