@@ -108,6 +108,61 @@ def bpe_token_count(col: str | Column) -> Column:
     return F.regexp_count(_c(col), F.lit(BPE_PRETOKEN_RE))
 
 
+#: PII patterns, RE2-safe (no lookahead/backreferences) so the identical
+#: pattern string runs in Spark (Java regex) and DuckDB (RE2). Applied in
+#: dict order: emails first (so the @-local-part's digits can't be eaten
+#: by the number patterns), then IPs (dotted quads would otherwise feed
+#: the phone pattern), then phones.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    "phone": (r"\b\d{3}-\d{3,4}\b", "<PHONE>"),
+}
+
+
+def redact_pii(col: str | Column) -> Column:
+    """Replace every PII match with its tag — chained regexp_replace,
+    all inside codegen. Counts come from ``pii_count`` on the ORIGINAL
+    column (redaction destroys the matches)."""
+    out = _c(col)
+    for pattern, tag in PII_PATTERNS.values():
+        out = F.regexp_replace(out, pattern, tag)
+    return out
+
+
+def pii_count(col: str | Column, kind: str) -> Column:
+    """Number of matches of one PII pattern (kind ∈ PII_PATTERNS)."""
+    return F.regexp_count(_c(col), F.lit(PII_PATTERNS[kind][0]))
+
+
+def repetition_stats(col: str | Column) -> dict[str, Column]:
+    """Gopher-style repetition signals, all closed-form (no per-doc agg):
+
+    - ``dup_token_frac``: 1 − |distinct tokens| / |tokens| — the mass of
+      repeated tokens;
+    - ``dup_bigram_frac``: same over adjacent-token bigrams (repeated
+      phrases score here even when individual words differ in count).
+
+    The top-token-dominance signal needs a per-token frequency argmax and
+    lives in the t10 plan (explode → two-level aggregate), not here.
+    """
+    toks = tokens(col)
+    n = F.size(toks)
+    bigrams = shingles(col, 2)
+    nb = F.size(bigrams)
+    return {
+        "dup_token_frac": F.when(
+            n > 0,
+            F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / n.cast("double"),
+        ).otherwise(F.lit(0.0)),
+        "dup_bigram_frac": F.when(
+            nb > 0,
+            F.lit(1.0)
+            - F.size(F.array_distinct(bigrams)).cast("double") / nb.cast("double"),
+        ).otherwise(F.lit(0.0)),
+    }
+
+
 def digit_ratio(col: str | Column) -> Column:
     c = _c(col)
     return (F.length(c) - F.length(F.regexp_replace(c, "[0-9]", ""))).cast(

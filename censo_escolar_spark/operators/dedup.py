@@ -162,6 +162,96 @@ def jaccard_pairs(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    *,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components of an undirected pair graph → (node, component)
+    where ``component`` is the minimum node id reachable from ``node``.
+
+    Dedup needs TRANSITIVE closure: if A≈B and B≈C, all three are one
+    duplicate group even when A and C never pair directly. Implemented as
+    iterative min-label propagation: each round every node takes the min
+    of its own label and its neighbors' labels; converged when no label
+    changes. Rounds = component diameter — near-dup components are
+    star-like (a handful of rounds); ``max_iter`` bounds pathological
+    chains, raising if not converged rather than returning wrong labels.
+
+    Scale shape: one shuffle per round on node id (edges join labels),
+    labels eagerly localCheckpoint'd so lineage stays O(1) deep instead
+    of O(rounds). The convergence probe is an any-change count on the
+    already-checkpointed frames. (The alternating large-star/small-star
+    contraction of Kiveris et al. cuts rounds to O(log² n) for huge
+    diameters; unnecessary for dedup graphs.)
+    """
+    sym = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).unionByName(
+        edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+    )
+    sym = sym.distinct().localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor = sym.join(
+            labels, sym["src"] == labels["node"], "inner"
+        ).select(F.col("dst").alias("node"), "component")
+        new_labels = (
+            labels.unionByName(neighbor)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") < F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        "(component diameter exceeds max_iter)"
+    )
+
+
+def dedup_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Duplicate-cluster assignment: every document labeled with the min
+    doc id of its transitive near-dup group (Jaccard >= threshold edges);
+    documents with no near-dup keep their own id. Output:
+    (id_col, cluster_id) — ``filter(id == cluster_id)`` is then the
+    deterministic keep-set for corpus dedup."""
+    pairs = jaccard_pairs(
+        df, id_col, text_col, n=n, threshold=threshold, max_doc_freq=max_doc_freq
+    )
+    comp = connected_components(pairs, max_iter=max_iter).select(
+        F.col("node").alias(id_col), F.col("component").alias("cluster_id")
+    )
+    return df.select(id_col).join(comp, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+    )
+
+
 #: Stop-shingle cut applied by the corpus-facing entry point below: a
 #: shingle shared by more than this many documents is dropped from
 #: candidate generation (its self-join fan-out is quadratic in document

@@ -142,6 +142,55 @@ def d05_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# d06 — duplicate-cluster assignment: transitive closure of the d02 pair
+# graph (A≈B, B≈C → one group even if A,C never pair). Spark side is
+# iterative min-label propagation (operators/dedup.py:connected_components);
+# the oracle computes the same components by brute-force transitive
+# closure in a recursive CTE.
+# ---------------------------------------------------------------------------
+_D06_ORACLE = f"""
+WITH RECURSIVE {_SQL_SHINGLES},
+  sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+  inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  ),
+  pairs AS (
+    SELECT id_a, id_b FROM inter
+    JOIN sz sa ON sa.doc_id = id_a
+    JOIN sz sb ON sb.doc_id = id_b
+    WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
+  ),
+  edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION
+    SELECT id_b AS src, id_a AS dst FROM pairs
+  ),
+  reach(src, dst) AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+  ),
+  comp AS (
+    SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+    FROM reach GROUP BY src
+  )
+SELECT d.doc_id, CAST(COALESCE(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
+FROM documents d LEFT JOIN comp c USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+@register("d06_dedup_clusters", oracle=_D06_ORACLE)
+def d06_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.dedup_clusters(docs, "doc_id", "text", n=3, threshold=0.5).orderBy(
+        "doc_id"
+    )
+
+
+# ---------------------------------------------------------------------------
 # s01 — brute-force cosine top-k: the ANN correctness baseline.
 # ---------------------------------------------------------------------------
 _S01_ORACLE = """
@@ -506,4 +555,134 @@ def t08_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dedup.winnow_fingerprints(docs, "doc_id", "text", k=3, w=4).orderBy(
         "doc_id", "fp_pos"
+    )
+
+
+# ---------------------------------------------------------------------------
+# t09 — PII redaction (emails / IPv4 / phone-like numbers → tags) plus
+# per-kind match counts. The synthetic corpus contains no PII, so the
+# query PLANTS it deterministically from doc_id (identical expression in
+# the oracle — the s03 pattern): even docs get an email, every third doc
+# an IP, every doc a phone-like number. Patterns are RE2-safe and the
+# oracle SQL below is BUILT from functions.text.PII_PATTERNS, so the two
+# engines can never drift.
+# ---------------------------------------------------------------------------
+_T09_PLANT_SQL = (
+    "text || CASE WHEN doc_id % 2 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@example.com' ELSE '' END"
+    " || CASE WHEN doc_id % 3 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)"
+    " || '.7' ELSE '' END"
+    " || ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+)
+
+
+def _t09_oracle() -> str:
+    email, e_tag = T.PII_PATTERNS["email"]
+    ipv4, i_tag = T.PII_PATTERNS["ipv4"]
+    phone, p_tag = T.PII_PATTERNS["phone"]
+    redact = (
+        f"regexp_replace(regexp_replace(regexp_replace(t, '{email}', '{e_tag}', 'g'),"
+        f" '{ipv4}', '{i_tag}', 'g'), '{phone}', '{p_tag}', 'g')"
+    )
+    return f"""
+    WITH p AS (SELECT doc_id, {_T09_PLANT_SQL} AS t FROM documents)
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(t, '{email}')) AS INTEGER) AS n_emails,
+      CAST(len(regexp_extract_all(t, '{ipv4}')) AS INTEGER) AS n_ips,
+      CAST(len(regexp_extract_all(t, '{phone}')) AS INTEGER) AS n_phones,
+      {redact} AS redacted
+    FROM p ORDER BY doc_id
+    """
+
+
+@register("t09_pii_redaction", oracle=_t09_oracle())
+def t09_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    planted = F.concat(
+        F.col("text"),
+        F.when(
+            did % 2 == 0,
+            F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit(" from 10.0."), (did % 256).cast("string"), F.lit(".7")),
+        ).otherwise(F.lit("")),
+        F.lit(" call 555-"),
+        F.lpad((did % 10000).cast("string"), 4, "0"),
+    )
+    return (
+        docs.select("doc_id", planted.alias("t"))
+        .select(
+            "doc_id",
+            T.pii_count("t", "email").cast("int").alias("n_emails"),
+            T.pii_count("t", "ipv4").cast("int").alias("n_ips"),
+            T.pii_count("t", "phone").cast("int").alias("n_phones"),
+            T.redact_pii("t").alias("redacted"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# t10 — repetition / duplication quality signals (Gopher-style filters):
+# duplicate-token and duplicate-bigram mass are closed-form expressions;
+# top-token dominance needs a per-token frequency argmax — explode →
+# (doc, token) count → per-doc max, two partial-agg shuffles on doc_id.
+# ---------------------------------------------------------------------------
+@register(
+    "t10_repetition_stats",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    freq AS (
+      SELECT doc_id, tok, COUNT(*) AS c
+      FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+      GROUP BY doc_id, tok
+    ),
+    top AS (SELECT doc_id, MAX(c) AS max_c FROM freq GROUP BY doc_id),
+    grams AS (
+      SELECT doc_id,
+        len(t) - 1 AS n_bi,
+        (SELECT COUNT(DISTINCT array_to_string(t[i:i+1], ' '))
+         FROM UNNEST(range(1, len(t))) AS u(i)) AS n_bi_distinct
+      FROM toks
+    )
+    SELECT k.doc_id,
+      CAST(len(t) AS INTEGER) AS n_tokens,
+      1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE) AS dup_token_frac,
+      CASE WHEN g.n_bi > 0
+        THEN 1.0 - CAST(g.n_bi_distinct AS DOUBLE) / CAST(g.n_bi AS DOUBLE)
+        ELSE 0.0 END AS dup_bigram_frac,
+      CAST(p.max_c AS DOUBLE) / CAST(len(t) AS DOUBLE) AS top_token_frac
+    FROM toks k
+    JOIN top p ON p.doc_id = k.doc_id
+    JOIN grams g ON g.doc_id = k.doc_id
+    ORDER BY k.doc_id
+    """,
+)
+def t10_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    stats = T.repetition_stats("text")
+    base = docs.select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        stats["dup_token_frac"].alias("dup_token_frac"),
+        stats["dup_bigram_frac"].alias("dup_bigram_frac"),
+    )
+    top = (
+        docs.select("doc_id", F.explode(T.tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("max_c"))
+    )
+    return (
+        base.join(top, "doc_id")
+        .withColumn(
+            "top_token_frac",
+            F.col("max_c").cast("double") / F.col("n_tokens").cast("double"),
+        )
+        .drop("max_c")
+        .orderBy("doc_id")
     )

@@ -1,0 +1,49 @@
+"""connected_components / dedup_clusters — transitivity, singletons,
+multi-component graphs, and the bounded-iteration failure mode."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from censo_escolar_spark.operators.dedup import connected_components, dedup_clusters
+
+
+def _labels(df):
+    return {r.node: r.component for r in df.collect()}
+
+
+def test_chain_is_transitive(spark):
+    # 1-2, 2-3, 3-4: one component labeled 1, despite 1 and 4 never pairing
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "id_a long, id_b long")
+    assert _labels(connected_components(edges)) == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_multiple_components_and_min_label(spark):
+    edges = spark.createDataFrame(
+        [(10, 7), (7, 12), (100, 101), (5, 5)], "id_a long, id_b long"
+    )
+    got = _labels(connected_components(edges))
+    assert got == {7: 7, 10: 7, 12: 7, 100: 100, 101: 100, 5: 5}
+
+
+def test_max_iter_raises_instead_of_wrong_labels(spark):
+    # a 6-chain needs ~3 doubling-free propagation rounds; max_iter=1 must raise
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 7)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=1)
+
+
+def test_dedup_clusters_singletons_keep_own_id(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog today"),  # dup of 1
+            (3, "completely different text with no overlap at all whatsoever"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.cluster_id for r in dedup_clusters(docs, "doc_id", "text").collect()}
+    assert got == {1: 1, 2: 1, 3: 3}
