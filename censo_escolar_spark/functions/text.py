@@ -145,11 +145,17 @@ def repetition_stats(col: str | Column) -> dict[str, Column]:
 
     The top-token-dominance signal needs a per-token frequency argmax and
     lives in the t10 plan (explode → two-level aggregate), not here.
+
+    Bigrams are built lambda-free (two aligned ``slice``s zipped — all
+    codegen) rather than via the ``shingles`` HOF: interpreted lambdas
+    cost ~1 µs/element and this runs per document over the whole corpus.
     """
     toks = tokens(col)
     n = F.size(toks)
-    bigrams = shingles(col, 2)
-    nb = F.size(bigrams)
+    nb = n - 1
+    bigrams = F.arrays_zip(
+        F.slice(toks, F.lit(1), nb).alias("a"), F.slice(toks, F.lit(2), nb).alias("b")
+    )
     return {
         "dup_token_frac": F.when(
             n > 0,

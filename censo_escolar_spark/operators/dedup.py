@@ -34,6 +34,7 @@ from censo_escolar_spark.functions.text import (
     shingles,
     simhash_bands,
     token_hash60,
+    tokens,
 )
 
 MINHASH_K = 64  # signature length
@@ -59,17 +60,29 @@ def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """(id, shingle-hash) pairs, distinct — the inverted-index input.
 
-    The index carries xxhash64(shingle) (8 bytes) instead of the ~20-char
-    shingle string: the self-join shuffles 2-3× fewer bytes and compares
-    longs. Set sizes/intersections are unchanged absent a collision
-    between two distinct shingles of the same document pair
-    (P ≈ |sh|²/2⁶⁵ — vanishing)."""
+    The index carries an 8-byte hash of the n-token window instead of
+    the ~20-char shingle string: the self-join shuffles 2-3× fewer bytes
+    and compares longs. Set sizes/intersections are unchanged absent a
+    collision between two distinct shingles of the same document pair
+    (P ≈ |sh|²/2⁶⁵ — vanishing).
+
+    Lambda-free on purpose: interpreted higher-order functions cost
+    ~1 µs/element, so the window construction is n aligned ``slice``s
+    zipped (``arrays_zip`` — codegen), exploded, and hashed with a
+    single multi-argument ``xxhash64`` AFTER the explode — every
+    expression stays inside whole-stage codegen."""
+    base = df.select(F.col(id_col), tokens(text_col).alias("__toks")).filter(
+        F.size("__toks") >= n
+    )
+    m = F.size(F.col("__toks")) - (n - 1)
+    zipped = F.arrays_zip(
+        *[F.slice("__toks", F.lit(i + 1), m).alias(f"t{i}") for i in range(n)]
+    )
     return (
-        df.select(
+        base.select(F.col(id_col), F.explode(zipped).alias("__sh"))
+        .select(
             F.col(id_col),
-            F.explode(
-                F.transform(shingles(text_col, n), lambda s: F.xxhash64(s))
-            ).alias("shingle"),
+            F.xxhash64(*[F.col(f"__sh.t{i}") for i in range(n)]).alias("shingle"),
         )
         .distinct()
     )
