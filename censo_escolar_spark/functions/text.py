@@ -169,6 +169,45 @@ def repetition_stats(col: str | Column) -> dict[str, Column]:
     }
 
 
+#: Web-curation patterns, RE2-safe (shared verbatim with the DuckDB
+#: oracle). URL_RE is group-free so regexp_extract_all/regexp_count see
+#: the full match; DOMAIN_RE captures the host as group 1.
+URL_RE = r"https?://[A-Za-z0-9./_%-]+"
+DOMAIN_RE = r"https?://([A-Za-z0-9.-]+)"
+#: One boilerplate LINE: anchored at line start under (?m), consumes the
+#: whole line via [^\n]* (never the terminator — no $\n? subtleties whose
+#: anchor semantics could diverge between Java regex and RE2). Stripping
+#: leaves an empty line behind, which line counters ignore.
+BOILERPLATE_RE = (
+    r"(?im)^[^\n]*(copyright|all rights reserved|cookie|subscribe|"
+    r"terms of service)[^\n]*"
+)
+
+
+def url_count(col: str | Column) -> Column:
+    """Number of http(s) URLs in the text."""
+    return F.regexp_count(_c(col), F.lit(URL_RE))
+
+
+def first_domain(col: str | Column) -> Column:
+    """Host of the first URL ('' when the text has none — regexp_extract's
+    no-match value in both Spark and DuckDB)."""
+    return F.regexp_extract(_c(col), DOMAIN_RE, 1)
+
+
+def strip_boilerplate(col: str | Column) -> Column:
+    """Blank out boilerplate lines (copyright/cookie/subscribe/ToS
+    notices). Lines are emptied, not spliced out, so surviving content
+    keeps its original line numbers; count remaining content with
+    ``nonempty_line_count``."""
+    return F.regexp_replace(_c(col), BOILERPLATE_RE, "")
+
+
+def nonempty_line_count(col: str | Column) -> Column:
+    """Number of lines with at least one non-newline character."""
+    return F.regexp_count(_c(col), F.lit(r"[^\n]+"))
+
+
 def digit_ratio(col: str | Column) -> Column:
     c = _c(col)
     return (F.length(c) - F.length(F.regexp_replace(c, "[0-9]", ""))).cast(

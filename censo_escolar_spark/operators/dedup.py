@@ -88,6 +88,52 @@ def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataF
     )
 
 
+def shingle_strings(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, shingle-STRING) pairs, distinct per document — for corpus
+    statistics that need readable n-grams (frequency tables, reports),
+    unlike the hashed ``shingle_sets`` index. Same lambda-free shape:
+    zip n aligned slices, explode, then one codegen ``concat_ws`` per
+    exploded row."""
+    base = df.select(F.col(id_col), tokens(text_col).alias("__toks")).filter(
+        F.size("__toks") >= n
+    )
+    m = F.size(F.col("__toks")) - (n - 1)
+    zipped = F.arrays_zip(
+        *[F.slice("__toks", F.lit(i + 1), m).alias(f"t{i}") for i in range(n)]
+    )
+    return (
+        base.select(F.col(id_col), F.explode(zipped).alias("__sh"))
+        .select(
+            F.col(id_col),
+            F.concat_ws(
+                " ", *[F.col(f"__sh.t{i}") for i in range(n)]
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+def ngram_doc_freq(
+    df: DataFrame, id_col: str, text_col: str, *, n: int = 3, top_k: int | None = None
+) -> DataFrame:
+    """Corpus n-gram document frequencies: in how many documents each
+    word n-gram appears (shingles are distinct per doc, so a doc counts
+    once however often it repeats the n-gram). Partial aggregation
+    (map-side combine) runs before the single shuffle on the n-gram;
+    ``top_k`` uses orderBy+limit, which Spark executes as per-partition
+    top-k + driver merge (TakeOrdered) — no global sort."""
+    freq = (
+        shingle_strings(df, id_col, text_col, n)
+        .groupBy("shingle")
+        .agg(F.count("*").alias("doc_freq"))
+    )
+    if top_k is not None:
+        freq = freq.orderBy(F.desc("doc_freq"), F.asc("shingle")).limit(top_k)
+    return freq
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -238,6 +284,27 @@ def connected_components(
     )
 
 
+def clusters_from_pairs(
+    ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    *,
+    max_iter: int = 20,
+) -> DataFrame:
+    """(id, cluster_id) from a near-dup pair graph, for EVERY id in
+    ``ids``: members of a transitive group get the group's min id,
+    singletons keep their own. The pair source is pluggable — n-gram
+    Jaccard, minhash, simhash, embedding cosine — any (id_a, id_b) edge
+    frame. ``filter(id == cluster_id)`` is the deterministic keep-set."""
+    comp = connected_components(pairs, max_iter=max_iter).select(
+        F.col("node").alias(id_col), F.col("component").alias("cluster_id")
+    )
+    return ids.select(id_col).join(comp, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+    )
+
+
 def dedup_clusters(
     df: DataFrame,
     id_col: str,
@@ -256,12 +323,46 @@ def dedup_clusters(
     pairs = jaccard_pairs(
         df, id_col, text_col, n=n, threshold=threshold, max_doc_freq=max_doc_freq
     )
-    comp = connected_components(pairs, max_iter=max_iter).select(
-        F.col("node").alias(id_col), F.col("component").alias("cluster_id")
-    )
-    return df.select(id_col).join(comp, id_col, "left").select(
-        F.col(id_col),
-        F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+    return clusters_from_pairs(df, pairs, id_col, max_iter=max_iter)
+
+
+def cross_corpus_overlap(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 8,
+    min_shared: int = 1,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Benchmark-contamination check: (left_id, right_id, n_shared) for
+    every LEFT (eval) / RIGHT (train) document pair sharing at least
+    ``min_shared`` distinct word n-grams. Long n-grams (default 8, the
+    usual decontamination setting) make random collisions negligible, so
+    a hit means verbatim overlap.
+
+    Scale shape: both sides become (id, 8-byte shingle hash) inverted
+    indexes, the join key is the hash, and map-side partial aggregation
+    precedes the one shuffle to (left_id, right_id). ``max_doc_freq``
+    drops n-grams appearing in more than that many TRAIN documents
+    (boilerplate that would fan out quadratically) from matching —
+    counts then undercount boilerplate-only overlap, the standard cut."""
+    ls = shingle_sets(left, id_col, text_col, n).withColumnRenamed(id_col, "left_id")
+    rs = shingle_sets(right, id_col, text_col, n).withColumnRenamed(id_col, "right_id")
+    if max_doc_freq is not None:
+        hot = (
+            rs.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("shingle")
+        )
+        rs = rs.join(F.broadcast(hot), "shingle", "left_anti")
+    return (
+        ls.join(rs, "shingle")
+        .groupBy("left_id", "right_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
     )
 
 

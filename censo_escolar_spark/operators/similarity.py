@@ -32,6 +32,7 @@ from pyspark.sql.functions import pandas_udf
 
 from censo_escolar_spark.functions.hashing import splitmix64
 from censo_escolar_spark.functions.vectors import as_double_array, cosine
+from censo_escolar_spark.operators import dedup
 
 
 def _prep(df: DataFrame, id_col: str, vec_col: str, alias: str) -> DataFrame:
@@ -318,7 +319,7 @@ def lsh_bucketed_pairs(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dim: int = 64,
+    dim: int | None = None,
     n_planes: int = 16,
     n_bands: int = 4,
     threshold: float = 0.9,
@@ -336,6 +337,8 @@ def lsh_bucketed_pairs(
     """
     assert n_planes % n_bands == 0
     rows_per_band = n_planes // n_bands
+    if dim is None:  # one-row peek; pass dim explicitly to skip the job
+        dim = len(df.select(vec_col).first()[0])
     planes = _hyperplanes(dim, n_planes)
 
     @pandas_udf("array<long>")
@@ -367,3 +370,39 @@ def lsh_bucketed_pairs(
         .distinct()
     )
     return _verify_exact(cands, df, id_col, vec_col, threshold)
+
+
+def cosine_dedup_clusters(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    method: str = "lsh",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Embedding-cosine near-dup removal, end to end: every vector gets
+    the min id of its transitive near-dup group (cosine >= threshold
+    edges) plus a ``keep`` flag marking the canonical member. Semantic
+    dedup over an embedding column — the vector-space sibling of
+    ``dedup.dedup_clusters``.
+
+    ``method='lsh'`` (default) generates candidate pairs through the
+    banded hyperplane-LSH path (shuffle O(rows × bands), the 100 TB
+    shape); ``'exact'`` uses the blocked-GEMM brute force (the bounded
+    baseline). Both verify candidates exactly, so at near-dup thresholds
+    (>= 0.9, where hyperplane recall ≈ 1) the two agree."""
+    if method == "lsh":
+        pairs = lsh_bucketed_pairs(
+            df, id_col=id_col, vec_col=vec_col, threshold=threshold
+        )
+    elif method == "exact":
+        pairs = cosine_pairs(
+            df, id_col=id_col, vec_col=vec_col, threshold=threshold
+        )
+    else:
+        raise ValueError(f"unknown method {method!r} (use 'lsh' or 'exact')")
+    labeled = dedup.clusters_from_pairs(
+        df, pairs.select("id_a", "id_b"), id_col, max_iter=max_iter
+    )
+    return labeled.withColumn("keep", F.col(id_col) == F.col("cluster_id"))

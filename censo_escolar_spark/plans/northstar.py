@@ -191,6 +191,118 @@ def d06_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# d07 — embedding-cosine near-dup dedup, end to end: candidate pairs via
+# banded hyperplane LSH, exact cosine verification, transitive closure,
+# canonical-member keep flag. Near-dups are planted exactly like s03
+# (identical vectors re-entered under vec_id + 100000 — recall is
+# structurally 1, the result deterministic); the oracle is brute-force
+# pairs >= 0.9 + recursive-CTE closure.
+# ---------------------------------------------------------------------------
+_D07_ORACLE = """
+WITH RECURSIVE all_v AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id < 100
+), e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM all_v),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v) /
+    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.9
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src
+),
+comp AS (
+  SELECT src AS vec_id, LEAST(src, MIN(dst)) AS cluster_id FROM reach GROUP BY src
+)
+SELECT v.vec_id,
+  CAST(COALESCE(c.cluster_id, v.vec_id) AS BIGINT) AS cluster_id,
+  COALESCE(c.cluster_id, v.vec_id) = v.vec_id AS keep
+FROM all_v v LEFT JOIN comp c USING (vec_id)
+ORDER BY vec_id
+"""
+
+
+@register("d07_embedding_dedup", oracle=_D07_ORACLE)
+def d07_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dups = emb.filter(F.col("vec_id") < 100).select(
+        (F.col("vec_id") + F.lit(100000)).alias("vec_id"), "embedding"
+    )
+    return similarity.cosine_dedup_clusters(
+        emb.unionByName(dups), threshold=0.9
+    ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# d08 — benchmark-contamination check: which "eval" documents (doc_id
+# divisible by 10 — a deterministic split both engines express
+# identically) share verbatim 8-gram spans with which "train" documents.
+# The planted near-dups in the corpus cross the split, so real overlaps
+# exist; 8-grams make accidental hits negligible.
+# ---------------------------------------------------------------------------
+_D08_ORACLE = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS s
+  FROM toks, UNNEST(range(1, len(t)-6)) AS u(i)
+),
+ev AS (SELECT doc_id AS eval_id, s FROM sh WHERE doc_id % 10 = 0),
+tr AS (SELECT doc_id AS train_id, s FROM sh WHERE doc_id % 10 != 0)
+SELECT eval_id, train_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM ev JOIN tr USING (s)
+GROUP BY eval_id, train_id
+ORDER BY eval_id, train_id
+"""
+
+
+@register("d08_contamination", oracle=_D08_ORACLE)
+def d08_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 10 == 0)
+    tr = docs.filter(F.col("doc_id") % 10 != 0)
+    return (
+        dedup.cross_corpus_overlap(ev, tr, "doc_id", "text", n=8)
+        .select(
+            F.col("left_id").alias("eval_id"),
+            F.col("right_id").alias("train_id"),
+            "n_shared",
+        )
+        .orderBy("eval_id", "train_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# t12 — corpus n-gram statistics: top-50 word trigrams by document
+# frequency (distinct per doc). Map-side partial aggregation, one
+# shuffle on the n-gram, TakeOrdered top-k — the canonical corpus
+# frequency-table shape.
+# ---------------------------------------------------------------------------
+_T12_ORACLE = f"""
+WITH {_SQL_SHINGLES}
+SELECT shingle, CAST(COUNT(*) AS BIGINT) AS doc_freq
+FROM sh GROUP BY shingle
+ORDER BY doc_freq DESC, shingle LIMIT 50
+"""
+
+
+@register("t12_top_ngrams", oracle=_T12_ORACLE)
+def t12_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_doc_freq(docs, "doc_id", "text", n=3, top_k=50).orderBy(
+        F.desc("doc_freq"), F.asc("shingle")
+    )
+
+
+# ---------------------------------------------------------------------------
 # s01 — brute-force cosine top-k: the ANN correctness baseline.
 # ---------------------------------------------------------------------------
 _S01_ORACLE = """
@@ -295,7 +407,7 @@ def s03_lsh_bucketed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + F.lit(100000)).alias("vec_id"), "embedding"
     )
     return similarity.lsh_bucketed_pairs(
-        emb.unionByName(dups), threshold=0.9
+        emb.unionByName(dups), dim=64, threshold=0.9
     ).orderBy("id_a", "id_b")
 
 
@@ -684,5 +796,78 @@ def t10_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("max_c").cast("double") / F.col("n_tokens").cast("double"),
         )
         .drop("max_c")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# t11 — web-corpus curation: URL count, first domain, boilerplate-line
+# stripping, surviving-content line count. The synthetic corpus has no
+# URLs or boilerplate, so the query PLANTS them deterministically from
+# doc_id (identical expression in the oracle — the t09 pattern). All
+# regexes come from functions.text constants and are embedded verbatim
+# in the oracle SQL, so the two engines can never drift.
+# ---------------------------------------------------------------------------
+_T11_PLANT_SQL = (
+    "text"
+    " || CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'Read more at https://site'"
+    " || CAST(doc_id % 50 AS VARCHAR) || '.example.com/p/'"
+    " || CAST(doc_id AS VARCHAR) || ' now' ELSE '' END"
+    " || CASE WHEN doc_id % 4 = 0 THEN chr(10) ||"
+    " 'Copyright 2024 Example Corp all rights reserved' ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN chr(10) ||"
+    " 'We use cookies - Subscribe to our newsletter' ELSE '' END"
+)
+
+
+def _t11_oracle() -> str:
+    clean = f"regexp_replace(t, '{T.BOILERPLATE_RE}', '', 'g')"
+    return f"""
+    WITH p AS (SELECT doc_id, {_T11_PLANT_SQL} AS t FROM documents)
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(t, '{T.URL_RE}')) AS INTEGER) AS n_urls,
+      regexp_extract(t, '{T.DOMAIN_RE}', 1) AS domain,
+      {clean} AS clean_text,
+      CAST(len(regexp_extract_all({clean}, '[^\n]+')) AS INTEGER) AS n_content_lines
+    FROM p ORDER BY doc_id
+    """
+
+
+@register("t11_web_curation", oracle=_t11_oracle())
+def t11_web_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    planted = F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit("\nRead more at https://site"),
+                (did % 50).cast("string"),
+                F.lit(".example.com/p/"),
+                did.cast("string"),
+                F.lit(" now"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 4 == 0,
+            F.lit("\nCopyright 2024 Example Corp all rights reserved"),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.lit("\nWe use cookies - Subscribe to our newsletter"),
+        ).otherwise(F.lit("")),
+    )
+    return (
+        docs.select("doc_id", planted.alias("t"))
+        .select(
+            "doc_id",
+            T.url_count("t").cast("int").alias("n_urls"),
+            T.first_domain("t").alias("domain"),
+            T.strip_boilerplate("t").alias("clean_text"),
+            T.nonempty_line_count(T.strip_boilerplate("t"))
+            .cast("int")
+            .alias("n_content_lines"),
+        )
         .orderBy("doc_id")
     )

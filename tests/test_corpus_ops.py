@@ -1,0 +1,152 @@
+"""Unit tests for round-2 corpus operators: embedding dedup clusters,
+cross-corpus contamination, n-gram frequencies, web-curation functions."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from censo_escolar_spark.functions import text as T
+from censo_escolar_spark.operators.dedup import (
+    cross_corpus_overlap,
+    ngram_doc_freq,
+    shingle_strings,
+)
+from censo_escolar_spark.operators.similarity import cosine_dedup_clusters
+
+
+def _vec_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+
+
+def test_cosine_dedup_clusters_exact_and_lsh_agree(spark):
+    # 0,1 identical; 2 = scaled copy of 0 (cos == 1); 3 orthogonal-ish
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [2.0, 0.0, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    df = _vec_df(spark, rows)
+    for method in ("exact", "lsh"):
+        got = {
+            r.vec_id: (r.cluster_id, r.keep)
+            for r in cosine_dedup_clusters(
+                df, vec_col="embedding", threshold=0.99, method=method
+            ).collect()
+        }
+        assert got == {
+            0: (0, True),
+            1: (0, False),
+            2: (0, False),
+            3: (3, True),
+        }, method
+
+
+def test_cosine_dedup_clusters_bad_method(spark):
+    df = _vec_df(spark, [(0, [1.0, 0.0, 0.0, 0.0])])
+    with pytest.raises(ValueError, match="unknown method"):
+        cosine_dedup_clusters(df, method="nope").collect()
+
+
+def test_cross_corpus_overlap_counts_distinct_ngrams(spark):
+    # eval doc 0 shares exactly the 3-gram windows of the copied span
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon unrelated tail words here"),
+            (2, "totally different content with no shared span at all"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(0, "prefix words alpha beta gamma delta epsilon suffix")],
+        "doc_id long, text string",
+    )
+    got = cross_corpus_overlap(ev, train, "doc_id", "text", n=3).collect()
+    assert len(got) == 1
+    r = got[0]
+    # shared 3-grams: windows within "alpha beta gamma delta epsilon" -> 3
+    assert (r.left_id, r.right_id, r.n_shared) == (0, 1, 3)
+
+
+def test_cross_corpus_overlap_min_shared_and_hot_cut(spark):
+    train = spark.createDataFrame(
+        [(i, "common boiler plate line here") for i in range(1, 6)]
+        + [(9, "unique span only in train nine plus common boiler plate line here")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(0, "eval has common boiler plate line here and unique span only in")],
+        "doc_id long, text string",
+    )
+    # without the cut: overlaps with all 6 train docs
+    assert cross_corpus_overlap(ev, train, "doc_id", "text", n=3).count() == 6
+    # the hot cut (df > 2 on train side) removes the boilerplate n-grams;
+    # only doc 9's unique span survives
+    got = cross_corpus_overlap(
+        ev, train, "doc_id", "text", n=3, max_doc_freq=2
+    ).collect()
+    assert [(r.left_id, r.right_id) for r in got] == [(0, 9)]
+    # min_shared filters low-overlap pairs
+    assert (
+        cross_corpus_overlap(ev, train, "doc_id", "text", n=3, min_shared=100).count()
+        == 0
+    )
+
+
+def test_shingle_strings_and_doc_freq(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),
+            (2, "a b c"),
+            (3, "a b c a b c"),  # repeats count once per doc
+            (4, "x y"),  # too short for trigrams
+        ],
+        "doc_id long, text string",
+    )
+    sh = {
+        (r.doc_id, r.shingle)
+        for r in shingle_strings(docs, "doc_id", "text", 3).collect()
+    }
+    assert sh == {
+        (1, "a b c"),
+        (1, "b c d"),
+        (2, "a b c"),
+        (3, "a b c"),
+        (3, "b c a"),
+        (3, "c a b"),
+    }
+    freq = {
+        r.shingle: r.doc_freq
+        for r in ngram_doc_freq(docs, "doc_id", "text", n=3).collect()
+    }
+    assert freq == {"a b c": 3, "b c d": 1, "b c a": 1, "c a b": 1}
+    top = ngram_doc_freq(docs, "doc_id", "text", n=3, top_k=1).collect()
+    assert [(r.shingle, r.doc_freq) for r in top] == [("a b c", 3)]
+
+
+def _one(spark, s, expr):
+    return spark.createDataFrame([(s,)], "t string").select(expr.alias("v")).first().v
+
+
+def test_url_count_and_domain(spark):
+    s = "see https://a.example.com/x and http://b.org/path_%20ok end"
+    assert _one(spark, s, T.url_count("t")) == 2
+    assert _one(spark, s, T.first_domain("t")) == "a.example.com"
+    assert _one(spark, "no links here", T.url_count("t")) == 0
+    assert _one(spark, "no links here", T.first_domain("t")) == ""
+
+
+def test_strip_boilerplate_blanks_only_matching_lines(spark):
+    s = "keep this line\nCopyright 2020 Acme\nalso keep\nwe use COOKIES ok\nlast"
+    out = _one(spark, s, T.strip_boilerplate("t"))
+    assert out == "keep this line\n\nalso keep\n\nlast"
+    assert _one(spark, s, T.nonempty_line_count(T.strip_boilerplate("t"))) == 3
+
+
+def test_strip_boilerplate_no_match_is_identity(spark):
+    s = "clean line one\nclean line two"
+    assert _one(spark, s, T.strip_boilerplate("t")) == s
+    assert _one(spark, s, T.nonempty_line_count("t")) == 2
