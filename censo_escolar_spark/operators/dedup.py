@@ -326,6 +326,28 @@ def dedup_clusters(
     return clusters_from_pairs(df, pairs, id_col, max_iter=max_iter)
 
 
+def corpus_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_iter: int = 20,
+) -> DataFrame:
+    """One-call corpus near-dedup, the 100 TB default path end to end:
+    MinHash-LSH candidate pairs (shuffle O(docs × bands), never O(docs²))
+    → exact-Jaccard verification → transitive closure → per-document
+    (cluster_id, keep). ``filter("keep")`` is the deduplicated corpus;
+    keep is deterministic (min id wins). Recall follows minhash_pairs'
+    banding bound; everything kept/dropped is exact-verified."""
+    pairs = minhash_pairs(df, id_col, text_col, n=n, threshold=threshold)
+    labeled = clusters_from_pairs(
+        df, pairs.select("id_a", "id_b"), id_col, max_iter=max_iter
+    )
+    return labeled.withColumn("keep", F.col(id_col) == F.col("cluster_id"))
+
+
 def cross_corpus_overlap(
     left: DataFrame,
     right: DataFrame,

@@ -10,7 +10,7 @@ whenever recall holds (see each docstring for the recall bound).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from censo_escolar_spark.functions import text as T
@@ -277,6 +277,56 @@ def d08_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_shared",
         )
         .orderBy("eval_id", "train_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# d09 — one-call corpus dedup through the SCALE path: MinHash-LSH pairs
+# (exact-verified; == d02's exact pairs at this threshold, proven by the
+# shared d02/d03 oracle) → transitive closure → per-doc keep flag. The
+# oracle recomputes clusters brute-force like d06 and adds the flag.
+# ---------------------------------------------------------------------------
+_D09_ORACLE = f"""
+WITH RECURSIVE {_SQL_SHINGLES},
+  sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+  inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  ),
+  pairs AS (
+    SELECT id_a, id_b FROM inter
+    JOIN sz sa ON sa.doc_id = id_a
+    JOIN sz sb ON sb.doc_id = id_b
+    WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
+  ),
+  edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION
+    SELECT id_b AS src, id_a AS dst FROM pairs
+  ),
+  reach(src, dst) AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+  ),
+  comp AS (
+    SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+    FROM reach GROUP BY src
+  )
+SELECT d.doc_id,
+  CAST(COALESCE(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
+  COALESCE(c.cluster_id, d.doc_id) = d.doc_id AS keep
+FROM documents d LEFT JOIN comp c USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+@register("d09_corpus_dedup", oracle=_D09_ORACLE)
+def d09_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.corpus_dedup(docs, "doc_id", "text", n=3, threshold=0.5).orderBy(
+        "doc_id"
     )
 
 
@@ -871,3 +921,136 @@ def t11_web_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# t13 — TF-IDF top terms per document. Idf is the BM25-style RATIONAL
+# form (N - df + 0.5)/(df + 0.5) with the log deliberately omitted:
+# ln/log are transcendental and NOT bit-reproducible across engines,
+# while +,-,*,/ on the same operands in the same expression shape are —
+# so the score survives the driver's value-hash. Term counts are integer
+# aggregates (order-free); each score is a per-row scalar expression
+# mirrored operator-for-operator in the oracle.
+# ---------------------------------------------------------------------------
+_T13_ORACLE = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+tfn AS (SELECT *, CAST(SUM(tf) OVER (PARTITION BY doc_id) AS BIGINT) AS n_tokens FROM tf),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM documents),
+scored AS (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+    (CAST(t.tf AS DOUBLE) / CAST(t.n_tokens AS DOUBLE)) *
+      ((n.nd - CAST(d.df AS DOUBLE) + 0.5) / (CAST(d.df AS DOUBLE) + 0.5)) AS score
+  FROM tfn t JOIN dfreq d USING (term) CROSS JOIN n
+)
+SELECT doc_id, CAST(rnk AS INTEGER) AS rank, term,
+  CAST(tf AS INTEGER) AS tf, CAST(df AS BIGINT) AS df, score
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+  FROM scored
+)
+WHERE rnk <= 3
+ORDER BY doc_id, rank
+"""
+
+
+@register("t13_tfidf_top_terms", oracle=_T13_ORACLE)
+def t13_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = float(docs.count())
+    tf = (
+        docs.select("doc_id", F.explode(T.tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    tf = tf.withColumn(
+        "n_tokens", F.sum("tf").over(Window.partitionBy("doc_id"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    dfd = F.col("df").cast("double")
+    scored = tf.join(dfreq, "term").withColumn(
+        "score",
+        (F.col("tf").cast("double") / F.col("n_tokens").cast("double"))
+        * ((F.lit(n_docs) - dfd + F.lit(0.5)) / (dfd + F.lit(0.5))),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "doc_id",
+            F.col("rank").cast("int").alias("rank"),
+            "term",
+            F.col("tf").cast("int").alias("tf"),
+            "df",
+            "score",
+        )
+        .orderBy("doc_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# t14 — unigram-LM likelihood scoring (perplexity-style quality signal
+# without the transcendental): corpus token frequencies → per-document
+# mean/min token probability and below-average-frequency token fraction.
+# All aggregates are INTEGER sums (order-free across partitions); each
+# probability is a single division of integer-derived doubles, so the
+# result is bit-identical cross-engine. The "rare" test multiplies
+# integers (ctok × vocab < N_corpus) instead of comparing float
+# probabilities to a float mean.
+# ---------------------------------------------------------------------------
+_T14_ORACLE = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+freq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS ctok FROM tok GROUP BY term),
+tot AS (SELECT CAST(SUM(ctok) AS BIGINT) AS n_corpus, CAST(COUNT(*) AS BIGINT) AS vocab FROM freq),
+per AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+    CAST(SUM(ctok) AS BIGINT) AS sum_freq,
+    MIN(ctok) AS min_freq,
+    CAST(SUM(CASE WHEN ctok * t.vocab < t.n_corpus THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+  FROM tok JOIN freq USING (term) CROSS JOIN tot t
+  GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens, sum_freq,
+  CAST(sum_freq AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * CAST(t.n_corpus AS DOUBLE)) AS mean_tok_prob,
+  CAST(min_freq AS DOUBLE) / CAST(t.n_corpus AS DOUBLE) AS min_tok_prob,
+  CAST(n_rare AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS below_avg_frac
+FROM per CROSS JOIN tot t ORDER BY doc_id
+"""
+
+
+@register("t14_lm_likelihood", oracle=_T14_ORACLE)
+def t14_lm_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(T.tokens("text")).alias("term"))
+    freq = toks.groupBy("term").agg(F.count("*").alias("ctok"))
+    tot = freq.agg(
+        F.sum("ctok").alias("n_corpus"), F.count("*").alias("vocab")
+    ).collect()[0]
+    n_corpus, vocab = int(tot.n_corpus), int(tot.vocab)
+    per = (
+        toks.join(freq, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("ctok").alias("sum_freq"),
+            F.min("ctok").alias("min_freq"),
+            F.sum(
+                F.when(F.col("ctok") * F.lit(vocab) < F.lit(n_corpus), 1).otherwise(0)
+            ).alias("n_rare"),
+        )
+    )
+    nc = F.lit(float(n_corpus))
+    return per.select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.col("sum_freq"),
+        (F.col("sum_freq").cast("double") / (F.col("n_tokens").cast("double") * nc)).alias(
+            "mean_tok_prob"
+        ),
+        (F.col("min_freq").cast("double") / nc).alias("min_tok_prob"),
+        (F.col("n_rare").cast("double") / F.col("n_tokens").cast("double")).alias(
+            "below_avg_frac"
+        ),
+    ).orderBy("doc_id")

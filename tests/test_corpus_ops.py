@@ -150,3 +150,21 @@ def test_strip_boilerplate_no_match_is_identity(spark):
     s = "clean line one\nclean line two"
     assert _one(spark, s, T.strip_boilerplate("t")) == s
     assert _one(spark, s, T.nonempty_line_count("t")) == 2
+
+
+def test_corpus_dedup_keep_flags(spark):
+    docs = spark.createDataFrame(
+        [
+            (5, "the quick brown fox jumps over the lazy dog today"),
+            (9, "the quick brown fox jumps over the lazy dog today"),
+            (2, "totally unrelated text about completely different things here"),
+        ],
+        "doc_id long, text string",
+    )
+    from censo_escolar_spark.operators.dedup import corpus_dedup
+
+    got = {
+        r.doc_id: (r.cluster_id, r.keep)
+        for r in corpus_dedup(docs, "doc_id", "text").collect()
+    }
+    assert got == {5: (5, True), 9: (5, False), 2: (2, True)}
