@@ -326,6 +326,72 @@ def dedup_clusters(
     return clusters_from_pairs(df, pairs, id_col, max_iter=max_iter)
 
 
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_len: int = 8,
+) -> DataFrame:
+    """Exact duplicated-substring detection: the maximal token spans of
+    length >= ``min_len`` that appear verbatim in at least two documents
+    (the substring-dedup primitive of "Deduplicating Training Data Makes
+    Language Models Better" — docs are then span-stripped, not dropped).
+
+    Every ``min_len``-token window is hashed (lambda-free: zipped slices,
+    explode, one multi-arg xxhash64); windows whose hash occurs in >= 2
+    distinct documents are duplicated; per document, runs of duplicated
+    windows whose coverage overlaps or touches (position gap <= min_len)
+    merge into maximal spans via gaps-and-islands (partitioned window —
+    no global sort). Output: (id, span_start, span_end, span_len) in
+    token positions, inclusive.
+
+    Scale shape: gram fan-out is narrow (id, pos, 8-byte hash); the
+    duplicated-hash set comes from one distinct + one count shuffle; the
+    islands pass shuffles once on the doc id."""
+    base = df.select(F.col(id_col), tokens(text_col).alias("__toks")).filter(
+        F.size("__toks") >= min_len
+    )
+    m = F.size(F.col("__toks")) - (min_len - 1)
+    zipped = F.arrays_zip(
+        *[F.slice("__toks", F.lit(i + 1), m).alias(f"t{i}") for i in range(min_len)]
+    )
+    grams = base.select(
+        F.col(id_col), F.posexplode(zipped).alias("pos", "__w")
+    ).select(
+        F.col(id_col),
+        F.col("pos"),
+        F.xxhash64(*[F.col(f"__w.t{i}") for i in range(min_len)]).alias("h"),
+    )
+    dup_h = (
+        grams.select(id_col, "h")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("h")
+    )
+    dw = grams.join(dup_h, "h").select(id_col, "pos")
+    w_doc = Window.partitionBy(id_col).orderBy("pos")
+    brk = F.when(
+        F.col("pos") - F.lag("pos").over(w_doc) <= min_len, F.lit(0)
+    ).otherwise(F.lit(1))
+    islands = dw.withColumn("brk", brk).withColumn(
+        "grp", F.sum("brk").over(w_doc.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        islands.groupBy(id_col, "grp")
+        .agg(
+            F.min("pos").cast("int").alias("span_start"),
+            (F.max("pos") + F.lit(min_len - 1)).cast("int").alias("span_end"),
+            (F.max("pos") + F.lit(min_len) - F.min("pos")).cast("int").alias(
+                "span_len"
+            ),
+        )
+        .drop("grp")
+    )
+
+
 def corpus_dedup(
     df: DataFrame,
     id_col: str,

@@ -1054,3 +1054,48 @@ def t14_lm_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
             "below_avg_frac"
         ),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# d10 — exact duplicated-substring spans (Lee et al. substring dedup):
+# maximal >= 8-token spans appearing verbatim in >= 2 documents, as
+# (doc, start, end) token positions for span-stripping. Gram fingerprints
+# + gaps-and-islands merge; the oracle recomputes with string windows and
+# SQL window functions.
+# ---------------------------------------------------------------------------
+_D10_ORACLE = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+g AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+7], ' ') AS w
+  FROM toks, UNNEST(range(1, len(t)-6)) AS u(i)
+),
+dup AS (
+  SELECT w FROM (SELECT DISTINCT doc_id, w FROM g)
+  GROUP BY w HAVING COUNT(*) >= 2
+),
+dw AS (SELECT doc_id, pos FROM g JOIN dup USING (w)),
+isl AS (
+  SELECT doc_id, pos,
+    CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+      THEN 0 ELSE 1 END AS brk
+  FROM dw
+),
+isl2 AS (
+  SELECT doc_id, pos,
+    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS grp
+  FROM isl
+)
+SELECT doc_id, CAST(MIN(pos) AS INTEGER) AS span_start,
+  CAST(MAX(pos) + 7 AS INTEGER) AS span_end,
+  CAST(MAX(pos) + 8 - MIN(pos) AS INTEGER) AS span_len
+FROM isl2 GROUP BY doc_id, grp
+ORDER BY doc_id, span_start
+"""
+
+
+@register("d10_duplicate_spans", oracle=_D10_ORACLE)
+def d10_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.duplicate_spans(docs, "doc_id", "text", min_len=8).orderBy(
+        "doc_id", "span_start"
+    )

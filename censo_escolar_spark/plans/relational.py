@@ -1276,3 +1276,32 @@ def q40_salted_join_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.sum(rev).alias("revenue"), F.count("*").alias("n_lines"))
         .orderBy("p_brand")
     )
+
+
+# ---------------------------------------------------------------------------
+# q41 — LATERAL correlated subquery through the SQL entry point: per-nation
+# top-2 customers by balance. Catalyst rewrites the lateral into a
+# DomainJoin + per-domain limit — the declarative form of "top-k per
+# group via join", complementing q05's window formulation. Identical SQL
+# runs on DuckDB.
+# ---------------------------------------------------------------------------
+_Q41_SQL = """
+SELECT n.n_name, c.c_custkey, c.c_name,
+  CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal
+FROM nation n,
+LATERAL (
+  SELECT c_custkey, c_name, c_acctbal
+  FROM customer
+  WHERE c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey
+  LIMIT 2
+) AS c
+ORDER BY n.n_name, acctbal DESC, c.c_custkey
+"""
+
+
+@register("q41_lateral_topk_per_nation", oracle=_Q41_SQL)
+def q41_lateral_topk_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_Q41_SQL)

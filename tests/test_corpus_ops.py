@@ -168,3 +168,36 @@ def test_corpus_dedup_keep_flags(spark):
         for r in corpus_dedup(docs, "doc_id", "text").collect()
     }
     assert got == {5: (5, True), 9: (5, False), 2: (2, True)}
+
+
+def test_duplicate_spans_merge_and_positions(spark):
+    from censo_escolar_spark.operators.dedup import duplicate_spans
+
+    shared = "one two three four five six seven eight nine ten"  # 10 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " tail_a unique_a ending_a now_a"),
+            (2, "head_b lead_b " + shared + " tail_b different"),
+            (3, "no overlap with anything else at all in this document here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.span_len)
+        for r in duplicate_spans(docs, "doc_id", "text", min_len=8).collect()
+    }
+    # doc 1: shared span = tokens 0..9; doc 2: tokens 2..11; doc 3: nothing.
+    # windows at pos 0,1,2 (doc 1) merge into one island covering 0..9.
+    assert got == {(1, 0, 9, 10), (2, 2, 11, 10)}
+
+
+def test_duplicate_spans_requires_two_distinct_docs(spark):
+    from censo_escolar_spark.operators.dedup import duplicate_spans
+
+    # a doc repeating ITS OWN 8-gram is not a cross-doc duplicate
+    rep = "a b c d e f g h " * 2
+    docs = spark.createDataFrame(
+        [(1, rep.strip()), (2, "totally different words in this one my friend ok")],
+        "doc_id long, text string",
+    )
+    assert duplicate_spans(docs, "doc_id", "text", min_len=8).count() == 0

@@ -217,3 +217,39 @@ def test_stream_stream_interval_join(spark, tmp_path):
         (1, _ts(9, 30), _ts(9, 29)),
     }
     assert got == expected
+
+
+def test_curation_functions_compose_with_streams(spark, tmp_path):
+    """Stateless curation expressions (PII redaction, quality stats,
+    boilerplate stripping) must run identically inside a streaming query —
+    the streaming corpus-ingest shape: readStream → curate → sink."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    from censo_escolar_spark.functions import text as T
+
+    src, ckpt = str(tmp_path / "docs_src"), str(tmp_path / "docs_ckpt")
+    doc_schema = "doc_id bigint, text string"
+    rows = [
+        (1, "contact me at a@b.co or 10.0.0.1\nCopyright 2024 Acme\nreal content"),
+        (2, "clean document with nothing to redact at all"),
+    ]
+    spark.createDataFrame(rows, doc_schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(doc_schema).parquet(src)
+        .select(
+            "doc_id",
+            T.redact_pii(T.strip_boilerplate("text")).alias("clean"),
+            T.pii_count("text", "email").alias("n_emails"),
+            T.token_count("text").alias("n_tokens"),
+        )
+    )
+    assert stream.isStreaming
+    _drain(stream, "curated_docs", ckpt, "append")
+    got = {
+        r.doc_id: (r.clean, r.n_emails)
+        for r in spark.sql("SELECT * FROM curated_docs").collect()
+    }
+    assert got[1] == ("contact me at <EMAIL> or <IP>\n\nreal content", 1)
+    assert got[2] == ("clean document with nothing to redact at all", 0)
