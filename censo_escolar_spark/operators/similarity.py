@@ -372,6 +372,45 @@ def lsh_bucketed_pairs(
     return _verify_exact(cands, df, id_col, vec_col, threshold)
 
 
+def ivf_bucketed_pairs(
+    df: DataFrame,
+    centroids: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """SemDeDup-shaped near-dup pairs: candidates are generated only
+    WITHIN each coarse-quantizer cell (ids self-joined on centroid id),
+    then exact-verified. Complements ``lsh_bucketed_pairs`` as the other
+    sub-quadratic pair source: per-cell O(nᵢ²) instead of O(n²), and at
+    100 TB a cell is a bucketed partition — the self-join is
+    partition-local, no all-pairs shuffle. Approximate across cell
+    boundaries; identical/near-identical vectors share a nearest
+    centroid, so near-dup recall at high thresholds is excellent (and 1
+    for exact duplicates — assignment is deterministic).
+
+    Only (id, centroid_id) enters the self-join; vectors rejoin in the
+    exact verifier AFTER the distinct."""
+    assigned = (
+        ivf_assign(df, centroids, vec_col=vec_col)
+        .select(F.col(id_col).alias("id"), "__centroid_id")
+        .localCheckpoint(eager=True)  # the self-join must not run the GEMM twice
+    )
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.__centroid_id") == F.col("b.__centroid_id"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    return _verify_exact(cands, df, id_col, vec_col, threshold)
+
+
 def cosine_dedup_clusters(
     df: DataFrame,
     *,

@@ -462,6 +462,43 @@ def s03_lsh_bucketed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# s05 — IVF-cell-bucketed near-dup pairs (the SemDeDup shape): candidates
+# only within coarse-quantizer cells, exact-verified. Same planted-dup
+# construction and brute-force oracle as s03 — identical vectors share a
+# nearest centroid deterministically, so recall on the planted pairs is
+# structurally 1; cross-cell approximation is asserted against s02 in
+# tests.
+# ---------------------------------------------------------------------------
+@register(
+    "s05_ivf_bucketed_pairs",
+    oracle="""
+    WITH all_v AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id < 100
+    ), e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM all_v)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      list_dot_product(a.v, b.v) /
+        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v) /
+        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.9
+    ORDER BY id_a, id_b
+    """,
+)
+def s05_ivf_bucketed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dups = emb.filter(F.col("vec_id") < 100).select(
+        (F.col("vec_id") + F.lit(100000)).alias("vec_id"), "embedding"
+    )
+    allv = emb.unionByName(dups)
+    centroids = similarity.train_centroids(allv, n_centroids=8, iters=1)
+    return similarity.ivf_bucketed_pairs(allv, centroids, threshold=0.9).orderBy(
+        "id_a", "id_b"
+    )
+
+
+# ---------------------------------------------------------------------------
 # t01 — per-document text statistics (quality-scoring features).
 # ---------------------------------------------------------------------------
 @register(

@@ -201,3 +201,30 @@ def test_duplicate_spans_requires_two_distinct_docs(spark):
         "doc_id long, text string",
     )
     assert duplicate_spans(docs, "doc_id", "text", min_len=8).count() == 0
+
+
+def test_ivf_bucketed_pairs_subset_of_exact_with_dup_recall(spark):
+    from censo_escolar_spark.operators.similarity import (
+        cosine_pairs,
+        ivf_bucketed_pairs,
+        train_centroids,
+    )
+
+    rows = [  # cluster A: 0,1,2 (0 and 1 identical); cluster B: 3,4
+        (0, [1.0, 0.0, 0.05, 0.0]),
+        (1, [1.0, 0.0, 0.05, 0.0]),
+        (2, [0.95, 0.05, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.05]),
+        (4, [0.05, 0.98, 0.0, 0.0]),
+    ]
+    df = _vec_df(spark, rows)
+    exact = {
+        (r.id_a, r.id_b) for r in cosine_pairs(df, threshold=0.9).collect()
+    }
+    cents = train_centroids(df, n_centroids=2, iters=1)
+    ivf = {
+        (r.id_a, r.id_b)
+        for r in ivf_bucketed_pairs(df, cents, threshold=0.9).collect()
+    }
+    assert ivf <= exact  # never a false pair (exact verification)
+    assert (0, 1) in ivf  # identical vectors always share a cell

@@ -25,6 +25,7 @@ ARROW_OK = {
     "s02_cosine_pairs",
     "s03_lsh_bucketed_pairs",
     "s04_ivf_topk",
+    "s05_ivf_bucketed_pairs",  # ivf_assign GEMM + _verify_exact prescore
     "t03_fingerprints",
 }
 
