@@ -242,6 +242,24 @@ def deterministic_sample(col: str | Column, keep_percent: int) -> Column:
     return F.conv(F.substring(F.md5(_c(col)), 1, 2), 16, 10).cast("int") < cut
 
 
+def split_assign(
+    col: str | Column, *, train_pct: int = 80, val_pct: int = 10
+) -> Column:
+    """Deterministic train/val/test assignment from the content hash
+    (first 2 md5 bytes → 0..65535, resolution ~0.0015%): the same
+    document always lands in the same split, on any engine, with no RNG
+    state — the reproducibility contract ``deterministic_sample``
+    provides for keep/drop, extended to a 3-way label."""
+    h = F.conv(F.substring(F.md5(_c(col)), 1, 4), 16, 10).cast("int")
+    t_cut = 65536 * train_pct // 100
+    v_cut = 65536 * (train_pct + val_pct) // 100
+    return (
+        F.when(h < t_cut, F.lit("train"))
+        .when(h < v_cut, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
 def chunk_spans(col: str | Column, max_tokens: int) -> Column:
     """Token-window chunking for LLM context budgets: array of
     (chunk_idx, chunk_text) structs, each chunk ≤ max_tokens whitespace

@@ -1136,3 +1136,29 @@ def d10_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.duplicate_spans(docs, "doc_id", "text", min_len=8).orderBy(
         "doc_id", "span_start"
     )
+
+
+# ---------------------------------------------------------------------------
+# t15 — deterministic dataset split (80/10/10 train/val/test) from the
+# content hash, with the stratum columns carried through so per-language
+# proportions are auditable. No rand(): identical assignment on every
+# run, engine, and executor count.
+# ---------------------------------------------------------------------------
+_T15_ORACLE = """
+SELECT doc_id, lang,
+  CASE
+    WHEN ('0x' || substr(md5(text), 1, 4))::BIGINT < 52428 THEN 'train'
+    WHEN ('0x' || substr(md5(text), 1, 4))::BIGINT < 58982 THEN 'val'
+    ELSE 'test'
+  END AS split
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("t15_dataset_split", oracle=_T15_ORACLE)
+def t15_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang", T.split_assign("text").alias("split")
+    ).orderBy("doc_id")
