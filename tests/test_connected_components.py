@@ -47,3 +47,42 @@ def test_dedup_clusters_singletons_keep_own_id(spark):
     )
     got = {r.doc_id: r.cluster_id for r in dedup_clusters(docs, "doc_id", "text").collect()}
     assert got == {1: 1, 2: 1, 3: 3}
+
+
+# --- property: agrees with union-find on arbitrary graphs ---------------
+
+from hypothesis import given, settings, strategies as st
+
+
+def _union_find(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_matches_union_find_on_arbitrary_graphs(spark, edges):
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = _labels(connected_components(df, max_iter=30))
+    want = _union_find(edges)
+    # min-label propagation labels every component by its minimum node id;
+    # union-find with min-root merging yields the same canonical labels
+    assert got == want
