@@ -29,3 +29,20 @@ def norm2(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm2(a) * norm2(b))
+
+
+def max_abs(a: Column) -> Column:
+    """max |x| over the vector — the symmetric-quantization range."""
+    return F.array_max(F.transform(a, lambda x: F.abs(x)))
+
+
+def quantize_scale(a: Column) -> Column:
+    """Per-vector int8 symmetric-quantization scale: 127 / max|x|.
+    One division of exact inputs — bit-identical cross-engine."""
+    return F.lit(127.0) / max_abs(a)
+
+
+def quantize_element(x: Column, scale: Column) -> Column:
+    """round-half-up via floor(x·scale + 0.5): floor is exact on doubles,
+    unlike round(), whose half-way tie rule differs between engines."""
+    return F.floor(x * scale + F.lit(0.5)).cast("int")

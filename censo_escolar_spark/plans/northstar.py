@@ -1162,3 +1162,47 @@ def t15_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", "lang", T.split_assign("text").alias("split")
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# s06 — int8 symmetric quantization of the embedding column (the storage/
+# serving compression step before ANN indexes). Exploded to (vec_id,
+# dim_idx, q, scale) rows so the oracle compares scalars, not engine-
+# specific array renderings. floor(x*scale + 0.5) not round(): floor is
+# exact on doubles; round()'s tie rule differs between engines.
+# ---------------------------------------------------------------------------
+_S06_ORACLE = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (
+  SELECT vec_id, v,
+    127.0 / list_max(list_transform(v, x -> abs(x))) AS scale
+  FROM e
+)
+SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim_idx,
+  CAST(floor(v[i] * scale + 0.5) AS INTEGER) AS q,
+  scale
+FROM s, UNNEST(range(1, len(v) + 1)) AS u(i)
+ORDER BY vec_id, dim_idx
+"""
+
+
+@register("s06_quantize_embeddings", oracle=_S06_ORACLE)
+def s06_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from censo_escolar_spark.functions import vectors as V
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", V.as_double_array("embedding").alias("v")
+    )
+    scaled = emb.withColumn("scale", V.quantize_scale(F.col("v")))
+    return (
+        scaled.select(
+            "vec_id", "scale", F.posexplode("v").alias("dim_idx", "x")
+        )
+        .select(
+            "vec_id",
+            F.col("dim_idx").cast("int").alias("dim_idx"),
+            V.quantize_element(F.col("x"), F.col("scale")).alias("q"),
+            "scale",
+        )
+        .orderBy("vec_id", "dim_idx")
+    )

@@ -228,3 +228,24 @@ def test_ivf_bucketed_pairs_subset_of_exact_with_dup_recall(spark):
     }
     assert ivf <= exact  # never a false pair (exact verification)
     assert (0, 1) in ivf  # identical vectors always share a cell
+
+
+def test_quantize_embeddings_roundtrip_bound(spark):
+    from censo_escolar_spark.functions import vectors as V
+
+    df = spark.createDataFrame(
+        [(0, [0.5, -1.0, 0.25, 0.0]), (1, [0.001, 0.002, -0.003, 0.004])],
+        "vec_id long, embedding array<float>",
+    ).select("vec_id", V.as_double_array("embedding").alias("v"))
+    rows = (
+        df.withColumn("scale", V.quantize_scale(F.col("v")))
+        .select("vec_id", "scale", F.posexplode("v").alias("i", "x"))
+        .select(
+            "x", "scale", V.quantize_element(F.col("x"), F.col("scale")).alias("q")
+        )
+        .collect()
+    )
+    for r in rows:
+        assert -127 <= r.q <= 127
+        # dequantized value within half a quantization step
+        assert abs(r.q / r.scale - r.x) <= 0.5 / r.scale + 1e-12
