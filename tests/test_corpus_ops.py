@@ -249,3 +249,27 @@ def test_quantize_embeddings_roundtrip_bound(spark):
         assert -127 <= r.q <= 127
         # dequantized value within half a quantization step
         assert abs(r.q / r.scale - r.x) <= 0.5 / r.scale + 1e-12
+
+
+def test_operators_handle_degenerate_docs(spark):
+    """Empty/short/whitespace docs must flow through (not crash) every
+    corpus operator: too-short docs simply produce no grams/spans."""
+    from censo_escolar_spark.operators.dedup import (
+        duplicate_spans,
+        ngram_doc_freq,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "one"), (3, "two words"), (4, None)],
+        "doc_id long, text string",
+    )
+    assert ngram_doc_freq(docs, "doc_id", "text", n=3).count() == 0
+    assert duplicate_spans(docs, "doc_id", "text", min_len=8).count() == 0
+    assert cross_corpus_overlap(docs, docs, "doc_id", "text", n=8).count() == 0
+    stats = T.repetition_stats("text")
+    rows = docs.select(
+        "doc_id", stats["dup_token_frac"].alias("dt"), stats["dup_bigram_frac"].alias("db")
+    ).collect()
+    by_id = {r.doc_id: (r.dt, r.db) for r in rows}
+    assert by_id[2] == (0.0, 0.0)  # single token: no dups, no bigrams
+    assert by_id[4] == (0.0, 0.0)  # NULL text -> guarded to 0.0
