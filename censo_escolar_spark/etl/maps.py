@@ -45,9 +45,12 @@ def composite_key_map(
     (meso 2 in RO is "Leste Rondoniense"; meso 2 elsewhere is a different
     region), hence the per-row triple, not a base map replicated per UF.
     First occurrence wins, matching pandas drop_duplicates in the
-    notebook."""
+    notebook. Rows with a blank uf or code (',,'-padded lookup lines —
+    the same padding parse_lookup_csv skips) are skipped, not fatal."""
     out: dict[str, str] = {}
     for uf, code, label in rows:
+        if not str(uf).strip() or not str(code).strip():
+            continue
         out.setdefault(f"{uf}{int(code):0{width}d}", str(label))
     return out
 

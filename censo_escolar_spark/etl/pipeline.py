@@ -221,7 +221,12 @@ def missing_partitions(
         # (the O1 idempotency guarantee, reference censo_escolar.py:39-60).
         cond = getattr(e, "getCondition", None) or getattr(e, "getErrorClass", None)
         condition = cond() if cond is not None else None
-        if condition == "PATH_NOT_FOUND" or "Path does not exist" in str(e):
+        # UNABLE_TO_INFER_SCHEMA = the directory exists but holds no
+        # parquet yet (first run died between mkdir and commit) — that is
+        # still "empty sink", not a transient failure.
+        if condition in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA") or (
+            "Path does not exist" in str(e) or "Unable to infer schema" in str(e)
+        ):
             return [int(y) for y in wanted]
         raise
     remaining = wanted_df.join(existing, partition_col, "left_anti")

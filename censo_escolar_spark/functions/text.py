@@ -232,6 +232,14 @@ def quality_keep(
     )
 
 
+def _md5_bucket(col: str | Column, n_hex: int) -> Column:
+    """First ``n_hex`` hex chars of md5 as an int — the shared
+    content-hash bucketing contract behind every deterministic
+    keep/drop/split decision (DuckDB side:
+    ``('0x' || substr(md5(x), 1, n))::BIGINT``)."""
+    return F.conv(F.substring(F.md5(_c(col)), 1, n_hex), 16, 10).cast("int")
+
+
 def deterministic_sample(col: str | Column, keep_percent: int) -> Column:
     """Content-hash sampling: keep rows whose md5(text) first byte falls
     under the cut. Deterministic across runs/engines (unlike rand() or
@@ -239,7 +247,7 @@ def deterministic_sample(col: str | Column, keep_percent: int) -> Column:
     always lands in the same split. keep_percent ∈ [0, 100] maps to a
     0-255 byte threshold (resolution ~0.4%)."""
     cut = int(256 * keep_percent / 100)
-    return F.conv(F.substring(F.md5(_c(col)), 1, 2), 16, 10).cast("int") < cut
+    return _md5_bucket(col, 2) < cut
 
 
 def split_assign(
@@ -250,7 +258,7 @@ def split_assign(
     document always lands in the same split, on any engine, with no RNG
     state — the reproducibility contract ``deterministic_sample``
     provides for keep/drop, extended to a 3-way label."""
-    h = F.conv(F.substring(F.md5(_c(col)), 1, 4), 16, 10).cast("int")
+    h = _md5_bucket(col, 4)
     t_cut = 65536 * train_pct // 100
     v_cut = 65536 * (train_pct + val_pct) // 100
     return (

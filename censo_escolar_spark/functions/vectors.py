@@ -38,8 +38,13 @@ def max_abs(a: Column) -> Column:
 
 def quantize_scale(a: Column) -> Column:
     """Per-vector int8 symmetric-quantization scale: 127 / max|x|.
-    One division of exact inputs — bit-identical cross-engine."""
-    return F.lit(127.0) / max_abs(a)
+    One division of exact inputs — bit-identical cross-engine.
+
+    An all-zero vector (padding row, failed encode) has no scale: NULL,
+    so downstream quantized elements are NULL too. Unguarded, 127/0 =
+    Inf and 0·Inf = NaN, whose int cast throws under ANSI mode."""
+    m = max_abs(a)
+    return F.when(m > 0, F.lit(127.0) / m)
 
 
 def quantize_element(x: Column, scale: Column) -> Column:

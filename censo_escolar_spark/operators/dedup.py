@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
@@ -57,6 +57,32 @@ def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _token_windows(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """One row per n-token window: (id, pos, __w struct of the n tokens).
+
+    The single shared window scaffold for shingle/span operators, built
+    WITHOUT interpreted lambdas (~1 µs/element): n aligned ``slice``s
+    zipped with ``arrays_zip`` (codegen), then ``posexplode``. Documents
+    shorter than n tokens produce no rows. Consumers project the struct
+    with ``_window_hash(n)`` (8-byte join key) or ``concat_ws`` (readable
+    n-gram) — both codegen, applied AFTER the explode."""
+    base = df.select(F.col(id_col), tokens(text_col).alias("__toks")).filter(
+        F.size("__toks") >= n
+    )
+    m = F.size(F.col("__toks")) - (n - 1)
+    zipped = F.arrays_zip(
+        *[F.slice("__toks", F.lit(i + 1), m).alias(f"t{i}") for i in range(n)]
+    )
+    return base.select(F.col(id_col), F.posexplode(zipped).alias("pos", "__w"))
+
+
+def _window_hash(n: int) -> Column:
+    """xxhash64 over the n fields of a ``_token_windows`` struct."""
+    return F.xxhash64(*[F.col(f"__w.t{i}") for i in range(n)])
+
+
 def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """(id, shingle-hash) pairs, distinct — the inverted-index input.
 
@@ -66,24 +92,10 @@ def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataF
     collision between two distinct shingles of the same document pair
     (P ≈ |sh|²/2⁶⁵ — vanishing).
 
-    Lambda-free on purpose: interpreted higher-order functions cost
-    ~1 µs/element, so the window construction is n aligned ``slice``s
-    zipped (``arrays_zip`` — codegen), exploded, and hashed with a
-    single multi-argument ``xxhash64`` AFTER the explode — every
-    expression stays inside whole-stage codegen."""
-    base = df.select(F.col(id_col), tokens(text_col).alias("__toks")).filter(
-        F.size("__toks") >= n
-    )
-    m = F.size(F.col("__toks")) - (n - 1)
-    zipped = F.arrays_zip(
-        *[F.slice("__toks", F.lit(i + 1), m).alias(f"t{i}") for i in range(n)]
-    )
+    Lambda-free on purpose: see ``_token_windows``."""
     return (
-        base.select(F.col(id_col), F.explode(zipped).alias("__sh"))
-        .select(
-            F.col(id_col),
-            F.xxhash64(*[F.col(f"__sh.t{i}") for i in range(n)]).alias("shingle"),
-        )
+        _token_windows(df, id_col, text_col, n)
+        .select(F.col(id_col), _window_hash(n).alias("shingle"))
         .distinct()
     )
 
@@ -93,23 +105,15 @@ def shingle_strings(
 ) -> DataFrame:
     """(id, shingle-STRING) pairs, distinct per document — for corpus
     statistics that need readable n-grams (frequency tables, reports),
-    unlike the hashed ``shingle_sets`` index. Same lambda-free shape:
-    zip n aligned slices, explode, then one codegen ``concat_ws`` per
-    exploded row."""
-    base = df.select(F.col(id_col), tokens(text_col).alias("__toks")).filter(
-        F.size("__toks") >= n
-    )
-    m = F.size(F.col("__toks")) - (n - 1)
-    zipped = F.arrays_zip(
-        *[F.slice("__toks", F.lit(i + 1), m).alias(f"t{i}") for i in range(n)]
-    )
+    unlike the hashed ``shingle_sets`` index. Same lambda-free
+    ``_token_windows`` scaffold, projected with ``concat_ws``."""
     return (
-        base.select(F.col(id_col), F.explode(zipped).alias("__sh"))
+        _token_windows(df, id_col, text_col, n)
         .select(
             F.col(id_col),
-            F.concat_ws(
-                " ", *[F.col(f"__sh.t{i}") for i in range(n)]
-            ).alias("shingle"),
+            F.concat_ws(" ", *[F.col(f"__w.t{i}") for i in range(n)]).alias(
+                "shingle"
+            ),
         )
         .distinct()
     )
@@ -349,19 +353,8 @@ def duplicate_spans(
     Scale shape: gram fan-out is narrow (id, pos, 8-byte hash); the
     duplicated-hash set comes from one distinct + one count shuffle; the
     islands pass shuffles once on the doc id."""
-    base = df.select(F.col(id_col), tokens(text_col).alias("__toks")).filter(
-        F.size("__toks") >= min_len
-    )
-    m = F.size(F.col("__toks")) - (min_len - 1)
-    zipped = F.arrays_zip(
-        *[F.slice("__toks", F.lit(i + 1), m).alias(f"t{i}") for i in range(min_len)]
-    )
-    grams = base.select(
-        F.col(id_col), F.posexplode(zipped).alias("pos", "__w")
-    ).select(
-        F.col(id_col),
-        F.col("pos"),
-        F.xxhash64(*[F.col(f"__w.t{i}") for i in range(min_len)]).alias("h"),
+    grams = _token_windows(df, id_col, text_col, min_len).select(
+        F.col(id_col), F.col("pos"), _window_hash(min_len).alias("h")
     )
     dup_h = (
         grams.select(id_col, "h")

@@ -57,15 +57,15 @@ def _ranged_with_local_rn(
     return ranged.withColumn("__rn_local", F.row_number().over(w_local))
 
 
-def global_row_number(
+def _global_row_number_with_total(
     df: DataFrame,
     order: Sequence[Column],
-    *,
-    out_col: str = "row_number",
-    num_partitions: int | None = None,
-) -> DataFrame:
-    """Exact global row_number() OVER (ORDER BY order) without a
-    single-partition window. ``order`` must be a total order."""
+    out_col: str,
+    num_partitions: int | None,
+) -> tuple[DataFrame, int]:
+    """Two-phase global row_number plus the total row count (already on
+    the driver from the per-partition counts — callers needing n must
+    not pay a second count() job)."""
     local = _ranged_with_local_rn(df, order, num_partitions)
     counts = {
         r["__pid"]: r["cnt"]
@@ -81,9 +81,23 @@ def global_row_number(
     # Literal array lookup (num_partitions entries — bounded by config,
     # not by data volume), evaluated JVM-side inside codegen.
     off = F.element_at(F.array(*[F.lit(o) for o in offsets]), F.col("__pid") + 1)
-    return local.withColumn(
+    ranked = local.withColumn(
         out_col, (off + F.col("__rn_local")).cast("long")
     ).drop("__pid", "__rn_local")
+    return ranked, running
+
+
+def global_row_number(
+    df: DataFrame,
+    order: Sequence[Column],
+    *,
+    out_col: str = "row_number",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global row_number() OVER (ORDER BY order) without a
+    single-partition window. ``order`` must be a total order."""
+    ranked, _ = _global_row_number_with_total(df, order, out_col, num_partitions)
+    return ranked
 
 
 def global_ntile(
@@ -107,13 +121,9 @@ def global_ntile(
     computed with integer arithmetic below.
     """
     rn_col = "__grn"
-    ranked = global_row_number(
-        df, order, out_col=rn_col, num_partitions=num_partitions
+    ranked, n = _global_row_number_with_total(
+        df, order, rn_col, num_partitions
     )
-    # Total count: one cheap count on the already-checkpointed frame
-    # (the per-partition counts inside global_row_number would cover it,
-    # but exposing them would break the operator's composability).
-    n = ranked.count()
     q, r = divmod(n, n_buckets)
     rn = F.col(rn_col)
     if q == 0:

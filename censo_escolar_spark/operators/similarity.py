@@ -338,7 +338,13 @@ def lsh_bucketed_pairs(
     assert n_planes % n_bands == 0
     rows_per_band = n_planes // n_bands
     if dim is None:  # one-row peek; pass dim explicitly to skip the job
-        dim = len(df.select(vec_col).first()[0])
+        head = df.select(vec_col).head(1)
+        if not head:  # empty corpus -> no pairs (don't crash on the peek)
+            id_t = df.schema[id_col].dataType.simpleString()
+            return df.sparkSession.createDataFrame(
+                [], f"id_a {id_t}, id_b {id_t}, cos double"
+            )
+        dim = len(head[0][0])
     planes = _hyperplanes(dim, n_planes)
 
     @pandas_udf("array<long>")

@@ -1175,7 +1175,8 @@ _S06_ORACLE = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 s AS (
   SELECT vec_id, v,
-    127.0 / list_max(list_transform(v, x -> abs(x))) AS scale
+    CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+      THEN 127.0 / list_max(list_transform(v, x -> abs(x))) END AS scale
   FROM e
 )
 SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim_idx,

@@ -273,3 +273,23 @@ def test_operators_handle_degenerate_docs(spark):
     by_id = {r.doc_id: (r.dt, r.db) for r in rows}
     assert by_id[2] == (0.0, 0.0)  # single token: no dups, no bigrams
     assert by_id[4] == (0.0, 0.0)  # NULL text -> guarded to 0.0
+
+
+def test_quantize_zero_vector_yields_nulls(spark):
+    from censo_escolar_spark.functions import vectors as V
+
+    r = (
+        spark.createDataFrame([(0, [0.0, 0.0])], "vec_id long, embedding array<float>")
+        .select(V.as_double_array("embedding").alias("v"))
+        .select(
+            V.quantize_scale(F.col("v")).alias("scale"),
+            V.quantize_element(F.element_at("v", 1), V.quantize_scale(F.col("v"))).alias("q"),
+        )
+        .first()
+    )
+    assert r.scale is None and r.q is None
+
+
+def test_cosine_dedup_clusters_empty_corpus(spark):
+    df = _vec_df(spark, []).filter("vec_id > 0")
+    assert cosine_dedup_clusters(df, threshold=0.9, method="lsh").count() == 0

@@ -424,3 +424,11 @@ def test_missing_partitions_raises_on_non_path_errors(spark, tmp_path):
     # corrupt sink → SparkException (CANNOT_READ_FILE_FOOTER), propagated
     with pytest.raises(Exception, match="FOOTER|footer|PATH|parquet|Parquet"):
         missing_partitions(spark, [2013], str(broken))
+
+
+def test_missing_partitions_empty_dir_is_empty_sink(spark, tmp_path):
+    """An existing-but-empty sink directory (first run died between mkdir
+    and commit) must bootstrap like a missing sink, not raise forever."""
+    empty = tmp_path / "empty_sink"
+    empty.mkdir()
+    assert missing_partitions(spark, [2011, 2012], str(empty)) == [2011, 2012]
