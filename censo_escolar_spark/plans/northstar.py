@@ -1207,3 +1207,46 @@ def s06_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id", "dim_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# t16 — per-language token-count z-scores via the grouped-map Pandas API
+# (applyInPandas): the outlier-detection step of per-stratum quality
+# filtering. Moments from integer sums; every float op's expression
+# shape mirrored in the oracle, so z-scores hash-match.
+# ---------------------------------------------------------------------------
+_T16_ORACLE = """
+WITH base AS (
+  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens FROM documents
+),
+g AS (
+  SELECT lang,
+    CAST(SUM(n_tokens) AS BIGINT) AS s,
+    CAST(SUM(n_tokens * n_tokens) AS BIGINT) AS ss,
+    CAST(COUNT(*) AS BIGINT) AS n
+  FROM base GROUP BY lang
+),
+st AS (
+  SELECT lang, CAST(s AS DOUBLE) / n AS mean,
+    sqrt((CAST(ss AS DOUBLE) / n)
+         - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)) AS std
+  FROM g
+)
+SELECT b.doc_id, b.lang, CAST(b.n_tokens AS INTEGER) AS n_tokens,
+  CASE WHEN st.std > 0
+    THEN (CAST(b.n_tokens AS DOUBLE) - st.mean) / st.std
+    ELSE 0.0 END AS z
+FROM base b JOIN st USING (lang)
+ORDER BY b.doc_id
+"""
+
+
+@register("t16_lang_zscores", oracle=_T16_ORACLE)
+def t16_lang_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from censo_escolar_spark.operators.standardize import grouped_zscore
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "lang", T.token_count("text").cast("int").alias("n_tokens")
+    )
+    return grouped_zscore(base, ["lang"], "n_tokens").orderBy("doc_id")

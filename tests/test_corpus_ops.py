@@ -293,3 +293,16 @@ def test_quantize_zero_vector_yields_nulls(spark):
 def test_cosine_dedup_clusters_empty_corpus(spark):
     df = _vec_df(spark, []).filter("vec_id > 0")
     assert cosine_dedup_clusters(df, threshold=0.9, method="lsh").count() == 0
+
+
+def test_grouped_zscore_constant_group_and_values(spark):
+    from censo_escolar_spark.operators.standardize import grouped_zscore
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 7), (4, "b", 7)],
+        "doc_id long, lang string, n_tokens int",
+    )
+    got = {r.doc_id: r.z for r in grouped_zscore(df, ["lang"], "n_tokens").collect()}
+    # group a: mean 15, std 5 -> z = -1, +1; group b constant -> 0.0
+    assert got[1] == -1.0 and got[2] == 1.0
+    assert got[3] == 0.0 and got[4] == 0.0

@@ -26,6 +26,7 @@ ARROW_OK = {
     "s03_lsh_bucketed_pairs",
     "s04_ivf_topk",
     "s05_ivf_bucketed_pairs",  # ivf_assign GEMM + _verify_exact prescore
+    "t16_lang_zscores",  # grouped-map applyInPandas standardization
     "t03_fingerprints",
 }
 
@@ -43,9 +44,11 @@ def test_no_rowwise_python_in_any_plan(spark, sf_dir, name):
     plan = _formatted_plan(spark, entrymod.queries()[name](spark, sf_dir))
     assert "BatchEvalPython" not in plan, f"{name}: row-wise Python UDF in plan"
     if name not in ARROW_OK:
-        assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan, (
-            f"{name}: unexpected Python boundary in a JVM-native operator"
-        )
+        assert (
+            "ArrowEvalPython" not in plan
+            and "MapInPandas" not in plan
+            and "FlatMapGroupsInPandas" not in plan
+        ), f"{name}: unexpected Python boundary in a JVM-native operator"
 
 
 def _iter_physical_nodes(jplan):
