@@ -210,3 +210,36 @@ def e05_views_before_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# e06 — latest-by-key compaction (CDC snapshot): one row per user, the
+# newest event. Implemented as a max_by AGGREGATE (partial aggregation:
+# each input partition ships one candidate per key) rather than a
+# row_number window (full shuffle + sort of every version) — see
+# operators/compact.py. The oracle is the window formulation, which
+# must select the identical row because (ts, event_id) totally orders
+# each user's events.
+# ---------------------------------------------------------------------------
+@register(
+    "e06_latest_event_per_user",
+    oracle="""
+    SELECT user_id, event_id, ts, event_type, value
+    FROM (
+      SELECT user_id, event_id, ts, event_type, value,
+        row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    WHERE rn = 1
+    ORDER BY user_id
+    """,
+)
+def e06_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from censo_escolar_spark.operators.compact import latest_by_key
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    return latest_by_key(
+        e, ["user_id"], [F.col("ts"), F.col("event_id")]
+    ).orderBy("user_id")

@@ -1250,3 +1250,44 @@ def t16_lang_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", T.token_count("text").cast("int").alias("n_tokens")
     )
     return grouped_zscore(base, ["lang"], "n_tokens").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# t17 — sequence packing (concatenation packing): per document, the
+# fixed-capacity pack span it occupies when each language stream's
+# documents are laid end to end in doc_id order and cut every 2048
+# tokens. Pure integer window arithmetic (exact cross-engine); the
+# window is partitioned per stream — the scalable shape (see
+# operators/packing.py; salt streams for more parallelism at scale).
+# ---------------------------------------------------------------------------
+_T17_ORACLE = """
+WITH base AS (
+  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens FROM documents
+),
+o AS (
+  SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n,
+    CAST(COALESCE(SUM(n_tokens) OVER (
+      PARTITION BY lang ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+  FROM base
+)
+SELECT doc_id, lang, CAST(n AS INTEGER) AS n_tokens,
+  s // 2048 AS pack_first,
+  (s + GREATEST(n, 1) - 1) // 2048 AS pack_last,
+  s % 2048 AS pack_offset,
+  ((s + GREATEST(n, 1) - 1) // 2048) - (s // 2048) + 1 AS n_packs
+FROM o ORDER BY doc_id
+"""
+
+
+@register("t17_pack_sequences", oracle=_T17_ORACLE)
+def t17_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from censo_escolar_spark.operators.packing import pack_offsets
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "lang", T.token_count("text").cast("int").alias("n_tokens")
+    )
+    return pack_offsets(
+        base, "doc_id", "n_tokens", capacity=2048, stream_cols=["lang"]
+    ).orderBy("doc_id")
