@@ -1305,3 +1305,94 @@ def q41_lateral_topk_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     return spark.sql(_Q41_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q42 — semi-structured VARIANT (Spark 4): a nested JSON payload is
+# synthesized from orders (planted-input pattern — the oracle builds the
+# IDENTICAL string), parsed ONCE into the binary VARIANT encoding, then
+# typed fields are extracted with try_variant_get. At scale this is the
+# event-payload shape: parse on ingest, store shredded binary, typed
+# access per query without re-parsing text JSON per field (q18 is the
+# string-JSON counterpart). All extracted values are int/string — exact
+# cross-engine.
+# ---------------------------------------------------------------------------
+@register(
+    "q42_variant_payload",
+    oracle="""
+    WITH j AS (
+      SELECT o_orderkey,
+        concat('{"cust":', CAST(o_custkey AS VARCHAR),
+               ',"meta":{"status":"', o_orderstatus,
+               '","year":', CAST(EXTRACT(YEAR FROM o_orderdate) AS VARCHAR),
+               '}}') AS payload
+      FROM orders
+    )
+    SELECT json_extract_string(payload, '$.meta.status') AS status,
+      CAST(json_extract(payload, '$.meta.year') AS INTEGER) AS order_year,
+      CAST(COUNT(*) AS BIGINT) AS n_orders,
+      CAST(SUM(CAST(json_extract(payload, '$.cust') AS BIGINT)) AS BIGINT) AS sum_cust
+    FROM j
+    GROUP BY status, order_year
+    ORDER BY status, order_year
+    """,
+)
+def q42_variant_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    payload = F.concat(
+        F.lit('{"cust":'), F.col("o_custkey").cast("string"),
+        F.lit(',"meta":{"status":"'), F.col("o_orderstatus"),
+        F.lit('","year":'), F.year("o_orderdate").cast("string"),
+        F.lit("}}"),
+    )
+    v = F.parse_json(payload)
+    return (
+        o.select(
+            F.try_variant_get(v, "$.meta.status", "string").alias("status"),
+            F.try_variant_get(v, "$.meta.year", "int").alias("order_year"),
+            F.try_variant_get(v, "$.cust", "bigint").alias("cust"),
+        )
+        .groupBy("status", "order_year")
+        .agg(F.count("*").alias("n_orders"), F.sum("cust").alias("sum_cust"))
+        .orderBy("status", "order_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q43 — z-order (Morton) values: the bit-interleave expression behind
+# sources/layout.py::write_zordered, verified bit-for-bit. The engine
+# computes it with codegen shifts/masks; the oracle reproduces the same
+# interleave arithmetically (((x>>i)&1) << 2i == ((x // 2^i) % 2) * 4^i).
+# Clustering behavior (file min/max tightness) is asserted in
+# tests/test_layout.py; this query pins the VALUES.
+# ---------------------------------------------------------------------------
+_Q43_Z_SQL = " + ".join(
+    f"((l_suppkey % 256) // {1 << i}) % 2 * {1 << (2 * i)}"
+    f" + ((l_partkey % 256) // {1 << i}) % 2 * {1 << (2 * i + 1)}"
+    for i in range(8)
+)
+
+_Q43_ORACLE = f"""
+SELECT l_orderkey, l_linenumber,
+  CAST(l_suppkey % 256 AS BIGINT) AS zx,
+  CAST(l_partkey % 256 AS BIGINT) AS zy,
+  CAST({_Q43_Z_SQL} AS BIGINT) AS zval
+FROM lineitem
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+@register("q43_zorder_values", oracle=_Q43_ORACLE)
+def q43_zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from censo_escolar_spark.sources.layout import zorder_value
+
+    li = load_table(spark, sf_dir, "lineitem")
+    zx = F.col("l_suppkey").bitwiseAND(F.lit(255)).cast("long")
+    zy = F.col("l_partkey").bitwiseAND(F.lit(255)).cast("long")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        zx.alias("zx"),
+        zy.alias("zy"),
+        zorder_value([zx, zy], bits=8).alias("zval"),
+    ).orderBy("l_orderkey", "l_linenumber")

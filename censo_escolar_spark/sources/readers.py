@@ -136,3 +136,34 @@ def read_table(
     if format == "csv":
         reader = reader.option("header", True)
     return reader.options(**options).load(path)
+
+
+def load_binary_files(
+    spark: SparkSession,
+    path: str,
+    *,
+    glob: str | None = None,
+    max_bytes_per_partition: int | None = None,
+) -> DataFrame:
+    """Raw-media ingestion via Spark's ``binaryFile`` source.
+
+    Returns (path, modificationTime, length, content binary) — the
+    ingestion edge of the multimodal pipeline (operators/multimodal.py):
+    each file is one row whose payload is an opaque binary column with
+    typed metadata, ready for sniff_format / media_metadata /
+    decode_media.
+
+    Scale notes: ``binaryFile`` loads each file fully into one row —
+    it is for payload-sized objects (images, audio clips), not for
+    splittable bulk formats. Partitioning is by files with a size-aware
+    packing (``maxPartitionBytes``); pass ``max_bytes_per_partition`` to
+    keep per-task memory bounded when payloads are large, and re-balance
+    skewed payload sizes downstream with
+    ``operators.multimodal.repartition_by_bytes``.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    if max_bytes_per_partition is not None:
+        reader = reader.option("maxPartitionBytes", str(max_bytes_per_partition))
+    return reader.load(path)
