@@ -245,10 +245,13 @@ def connected_components(
 
     Scale shape: one shuffle per round on node id (edges join labels),
     labels eagerly localCheckpoint'd so lineage stays O(1) deep instead
-    of O(rounds). The convergence probe is an any-change count on the
-    already-checkpointed frames. (The alternating large-star/small-star
-    contraction of Kiveris et al. cuts rounds to O(log² n) for huge
-    diameters; unnecessary for dedup graphs.)
+    of O(rounds). The convergence probe exploits monotonicity: labels
+    only ever DECREASE, so the total label sum strictly decreases until
+    the fixpoint — one scalar aggregate per round on the checkpointed
+    frame (decimal(38,0): exact, no int64 overflow at any node count),
+    instead of an old-vs-new join + count. (The alternating
+    large-star/small-star contraction of Kiveris et al. cuts rounds to
+    O(log² n) for huge diameters; unnecessary for dedup graphs.)
     """
     sym = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
@@ -262,6 +265,12 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    def label_sum(frame: DataFrame):
+        return frame.agg(
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+        ).first()["s"]
+
+    prev_sum = label_sum(labels)
     for _ in range(max_iter):
         neighbor = sym.join(
             labels, sym["src"] == labels["node"], "inner"
@@ -272,16 +281,11 @@ def connected_components(
             .agg(F.min("component").alias("component"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") < F.col("o.component"))
-            .limit(1)
-            .count()
-        )
+        new_sum = label_sum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             return labels
+        prev_sum = new_sum
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds "
         "(component diameter exceeds max_iter)"

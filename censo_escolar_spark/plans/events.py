@@ -10,7 +10,7 @@ streaming-only and covered in tests/test_streaming.py instead.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from censo_escolar_spark.plans.registry import register
@@ -243,3 +243,79 @@ def e06_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest_by_key(
         e, ["user_id"], [F.col("ts"), F.col("event_id")]
     ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# e07 — time-spine gap fill + carry-forward (the hypertable/resampling
+# shape): per user, one row per hour from that user's first to last
+# hour; hours with no events get n_events = 0 and the last observed
+# value carried forward. Spine = sequence()+explode per user (bounded
+# by the user's own time range — no global calendar join); the fill is
+# a user-partitioned last(ignorenulls) window. carried_value is a COPY
+# of a stored double (never recomputed), so it is bit-exact
+# cross-engine.
+# ---------------------------------------------------------------------------
+@register(
+    "e07_hourly_gap_fill",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, date_trunc('hour', ts) AS hr, value,
+        row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                           ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ),
+    hourly AS (
+      SELECT user_id, hr,
+        CAST(COUNT(*) AS BIGINT) AS n_events,
+        MAX(CASE WHEN rn = 1 THEN value END) AS last_in_hour
+      FROM ranked GROUP BY user_id, hr
+    ),
+    bounds AS (
+      SELECT user_id, MIN(hr) AS h0, MAX(hr) AS h1 FROM hourly GROUP BY user_id
+    ),
+    spine AS (
+      SELECT user_id, g.hr
+      FROM bounds, UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS g(hr)
+    )
+    SELECT s.user_id, s.hr,
+      COALESCE(h.n_events, 0) AS n_events,
+      last_value(h.last_in_hour IGNORE NULLS) OVER (
+        PARTITION BY s.user_id ORDER BY s.hr
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried_value
+    FROM spine s LEFT JOIN hourly h USING (user_id, hr)
+    ORDER BY s.user_id, s.hr
+    """,
+)
+def e07_hourly_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.withColumn("hr", F.date_trunc("hour", "ts"))
+        .groupBy("user_id", "hr")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.max_by("value", F.struct("ts", "event_id")).alias("last_in_hour"),
+        )
+    )
+    spine = (
+        hourly.groupBy("user_id")
+        .agg(F.min("hr").alias("h0"), F.max("hr").alias("h1"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("hr"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(hourly, ["user_id", "hr"], "left")
+        .select(
+            "user_id",
+            "hr",
+            F.coalesce("n_events", F.lit(0).cast("bigint")).alias("n_events"),
+            F.last("last_in_hour", ignorenulls=True).over(w).alias("carried_value"),
+        )
+        .orderBy("user_id", "hr")
+    )
