@@ -42,17 +42,19 @@ def main() -> None:
     # JVM/codegen warm-up (not timed).
     run(queries["q01_pricing_summary"](spark, sf_dir))
 
+    # Keyed by the short query id (prefix before the first underscore:
+    # "q01_pricing_summary" -> "q01"). Full names made the one-line JSON
+    # ~3.4 kB, past the driver's output-capture window -> "parsed": null
+    # in BENCH_r01/r02.json. Short ids keep the whole line under ~1.5 kB.
     timings: dict[str, float] = {}
     for name in sorted(queries):
+        short = name.split("_", 1)[0]
         t0 = time.perf_counter()
         try:
             run(queries[name](spark, sf_dir))
-            # 2 decimals: keeps the one-line JSON inside the driver's
-            # capture window (r01's 4-decimal line was truncated ->
-            # "parsed": null in BENCH_r01.json)
-            timings[name] = round(time.perf_counter() - t0, 2)
+            timings[short] = round(time.perf_counter() - t0, 2)
         except Exception as exc:  # keep benching; a broken query shows as -1
-            timings[name] = -1.0
+            timings[short] = -1.0
             print(f"bench error in {name}: {exc}", file=sys.stderr)
 
     total = round(sum(t for t in timings.values() if t >= 0), 2)

@@ -63,8 +63,13 @@ def bounded_range_join(
     hi_us = int(round(upper * 1_000_000))
     w_us = hi_us - lo_us
 
-    lt = F.unix_micros(F.col(left_ts))
-    rt = F.unix_micros(F.col(right_ts))
+    # cast("timestamp") makes this NTZ-safe: parquet micros with no zone
+    # arrive as TIMESTAMP_NTZ, which unix_micros rejects. Under the
+    # engine's pinned UTC session zone (session.ensure_session_tuned) the
+    # NTZ->LTZ cast is an exact, monotonic epoch interpretation; for LTZ
+    # inputs the cast is a no-op.
+    lt = F.unix_micros(F.col(left_ts).cast("timestamp"))
+    rt = F.unix_micros(F.col(right_ts).cast("timestamp"))
 
     first_bucket = F.floor((lt + F.lit(lo_us)) / F.lit(w_us))
     l2 = left.withColumn("__bucket", F.explode(F.array(first_bucket, first_bucket + 1)))

@@ -539,9 +539,9 @@ def t01_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       COUNT(*) AS n_docs,
       SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS total_tokens,
       SUM(CAST(length(text) AS BIGINT)) AS total_chars,
-      SUM(CAST(len(list_filter(string_split(text, ' '),
-          t -> list_contains(['the','a','of','and','to','in','is','it','on','for'], t))) AS BIGINT)) * 1.0
-        / SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS stopword_ratio
+      CAST(SUM(CAST(len(list_filter(string_split(text, ' '),
+          t -> list_contains(['the','a','of','and','to','in','is','it','on','for'], t))) AS BIGINT)) AS DOUBLE)
+        / CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS DOUBLE) AS stopword_ratio
     FROM documents
     GROUP BY lang
     ORDER BY lang
@@ -557,9 +557,13 @@ def t02_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_docs"),
             F.sum(T.token_count("text").cast("bigint")).alias("total_tokens"),
             F.sum(T.char_count("text").cast("bigint")).alias("total_chars"),
+            # Exact-integer sums cast to DOUBLE before ONE IEEE division:
+            # bit-identical in Spark and DuckDB (DuckDB's `* 1.0` route
+            # goes through DECIMAL/HUGEINT and rounds differently — the
+            # r01/r02 hash mismatch on this query).
             (
-                F.sum(n_stop.cast("bigint")) * F.lit(1.0)
-                / F.sum(T.token_count("text").cast("bigint"))
+                F.sum(n_stop.cast("bigint")).cast("double")
+                / F.sum(T.token_count("text").cast("bigint")).cast("double")
             ).alias("stopword_ratio"),
         )
         .orderBy("lang")

@@ -44,4 +44,53 @@ def get_spark(app_name: str = "censo_escolar_spark", **overrides: str) -> SparkS
     conf.update({k: str(v) for k, v in overrides.items()})
     for k, v in conf.items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    _TUNED_SESSIONS.add(id(spark))
+    return spark
+
+
+#: Sessions already tuned (built by get_spark, or patched in place).
+_TUNED_SESSIONS: set[int] = set()
+
+#: Runtime-settable confs applied to externally-built (bare) sessions.
+#: Keyed by conf name -> (bad_default, engine_value): each conf is only
+#: overridden when it still holds Spark's out-of-the-box default, so a
+#: caller who tuned their own session deliberately is never clobbered.
+_RUNTIME_TUNING: dict[str, tuple[str | None, str]] = {
+    # 200 shuffle tasks over kB-scale local partitions is pure scheduler
+    # overhead; AQE coalesces *down* from the initial number, so a small
+    # initial value is right for the harness and a large one for clusters.
+    "spark.sql.shuffle.partitions": ("200", "32"),
+    # Arrow makes toPandas()/createDataFrame batch-columnar (10-100x).
+    "spark.sql.execution.arrow.pyspark.enabled": ("false", "true"),
+    # Deterministic wall-clock semantics: TIMESTAMP_NTZ <-> epoch
+    # conversions (operators/rangejoin.py) are exact under UTC and the
+    # DuckDB oracle compares naive timestamps.
+    "spark.sql.session.timeZone": (None, "UTC"),
+    # Star-schema dims are all far below 64 MB; broadcast them.
+    "spark.sql.autoBroadcastJoinThreshold": ("10485760b", "64m"),
+}
+
+
+def ensure_session_tuned(spark: SparkSession) -> SparkSession:
+    """Apply engine runtime confs to a session the engine did not build.
+
+    The correctness driver hands every query a *bare* SparkSession (no
+    configs); with Spark defaults each tiny sf0.01 query pays for 200
+    shuffle tasks and row-wise toPandas. All confs touched here are
+    runtime-settable and only replace out-of-the-box defaults (timezone
+    is pinned to UTC unconditionally: epoch math in the operators assumes
+    it, and a DST-bearing session zone would make TIMESTAMP_NTZ -> epoch
+    non-monotonic). Idempotent per session object.
+    """
+    if id(spark) in _TUNED_SESSIONS:
+        return spark
+    for key, (bad_default, value) in _RUNTIME_TUNING.items():
+        try:
+            current = spark.conf.get(key, None)
+            if bad_default is None or current is None or current == bad_default:
+                spark.conf.set(key, value)
+        except Exception:  # pragma: no cover - static/unknown conf on some builds
+            pass
+    _TUNED_SESSIONS.add(id(spark))
+    return spark

@@ -45,6 +45,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (double division would ROUND: 2^63-scale longs exceed double's 2^53
     integer range).
     """
+    from censo_escolar_spark.session import ensure_session_tuned
+
+    ensure_session_tuned(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name != "events":
         return spark.read.parquet(path)

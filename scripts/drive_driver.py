@@ -3,7 +3,7 @@
 Usage: drive_driver.py [substring ...] — with args, only queries whose
 name contains any substring are swept (smoke check still runs).
 """
-import sys, math
+import sys, math, time
 sys.path.insert(0, "/root/repo")
 from pyspark.sql import SparkSession
 import duckdb, pandas as pd
@@ -28,13 +28,15 @@ for t in "region nation customer supplier part orders lineitem events documents 
 Q, O = E.queries(), E.oracle_sql()
 only = sys.argv[1:]
 fails = []
-for name in sorted(Q):
+for name in Q:  # registration order, like the real driver
     if only and not any(s in name for s in only):
         continue
+    t0 = time.perf_counter()
     try:
         mine = Q[name](spark, sf).toPandas()
+        el = time.perf_counter() - t0
         if name not in O:
-            print(f"{name}: rows-only, {len(mine)} rows"); continue
+            print(f"{name}: rows-only, {len(mine)} rows [{el:.1f}s]"); continue
         ref = con.execute(O[name]).fetch_df()
         ok_cols = sorted(mine.columns) == sorted(ref.columns)
         ok_rows = len(mine) == len(ref)
@@ -73,10 +75,10 @@ for name in sorted(Q):
                     same = (av.map(_s).values == bv.map(_s).values).all()
                     if not same: ok_vals = False; print(f"  {name}.{c}: value mismatch")
         status = "OK" if (ok_cols and ok_rows and ok_vals) else f"MISMATCH cols={ok_cols} rows={ok_rows} vals={ok_vals}"
-        print(f"{name}: {status} ({len(mine)} rows)")
+        print(f"{name}: {status} ({len(mine)} rows) [{el:.1f}s]", flush=True)
         if status != "OK": fails.append(name)
     except Exception as ex:
-        print(f"{name}: ERROR {type(ex).__name__}: {str(ex)[:200]}")
+        print(f"{name}: ERROR {type(ex).__name__}: {str(ex)[:200]} [{time.perf_counter()-t0:.1f}s]", flush=True)
         fails.append(name)
 
 print("FAILURES:", fails if fails else "none")
