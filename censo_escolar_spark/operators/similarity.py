@@ -244,18 +244,36 @@ def train_centroids(
 
 
 def ivf_assign(
-    df: DataFrame, centroids: np.ndarray, *, vec_col: str = "embedding"
+    df: DataFrame,
+    centroids: np.ndarray,
+    *,
+    vec_col: str = "embedding",
+    include_score: bool = False,
 ) -> DataFrame:
-    """Nearest-centroid (cosine) assignment — one GEMM per Arrow batch."""
+    """Nearest-centroid (cosine) assignment — one GEMM per Arrow batch.
+
+    ``include_score=True`` additionally emits ``__centroid_cos``, the
+    cosine to the winning centroid (the same GEMM row — no extra pass).
+    np.argmax breaks exact ties toward the LOWEST centroid id, matching
+    a SQL ``row_number() ... ORDER BY cos DESC, centroid_id ASC`` oracle.
+    """
     cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
 
-    @pandas_udf("int")
-    def nearest(vecs: pd.Series) -> pd.Series:
+    @pandas_udf("struct<id:int,cos:double>")
+    def nearest(vecs: pd.Series) -> pd.DataFrame:
         mat = np.vstack(vecs.to_numpy())
         matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-        return pd.Series(np.argmax(matn @ cn.T, axis=1).astype(np.int32))
+        sims = matn @ cn.T
+        best = np.argmax(sims, axis=1)
+        return pd.DataFrame(
+            {"id": best.astype(np.int32), "cos": sims[np.arange(len(best)), best]}
+        )
 
-    return df.withColumn("__centroid_id", nearest(as_double_array(vec_col)))
+    out = df.withColumn("__a", nearest(as_double_array(vec_col)))
+    out = out.withColumn("__centroid_id", F.col("__a.id"))
+    if include_score:
+        out = out.withColumn("__centroid_cos", F.col("__a.cos"))
+    return out.drop("__a")
 
 
 def ivf_topk(

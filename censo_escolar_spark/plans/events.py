@@ -319,3 +319,151 @@ def e07_hourly_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "hr")
     )
+
+
+# ---------------------------------------------------------------------------
+# e08 — ordered conversion funnel: view -> click-after-view ->
+# purchase-after-click, per user, reduced to one stage-counts row.
+#
+# Scale shape: all three "first event after previous stage" columns are
+# unbounded windows over the SAME partitioning (user_id), so the chain
+# costs ONE shuffle; per-user state is three timestamps, never an event
+# list. The final global agg is a single partial-combined row.
+# ---------------------------------------------------------------------------
+@register(
+    "e08_conversion_funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, ts, event_type,
+        MIN(CASE WHEN event_type = 'view' THEN ts END)
+          OVER (PARTITION BY user_id) AS first_view
+      FROM events
+    ),
+    s2 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > first_view THEN ts END)
+          OVER (PARTITION BY user_id) AS first_click
+      FROM s1
+    ),
+    s3 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > first_click THEN ts END)
+          OVER (PARTITION BY user_id) AS first_purchase
+      FROM s2
+    ),
+    per_user AS (
+      SELECT user_id, MAX(first_view) AS v, MAX(first_click) AS c,
+             MAX(first_purchase) AS p
+      FROM s3 GROUP BY user_id
+    )
+    SELECT CAST(COUNT(v) AS BIGINT) AS n_viewed,
+      CAST(COUNT(c) AS BIGINT) AS n_clicked,
+      CAST(COUNT(p) AS BIGINT) AS n_purchased,
+      CAST(SUM(CASE WHEN c IS NOT NULL
+               THEN date_diff('second', v, c) END) AS BIGINT) AS click_delay_sec,
+      CAST(SUM(CASE WHEN p IS NOT NULL
+               THEN date_diff('second', c, p) END) AS BIGINT) AS purchase_delay_sec
+    FROM per_user
+    """,
+)
+def e08_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    is_t = lambda t: F.col("event_type") == t  # noqa: E731
+    s1 = e.withColumn("first_view", F.min(F.when(is_t("view"), F.col("ts"))).over(w))
+    s2 = s1.withColumn(
+        "first_click",
+        F.min(F.when(is_t("click") & (F.col("ts") > F.col("first_view")), F.col("ts"))).over(w),
+    )
+    s3 = s2.withColumn(
+        "first_purchase",
+        F.min(F.when(is_t("purchase") & (F.col("ts") > F.col("first_click")), F.col("ts"))).over(w),
+    )
+    per_user = s3.groupBy("user_id").agg(
+        F.max("first_view").alias("v"),
+        F.max("first_click").alias("c"),
+        F.max("first_purchase").alias("p"),
+    )
+    # integer-second delay sums: exact cross-engine (no float aggregation)
+    delay = lambda a, b: F.unix_timestamp(b) - F.unix_timestamp(a)  # noqa: E731
+    return per_user.agg(
+        F.count("v").alias("n_viewed"),
+        F.count("c").alias("n_clicked"),
+        F.count("p").alias("n_purchased"),
+        F.sum(F.when(F.col("c").isNotNull(), delay(F.col("v"), F.col("c"))))
+        .cast("bigint")
+        .alias("click_delay_sec"),
+        F.sum(F.when(F.col("p").isNotNull(), delay(F.col("c"), F.col("p"))))
+        .cast("bigint")
+        .alias("purchase_delay_sec"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# e09 — weekly cohort retention: users are cohorted by the ISO week of
+# their first event; each (cohort_week, week_offset) cell counts the
+# distinct users active that many weeks later.
+#
+# Scale shape: cohorting is one groupBy(user_id); activity rejoins on
+# user_id (co-partitioned shuffle join, both sides hashed the same way);
+# the cell count pre-aggregates (user, cohort, offset) DISTINCT before
+# the cell groupBy, so the wide shuffle carries one row per active
+# user-week, never per event. No driver-side collection anywhere.
+# ---------------------------------------------------------------------------
+@register(
+    "e09_cohort_retention",
+    oracle="""
+    WITH cohorts AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    active AS (
+      SELECT DISTINCT e.user_id, c.cohort_week,
+        CAST(date_diff('day', c.cohort_week, date_trunc('week', e.ts)) // 7 AS INT)
+          AS week_offset
+      FROM events e JOIN cohorts c USING (user_id)
+    ),
+    sized AS (
+      SELECT cohort_week, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS cohort_size
+      FROM cohorts GROUP BY cohort_week
+    )
+    SELECT a.cohort_week, a.week_offset,
+      CAST(COUNT(*) AS BIGINT) AS n_active,
+      CAST(COUNT(*) AS DOUBLE) / CAST(s.cohort_size AS DOUBLE) AS retention
+    FROM active a JOIN sized s USING (cohort_week)
+    GROUP BY a.cohort_week, a.week_offset, s.cohort_size
+    ORDER BY cohort_week, week_offset
+    """,
+)
+def e09_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    cohorts = e.groupBy("user_id").agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    active = (
+        e.join(cohorts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                / F.lit(7)
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    sized = cohorts.groupBy("cohort_week").agg(
+        F.countDistinct("user_id").alias("cohort_size")
+    )
+    return (
+        active.groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").alias("n_active"))
+        .join(sized, "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            (F.col("n_active").cast("double") / F.col("cohort_size").cast("double")).alias(
+                "retention"
+            ),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )

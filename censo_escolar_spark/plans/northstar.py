@@ -1295,3 +1295,66 @@ def t17_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_offsets(
         base, "doc_id", "n_tokens", capacity=2048, stream_cols=["lang"]
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# s07 — nearest-centroid cluster profile (the assignment half of k-means
+# / SemDeDup cell statistics): every embedding is assigned to its
+# nearest of 8 FIXED centroids (the vec_id < 8 vectors — deterministic,
+# so the DuckDB brute-force oracle can replicate the assignment), then
+# each cluster is profiled (size, mean cosine-to-centroid, mean label).
+#
+# The Lloyd's-iteration training path is the same machinery with moving
+# centroids (similarity.train_centroids, exercised by s04/s05 and
+# tests/test_similarity_ivf.py); it has no SQL oracle because the
+# iteration is not SQL-expressible.
+#
+# Scale shape: assignment is one GEMM per Arrow batch against an 8×64
+# broadcast constant; the profile is a partial-aggregated groupBy on an
+# 8-value key. One pass over the corpus, one 8-row shuffle.
+# ---------------------------------------------------------------------------
+@register(
+    "s07_cluster_profile",
+    oracle="""
+    WITH c AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 8
+    ),
+    e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS (
+      SELECT e.vec_id, e.label, c.cid,
+        list_dot_product(e.v, c.cv)
+          / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+          AS cos,
+        row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY list_dot_product(e.v, c.cv)
+            / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+            DESC, c.cid ASC) AS rn
+      FROM e CROSS JOIN c
+    )
+    SELECT CAST(cid AS INT) AS cluster_id,
+      CAST(COUNT(*) AS BIGINT) AS n_vectors,
+      AVG(cos) AS avg_cos,
+      AVG(CAST(label AS DOUBLE)) AS avg_label
+    FROM scored WHERE rn = 1
+    GROUP BY cid
+    ORDER BY cluster_id
+    """,
+)
+def s07_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = (
+        emb.filter(F.col("vec_id") < 8).orderBy("vec_id").select("embedding").collect()
+    )  # 8×64 floats — constant-sized driver pull, broadcast into the UDF
+    centroids = np.array([r.embedding for r in seeds], dtype=np.float64)
+    assigned = similarity.ivf_assign(emb, centroids, include_score=True)
+    return (
+        assigned.groupBy(F.col("__centroid_id").alias("cluster_id"))
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.avg("__centroid_cos").alias("avg_cos"),
+            F.avg(F.col("label").cast("double")).alias("avg_label"),
+        )
+        .orderBy("cluster_id")
+    )

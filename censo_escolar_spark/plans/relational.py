@@ -1396,3 +1396,228 @@ def q43_zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         zy.alias("zy"),
         zorder_value([zx, zy], bits=8).alias("zval"),
     ).orderBy("l_orderkey", "l_linenumber")
+
+
+# ---------------------------------------------------------------------------
+# q44 — "sole failing supplier" (TPC-H Q21 shape, adapted to this schema:
+# l_returnflag = 'R' plays the late-delivery role): suppliers with a
+# returned line on a multi-supplier order where NO other supplier on
+# that order also had a returned line. EXISTS → left-semi self-join,
+# NOT EXISTS → left-anti self-join.
+#
+# Scale shape: both self-joins hash on l_orderkey only, and the inputs
+# are pre-DISTINCTed (orderkey, suppkey) pairs — one row per supplier
+# per order, never per line. Three shuffles total, all on the same key,
+# so AQE can reuse the exchange; the supplier dim joins broadcast.
+# ---------------------------------------------------------------------------
+@register(
+    "q44_sole_failing_supplier",
+    oracle="""
+    WITH su AS (
+      SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+    ),
+    failed AS (
+      SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+    ),
+    sole AS (
+      SELECT f.l_orderkey, f.l_suppkey FROM failed f
+      WHERE EXISTS (SELECT 1 FROM su o
+                    WHERE o.l_orderkey = f.l_orderkey AND o.l_suppkey <> f.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM failed o2
+                        WHERE o2.l_orderkey = f.l_orderkey
+                          AND o2.l_suppkey <> f.l_suppkey)
+    )
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM sole JOIN supplier s ON s.s_suppkey = sole.l_suppkey
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def q44_sole_failing_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    su = li.select("l_orderkey", "l_suppkey").distinct()
+    failed = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey").distinct()
+    other = su.withColumnRenamed("l_suppkey", "o_suppkey")
+    other_failed = failed.withColumnRenamed("l_suppkey", "o_suppkey")
+    sole = (
+        failed.join(
+            other,
+            (failed.l_orderkey == other.l_orderkey)
+            & (F.col("l_suppkey") != F.col("o_suppkey")),
+            "left_semi",
+        )
+        .join(
+            other_failed,
+            (failed.l_orderkey == other_failed.l_orderkey)
+            & (F.col("l_suppkey") != F.col("o_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        sole.join(F.broadcast(sup), sole.l_suppkey == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q45 — gaps-and-islands: per customer, runs of CONSECUTIVE months with
+# at least one order (island id = month_index − row_number — constant
+# within a run). Exercises the sessionize-without-session_window idiom.
+#
+# Scale shape: one distinct + one window + one agg, all partitioned by
+# o_custkey — a single shuffle; month indexes are exact ints.
+# ---------------------------------------------------------------------------
+@register(
+    "q45_order_streaks",
+    oracle="""
+    WITH mo AS (
+      SELECT DISTINCT o_custkey,
+        CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS mo_idx
+      FROM orders
+    ),
+    isl AS (
+      SELECT o_custkey, mo_idx,
+        mo_idx - row_number() OVER (PARTITION BY o_custkey ORDER BY mo_idx)
+          AS island
+      FROM mo
+    ),
+    runs AS (
+      SELECT o_custkey, island, CAST(COUNT(*) AS BIGINT) AS run_len
+      FROM isl GROUP BY o_custkey, island
+    )
+    SELECT o_custkey,
+      CAST(COUNT(*) AS BIGINT) AS n_streaks,
+      CAST(MAX(run_len) AS BIGINT) AS longest_streak
+    FROM runs GROUP BY o_custkey
+    ORDER BY o_custkey
+    """,
+)
+def q45_order_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    mo = o.select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("bigint").alias("mo_idx"),
+    ).distinct()
+    w = Window.partitionBy("o_custkey").orderBy("mo_idx")
+    runs = (
+        mo.withColumn("island", F.col("mo_idx") - F.row_number().over(w))
+        .groupBy("o_custkey", "island")
+        .agg(F.count("*").alias("run_len"))
+    )
+    return (
+        runs.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_streaks"),
+            F.max("run_len").alias("longest_streak"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q46 — exact median (interpolating percentile) + DETERMINISTIC mode per
+# group. Engines disagree on mode tie-breaks, so the mode is computed
+# explicitly: most frequent quantity, smallest value on ties — a
+# count + max_by(struct) two-level aggregation, exact in both engines.
+#
+# Scale shape: the mode path is two partial-aggregated groupBys keyed by
+# (returnflag, quantity) then (returnflag); the median is Spark's
+# percentile — a per-group exact computation that holds only group-local
+# state. No global single-partition stage anywhere.
+# ---------------------------------------------------------------------------
+@register(
+    "q46_median_mode",
+    oracle="""
+    WITH counts AS (
+      SELECT l_returnflag, l_quantity, CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY l_returnflag, l_quantity
+    ),
+    modes AS (
+      SELECT l_returnflag, l_quantity AS mode_qty FROM (
+        SELECT l_returnflag, l_quantity,
+          row_number() OVER (PARTITION BY l_returnflag
+                             ORDER BY n DESC, l_quantity ASC) AS rn
+        FROM counts
+      ) WHERE rn = 1
+    ),
+    med AS (
+      SELECT l_returnflag,
+        median(l_extendedprice) AS median_price,
+        CAST(COUNT(*) AS BIGINT) AS n_lines
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT m.l_returnflag, med.median_price, m.mode_qty, med.n_lines
+    FROM modes m JOIN med USING (l_returnflag)
+    ORDER BY l_returnflag
+    """,
+)
+def q46_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(F.count("*").alias("n"))
+    # max over (n, -quantity) == most frequent, smallest value on ties
+    modes = counts.groupBy("l_returnflag").agg(
+        (
+            F.max_by(-F.col("l_quantity"), F.struct(F.col("n"), (-F.col("l_quantity")).alias("negq")))
+            * -1
+        ).alias("mode_qty")
+    )
+    med = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("median_price"),
+        F.count("*").alias("n_lines"),
+    )
+    return (
+        modes.join(med, "l_returnflag")
+        .select("l_returnflag", "median_price", "mode_qty", "n_lines")
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q47 — equi-width histogram of order totals: 10 buckets spanning the
+# global [min, max], bucket index computed with the SAME double formula
+# in both engines (floor((v−min)/(max−min)·10), clamped) so boundaries
+# can't drift cross-engine.
+#
+# Scale shape: the global min/max is a 2-value aggregate broadcast back
+# over the fact table (crossJoin of a 1-row side → BroadcastNestedLoop
+# over ONE row, free); the histogram itself is a partial-aggregated
+# groupBy on a 10-value key. Two passes over orders, no sort.
+# ---------------------------------------------------------------------------
+@register(
+    "q47_price_histogram",
+    oracle="""
+    WITH bounds AS (
+      SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders
+    )
+    SELECT
+      CAST(LEAST(floor((o_totalprice - lo) / (hi - lo) * 10), 9) AS INT) AS bucket,
+      CAST(COUNT(*) AS BIGINT) AS n_orders,
+      MIN(o_totalprice) AS bucket_min,
+      MAX(o_totalprice) AS bucket_max
+    FROM orders, bounds
+    GROUP BY 1
+    ORDER BY bucket
+    """,
+)
+def q47_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    bounds = o.agg(F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi"))
+    bucket = F.least(
+        F.floor((F.col("o_totalprice") - F.col("lo")) / (F.col("hi") - F.col("lo")) * 10),
+        F.lit(9),
+    ).cast("int")
+    return (
+        o.crossJoin(F.broadcast(bounds))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("o_totalprice").alias("bucket_min"),
+            F.max("o_totalprice").alias("bucket_max"),
+        )
+        .orderBy("bucket")
+    )
