@@ -403,3 +403,39 @@ def simhash_bands(col: Column, n_bands: int = 4) -> Column:
             for i in range(n_bands)
         ]
     )
+
+
+# --- readability -----------------------------------------------------------
+
+#: Sentence terminators (a run counts once) and syllable proxy (vowel
+#: groups per lowercased text). Both patterns are RE2-safe and shared
+#: verbatim with the DuckDB oracles so the engines can never drift.
+SENTENCE_RE = r"[.!?]+"
+SYLLABLE_RE = r"[aeiouy]+"
+
+
+def sentence_count(col: str | Column) -> Column:
+    """Number of sentence-terminator runs (min 1 — headline-style text
+    with no terminal punctuation still reads as one sentence)."""
+    return F.greatest(F.regexp_count(F.col(col) if isinstance(col, str) else col,
+                                     F.lit(SENTENCE_RE)), F.lit(1)).cast("bigint")
+
+
+def syllable_count(col: str | Column) -> Column:
+    """Vowel-group syllable proxy — the standard closed-form estimator
+    (exact syllabification needs a dictionary; the proxy is monotone
+    with it and identical cross-engine)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(F.lower(c), F.lit(SYLLABLE_RE)).cast("bigint")
+
+
+def flesch_reading_ease(col: str | Column) -> Column:
+    """Flesch reading ease: 206.835 − 1.015·(words/sentences) −
+    84.6·(syllables/words). All three counts are codegen regex/split
+    expressions — one pass over the text, no Python."""
+    words = token_count(col).cast("double")
+    sents = sentence_count(col).cast("double")
+    sylls = syllable_count(col).cast("double")
+    return (
+        F.lit(206.835) - F.lit(1.015) * (words / sents) - F.lit(84.6) * (sylls / words)
+    )

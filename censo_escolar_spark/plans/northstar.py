@@ -1358,3 +1358,76 @@ def s07_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# t18 — readability scoring (Flesch reading ease over the closed-form
+# vowel-group syllable proxy). Words/sentences/syllables are all codegen
+# regex counts — one scan, no shuffle except the output sort; the same
+# patterns are embedded verbatim in the oracle.
+# ---------------------------------------------------------------------------
+@register(
+    "t18_readability",
+    oracle=f"""
+    SELECT doc_id,
+      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+      CAST(greatest(len(regexp_extract_all(text, '{T.SENTENCE_RE}')), 1) AS BIGINT)
+        AS n_sentences,
+      CAST(len(regexp_extract_all(lower(text), '{T.SYLLABLE_RE}')) AS BIGINT)
+        AS n_syllables,
+      206.835
+        - 1.015 * (CAST(len(string_split(text, ' ')) AS DOUBLE)
+                   / CAST(greatest(len(regexp_extract_all(text, '{T.SENTENCE_RE}')), 1) AS DOUBLE))
+        - 84.6 * (CAST(len(regexp_extract_all(lower(text), '{T.SYLLABLE_RE}')) AS DOUBLE)
+                  / CAST(len(string_split(text, ' ')) AS DOUBLE))
+        AS flesch
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def t18_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count("text").cast("bigint").alias("n_words"),
+        T.sentence_count("text").alias("n_sentences"),
+        T.syllable_count("text").alias("n_syllables"),
+        T.flesch_reading_ease("text").alias("flesch"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# s08 — matryoshka retrieval eval: brute-force top-k over embeddings
+# TRUNCATED to their first 16 dimensions (matryoshka-style dimension
+# reduction: rankings under cosine are scale-invariant, so truncation
+# without renormalization evaluates exactly what a 16-dim index would
+# return). Reuses the s01 cosine_topk machinery on a sliced column —
+# the Spark-side cost drops 4× with the dimension, same as at scale.
+# ---------------------------------------------------------------------------
+@register(
+    "s08_matryoshka_topk",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, (embedding::DOUBLE[])[1:16] AS v FROM embeddings
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        list_dot_product(q.v, c.v) /
+          (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+      FROM e q JOIN e c ON q.vec_id != c.vec_id
+      WHERE q.vec_id < 8
+    )
+    SELECT query_id, neighbor_id, cos, CAST(rnk AS INTEGER) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+      FROM scored
+    )
+    WHERE rnk <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def s08_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb16 = emb.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
+    queries = emb16.filter(F.col("vec_id") < 8)
+    return similarity.cosine_topk(emb16, queries, k=5).orderBy("query_id", "rank")
