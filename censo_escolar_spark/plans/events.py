@@ -467,3 +467,60 @@ def e09_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+# ---------------------------------------------------------------------------
+# e10 — last-touch attribution: each purchase is attributed to the most
+# recent click at-or-before it by the same user; the click's channel is
+# derived from its JSON props (get_json_object → int → bucket), and
+# revenue rolls up per channel. Composes the as-of join operator with
+# semi-structured extraction; un-attributed purchases (no prior click)
+# land in channel 'organic'.
+#
+# Scale shape: the as-of join is operators/asof.py's union+carry-forward
+# — ONE shuffle on user_id, no range join; the channel rollup is a
+# partial-aggregated groupBy on a 4-value key.
+# ---------------------------------------------------------------------------
+@register(
+    "e10_last_touch_attribution",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, ts AS click_ts,
+        'ch' || CAST(CAST(json_extract_string(props, '$.k') AS INT) % 3 AS VARCHAR)
+          AS channel
+      FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    )
+    SELECT COALESCE(c.channel, 'organic') AS channel,
+      CAST(COUNT(*) AS BIGINT) AS n_purchases,
+      CAST(SUM(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE) AS attributed_value
+    FROM purchases p
+    ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.click_ts
+    GROUP BY 1
+    ORDER BY channel
+    """,
+)
+def e10_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from censo_escolar_spark.operators.asof import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.concat(
+            F.lit("ch"),
+            (F.get_json_object("props", "$.k").cast("int") % 3).cast("string"),
+        ).alias("channel"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    return (
+        asof_join(purchases, clicks, on="user_id", left_ts="ts", right_ts="click_ts")
+        .groupBy(F.coalesce("channel", F.lit("organic")).alias("channel"))
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("attributed_value"),
+        )
+        .orderBy("channel")
+    )

@@ -1431,3 +1431,67 @@ def s08_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb16 = emb.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
     queries = emb16.filter(F.col("vec_id") < 8)
     return similarity.cosine_topk(emb16, queries, k=5).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# t20 — distribution-relative quality filtering: keep the top half of
+# each language by quality score (avg token length), the rank-based
+# form of "keep docs above the per-group median". Rank semantics are
+# exact integers — no cross-engine float-boundary membership flips at
+# the median, which interpolating-quantile filters are exposed to.
+#
+# Scale shape: one window per lang partition (bounded fan-in groups) —
+# a single shuffle on lang; the score is a closed-form codegen
+# expression, identical IEEE ops in both engines.
+# ---------------------------------------------------------------------------
+@register(
+    "t20_top_half_quality",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang,
+        CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+          / CAST(len(string_split(text, ' ')) AS DOUBLE) AS score
+      FROM documents
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY lang ORDER BY score DESC, doc_id)
+          AS rn,
+        COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM scored
+    )
+    SELECT doc_id, lang, score
+    FROM ranked WHERE rn <= CAST(ceil(n / 2.0) AS BIGINT)
+    ORDER BY doc_id
+    """,
+)
+def t20_top_half_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select("doc_id", "lang", T.avg_token_len("text").alias("score"))
+    w = Window.partitionBy("lang")
+    ranked = scored.select(
+        "*",
+        F.row_number().over(w.orderBy(F.desc("score"), F.asc("doc_id"))).alias("rn"),
+        F.count("*").over(w).alias("n"),
+    )
+    return (
+        ranked.filter(F.col("rn") <= F.ceil(F.col("n") / 2.0).cast("bigint"))
+        .select("doc_id", "lang", "score")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# t19 — BPE vocabulary training (operators/bpe.py): 8 merge rounds over
+# the documents corpus, returning the ranked merge table. Inherently
+# iterative (each round's pair statistics depend on the previous
+# round's rewrite), so no SQL oracle exists — the registry entry is
+# rows-only by design; the algorithm is pinned against a pure-Python
+# BPE reference implementation in tests/test_bpe.py.
+# ---------------------------------------------------------------------------
+@register("t19_bpe_vocab")
+def t19_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from censo_escolar_spark.operators import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe.train_bpe_merges(docs, n_merges=8)
+    return bpe.merges_df(spark, merges).orderBy("rank")
