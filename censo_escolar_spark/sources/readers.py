@@ -170,3 +170,68 @@ def load_binary_files(
     if max_bytes_per_partition is not None:
         reader = reader.option("maxPartitionBytes", str(max_bytes_per_partition))
     return reader.load(path)
+
+
+def read_with_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    *,
+    format: str = "csv",
+    corrupt_col: str = "_corrupt_record",
+    **options,
+) -> tuple[DataFrame, DataFrame]:
+    """Robust text-format scan: returns (good, quarantine).
+
+    PERMISSIVE mode with an explicit corrupt-record column — rows whose
+    raw line can't satisfy the schema survive as a single raw-text cell
+    instead of killing the job (at 100 TB there is ALWAYS a malformed
+    line; FAILFAST is not an option and silent DROPMALFORMED destroys
+    auditability). ``good`` is schema-clean with the marker dropped;
+    ``quarantine`` carries the raw offending lines for replay/repair —
+    the open-source analogue of a bad-records sink.
+
+    The corrupt column must be part of the read schema (Spark only
+    populates it when declared). The parsed frame is cached before the
+    split: Spark disallows plans whose required schema is ONLY the
+    corrupt column (QUERY_ONLY_CORRUPT_RECORD_COLUMN — the raw-text
+    parse would otherwise re-run per query with different pruning), and
+    materializing once is also the right shape at scale — parse the
+    text ONCE, then both the clean table and the quarantine derive from
+    the materialized parse instead of re-scanning raw text. Caller owns
+    ``good.unpersist()`` when done (either handle reaches the shared
+    cache entry); production pipelines should land ``good`` to parquet
+    and replay ``quarantine`` after repair.
+    """
+    if corrupt_col not in schema.fieldNames():
+        schema = StructType(schema.fields).add(corrupt_col, "string")
+    reader = (
+        spark.read.format(format)
+        .schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+    )
+    if format == "csv":
+        reader = reader.option("header", True)
+    df = reader.options(**options).load(path).cache()
+    good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    quarantine = df.filter(F.col(corrupt_col).isNotNull()).select(
+        F.col(corrupt_col).alias("raw_record")
+    )
+    return good, quarantine
+
+
+def read_parquet_evolving(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan with schema evolution (``mergeSchema``).
+
+    The reference absorbs 10 years of schema drift by forcing one wide
+    schema over every year (SURVEY §1: the 2020 schema reused for
+    2011-2019, missing fields null-padded). For parquet sinks written
+    per-partition over time the Spark-native equivalent is a merged-
+    footer read: the scan schema is the UNION of every file's fields,
+    files lacking a column yield NULLs — same null-padding semantics
+    without a hand-maintained master schema. Footer merging costs one
+    distributed metadata pass, so it's opt-in here rather than a global
+    conf.
+    """
+    return spark.read.option("mergeSchema", True).parquet(path)
