@@ -524,3 +524,39 @@ def e10_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# ---------------------------------------------------------------------------
+# e11 — incremental rollup maintenance (operators/rollup.py): history
+# (days 1-14) is pre-aggregated into mergeable partials, the delta
+# (day 15+) folds in WITHOUT reprocessing history, derived measures
+# come from the merged partials. The oracle is the full recompute — the
+# incremental path must be indistinguishable from it.
+# ---------------------------------------------------------------------------
+@register(
+    "e11_incremental_rollup",
+    oracle="""
+    SELECT user_id, event_type,
+      CAST(COUNT(*) AS BIGINT) AS n,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        / CAST(COUNT(*) AS DOUBLE) AS mean,
+      MIN(value) AS vmin,
+      MAX(value) AS vmax
+    FROM events
+    GROUP BY user_id, event_type
+    ORDER BY user_id, event_type
+    """,
+)
+def e11_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from censo_escolar_spark.operators import rollup
+
+    e = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-15").cast("timestamp")
+    history = rollup.partials(
+        e.filter(F.col("ts") < cutoff), ["user_id", "event_type"], "value"
+    )
+    delta = rollup.partials(
+        e.filter(F.col("ts") >= cutoff), ["user_id", "event_type"], "value"
+    )
+    return rollup.finalize(rollup.merge(history, delta)).orderBy("user_id", "event_type")

@@ -166,3 +166,46 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def idempotent_parquet_sink(
+    df: DataFrame,
+    *,
+    path: str,
+    checkpoint: str,
+    partition_cols: list[str] | None = None,
+) -> None:
+    """Exactly-once parquet sink via ``foreachBatch`` + batch-id
+    partition overwrite.
+
+    Structured Streaming's contract is at-least-once per micro-batch on
+    failure/retry: ``foreachBatch`` may re-run with the SAME batch_id.
+    Writing each batch under ``__batch_id=<id>`` with DYNAMIC partition
+    overwrite makes the retry land on the very same partition it half-
+    wrote, replacing it — a replayed batch can never duplicate rows.
+    The batch column also gives downstream consumers replay provenance
+    (the streaming analogue of the reference's O1 year-idempotency:
+    re-running a year replaces that year, never appends it twice).
+
+    Scale notes: dynamic overwrite touches ONLY the partitions present
+    in the incoming batch; other partitions (historical batches) are
+    never listed or rewritten.
+    """
+    cols = partition_cols or []
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("__batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch_id", *cols)
+            .parquet(path)
+        )
+
+    q = (
+        df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -253,3 +253,47 @@ def test_curation_functions_compose_with_streams(spark, tmp_path):
     }
     assert got[1] == ("contact me at <EMAIL> or <IP>\n\nreal content", 1)
     assert got[2] == ("clean document with nothing to redact at all", 0)
+
+
+def test_idempotent_sink_exactly_once(spark, tmp_path):
+    """Retried/re-run batches replace their partition — never append."""
+    import pyspark.sql.functions as F
+
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    batch1 = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "event_id long, event_type string, value double"
+    )
+    batch1.write.parquet(src)
+    stream = spark.readStream.schema(batch1.schema).parquet(src)
+    W.idempotent_parquet_sink(stream, path=out, checkpoint=ckpt)
+    first = spark.read.parquet(out)
+    assert first.count() == 2
+
+    # re-running the SAME drained stream (same checkpoint) writes nothing
+    stream = spark.readStream.schema(batch1.schema).parquet(src)
+    W.idempotent_parquet_sink(stream, path=out, checkpoint=ckpt)
+    assert spark.read.parquet(out).count() == 2
+
+    # a retry of batch 0 (fresh checkpoint, same input) OVERWRITES the
+    # __batch_id=0 partition instead of duplicating it
+    W.idempotent_parquet_sink(
+        spark.readStream.schema(batch1.schema).parquet(src),
+        path=out,
+        checkpoint=str(tmp_path / "ck2"),
+    )
+    again = spark.read.parquet(out)
+    assert again.count() == 2
+    assert [r[0] for r in again.select(F.col("__batch_id")).distinct().collect()] == [0]
+
+    # new data under a NEW batch id lands alongside, old batch untouched
+    spark.createDataFrame(
+        [(3, "c", 3.0)], "event_id long, event_type string, value double"
+    ).write.mode("append").parquet(src)
+    W.idempotent_parquet_sink(
+        spark.readStream.schema(batch1.schema).parquet(src),
+        path=out,
+        checkpoint=ckpt,
+    )
+    final = spark.read.parquet(out)
+    assert final.count() == 3
+    assert final.filter(F.col("event_id") == 3).count() == 1
