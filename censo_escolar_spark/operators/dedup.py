@@ -763,3 +763,56 @@ def winnow_fingerprints(
         )
         .distinct()
     )
+
+
+def strip_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_len: int = 8,
+) -> DataFrame:
+    """Apply-side of ``duplicate_spans``: remove every duplicated maximal
+    span's tokens from each document, keeping the remainder in order
+    (span-stripping per "Deduplicating Training Data Makes Language
+    Models Better" — the doc survives, the verbatim-shared substring
+    does not).
+
+    Scale shape: tokens posexplode to (id, pos, tok) — narrow rows; the
+    span filter is a left-anti join whose equi key is the doc id (the
+    in-span range predicate rides along inside the same hash join, one
+    shuffle); reassembly is one groupBy(id) over sort_array(collect_list)
+    — the same single-doc-partition reduction every per-doc text op
+    here uses. Docs with no duplicated spans pass through verbatim.
+    """
+    spans = duplicate_spans(df, id_col, text_col, min_len=min_len)
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
+    )
+    sp = spans.select(F.col(id_col).alias("__sid"), "span_start", "span_end")
+    kept = toks.join(
+        sp,
+        (toks[id_col] == F.col("__sid"))
+        & (F.col("pos") >= F.col("span_start"))
+        & (F.col("pos") <= F.col("span_end")),
+        "left_anti",
+    )
+    before = df.select(
+        F.col(id_col), F.size(F.split(F.col(text_col), " ")).alias("n_tokens_before")
+    )
+    after = kept.groupBy(id_col).agg(
+        F.count("*").cast("int").alias("n_tokens_after"),
+        F.concat_ws(
+            " ", F.transform(F.sort_array(F.collect_list(F.struct("pos", "tok"))), lambda s: s.tok)
+        ).alias("stripped_text"),
+    )
+    return (
+        before.join(after, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens_before",
+            F.coalesce("n_tokens_after", F.lit(0)).cast("int").alias("n_tokens_after"),
+            F.coalesce("stripped_text", F.lit("")).alias("stripped_text"),
+        )
+    )

@@ -1495,3 +1495,63 @@ def t19_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     merges = bpe.train_bpe_merges(docs, n_merges=8)
     return bpe.merges_df(spark, merges).orderBy("rank")
+
+
+# ---------------------------------------------------------------------------
+# d11 — span-stripping (apply side of d10): duplicated maximal spans are
+# removed token-wise, everything else survives in order. The oracle
+# recomputes d10's spans and deletes covered positions with NOT EXISTS
+# + ordered string_agg.
+# ---------------------------------------------------------------------------
+_D11_ORACLE = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+g AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+7], ' ') AS w
+  FROM toks, UNNEST(range(1, len(t)-6)) AS u(i)
+),
+dup AS (
+  SELECT w FROM (SELECT DISTINCT doc_id, w FROM g)
+  GROUP BY w HAVING COUNT(*) >= 2
+),
+dw AS (SELECT doc_id, pos FROM g JOIN dup USING (w)),
+isl AS (
+  SELECT doc_id, pos,
+    CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+      THEN 0 ELSE 1 END AS brk
+  FROM dw
+),
+isl2 AS (
+  SELECT doc_id, pos,
+    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS grp
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, MIN(pos) AS s, MAX(pos) + 7 AS e FROM isl2 GROUP BY doc_id, grp
+),
+tpos AS (
+  SELECT doc_id, t[i] AS tok, i - 1 AS pos
+  FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)
+),
+kept AS (
+  SELECT * FROM tpos k
+  WHERE NOT EXISTS (SELECT 1 FROM spans sp
+                    WHERE sp.doc_id = k.doc_id AND k.pos BETWEEN sp.s AND sp.e)
+)
+SELECT d.doc_id,
+  CAST(len(t.t) AS INTEGER) AS n_tokens_before,
+  CAST(COALESCE(kc.n, 0) AS INTEGER) AS n_tokens_after,
+  COALESCE(kc.txt, '') AS stripped_text
+FROM documents d
+JOIN toks t USING (doc_id)
+LEFT JOIN (
+  SELECT doc_id, COUNT(*) AS n, string_agg(tok, ' ' ORDER BY pos) AS txt
+  FROM kept GROUP BY doc_id
+) kc USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+@register("d11_strip_spans", oracle=_D11_ORACLE)
+def d11_strip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.strip_spans(docs, "doc_id", "text", min_len=8).orderBy("doc_id")

@@ -1621,3 +1621,66 @@ def q47_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# q48 — data-quality audit (operators/quality.py): row-level
+# expectations batched into ONE scan per table (conditional sums),
+# duplicate-key and referential-integrity checks as aggregates/anti-
+# joins, stacked into a (check, violations, total, ok) gate report.
+# ---------------------------------------------------------------------------
+@register(
+    "q48_data_quality_report",
+    oracle="""
+    WITH rows_o AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS total,
+        CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS nn_cust,
+        CAST(SUM(CASE WHEN o_totalprice NOT BETWEEN 0 AND 1000000
+                      OR o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS rng_price,
+        CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                      OR o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS acc_status
+      FROM orders
+    ),
+    uniq AS (
+      SELECT CAST(COALESCE(SUM(c - 1), 0) AS BIGINT) AS violations,
+        CAST(COALESCE(SUM(c), 0) AS BIGINT) AS total
+      FROM (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey)
+    ),
+    refc AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS violations,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS total
+      FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderkey IS NULL
+    )
+    SELECT * FROM (
+      SELECT 'o_custkey_not_null' AS "check", nn_cust AS violations, total,
+        nn_cust = 0 AS ok FROM rows_o
+      UNION ALL
+      SELECT 'o_totalprice_in_range', rng_price, total, rng_price = 0 FROM rows_o
+      UNION ALL
+      SELECT 'o_orderstatus_accepted', acc_status, total, acc_status = 0 FROM rows_o
+      UNION ALL
+      SELECT 'o_orderkey_unique', violations, total, violations = 0 FROM uniq
+      UNION ALL
+      SELECT 'lineitem_orderkey_ref', violations, total, violations = 0 FROM refc
+    ) ORDER BY "check"
+    """,
+)
+def q48_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from censo_escolar_spark.operators import quality as Q
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    nn = Q.null_check("o_custkey")
+    rng = ("o_totalprice_in_range",
+           ~F.col("o_totalprice").between(0, 1000000) | F.col("o_totalprice").isNull())
+    acc = ("o_orderstatus_accepted",
+           ~F.col("o_orderstatus").isin(["O", "F", "P"]) | F.col("o_orderstatus").isNull())
+    return Q.report(
+        Q.row_checks(o, [nn, rng, acc]),
+        Q.unique_check(o, ["o_orderkey"], "o_orderkey_unique"),
+        Q.referential_check(li, o, [("l_orderkey", "o_orderkey")], "lineitem_orderkey_ref"),
+    ).orderBy("check")
