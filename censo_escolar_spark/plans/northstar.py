@@ -1555,3 +1555,86 @@ ORDER BY doc_id
 def d11_strip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dedup.strip_spans(docs, "doc_id", "text", min_len=8).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# c02 — the END-TO-END corpus curation pipeline (etl/corpus_job.curate):
+# boilerplate strip → closed-form quality filter → minhash near-dedup →
+# enrichment → content-hash split, in ONE oracle composed from the
+# already-verified stage fragments (t11 strip, t06 quality, d09
+# closure, t15 split). The minhash path's recall-1 argument is d09's —
+# same corpus, same threshold, candidates exact-verified.
+# ---------------------------------------------------------------------------
+_C02_ORACLE = f"""
+WITH RECURSIVE clean AS (
+  SELECT doc_id, lang, regexp_replace(text, '{T.BOILERPLATE_RE}', '', 'g') AS text
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, lang, text,
+    len(string_split(text, ' ')) AS n_tok,
+    (length(text) - (len(string_split(text, ' ')) - 1)) * 1.0
+      / len(string_split(text, ' ')) AS avg_len,
+    (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0
+      / length(text) AS dig_ratio
+  FROM clean
+),
+keepq AS (
+  SELECT * FROM scored
+  WHERE n_tok >= 10 AND dig_ratio <= 0.3 AND avg_len >= 2.0
+),
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM keepq),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM toks, UNNEST(range(1, len(t)-1)) AS u(i)
+),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sz sa ON sa.doc_id = id_a
+  JOIN sz sb ON sb.doc_id = id_b
+  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+comp AS (
+  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+  FROM reach GROUP BY src
+)
+SELECT k.doc_id, k.lang,
+  CAST(COALESCE(c.cluster_id, k.doc_id) AS BIGINT) AS cluster_id,
+  CAST(k.n_tok AS BIGINT) AS n_tokens,
+  k.avg_len AS avg_token_len,
+  CASE
+    WHEN ('0x' || substr(md5(k.text), 1, 4))::BIGINT < 52428 THEN 'train'
+    WHEN ('0x' || substr(md5(k.text), 1, 4))::BIGINT < 58982 THEN 'val'
+    ELSE 'test'
+  END AS split
+FROM keepq k LEFT JOIN comp c USING (doc_id)
+WHERE COALESCE(c.cluster_id, k.doc_id) = k.doc_id
+ORDER BY k.doc_id
+"""
+
+
+@register("c02_corpus_curation", oracle=_C02_ORACLE)
+def c02_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from censo_escolar_spark.etl.corpus_job import CorpusJobConfig, curate
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    out = curate(docs, CorpusJobConfig())
+    return out.select(
+        "doc_id", "lang", "cluster_id", "n_tokens", "avg_token_len", "split"
+    ).orderBy("doc_id")
