@@ -119,3 +119,20 @@ def test_on_documents_table(spark, sf_dir):
     # they're all above the floor and the merged symbol grows
     assert all(f >= 2 for _a, _b, _m, f in merges)
     assert all(m == a + b for a, b, m, _f in merges)
+
+
+# --- property: Spark BPE == reference BPE on arbitrary small corpora -------
+
+from hypothesis import given, settings, strategies as st
+
+_word = st.text(alphabet="abcxy", min_size=1, max_size=6)
+_doc = st.lists(_word, min_size=1, max_size=8).map(" ".join)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(_doc, min_size=1, max_size=5))
+def test_property_matches_reference(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    assert bpe.train_bpe_merges(df, n_merges=4, min_freq=2) == _ref_train(
+        texts, 4, min_freq=2
+    )
