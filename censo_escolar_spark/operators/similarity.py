@@ -225,6 +225,8 @@ def train_centroids(
         .select(as_double_array(vec_col).alias("v"))
         .collect()
     )
+    if not seeds:  # empty corpus (pruned partition / fresh tenant): no cells
+        return np.zeros((0, 0))
     centroids = np.vstack([r.v for r in seeds])
     for _ in range(iters):
         assigned = ivf_assign(df, centroids, vec_col=vec_col)
@@ -257,6 +259,8 @@ def ivf_assign(
     np.argmax breaks exact ties toward the LOWEST centroid id, matching
     a SQL ``row_number() ... ORDER BY cos DESC, centroid_id ASC`` oracle.
     """
+    if centroids.size == 0:  # zero cells <=> zero input rows; plan still builds
+        centroids = centroids.reshape(0, 0)
     cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
 
     @pandas_udf("struct<id:int,cos:double>")

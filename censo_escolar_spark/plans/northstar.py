@@ -1069,7 +1069,7 @@ def t14_lm_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = freq.agg(
         F.sum("ctok").alias("n_corpus"), F.count("*").alias("vocab")
     ).collect()[0]
-    n_corpus, vocab = int(tot.n_corpus), int(tot.vocab)
+    n_corpus, vocab = int(tot.n_corpus or 0), int(tot.vocab or 0)
     per = (
         toks.join(freq, "term")
         .groupBy("doc_id")
