@@ -332,7 +332,7 @@ def min_shingle_md5_udf(n: int = 3):
 
     @pandas_udf("string")
     def min_md5(texts: pd.Series) -> pd.Series:
-        return texts.map(_one)
+        return texts.map(_one, na_action="ignore")  # NULL text → NULL sketch
 
     return min_md5
 

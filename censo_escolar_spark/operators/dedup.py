@@ -637,6 +637,8 @@ def _simhash_pack_udf():
     def pack(hashes: pd.Series) -> pd.Series:
         out = np.zeros(len(hashes), dtype=np.int64)
         for i, arr in enumerate(hashes):
+            if arr is None:  # NULL text → hash array NULL → fingerprint 0
+                continue
             h = np.asarray(arr, dtype=np.uint64)
             if not len(h):
                 continue

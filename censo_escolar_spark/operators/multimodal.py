@@ -139,6 +139,9 @@ def decode_media(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # NULL payloads are undecodable — drop them here rather than
+            # kill the task; quarantine upstream if they must be kept.
+            pdf = pdf[pdf[bytes_col].notna()]
             pixels = []
             for payload, fmt in zip(pdf[bytes_col], pdf["__fmt"]):
                 img = decoder(bytes(payload), fmt)

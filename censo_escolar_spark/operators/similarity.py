@@ -36,7 +36,9 @@ from censo_escolar_spark.operators import dedup
 
 
 def _prep(df: DataFrame, id_col: str, vec_col: str, alias: str) -> DataFrame:
-    return df.select(
+    # null vectors can't participate in similarity — drop them BEFORE the
+    # numpy boundary (np.vstack on a None row kills the task at scale)
+    return df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias(f"{alias}_id"),
         as_double_array(vec_col).alias(f"{alias}_v"),
     )
@@ -150,6 +152,7 @@ def cosine_pairs(
     count, then ceil(n / TARGET_BLOCK_ROWS) blocks. Pass an explicit
     ``n_blocks`` to skip the count (e.g. when the caller already knows n).
     """
+    df = df.filter(F.col(vec_col).isNotNull())  # same rule as _prep
     if n_blocks is None:
         n_blocks = auto_n_blocks(df.count())
     v = as_double_array(vec_col)
@@ -219,6 +222,7 @@ def train_centroids(
     groupBy over C×dim keys, trivial at any scale. The quantizer itself
     is tiny (C×dim doubles) and lives on the driver, exactly like a
     broadcast dimension table."""
+    df = df.filter(F.col(vec_col).isNotNull())  # same rule as _prep
     seeds = (
         df.orderBy(id_col)
         .limit(n_centroids)
@@ -259,6 +263,7 @@ def ivf_assign(
     np.argmax breaks exact ties toward the LOWEST centroid id, matching
     a SQL ``row_number() ... ORDER BY cos DESC, centroid_id ASC`` oracle.
     """
+    df = df.filter(F.col(vec_col).isNotNull())  # same rule as _prep
     if centroids.size == 0:  # zero cells <=> zero input rows; plan still builds
         centroids = centroids.reshape(0, 0)
     cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
@@ -299,6 +304,7 @@ def ivf_topk(
     probe is a partition-pruned scan. nprobe = n_centroids degrades to
     exhaustive search (used by the oracle-checked query); recall at
     nprobe < C is asserted in tests against the brute-force baseline."""
+    queries = queries.filter(F.col(vec_col).isNotNull())  # same rule as _prep
     cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
 
     @pandas_udf("array<int>")
@@ -359,6 +365,7 @@ def lsh_bucketed_pairs(
     """
     assert n_planes % n_bands == 0
     rows_per_band = n_planes // n_bands
+    df = df.filter(F.col(vec_col).isNotNull())  # same rule as _prep
     if dim is None:  # one-row peek; pass dim explicitly to skip the job
         head = df.select(vec_col).head(1)
         if not head:  # empty corpus -> no pairs (don't crash on the peek)

@@ -1343,7 +1343,9 @@ def t17_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 def s07_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     seeds = (
         emb.filter(F.col("vec_id") < 8).orderBy("vec_id").select("embedding").collect()
     )  # 8×64 floats — constant-sized driver pull, broadcast into the UDF
