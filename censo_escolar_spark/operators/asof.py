@@ -33,10 +33,16 @@ def asof_join(
     on: str | list[str],
     left_ts: str,
     right_ts: str,
+    tolerance: str | None = None,
 ) -> DataFrame:
     """Backward as-of left join. Right payload columns (everything except
     the key) must not collide with left column names, except that
-    ``right_ts`` may equal ``left_ts`` in name only if distinct columns."""
+    ``right_ts`` may equal ``left_ts`` in name only if distinct columns.
+
+    ``tolerance`` (a SQL interval string, e.g. ``'7 days'``) bounds the
+    lookback: a match older than ``left_ts - tolerance`` is treated as
+    no match (payload NULLs), pandas-merge_asof-style. The bound is a
+    post-projection on the SAME single-shuffle plan — no extra join."""
     keys = [on] if isinstance(on, str) else list(on)
     payload_cols = [c for c in right.columns if c not in keys]
     if not payload_cols:
@@ -54,7 +60,7 @@ def asof_join(
     r = right.filter(F.col(right_ts).isNotNull()).select(
         *keys,
         F.col(right_ts).alias("__ts"),
-        F.struct(*payload_cols).alias("__payload"),
+        F.struct(F.col(right_ts).alias("__rts"), *payload_cols).alias("__payload"),
     ).withColumn("__side", F.lit(0))
     l = left.withColumn("__ts", F.col(left_ts)).withColumn("__side", F.lit(1))
 
@@ -67,8 +73,12 @@ def asof_join(
     )
     filled = unioned.withColumn("__match", F.last("__payload", ignorenulls=True).over(w))
 
+    if tolerance is None:
+        fresh = F.lit(True)
+    else:
+        fresh = F.col("__match.__rts") >= F.col("__ts") - F.expr(f"interval {tolerance}")
     out = filled.filter(F.col("__side") == 1).select(
         *left.columns,
-        *[F.col("__match")[c].alias(c) for c in payload_cols],
+        *[F.when(fresh, F.col("__match")[c]).alias(c) for c in payload_cols],
     )
     return out

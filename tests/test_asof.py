@@ -99,3 +99,38 @@ def test_asof_collision_guard(spark, sides):
     bad_right = right.withColumnRenamed("rval", "tag")  # collides with left
     with pytest.raises(ValueError, match="collide"):
         asof_join(left, bad_right, on="user_id", left_ts="ts", right_ts="rts")
+
+
+def test_tolerance_bounds_lookback(spark):
+    from censo_escolar_spark.operators.asof import asof_join
+    import pyspark.sql.functions as F
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-10 00:00:00"), (2, "2024-01-20 00:00:00")],
+        "id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-08 00:00:00", "recent"), (2, "2024-01-01 00:00:00", "stale")],
+        "id long, rts string, tag string",
+    ).withColumn("rts", F.col("rts").cast("timestamp"))
+    out = {
+        r.id: r.tag
+        for r in asof_join(
+            left, right, on="id", left_ts="ts", right_ts="rts", tolerance="7 days"
+        ).collect()
+    }
+    assert out[1] == "recent"      # 2 days back: inside the window
+    assert out[2] is None          # 19 days back: stale -> no match
+
+
+def test_tolerance_none_keeps_unbounded(spark):
+    from censo_escolar_spark.operators.asof import asof_join
+    import pyspark.sql.functions as F
+
+    left = spark.createDataFrame([(1, "2024-01-20 00:00:00")], "id long, ts string")
+    left = left.withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, "2023-01-01 00:00:00", "ancient")], "id long, rts string, tag string"
+    ).withColumn("rts", F.col("rts").cast("timestamp"))
+    row = asof_join(left, right, on="id", left_ts="ts", right_ts="rts").collect()[0]
+    assert row.tag == "ancient"

@@ -306,3 +306,20 @@ def test_grouped_zscore_constant_group_and_values(spark):
     # group a: mean 15, std 5 -> z = -1, +1; group b constant -> 0.0
     assert got[1] == -1.0 and got[2] == 1.0
     assert got[3] == 0.0 and got[4] == 0.0
+
+
+def test_dedup_giant_cluster(spark):
+    """200 identical docs form ONE cluster with one survivor — the
+    worst-case near-dup clique (candidate fan-out + 1-round closure)."""
+    from censo_escolar_spark.operators.dedup import corpus_dedup
+    import pyspark.sql.functions as F
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the very same document body repeated verbatim many times over").alias(
+            "text"
+        ),
+    )
+    out = corpus_dedup(docs, "doc_id", "text", threshold=0.5)
+    assert out.filter("keep").count() == 1
+    assert out.filter(F.col("cluster_id") == 0).count() == 200

@@ -116,3 +116,25 @@ def test_approx_count_distinct_accuracy(spark, sf_dir):
         F.count_distinct("l_partkey").alias("exact"),
     ).first()
     assert abs(row.approx - row.exact) <= max(2, 0.05 * row.exact)
+
+
+def test_approx_percentile_error_bound(spark, sf_dir):
+    """percentile_approx (GK sketch) can't hash-match an oracle; assert
+    its accuracy-parameter bound against the exact percentile instead
+    (same policy as approx_count_distinct above)."""
+    from pyspark.sql import functions as F
+
+    from censo_escolar_spark.sources.readers import load_table
+
+    l = load_table(spark, sf_dir, "lineitem")
+    row = l.agg(
+        F.percentile_approx("l_extendedprice", 0.5, 100).alias("approx"),
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("exact"),
+        F.count("*").alias("n"),
+    ).first()
+    # GK guarantee: rank error <= n/accuracy; translate to a generous
+    # value-tolerance via the observed spread
+    spread = l.agg(
+        (F.max("l_extendedprice") - F.min("l_extendedprice")).alias("s")
+    ).first().s
+    assert abs(row.approx - row.exact) <= 0.05 * spread
