@@ -1640,3 +1640,64 @@ def c02_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "lang", "cluster_id", "n_tokens", "avg_token_len", "split"
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# s09 — filtered vector search: each query retrieves top-k only among
+# corpus vectors sharing its label (the metadata-predicate + ANN
+# composition every retrieval stack needs — at scale the label is a
+# partition column and the filter prunes partitions BEFORE any distance
+# math). Same broadcast + per-query window shape as s01 with the label
+# equi-condition folded into the join.
+# ---------------------------------------------------------------------------
+@register(
+    "s09_filtered_topk",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label,
+        list_dot_product(q.v, c.v) /
+          (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+      FROM e q JOIN e c ON q.vec_id != c.vec_id AND q.label = c.label
+      WHERE q.vec_id < 8
+    )
+    SELECT query_id, neighbor_id, label, cos, CAST(rnk AS INTEGER) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+      FROM scored
+    )
+    WHERE rnk <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def s09_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        similarity.as_double_array("embedding").alias("q_v"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("label").alias("c_label"),
+        similarity.as_double_array("embedding").alias("c_v"),
+    )
+    from censo_escolar_spark.functions.vectors import cosine
+
+    scored = c.join(
+        F.broadcast(q),
+        (F.col("q_id") != F.col("c_id")) & (F.col("q_label") == F.col("c_label")),
+    ).withColumn("cos", cosine(F.col("q_v"), F.col("c_v")))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            F.col("c_label").alias("label"),
+            "cos",
+            "rank",
+        )
+        .orderBy("query_id", "rank")
+    )
