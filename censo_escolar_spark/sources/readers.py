@@ -235,3 +235,18 @@ def read_parquet_evolving(spark: SparkSession, path: str) -> DataFrame:
     conf.
     """
     return spark.read.option("mergeSchema", True).parquet(path)
+
+
+def read_parquet_robust(
+    spark: SparkSession, path: str, *, ignore_corrupt: bool = True
+) -> DataFrame:
+    """Parquet scan that survives corrupt/truncated files.
+
+    At 100 TB a handful of objects are ALWAYS damaged (partial uploads,
+    bit rot, killed writers). ``ignoreCorruptFiles`` skips unreadable
+    files/footers instead of failing the job — pair with a manifest
+    count check when exact completeness matters; flip to False to turn
+    damage back into a hard failure."""
+    return (
+        spark.read.option("ignoreCorruptFiles", ignore_corrupt).parquet(path)
+    )

@@ -72,3 +72,21 @@ def test_parquet_schema_evolution(spark, tmp_path):
     # files lacking b read as NULL (reference-style null-padding)
     assert df.filter(F.col("b").isNull()).count() == 3
     assert df.count() == 6
+
+
+def test_parquet_corrupt_file_skipped(spark, tmp_path):
+    from censo_escolar_spark.sources.readers import read_parquet_robust
+
+    base = str(tmp_path / "t")
+    spark.range(5).write.parquet(base)
+    # a half-uploaded object: valid name, garbage bytes
+    (tmp_path / "t" / "part-corrupt.parquet").write_bytes(b"not a parquet file")
+    df = read_parquet_robust(spark, base)
+    assert df.count() == 5
+
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import CapturedException
+
+    with pytest.raises((Py4JJavaError, CapturedException)):
+        read_parquet_robust(spark, base, ignore_corrupt=False).count()
