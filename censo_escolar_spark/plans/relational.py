@@ -1684,3 +1684,31 @@ def q48_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         Q.unique_check(o, ["o_orderkey"], "o_orderkey_unique"),
         Q.referential_check(li, o, [("l_orderkey", "o_orderkey")], "lineitem_orderkey_ref"),
     ).orderBy("check")
+
+
+# ---------------------------------------------------------------------------
+# q49 — fuzzy entity matching (operators/fuzzy.py): same-brand part
+# pairs whose names are within edit distance 1. The candidate join is
+# lossless (brand, length-band) blocking — every true pair meets
+# exactly once, levenshtein runs on candidates only. The oracle is the
+# naive quadratic self-join.
+# ---------------------------------------------------------------------------
+@register(
+    "q49_fuzzy_name_pairs",
+    oracle="""
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+      a.p_brand, a.p_name AS str_a, b.p_name AS str_b,
+      CAST(levenshtein(a.p_name, b.p_name) AS INT) AS distance
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 1
+    ORDER BY id_a, id_b
+    """,
+)
+def q49_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from censo_escolar_spark.operators.fuzzy import fuzzy_self_pairs
+
+    p = load_table(spark, sf_dir, "part")
+    return fuzzy_self_pairs(
+        p, "p_partkey", "p_name", block_cols=["p_brand"], max_distance=1
+    ).orderBy("id_a", "id_b")

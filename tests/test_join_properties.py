@@ -85,3 +85,44 @@ def test_asof_join_equals_pandas(spark, left, right):
         assert got_map[row.rid_lts] == exp, (
             f"left {row.rid_lts}: got {got_map[row.rid_lts]}, want {exp}"
         )
+
+
+_words = st.lists(
+    st.text(alphabet="abc", min_size=0, max_size=5), min_size=0, max_size=10
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(words=_words)
+def test_fuzzy_blocking_is_lossless(spark, words):
+    """(length-band) blocking + levenshtein == naive quadratic filter."""
+    from censo_escolar_spark.operators.fuzzy import fuzzy_self_pairs
+
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "id long, s string"
+    )
+    got = sorted(
+        (r.id_a, r.id_b, r.distance)
+        for r in fuzzy_self_pairs(df, "id", "s", max_distance=2).collect()
+    )
+    def lev(x, y):
+        m, n = len(x), len(y)
+        prev = list(range(n + 1))
+        for i in range(1, m + 1):
+            cur = [i] + [0] * n
+            for j in range(1, n + 1):
+                cur[j] = min(
+                    prev[j] + 1,
+                    cur[j - 1] + 1,
+                    prev[j - 1] + (x[i - 1] != y[j - 1]),
+                )
+            prev = cur
+        return prev[n]
+
+    want = sorted(
+        (i, j, lev(words[i], words[j]))
+        for i in range(len(words))
+        for j in range(i + 1, len(words))
+        if lev(words[i], words[j]) <= 2
+    )
+    assert got == want
