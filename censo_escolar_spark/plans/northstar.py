@@ -1701,3 +1701,106 @@ def s09_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# t21 — leakage-safe dataset split: every document inherits its near-dup
+# CLUSTER's split (assigned from the canonical member's content hash),
+# so two near-duplicates can never straddle train/test — the
+# contamination mode a per-document split (t15) cannot prevent. One
+# extra equi-join on the canonical id over the d09 closure.
+# ---------------------------------------------------------------------------
+_T21_ORACLE = f"""
+WITH RECURSIVE {_SQL_SHINGLES},
+  sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+  inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  ),
+  pairs AS (
+    SELECT id_a, id_b FROM inter
+    JOIN sz sa ON sa.doc_id = id_a
+    JOIN sz sb ON sb.doc_id = id_b
+    WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
+  ),
+  edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION
+    SELECT id_b AS src, id_a AS dst FROM pairs
+  ),
+  reach(src, dst) AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+  ),
+  comp AS (
+    SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+    FROM reach GROUP BY src
+  ),
+  labeled AS (
+    SELECT d.doc_id, CAST(COALESCE(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
+    FROM documents d LEFT JOIN comp c USING (doc_id)
+  )
+SELECT l.doc_id, l.cluster_id,
+  CASE
+    WHEN ('0x' || substr(md5(canon.text), 1, 4))::BIGINT < 52428 THEN 'train'
+    WHEN ('0x' || substr(md5(canon.text), 1, 4))::BIGINT < 58982 THEN 'val'
+    ELSE 'test'
+  END AS split
+FROM labeled l JOIN documents canon ON canon.doc_id = l.cluster_id
+ORDER BY l.doc_id
+"""
+
+
+@register("t21_leakage_safe_split", oracle=_T21_ORACLE)
+def t21_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    labels = dedup.corpus_dedup(docs, "doc_id", "text", n=3, threshold=0.5).select(
+        "doc_id", "cluster_id"
+    )
+    canon = docs.select(
+        F.col("doc_id").alias("cluster_id"), T.split_assign("text").alias("split")
+    )
+    return labels.join(canon, "cluster_id").select(
+        "doc_id", "cluster_id", "split"
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# t22 — dataset mixture sampling: per-source keep rates (the "data
+# mixing weights" step before training), decided by the same
+# content-hash contract as t06/t15 — deterministic on every engine and
+# executor count, no RNG state. One codegen projection; the rate map
+# is a literal CASE, broadcast-free.
+# ---------------------------------------------------------------------------
+_T22_RATES = {"src0": 100, "src1": 75, "src2": 50, "src3": 25}
+_T22_DEFAULT = 60  # sources without an explicit weight
+
+
+@register(
+    "t22_mixture_sample",
+    oracle=f"""
+    SELECT doc_id, source
+    FROM documents
+    WHERE ('0x' || substr(md5(text), 1, 2))::BIGINT <
+      CASE source
+        WHEN 'src0' THEN {256 * 100 // 100}
+        WHEN 'src1' THEN {256 * 75 // 100}
+        WHEN 'src2' THEN {256 * 50 // 100}
+        WHEN 'src3' THEN {256 * 25 // 100}
+        ELSE {256 * 60 // 100} END
+    ORDER BY doc_id
+    """,
+)
+def t22_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    rate = F.coalesce(
+        F.create_map(*[F.lit(x) for kv in _T22_RATES.items() for x in kv])[
+            F.col("source")
+        ],
+        F.lit(_T22_DEFAULT),
+    )
+    cut = F.floor(F.lit(256) * rate / 100).cast("int")
+    bucket = F.conv(F.substring(F.md5("text"), 1, 2), 16, 10).cast("int")
+    return docs.filter(bucket < cut).select("doc_id", "source").orderBy("doc_id")
