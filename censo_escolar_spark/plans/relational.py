@@ -1712,3 +1712,37 @@ def q49_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_self_pairs(
         p, "p_partkey", "p_name", block_cols=["p_brand"], max_distance=1
     ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# q50 — moving median (exact percentile as a WINDOW aggregate): per
+# customer, the median of the last 5 order totals. Exercises holistic
+# (non-algebraic) aggregates over sliding frames — partitioned by key,
+# so per-task state is one frame, never the table.
+# ---------------------------------------------------------------------------
+@register(
+    "q50_moving_median_spend",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+      median(o_totalprice) OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS median5
+    FROM orders
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def q50_moving_median_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-4, 0)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.percentile("o_totalprice", F.lit(0.5)).over(w).alias("median5"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
