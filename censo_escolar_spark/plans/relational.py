@@ -1746,3 +1746,35 @@ def q50_moving_median_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "o_orderkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# q51 — relational division ("for all"): customers who have placed
+# orders in EVERY order priority. The division is a distinct-count
+# equality against a broadcast 1-row universe count — two partial-
+# aggregated groupBys, no correlated per-row subquery.
+# ---------------------------------------------------------------------------
+@register(
+    "q51_relational_division",
+    oracle="""
+    WITH u AS (SELECT COUNT(DISTINCT o_orderpriority) AS n_all FROM orders)
+    SELECT o_custkey,
+      CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities
+    FROM orders, u
+    GROUP BY o_custkey, u.n_all
+    HAVING COUNT(DISTINCT o_orderpriority) = u.n_all
+    ORDER BY o_custkey
+    """,
+)
+def q51_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    universe = o.agg(F.countDistinct("o_orderpriority").alias("n_all"))
+    per_cust = o.groupBy("o_custkey").agg(
+        F.countDistinct("o_orderpriority").alias("n_priorities")
+    )
+    return (
+        per_cust.crossJoin(F.broadcast(universe))
+        .filter(F.col("n_priorities") == F.col("n_all"))
+        .select("o_custkey", "n_priorities")
+        .orderBy("o_custkey")
+    )
