@@ -185,3 +185,56 @@ def media_features(decoded: DataFrame, *, n_bins: int = 8) -> DataFrame:
         ).alias("px_std"),
         hist.alias("px_hist"),
     )
+
+
+def sample_frames(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    bytes_col: str = "payload",
+    n_frames_col: str = "n_frames",
+    k: int = 4,
+    decoder: Decoder = real_decode_stub,
+) -> DataFrame:
+    """Execute the frame-sample plan end to end: each payload's k
+    evenly-spaced frame indices (``plan_frame_sample``) are decoded —
+    the decoder is called once per (payload, frame_idx), with the index
+    mixed into the payload so distinct frames decode distinctly — and
+    summarized to (id, frame_idx, px_mean, px_std).
+
+    Scale shape: the plan explode is a narrow per-row fan-out (k rows
+    per media, no shuffle); the decode crosses into Python once per
+    Arrow batch via ``mapInPandas``; NULL payloads drop (same rule as
+    decode_media). Per-frame seeking in a real container format
+    belongs in the decoder (pyav `seek`), not the Spark plan — the
+    plumbing here is identical either way.
+    """
+    planned = df.filter(F.col(bytes_col).isNotNull()).select(
+        F.col(id_col),
+        F.col(bytes_col),
+        F.explode(plan_frame_sample(n_frames_col, k)).alias("frame_idx"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, means, stds = [], [], [], []
+            for rid, payload, idx in zip(
+                pdf[id_col], pdf[bytes_col], pdf["frame_idx"]
+            ):
+                img = decoder(bytes(payload) + bytes([idx % 256]), "frame")
+                ids.append(rid)
+                idxs.append(idx)
+                means.append(float(img.mean()))
+                stds.append(float(img.std()))
+            yield pd.DataFrame(
+                {
+                    id_col: np.asarray(ids, dtype=np.int64),
+                    "frame_idx": np.asarray(idxs, dtype=np.int32),
+                    "px_mean": np.asarray(means, dtype=np.float64),
+                    "px_std": np.asarray(stds, dtype=np.float64),
+                }
+            )
+
+    return planned.mapInPandas(
+        run, f"{id_col} long, frame_idx int, px_mean double, px_std double"
+    )

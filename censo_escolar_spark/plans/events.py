@@ -560,3 +560,37 @@ def e11_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(F.col("ts") >= cutoff), ["user_id", "event_type"], "value"
     )
     return rollup.finalize(rollup.merge(history, delta)).orderBy("user_id", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# e12 — event-type transition matrix: counts of consecutive
+# (prev_type -> type) steps per user stream, the Markov-chain view of
+# user behavior (funnel analysis' aggregate sibling). One lag window
+# over the user_id partitioning, one groupBy on a 25-value key.
+# ---------------------------------------------------------------------------
+@register(
+    "e12_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+        LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type,
+      CAST(COUNT(*) AS BIGINT) AS n_transitions
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    ORDER BY prev_type, next_type
+    """,
+)
+def e12_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.withColumn("prev_type", F.lag("event_type").over(w))
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n_transitions"))
+        .orderBy("prev_type", "next_type")
+    )

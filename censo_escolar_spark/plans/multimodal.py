@@ -96,3 +96,20 @@ def m02_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# m03 — frame sampling EXECUTED: the m01 frame plan's indices are
+# decoded (deterministic fake decoder — real codec libs absent) and
+# per-frame stats emitted. Rows-only like m02 (numpy decode is not
+# SQL-expressible); the plan half is oracle-checked in m01 and the
+# decode half has golden tests in tests/test_multimodal.py.
+# ---------------------------------------------------------------------------
+@register("m03_frame_samples")
+def m03_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    staged = _staged_payloads(spark, sf_dir).withColumn(
+        "n_frames", (F.col("doc_id") % 10 + 1).cast("int")
+    )
+    return M.sample_frames(
+        staged, k=4, decoder=M.fake_decode
+    ).orderBy("doc_id", "frame_idx")

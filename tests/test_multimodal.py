@@ -81,3 +81,27 @@ def test_repartition_by_bytes(spark, payloads):
     out = M.repartition_by_bytes(payloads, "payload", target_partition_bytes=100)
     assert out.rdd.getNumPartitions() >= 2
     assert out.count() == 4
+
+
+def test_sample_frames_executes_plan(spark, payloads):
+    out = M.sample_frames(
+        payloads.withColumn("n_frames", F.lit(6)), k=4, decoder=M.fake_decode
+    ).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r.id if hasattr(r, "id") else r.doc_id, []).append(r)
+    # 4 planned frames per payload, evenly spaced out of 6: [0,1,3,4]
+    for rid, rows in by_id.items():
+        assert sorted(r.frame_idx for r in rows) == [0, 1, 3, 4]
+        for r in rows:
+            assert 0.0 <= r.px_mean <= 255.0 and r.px_std >= 0.0
+    # distinct frames of the same payload decode distinctly (idx mixed in)
+    some = list(by_id.values())[0]
+    assert len({r.px_mean for r in some}) > 1
+
+
+def test_sample_frames_determinism(spark, payloads):
+    df = payloads.withColumn("n_frames", F.lit(3))
+    a = sorted(map(tuple, M.sample_frames(df, k=4, decoder=M.fake_decode).collect()))
+    b = sorted(map(tuple, M.sample_frames(df, k=4, decoder=M.fake_decode).collect()))
+    assert a == b

@@ -22,6 +22,7 @@ ARROW_OK = {
     "d04_simhash_fingerprints",
     "d05_simhash_pairs",
     "m02_image_features",
+    "m03_frame_samples",  # per-frame decode via mapInPandas
     "s02_cosine_pairs",
     "s03_lsh_bucketed_pairs",
     "s04_ivf_topk",
