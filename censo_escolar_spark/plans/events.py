@@ -594,3 +594,53 @@ def e12_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_transitions"))
         .orderBy("prev_type", "next_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# e13 — "rows since reset" window pattern: for every event, how many
+# events this user has produced since their last purchase (the
+# recency-feature shape — counts reset at a marker event). Two window
+# expressions over ONE user_id partitioning: a running row_number and
+# the carried-forward row_number of the latest purchase.
+# ---------------------------------------------------------------------------
+@register(
+    "e13_events_since_purchase",
+    oracle="""
+    WITH numbered AS (
+      SELECT event_id, user_id, ts, event_type,
+        row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    seq AS (
+      SELECT event_id, user_id, rn,
+        MAX(CASE WHEN event_type = 'purchase' THEN rn END)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS last_purchase_rn
+      FROM numbered
+    )
+    SELECT event_id, user_id,
+      CAST(rn - COALESCE(last_purchase_rn, 0) AS BIGINT) AS events_since_purchase
+    FROM seq
+    ORDER BY event_id
+    """,
+)
+def e13_events_since_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rn = F.row_number().over(w)
+    seq = e.select(
+        "event_id",
+        "user_id",
+        rn.alias("rn"),
+        F.max(F.when(F.col("event_type") == "purchase", rn)).over(wc).alias(
+            "last_purchase_rn"
+        ),
+    )
+    return seq.select(
+        "event_id",
+        "user_id",
+        (F.col("rn") - F.coalesce("last_purchase_rn", F.lit(0)))
+        .cast("bigint")
+        .alias("events_since_purchase"),
+    ).orderBy("event_id")

@@ -1804,3 +1804,42 @@ def t22_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut = F.floor(F.lit(256) * rate / 100).cast("int")
     bucket = F.conv(F.substring(F.md5("text"), 1, 2), 16, 10).cast("int")
     return docs.filter(bucket < cut).select("doc_id", "source").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# d12 — approximate cross-corpus decontamination: near-dup pairs
+# BETWEEN the eval split (doc_id % 10 = 0) and the train split, found
+# through the minhash-LSH path and exact-Jaccard verified — the scale
+# form of d08's exact 8-gram overlap (at 100 TB the eval set is tiny
+# and the train side streams through the banded join once). The oracle
+# is the exact cross-split Jaccard join; recall follows the d03/d09
+# banding bound (~0.9999 at t=0.5).
+# ---------------------------------------------------------------------------
+_D12_ORACLE = f"""
+WITH {_SQL_SHINGLES},
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b
+FROM inter
+JOIN sz sa ON sa.doc_id = id_a
+JOIN sz sb ON sb.doc_id = id_b
+WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
+  AND ((id_a % 10 = 0) != (id_b % 10 = 0))
+ORDER BY id_a, id_b
+"""
+
+
+@register("d12_eval_contamination", oracle=_D12_ORACLE)
+def d12_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    is_eval = lambda c: F.col(c) % 10 == 0  # noqa: E731
+    return (
+        pairs.filter(is_eval("id_a") != is_eval("id_b"))
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    )
