@@ -1778,3 +1778,82 @@ def q51_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey", "n_priorities")
         .orderBy("o_custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# q52 — table diff / reconciliation (operators/diff.py): version B of
+# orders is synthesized deterministically (keys %17 dropped, %13
+# price-bumped, %19 re-keyed as new rows), then every key is
+# classified added/removed/changed/unchanged with the changed columns
+# named. One full-outer hash join + codegen comparison.
+# ---------------------------------------------------------------------------
+@register(
+    "q52_table_diff",
+    oracle="""
+    WITH b AS (
+      SELECT o_orderkey,
+        CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1.0
+             ELSE o_totalprice END AS o_totalprice,
+        o_orderstatus
+      FROM orders WHERE o_orderkey % 17 != 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 19 = 0
+    ),
+    j AS (
+      SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+        CASE
+          WHEN a.o_orderkey IS NULL THEN 'added'
+          WHEN b.o_orderkey IS NULL THEN 'removed'
+          WHEN a.o_totalprice IS NOT DISTINCT FROM b.o_totalprice
+           AND a.o_orderstatus IS NOT DISTINCT FROM b.o_orderstatus
+          THEN 'unchanged' ELSE 'changed' END AS change_type,
+        CASE WHEN a.o_orderkey IS NOT NULL AND b.o_orderkey IS NOT NULL THEN
+          list_sort(list_filter([
+            CASE WHEN NOT (a.o_totalprice IS NOT DISTINCT FROM b.o_totalprice)
+                 THEN 'o_totalprice' END,
+            CASE WHEN NOT (a.o_orderstatus IS NOT DISTINCT FROM b.o_orderstatus)
+                 THEN 'o_orderstatus' END], x -> x IS NOT NULL))
+        ELSE [] END AS changed_cols
+      FROM (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders) a
+      FULL OUTER JOIN b USING (o_orderkey)
+    )
+    SELECT change_type,
+      CAST(COUNT(*) AS BIGINT) AS n_keys,
+      COALESCE(array_to_string(changed_cols, ','), '') AS cols
+    FROM j
+    GROUP BY change_type, changed_cols
+    ORDER BY change_type, cols
+    """,
+)
+def q52_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from censo_escolar_spark.operators.diff import diff_tables
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    b = (
+        o.filter(F.col("o_orderkey") % 17 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 13 == 0, F.col("o_totalprice") + 1.0
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 19 == 0).withColumn(
+                "o_orderkey", F.col("o_orderkey") + 100000000
+            )
+        )
+    )
+    d = diff_tables(o, b, ["o_orderkey"])
+    return (
+        d.groupBy("change_type", "changed_cols")
+        .agg(F.count("*").alias("n_keys"))
+        .select(
+            "change_type",
+            "n_keys",
+            F.concat_ws(",", "changed_cols").alias("cols"),
+        )
+        .orderBy("change_type", "cols")
+    )

@@ -57,3 +57,22 @@ def test_strip_spans_full_and_none(spark):
     assert out[1].n_tokens_after == 0 and out[1].stripped_text == ""
     assert out[2].stripped_text == "unique tail here"
     assert out[3].n_tokens_after == out[3].n_tokens_before  # untouched
+
+
+def test_diff_tables_null_safety(spark):
+    from censo_escolar_spark.operators.diff import diff_tables
+
+    a = spark.createDataFrame(
+        [(1, None, "x"), (2, 5.0, "y"), (3, 1.0, "z"), (4, 2.0, "w")],
+        "k long, v double, s string",
+    )
+    b = spark.createDataFrame(
+        [(1, None, "x"), (2, None, "y"), (3, 1.0, "z2"), (5, 9.0, "new")],
+        "k long, v double, s string",
+    )
+    out = {r.k: r for r in diff_tables(a, b, ["k"]).collect()}
+    assert out[1].change_type == "unchanged"        # NULL == NULL
+    assert out[2].change_type == "changed" and out[2].changed_cols == ["v"]
+    assert out[3].change_type == "changed" and out[3].changed_cols == ["s"]
+    assert out[4].change_type == "removed"
+    assert out[5].change_type == "added"
