@@ -1857,3 +1857,51 @@ def q52_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("change_type", "cols")
     )
+
+
+# ---------------------------------------------------------------------------
+# q53 — ratio-to-report: each nation's share of its region's total
+# account balance, plus its rank within the region. The share is a
+# window SUM over the region partition — no self-join against the
+# aggregate, one shuffle on the partition key.
+# ---------------------------------------------------------------------------
+@register(
+    "q53_ratio_to_report",
+    oracle="""
+    WITH nat AS (
+      SELECT n.n_name, r.r_name,
+        CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS nation_bal
+      FROM customer c
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY n.n_name, r.r_name
+    )
+    SELECT r_name, n_name, nation_bal,
+      nation_bal / SUM(nation_bal) OVER (PARTITION BY r_name) AS region_share,
+      CAST(rank() OVER (PARTITION BY r_name ORDER BY nation_bal DESC, n_name)
+           AS INT) AS region_rank
+    FROM nat
+    ORDER BY r_name, region_rank
+    """,
+)
+def q53_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    nat = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(F.sum(F.col("c_acctbal").cast(DEC)).cast("double").alias("nation_bal"))
+    )
+    w = Window.partitionBy("r_name")
+    return nat.select(
+        "r_name",
+        "n_name",
+        "nation_bal",
+        (F.col("nation_bal") / F.sum("nation_bal").over(w)).alias("region_share"),
+        F.rank()
+        .over(w.orderBy(F.desc("nation_bal"), F.asc("n_name")))
+        .cast("int")
+        .alias("region_rank"),
+    ).orderBy("r_name", "region_rank")
