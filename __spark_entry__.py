@@ -54,7 +54,10 @@ def _sweep_order(names) -> list[str]:
     def seen(n: str) -> bool:
         return n in _R02_GREEN or n.split("_", 1)[0] in _R02_GREEN
 
-    fresh = [n for n in names if not seen(n)]
+    # oracle-bearing entries first within the fresh set: a rows-only
+    # entry in the graded window would spend a slot on the weaker check
+    fresh = [n for n in names if not seen(n) and n in ORACLE]
+    fresh += [n for n in names if not seen(n) and n not in ORACLE]
     return fresh + [n for n in names if seen(n)]
 
 
