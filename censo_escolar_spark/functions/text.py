@@ -439,3 +439,24 @@ def flesch_reading_ease(col: str | Column) -> Column:
     return (
         F.lit(206.835) - F.lit(1.015) * (words / sents) - F.lit(84.6) * (sylls / words)
     )
+
+
+# --- normalization ---------------------------------------------------------
+
+#: Accent-fold table shared verbatim with SQL oracles (translate() has
+#: Postgres semantics in both engines: positional char-for-char map).
+ACCENT_SRC = "áàâãäåéèêëíìîïóòôõöúùûüçñýÁÀÂÃÄÅÉÈÊËÍÌÎÏÓÒÔÕÖÚÙÛÜÇÑÝ"
+ACCENT_DST = "aaaaaaeeeeiiiiooooouuuucnyAAAAAAEEEEIIIIOOOOOUUUUCNY"
+
+
+def normalize_text(col: str | Column) -> Column:
+    """Canonical text form for matching/dedup keys: accent-fold,
+    lowercase, collapse whitespace runs, trim. All codegen string ops —
+    the preprocessing step ahead of fingerprint_md5/dedup when inputs
+    come from accent-bearing sources (the census data is Portuguese)."""
+    c = _c(col)
+    return F.trim(
+        F.regexp_replace(
+            F.lower(F.translate(c, ACCENT_SRC, ACCENT_DST)), r"\s+", " "
+        )
+    )

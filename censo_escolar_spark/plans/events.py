@@ -644,3 +644,62 @@ def e13_events_since_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("events_since_purchase"),
     ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# e14 — DAU / trailing-7-day WAU stickiness: sliding COUNT DISTINCT via
+# the e02 offset-expansion trick — each (user, day) lands in the 7
+# trailing windows it belongs to, so the weekly distinct is an exact
+# groupBy count, never a distinct-over-window-frame (which Spark would
+# run as one state blob per row). Shuffles: one per-day distinct + one
+# 7-way expanded groupBy — both partial-aggregated.
+# ---------------------------------------------------------------------------
+@register(
+    "e14_dau_wau_stickiness",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    ),
+    dau AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY day
+    ),
+    expanded AS (
+      SELECT user_id, CAST(day + k * INTERVAL 1 DAY AS DATE) AS wau_day
+      FROM ud CROSS JOIN (SELECT unnest(range(0, 7)) AS k)
+    ),
+    wau AS (
+      SELECT wau_day AS day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+      FROM expanded GROUP BY wau_day
+    )
+    SELECT CAST(d.day AS TIMESTAMP) AS day, d.dau, w.wau,
+      CAST(d.dau AS DOUBLE) / CAST(w.wau AS DOUBLE) AS stickiness
+    FROM dau d JOIN wau w USING (day)
+    ORDER BY d.day
+    """,
+)
+def e14_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).distinct()  # day stays DATE internally; output casts to timestamp
+
+    dau = ud.groupBy("day").agg(F.count("*").alias("dau"))
+    expanded = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("k"),
+        "day",
+    ).select("user_id", F.date_add("day", F.col("k")).alias("day"))
+    wau = expanded.groupBy("day").agg(F.countDistinct("user_id").alias("wau"))
+    return (
+        dau.join(wau, "day")
+        .select(
+            F.col("day").cast("timestamp").alias("day"),
+            "dau",
+            "wau",
+            (F.col("dau").cast("double") / F.col("wau").cast("double")).alias(
+                "stickiness"
+            ),
+        )
+        .orderBy("day")
+    )

@@ -1843,3 +1843,34 @@ def d12_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
         .orderBy("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# t23 — text normalization (accent-fold + casefold + whitespace
+# collapse): the canonical-form step ahead of exact dedup for accented
+# corpora (the reference's census data is Portuguese). The translate
+# table is shared verbatim with the oracle; normalized fingerprints
+# group docs that differ only by accents/case/spacing.
+# ---------------------------------------------------------------------------
+@register(
+    "t23_normalize_text",
+    oracle=f"""
+    SELECT doc_id,
+      md5(trim(regexp_replace(
+        lower(translate(text, '{T.ACCENT_SRC}', '{T.ACCENT_DST}')),
+        '\\s+', ' ', 'g'))) AS norm_fingerprint,
+      CAST(length(trim(regexp_replace(
+        lower(translate(text, '{T.ACCENT_SRC}', '{T.ACCENT_DST}')),
+        '\\s+', ' ', 'g'))) AS BIGINT) AS norm_len
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def t23_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    norm = T.normalize_text("text")
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("norm_fingerprint"),
+        F.length(norm).cast("bigint").alias("norm_len"),
+    ).orderBy("doc_id")
