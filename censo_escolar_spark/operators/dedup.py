@@ -225,6 +225,89 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Asymmetric n-gram containment pairs: C(A→B) = |A∩B| / |A|.
+
+    Jaccard under-scores subset duplication (a paragraph quoted inside a
+    10× longer page has J ≈ 0.1 but containment ≈ 1.0), so near-subset
+    dup detection filters on max(C(A→B), C(B→A)) instead — the measure
+    used for quote/boilerplate-inclusion dedup. Same inverted-index
+    self-join as ``jaccard_pairs`` (one shuffle on the 8-byte shingle
+    hash, docs sharing no shingle never meet); only the final scoring
+    differs. ``max_doc_freq`` is the standard stop-shingle cut on
+    candidate generation for corpus scale (one-sided, scores stay
+    exact); None = fully exact for bounded inputs/oracles.
+
+    Returns (id_a, id_b, containment_a, containment_b) with id_a < id_b
+    and max(containment) >= threshold.
+    """
+    sh = shingle_sets(df, id_col, text_col, n).localCheckpoint(eager=True)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    cand_sh = sh
+    if max_doc_freq is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("shingle")
+        )
+        cand_sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    a = cand_sh.alias("a")
+    b = cand_sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    if max_doc_freq is not None:
+        # the cut dropped hot shingles from the intersection counts too;
+        # re-score candidates exactly over full sets (same recipe as
+        # jaccard_pairs: discovery approximate, scores exact)
+        sets_df = df.select(
+            F.col(id_col), F.array_distinct(shingles(text_col, n)).alias("sh_set")
+        ).filter(F.size("sh_set") > 0)
+        sa = sets_df.select(F.col(id_col).alias("id_a"), F.col("sh_set").alias("sh_a"))
+        sb = sets_df.select(F.col(id_col).alias("id_b"), F.col("sh_set").alias("sh_b"))
+        scored = (
+            inter.select("id_a", "id_b")
+            .join(sa, "id_a")
+            .join(sb, "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                F.size(F.array_intersect("sh_a", "sh_b")).alias("n_inter"),
+                F.size("sh_a").alias("n_a"),
+                F.size("sh_b").alias("n_b"),
+            )
+        )
+    else:
+        sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+        sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+        scored = inter.join(sa, "id_a").join(sb, "id_b")
+    return (
+        scored.withColumn(
+            "containment_a", F.col("n_inter") * F.lit(1.0) / F.col("n_a")
+        )
+        .withColumn("containment_b", F.col("n_inter") * F.lit(1.0) / F.col("n_b"))
+        .filter(F.greatest("containment_a", "containment_b") >= threshold)
+        .select("id_a", "id_b", "containment_a", "containment_b")
+    )
+
+
 def connected_components(
     edges: DataFrame,
     *,

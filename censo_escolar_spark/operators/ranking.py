@@ -135,3 +135,91 @@ def global_ntile(
         in_tail = r + F.floor((rn - head + q - 1) / q)  # r + ceil((rn-head)/q)
         bucket = F.when(rn <= F.lit(head), in_head).otherwise(in_tail)
     return ranked.withColumn(out_col, bucket.cast("int")).drop(rn_col)
+
+
+def grouped_row_number(
+    df: DataFrame,
+    group_col: str,
+    order: Sequence[Column],
+    *,
+    out_col: str = "row_number",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact row_number() OVER (PARTITION BY group_col ORDER BY order)
+    that never funnels a whole group through one task.
+
+    A plain partitioned window is fine when groups are plentiful, but a
+    LOW-CARDINALITY group column (language, source, split — the strata
+    of a sampling job) makes each group a single-task hotspot: the
+    biggest stratum of a 100 TB corpus is a 60 TB partition. Two-phase
+    fix, same recipe as ``global_row_number``: range-partition on
+    (group, order) — each group spans a RUN of range partitions — rank
+    within (partition, group), then fold per-(partition, group) counts
+    (≤ num_partitions × n_groups tiny rows on the driver) back in as
+    cumulative offsets via a broadcast join on the (pid, group) pair.
+
+    ``order`` must be a total order within each group.
+    """
+    if num_partitions is None:
+        num_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+    g = F.col(group_col)
+    ranged = df.repartitionByRange(num_partitions, g, *order).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    ranged = ranged.localCheckpoint(eager=True)
+    w_local = Window.partitionBy("__pid", group_col).orderBy(*order)
+    local = ranged.withColumn("__rn_local", F.row_number().over(w_local))
+    counts = (
+        local.groupBy("__pid", group_col)
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    )
+    # cumulative offset of (pid, group) = rows of the same group in
+    # EARLIER partitions (range partitioning puts a group's runs in
+    # consecutive, globally ordered pids)
+    by_group: dict[object, list[tuple[int, int]]] = {}
+    for row in counts:
+        by_group.setdefault(row[group_col], []).append((row["__pid"], row["cnt"]))
+    offset_rows = []
+    for grp, pid_counts in by_group.items():
+        running = 0
+        for pid, cnt in sorted(pid_counts):
+            offset_rows.append((pid, grp, running))
+            running += cnt
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    off_schema = StructType(
+        [
+            StructField("__pid", IntegerType()),
+            df.schema[group_col],
+            StructField("__off", LongType()),
+        ]
+    )
+    offsets = df.sparkSession.createDataFrame(offset_rows, schema=off_schema)
+    return (
+        local.join(F.broadcast(offsets), ["__pid", group_col])
+        .withColumn(out_col, (F.col("__off") + F.col("__rn_local")).cast("long"))
+        .drop("__pid", "__rn_local", "__off")
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    order: Sequence[Column],
+    quota: int,
+    *,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact-quota stratified sample: the first ``quota`` rows of each
+    stratum under a deterministic content order (hash order = unbiased,
+    run-stable, engine-stable — the sampling contract of
+    functions/text.deterministic_sample, upgraded from percentage to
+    exact counts). Built on ``grouped_row_number``, so no stratum ever
+    serializes through one task."""
+    ranked = grouped_row_number(
+        df, strata_col, order, out_col="__srn", num_partitions=num_partitions
+    )
+    return ranked.filter(F.col("__srn") <= quota).drop("__srn")

@@ -703,3 +703,187 @@ def e14_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# e15 — SCD Type-2 dimension build: compress each user's event_type
+# stream into validity intervals [valid_from, valid_to) with an
+# is_current flag (the warehouse "slowly changing dimension" shape; the
+# reference materializes only current-state tables, load_external_tables
+# .sql:3-55 — this is the history-preserving upgrade). Plan: one
+# user_id-partitioned window detects state changes (lag), a running sum
+# of change markers numbers the runs, a groupBy collapses runs, and a
+# second window over (user, run) chains valid_to = next valid_from.
+# Everything shuffles once on user_id and stays partial-aggregated.
+# ---------------------------------------------------------------------------
+@register(
+    "e15_scd2_intervals",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, event_type, ts, event_id,
+        CASE WHEN event_type IS DISTINCT FROM
+          LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        THEN 1 ELSE 0 END AS chg
+      FROM events
+    ),
+    runs AS (
+      SELECT user_id, event_type, ts,
+        SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM marked
+    ),
+    collapsed AS (
+      SELECT user_id, CAST(run_id AS BIGINT) AS run_id,
+        event_type AS state, MIN(ts) AS valid_from,
+        CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM runs GROUP BY user_id, run_id, event_type
+    )
+    SELECT user_id, run_id, state, valid_from,
+      LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY run_id)
+        AS valid_to,
+      CASE WHEN LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY run_id)
+        IS NULL THEN TRUE ELSE FALSE END AS is_current,
+      n_events
+    FROM collapsed
+    ORDER BY user_id, run_id
+    """,
+)
+def e15_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    marked = e.withColumn(
+        "chg",
+        F.when(
+            ~F.col("event_type").eqNullSafe(F.lag("event_type").over(w)), 1
+        ).otherwise(0),
+    )
+    runs = marked.withColumn("run_id", F.sum("chg").over(wc).cast("bigint"))
+    collapsed = runs.groupBy("user_id", "run_id").agg(
+        F.first("event_type").alias("state"),  # constant within a run
+        F.min("ts").alias("valid_from"),
+        F.count("*").alias("n_events"),
+    )
+    wr = Window.partitionBy("user_id").orderBy("run_id")
+    return (
+        collapsed.select(
+            "user_id",
+            "run_id",
+            "state",
+            "valid_from",
+            F.lead("valid_from").over(wr).alias("valid_to"),
+            F.lead("valid_from").over(wr).isNull().alias("is_current"),
+            "n_events",
+        )
+        .orderBy("user_id", "run_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# e16 — peak concurrent sessions per day: sessionize (30-min gap, the
+# e03 rule), clip each session interval to the calendar days it
+# overlaps, then run a +1/-1 sweep per day — running sum over a window
+# PARTITIONED BY DAY (never a global ordering; the day partition is the
+# scale unit). Tie rule: at equal timestamps starts count before ends
+# (overlap-inclusive), encoded as ORDER BY (t, delta DESC) in both
+# engines so the sweep is deterministic cross-engine.
+# ---------------------------------------------------------------------------
+@register(
+    "e16_peak_concurrency",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts, event_id,
+        CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          > INTERVAL 30 MINUTE OR
+          LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, ts,
+        SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM gaps
+    ),
+    iv AS (
+      SELECT user_id, session_id, MIN(ts) AS s, MAX(ts) AS e
+      FROM sess GROUP BY user_id, session_id
+    ),
+    days AS (
+      SELECT user_id, session_id,
+        CAST(date_trunc('day', s) + k * INTERVAL 1 DAY AS DATE) AS day, s, e
+      FROM iv CROSS JOIN (SELECT unnest(range(0, 3)) AS k)
+      WHERE date_trunc('day', s) + k * INTERVAL 1 DAY <= e
+    ),
+    pts AS (
+      SELECT day, GREATEST(s, CAST(day AS TIMESTAMP)) AS t, 1 AS delta
+      FROM days
+      UNION ALL
+      SELECT day, LEAST(e, CAST(day AS TIMESTAMP) + INTERVAL 1 DAY), -1
+      FROM days
+    ),
+    sweep AS (
+      SELECT day, t,
+        SUM(delta) OVER (PARTITION BY day ORDER BY t, delta DESC
+                         ROWS UNBOUNDED PRECEDING) AS live
+      FROM pts
+    )
+    SELECT CAST(day AS TIMESTAMP) AS day,
+      CAST(MAX(live) AS BIGINT) AS peak_concurrent
+    FROM sweep GROUP BY day
+    ORDER BY day
+    """,
+)
+def e16_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gaps = e.withColumn(
+        "new_s",
+        F.when(
+            (F.timestamp_diff("SECOND", F.lag("ts").over(w), F.col("ts")) > 1800)
+            | F.lag("ts").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    sess = gaps.withColumn("session_id", F.sum("new_s").over(wc))
+    iv = sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("s"), F.max("ts").alias("e")
+    )
+    # clip to overlapped days: sessions are gap-bounded (<3 days here; the
+    # WHERE keeps only genuinely overlapped days, so extra k's drop out)
+    days = (
+        iv.select(
+            "s",
+            "e",
+            F.explode(F.sequence(F.lit(0), F.lit(2))).alias("k"),
+        )
+        .select(
+            F.date_add(F.date_trunc("day", "s").cast("date"), F.col("k")).alias(
+                "day"
+            ),
+            "s",
+            "e",
+        )
+        .filter(F.col("day").cast("timestamp") <= F.col("e"))
+    )
+    day_ts = F.col("day").cast("timestamp")
+    pts = days.select(
+        "day", F.greatest("s", day_ts).alias("t"), F.lit(1).alias("delta")
+    ).unionAll(
+        days.select(
+            "day",
+            F.least("e", F.timestamp_add("DAY", F.lit(1), day_ts)).alias("t"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    ws = Window.partitionBy("day").orderBy(
+        F.col("t").asc(), F.col("delta").desc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sweep = pts.withColumn("live", F.sum("delta").over(ws))
+    return (
+        sweep.groupBy("day")
+        .agg(F.max("live").cast("bigint").alias("peak_concurrent"))
+        .select(F.col("day").cast("timestamp").alias("day"), "peak_concurrent")
+        .orderBy("day")
+    )

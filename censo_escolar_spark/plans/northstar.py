@@ -1874,3 +1874,66 @@ def t23_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(norm).alias("norm_fingerprint"),
         F.length(norm).cast("bigint").alias("norm_len"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# d13 — asymmetric containment pairs: |A∩B|/|A| catches near-SUBSET
+# duplication (a doc quoted inside a much longer one) that Jaccard
+# under-scores. Same inverted-index shape as d02; scoring differs.
+# ---------------------------------------------------------------------------
+_D13_ORACLE = f"""
+WITH {_SQL_SHINGLES},
+  sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+  inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  )
+SELECT id_a, id_b,
+  i * 1.0 / sa.n AS containment_a,
+  i * 1.0 / sb.n AS containment_b
+FROM inter
+JOIN sz sa ON sa.doc_id = id_a
+JOIN sz sb ON sb.doc_id = id_b
+WHERE GREATEST(i * 1.0 / sa.n, i * 1.0 / sb.n) >= 0.8
+ORDER BY id_a, id_b
+"""
+
+
+@register("d13_containment_pairs", oracle=_D13_ORACLE)
+def d13_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.containment_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.8
+    ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# t24 — exact-quota stratified sample: first 40 docs per language under
+# deterministic md5(text) order. Runs through operators/ranking.py::
+# stratified_sample — a LOW-cardinality stratum column must NOT become a
+# per-group single-task window (the biggest stratum of a 100 TB corpus
+# is most of the corpus); two-phase grouped ranking keeps every task
+# range-bounded. The oracle is the plain SQL window the operator
+# replaces 1:1.
+# ---------------------------------------------------------------------------
+_T24_ORACLE = """
+WITH ranked AS (
+  SELECT doc_id, lang, source, n_chars,
+    row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id, lang, source, n_chars
+FROM ranked WHERE rn <= 40
+ORDER BY doc_id
+"""
+
+
+@register("t24_stratified_sample", oracle=_T24_ORACLE)
+def t24_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from censo_escolar_spark.operators.ranking import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, "lang", [F.md5("text"), F.col("doc_id")], quota=40
+    ).select("doc_id", "lang", "source", "n_chars").orderBy("doc_id")
