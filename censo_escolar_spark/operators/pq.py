@@ -1,0 +1,247 @@
+"""Product quantization (PQ) for embedding search at compression scale.
+
+PQ splits each (L2-normalized) vector into ``m`` contiguous subvectors
+and replaces each with the id of its nearest per-subspace centroid — an
+``m``-byte code instead of ``dim`` floats (64-dim float32 → 4 bytes at
+m=4: 64× smaller). Search runs over CODES via asymmetric distance
+computation (ADC): a query precomputes one ``m × k`` table of
+subvector dot products, then every corpus vector's approximate cosine
+is ``m`` table lookups — no float vectors are read until the final
+exact re-rank of the small candidate pool.
+
+Why this shape at 100 TB:
+- the codebooks are ``m·k·(dim/m)`` doubles — a driver-side constant
+  broadcast like any dimension table (same contract as
+  ``similarity.train_centroids``);
+- encoding is one corpus pass, GEMM per Arrow batch, no shuffle;
+- the codes table is the only thing the ADC scan reads — a 64×
+  smaller scan than brute force, embarrassingly parallel;
+- only the per-query top-``rerank`` candidates rejoin the full
+  vectors (an equi-join on vector id) for exact scoring, so the
+  expensive exact cosine runs on a bounded set.
+
+Determinism: codebooks are seeded from the ``k`` smallest vector ids
+(no RNG), refined with Lloyd iterations whose mean-updates reduce
+per (subspace, centroid, dim) — the exact recipe proven out by
+``similarity.train_centroids``. With ``rerank`` >= corpus size the
+result is the brute-force answer (the oracle-checked configuration);
+recall at realistic ``rerank`` is asserted in tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from censo_escolar_spark.functions.vectors import as_double_array, cosine, norm2
+
+
+def _normalized(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+def train_pq_codebooks(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    k: int = 16,
+    iters: int = 2,
+) -> np.ndarray:
+    """Train ``m`` per-subspace codebooks of ``k`` centroids each.
+
+    Returns an ``(m, k, dim/m)`` array. Seeds are the subvectors of the
+    ``k`` smallest ids (deterministic, like ``train_centroids``); Lloyd
+    refinement assigns distributed (GEMM per Arrow batch via
+    ``pq_encode``) and mean-updates via a groupBy over
+    ``m·k·(dim/m)`` keys — constant-sized regardless of corpus size.
+    """
+    df = df.filter(F.col(vec_col).isNotNull())
+    seeds = (
+        df.orderBy(id_col)
+        .limit(k)
+        .select(as_double_array(vec_col).alias("v"))
+        .collect()
+    )
+    if not seeds:
+        return np.zeros((0, 0, 0))
+    mat = _normalized(np.vstack([r.v for r in seeds]))
+    dim = mat.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    dsub = dim // m
+    books = np.stack([mat[:, j * dsub : (j + 1) * dsub] for j in range(m)])
+    for _ in range(iters):
+        coded = pq_encode(df, books, id_col=id_col, vec_col=vec_col)
+        # mean-update over NORMALIZED vectors (codes quantize direction;
+        # training on raw magnitudes would drift the codebooks)
+        v = as_double_array(vec_col)
+        denom = F.when(norm2(v) == 0, F.lit(1.0)).otherwise(norm2(v))
+        vn = F.transform(v, lambda x: x / denom)
+        sums = (
+            coded.select(
+                F.posexplode("pq_code").alias("j", "code"),
+                vn.alias("v"),
+            )
+            .select(
+                "j",
+                "code",
+                F.posexplode(
+                    F.slice(
+                        "v", F.col("j") * dsub + 1, dsub
+                    )  # 1-based slice of this subspace
+                ).alias("d", "x"),
+            )
+            .groupBy("j", "code", "d")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        new = books.copy()  # empty cells keep their previous position
+        for r in sums:
+            new[r["j"], r["code"], r["d"]] = r["s"] / r["n"]
+        books = new
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "pq_code",
+) -> DataFrame:
+    """Attach the ``m``-subspace code array to each row.
+
+    One GEMM per (Arrow batch × subspace) against the broadcast
+    codebooks; rows keep their original columns (the codes ride along,
+    the caller decides whether to drop the float vectors). Vectors are
+    L2-normalized before encoding so codes quantize direction (cosine),
+    not magnitude. Assignment breaks distance ties toward the lower
+    code id (np.argmax on the dot products is first-match — stable and
+    engine-independent).
+    """
+    m, _, dsub = codebooks.shape
+    books = codebooks  # captured read-only; Spark broadcasts the closure
+
+    @pandas_udf("array<int>")
+    def encode(vecs: pd.Series) -> pd.Series:
+        mat = _normalized(np.vstack(vecs.to_numpy()).astype(np.float64))
+        codes = np.empty((mat.shape[0], m), dtype=np.int32)
+        for j in range(m):
+            sub = mat[:, j * dsub : (j + 1) * dsub]
+            # nearest centroid by squared L2 == argmax(dot - ||c||²/2)
+            dots = sub @ books[j].T
+            dists = dots - 0.5 * np.einsum("kd,kd->k", books[j], books[j])
+            codes[:, j] = np.argmax(dists, axis=1)
+        return pd.Series(list(codes))
+
+    df = df.filter(F.col(vec_col).isNotNull())
+    return df.withColumn(out_col, encode(as_double_array(vec_col)))
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    rerank: int = 50,
+) -> DataFrame:
+    """ADC top-k: scan codes, rank by table-lookup score, exact-cosine
+    re-rank of the per-query top-``rerank`` pool.
+
+    The candidate stage shuffles (query_id, corpus_id, adc) rows only —
+    the float vectors enter at the re-rank equi-join, sized
+    ``|queries| × rerank``. ``rerank >= |corpus|`` degrades to exact
+    brute force (the oracle configuration, mirroring ``ivf_topk``'s
+    exhaustive-probe contract).
+    """
+    m, kk, dsub = codebooks.shape
+    books = codebooks
+
+    queries = queries.filter(F.col(vec_col).isNotNull())
+    q_rows = queries.select(
+        F.col(id_col).alias("q_id"), as_double_array(vec_col).alias("q_v")
+    ).collect()  # bounded query set, same contract as cosine_topk's broadcast
+    if not q_rows:
+        empty = corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cos double, rank int"
+        )
+        return empty
+    q_ids = np.array([r.q_id for r in q_rows])
+    q_mat = _normalized(np.vstack([r.q_v for r in q_rows]))
+    # per-query ADC tables: tables[q, j, c] = <q_j, codebook[j, c]>
+    tables = np.stack(
+        [q_mat[:, j * dsub : (j + 1) * dsub] @ books[j].T for j in range(m)],
+        axis=1,
+    )
+
+    coded = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col)
+
+    @pandas_udf("array<double>")
+    def adc_scores(codes: pd.Series) -> pd.Series:
+        cmat = np.vstack(codes.to_numpy())  # (rows, m)
+        # gather per subspace: scores (rows, nq) = sum_j tables[:, j, code_j]
+        out = np.zeros((cmat.shape[0], len(q_ids)))
+        for j in range(m):
+            out += tables[:, j, cmat[:, j]].T
+        return pd.Series(list(out))
+
+    scored = coded.select(
+        F.col(id_col).alias("c_id"), adc_scores("pq_code").alias("s")
+    ).select(
+        "c_id", F.posexplode("s").alias("qi", "adc")
+    )
+    qmap = F.array(*[F.lit(int(i)) for i in q_ids])
+    scored = scored.select(
+        F.element_at(qmap, F.col("qi") + 1).alias("q_id"), "c_id", "adc"
+    ).filter(F.col("q_id") != F.col("c_id"))
+    # two-phase per-query top-R: a single q_id-partitioned window would
+    # pull one query's ENTIRE corpus scan through one task; pre-pruning
+    # per (q_id, physical partition) caps the final window's input at
+    # n_partitions × rerank rows per query
+    w_pre = Window.partitionBy("q_id", "__p").orderBy(
+        F.desc("adc"), F.asc("c_id")
+    )
+    pre = (
+        scored.withColumn("__p", F.spark_partition_id())
+        .withColumn("r1", F.row_number().over(w_pre))
+        .filter(F.col("r1") <= rerank)
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.desc("adc"), F.asc("c_id"))
+    pool = (
+        pre.withColumn("r", F.row_number().over(wq))
+        .filter(F.col("r") <= rerank)
+        .select("q_id", "c_id")
+    )
+    qv = queries.select(
+        F.col(id_col).alias("q_id"), as_double_array(vec_col).alias("q_v")
+    )
+    cv = corpus.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("c_id"), as_double_array(vec_col).alias("c_v")
+    )
+    exact = (
+        pool.join(F.broadcast(qv), "q_id")
+        .join(cv, "c_id")
+        .withColumn("cos", cosine(F.col("q_v"), F.col("c_v")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("c_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            "cos",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -1937,3 +1937,91 @@ def t24_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(
         docs, "lang", [F.md5("text"), F.col("doc_id")], quota=40
     ).select("doc_id", "lang", "source", "n_chars").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# t25 — vocabulary-growth (Heaps'-law) curve: cumulative token count vs
+# cumulative distinct-type count at corpus checkpoints (buckets of 50
+# docs in doc_id order). Distinct-so-far is NOT a running
+# count-distinct window (single-task at scale): each type contributes
+# at its FIRST bucket (min bucket per token — one shuffle on the
+# token), then per-bucket news/occurrences cumulate through a tiny
+# bucket×bucket triangular self-join (rows = checkpoint count, data
+# volume independent).
+# ---------------------------------------------------------------------------
+_T25_ORACLE = """
+WITH tok AS (
+  SELECT doc_id // 50 AS bucket, t AS token
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+  WHERE t <> ''
+),
+occ AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_tokens FROM tok GROUP BY bucket
+),
+first_b AS (
+  SELECT token, MIN(bucket) AS bucket FROM tok GROUP BY token
+),
+news AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS new_types
+  FROM first_b GROUP BY bucket
+)
+SELECT o.bucket,
+  CAST(SUM(o2.n_tokens) AS BIGINT) AS cum_tokens,
+  CAST(SUM(COALESCE(n2.new_types, 0)) AS BIGINT) AS cum_types
+FROM occ o
+JOIN occ o2 ON o2.bucket <= o.bucket
+LEFT JOIN news n2 ON n2.bucket = o2.bucket
+GROUP BY o.bucket
+ORDER BY o.bucket
+"""
+
+
+@register("t25_vocab_growth", oracle=_T25_ORACLE)
+def t25_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            (F.col("doc_id") / 50).cast("long").alias("bucket"),
+            F.explode(F.split("text", " ")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+    )
+    occ = tok.groupBy("bucket").agg(F.count("*").alias("n_tokens"))
+    first_b = tok.groupBy("token").agg(F.min("bucket").alias("bucket"))
+    news = first_b.groupBy("bucket").agg(F.count("*").alias("new_types"))
+    # triangular cumulate over the checkpoint frame only (tiny; both
+    # sides broadcastable — let AQE pick)
+    per_bucket = occ.join(news, "bucket", "left")
+    o = occ.select(F.col("bucket").alias("b"))
+    return (
+        o.join(per_bucket, per_bucket.bucket <= F.col("b"))
+        .groupBy("b")
+        .agg(
+            F.sum("n_tokens").alias("cum_tokens"),
+            F.sum(F.coalesce("new_types", F.lit(0))).alias("cum_types"),
+        )
+        .select(F.col("b").alias("bucket"), "cum_tokens", "cum_types")
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# s10 — product-quantization ANN: codes are 64× smaller than the float
+# vectors, ADC scores the whole corpus via m table lookups per row, and
+# only the per-query top-`rerank` pool touches real vectors for exact
+# re-ranking. With rerank >= |corpus| the exact re-rank IS brute force,
+# so the s01 oracle hash-checks the full train→encode→ADC→re-rank
+# pipeline (the same exhaustive-configuration contract as s04's
+# nprobe=C); recall at realistic rerank is asserted in
+# tests/test_pq.py.
+# ---------------------------------------------------------------------------
+@register("s10_pq_topk", oracle=_S01_ORACLE)
+def s10_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from censo_escolar_spark.operators import pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    books = pq.train_pq_codebooks(emb, m=4, k=16, iters=1)
+    return pq.pq_topk(
+        emb, queries, books, k=5, rerank=1_000_000
+    ).orderBy("query_id", "rank")

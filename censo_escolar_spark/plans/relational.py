@@ -1905,3 +1905,70 @@ def q53_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("region_rank"),
     ).orderBy("r_name", "region_rank")
+
+
+# ---------------------------------------------------------------------------
+# q54 — 2-D pareto skyline per group (non-dominated parts by (price,
+# size) within each brand). The classic O(n²) "no other row beats me on
+# both axes" predicate collapses to two RANGE-frame running minimums
+# once rows are ordered by price-in-cents: dominated iff a row with
+# price <= mine has size < mine, or a row with price < mine has size <=
+# mine. Windows are partitioned by brand and frames are value-ranges on
+# an integer key — no self-join, no cross product, one shuffle.
+# ---------------------------------------------------------------------------
+@register(
+    "q54_pareto_skyline",
+    oracle="""
+    WITH px AS (
+      SELECT p_brand, p_partkey, CAST(p_retailprice AS DOUBLE) AS price,
+        CAST(p_size AS INTEGER) AS size,
+        CAST(round(p_retailprice * 100) AS BIGINT) AS cents
+      FROM part
+    ),
+    m AS (
+      SELECT p_brand, p_partkey, price, size,
+        MIN(size) OVER (PARTITION BY p_brand ORDER BY cents
+          RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS min_le,
+        MIN(size) OVER (PARTITION BY p_brand ORDER BY cents
+          RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS min_lt
+      FROM px
+    )
+    SELECT p_brand, p_partkey, price, size
+    FROM m
+    WHERE NOT (COALESCE(min_le < size, FALSE)
+               OR COALESCE(min_lt <= size, FALSE))
+    ORDER BY p_brand, p_partkey
+    """,
+)
+def q54_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    px = p.select(
+        "p_brand",
+        "p_partkey",
+        F.col("p_retailprice").cast("double").alias("price"),
+        F.col("p_size").cast("int").alias("size"),
+        F.round(F.col("p_retailprice") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    w = Window.partitionBy("p_brand").orderBy("cents")
+    min_le = F.min("size").over(
+        w.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    min_lt = F.min("size").over(w.rangeBetween(Window.unboundedPreceding, -1))
+    m = px.select(
+        "p_brand",
+        "p_partkey",
+        "price",
+        "size",
+        min_le.alias("min_le"),
+        min_lt.alias("min_lt"),
+    )
+    dominated = F.coalesce(F.col("min_le") < F.col("size"), F.lit(False)) | (
+        F.coalesce(F.col("min_lt") <= F.col("size"), F.lit(False))
+    )
+    return (
+        m.filter(~dominated)
+        .select("p_brand", "p_partkey", "price", "size")
+        .orderBy("p_brand", "p_partkey")
+    )

@@ -1,0 +1,86 @@
+"""Product-quantization operator: recall, determinism, robustness."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from censo_escolar_spark.operators import pq, similarity
+from censo_escolar_spark.sources.readers import load_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def test_codebook_shape_and_determinism(spark, emb):
+    b1 = pq.train_pq_codebooks(emb, m=4, k=8, iters=1)
+    b2 = pq.train_pq_codebooks(emb, m=4, k=8, iters=1)
+    assert b1.shape == (4, 8, 16)
+    assert np.array_equal(b1, b2)
+
+
+def test_dim_not_divisible_raises(spark, emb):
+    with pytest.raises(ValueError, match="not divisible"):
+        pq.train_pq_codebooks(emb, m=5, k=4, iters=0)
+
+
+def test_encode_codes_in_range(spark, emb):
+    books = pq.train_pq_codebooks(emb, m=4, k=8, iters=1)
+    coded = pq.pq_encode(emb, books)
+    row = coded.select("pq_code").first()
+    assert len(row["pq_code"]) == 4
+    stats = coded.select(
+        F.min(F.array_min("pq_code")).alias("lo"),
+        F.max(F.array_max("pq_code")).alias("hi"),
+    ).first()
+    assert stats["lo"] >= 0 and stats["hi"] < 8
+
+
+def test_pq_recall_at_realistic_rerank(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 8)
+    books = pq.train_pq_codebooks(emb, m=4, k=16, iters=1)
+    approx = pq.pq_topk(emb, queries, books, k=5, rerank=100)
+    exact = similarity.cosine_topk(emb, queries, k=5)
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    recall = len(a & e) / len(e)
+    # the fixture embeddings are near-isotropic (no cluster structure —
+    # the hardest case for any ANN); a 20%-of-corpus ADC pool still has
+    # to place most true neighbors
+    assert recall >= 0.8, f"PQ recall {recall:.2f} below bound"
+
+
+def test_pq_exhaustive_rerank_equals_brute_force(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 4)
+    books = pq.train_pq_codebooks(emb, m=4, k=8, iters=1)
+    approx = pq.pq_topk(emb, queries, books, k=3, rerank=10**6)
+    exact = similarity.cosine_topk(emb, queries, k=3)
+    cols = ["query_id", "neighbor_id", "rank"]
+    assert sorted(map(tuple, approx.select(*cols).collect())) == sorted(
+        map(tuple, exact.select(*cols).collect())
+    )
+
+
+def test_pq_null_and_zero_vectors_survive(spark, emb):
+    dim = len(emb.select("embedding").first()["embedding"])
+    extra = spark.createDataFrame(
+        [(100000, None, 0), (100001, [0.0] * dim, 0)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    aug = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"),
+        "label",
+    ).unionByName(extra)
+    books = pq.train_pq_codebooks(aug, m=4, k=8, iters=1)
+    queries = aug.filter(F.col("vec_id") < 2)
+    out = pq.pq_topk(aug, queries, books, k=3, rerank=20)
+    assert out.count() > 0
+
+
+def test_pq_empty_queries(spark, emb):
+    books = pq.train_pq_codebooks(emb, m=4, k=8, iters=0)
+    out = pq.pq_topk(emb, emb.filter(F.lit(False)), books, k=3)
+    assert out.count() == 0
