@@ -82,3 +82,47 @@ def asof_join(
         *[F.when(fresh, F.col("__match")[c]).alias(c) for c in payload_cols],
     )
     return out
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    *,
+    on: str | list[str],
+    ts_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Point-in-time (temporal) left join: attach the dimension version
+    whose validity interval ``[valid_from, valid_to)`` contains the
+    fact's timestamp — the feature-store/SCD2-lookup primitive that
+    keeps training data leakage-free (a fact must never see a dimension
+    version from its future).
+
+    NOT an interval join: versions per key are ordered and contiguous,
+    so the match is "latest version with valid_from <= ts" — exactly
+    the backward as-of carry-forward, ONE shuffle on the key via
+    ``asof_join``. A post-projection nulls the payload where the
+    matched version had already expired (``valid_to <= ts`` — happens
+    only for gapped histories, e.g. deleted keys). Empty versions
+    (``valid_to == valid_from``, produced by same-timestamp state
+    flips) are dropped up front: under half-open semantics they can
+    never match, and removing them keeps ``valid_from`` unique per key
+    so the as-of tie order is deterministic.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    dim2 = dim.filter(
+        F.col(valid_to).isNull() | (F.col(valid_to) > F.col(valid_from))
+    )
+    payload_cols = [c for c in dim2.columns if c not in keys]
+    joined = asof_join(
+        facts, dim2, on=keys, left_ts=ts_col, right_ts=valid_from
+    )
+    expired = F.col(valid_to).isNotNull() & (F.col(valid_to) <= F.col(ts_col))
+    return joined.select(
+        *facts.columns,
+        *[
+            F.when(~expired, F.col(c)).alias(c)
+            for c in payload_cols
+        ],
+    )

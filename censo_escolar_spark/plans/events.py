@@ -748,8 +748,9 @@ def e14_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY user_id, run_id
     """,
 )
-def e15_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
+def _scd2_intervals(e: DataFrame) -> DataFrame:
+    """Per-user event_type validity intervals (the e15 build, shared
+    with the point-in-time lookup e17)."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     marked = e.withColumn(
@@ -765,18 +766,20 @@ def e15_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
     )
     wr = Window.partitionBy("user_id").orderBy("run_id")
-    return (
-        collapsed.select(
-            "user_id",
-            "run_id",
-            "state",
-            "valid_from",
-            F.lead("valid_from").over(wr).alias("valid_to"),
-            F.lead("valid_from").over(wr).isNull().alias("is_current"),
-            "n_events",
-        )
-        .orderBy("user_id", "run_id")
+    return collapsed.select(
+        "user_id",
+        "run_id",
+        "state",
+        "valid_from",
+        F.lead("valid_from").over(wr).alias("valid_to"),
+        F.lead("valid_from").over(wr).isNull().alias("is_current"),
+        "n_events",
     )
+
+
+def e15_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return _scd2_intervals(e).orderBy("user_id", "run_id")
 
 
 # ---------------------------------------------------------------------------
@@ -886,4 +889,68 @@ def e16_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("live").cast("bigint").alias("peak_concurrent"))
         .select(F.col("day").cast("timestamp").alias("day"), "peak_concurrent")
         .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# e17 — point-in-time (temporal) join: each purchase is joined to the
+# SCD2 state version (e15's intervals) valid AT ITS TIMESTAMP — the
+# leakage-free feature lookup of a training pipeline (a fact must not
+# see a dimension version from its future). Not an interval join:
+# operators/asof.point_in_time_join rides the backward-as-of
+# carry-forward, ONE user_id shuffle. The oracle is the declarative
+# interval join the operator replaces.
+# ---------------------------------------------------------------------------
+@register(
+    "e17_point_in_time_state",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, event_type, ts, event_id,
+        CASE WHEN event_type IS DISTINCT FROM
+          LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        THEN 1 ELSE 0 END AS chg
+      FROM events
+    ),
+    runs AS (
+      SELECT user_id, event_type, ts,
+        SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM marked
+    ),
+    collapsed AS (
+      SELECT user_id, CAST(run_id AS BIGINT) AS run_id,
+        event_type AS state, MIN(ts) AS valid_from
+      FROM runs GROUP BY user_id, run_id, event_type
+    ),
+    scd AS (
+      SELECT user_id, run_id, state, valid_from,
+        LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY run_id)
+          AS valid_to
+      FROM collapsed
+    ),
+    p AS (
+      SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, s.state, s.run_id, s.valid_from
+    FROM p JOIN scd s ON s.user_id = p.user_id
+      AND p.ts >= s.valid_from
+      AND (s.valid_to IS NULL OR p.ts < s.valid_to)
+    ORDER BY p.event_id
+    """,
+)
+def e17_point_in_time_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from censo_escolar_spark.operators.asof import point_in_time_join
+
+    e = load_table(spark, sf_dir, "events")
+    dim = _scd2_intervals(e).select(
+        "user_id", "run_id", "state", "valid_from", "valid_to"
+    )
+    facts = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return (
+        point_in_time_join(facts, dim, on="user_id", ts_col="ts")
+        .select("event_id", "user_id", "state", "run_id", "valid_from")
+        .orderBy("event_id")
     )

@@ -134,3 +134,87 @@ def test_tolerance_none_keeps_unbounded(spark):
     ).withColumn("rts", F.col("rts").cast("timestamp"))
     row = asof_join(left, right, on="id", left_ts="ts", right_ts="rts").collect()[0]
     assert row.tag == "ancient"
+
+
+# ---------------------------------------------------------------------------
+# point_in_time_join (SCD2 lookup on the as-of plan)
+# ---------------------------------------------------------------------------
+def _pit_dim(spark):
+    rows = [
+        # contiguous history for key 1
+        (1, "v1", "2024-01-01 00:00:00", "2024-01-10 00:00:00"),
+        (1, "v2", "2024-01-10 00:00:00", None),
+        # GAPPED history for key 2: nothing valid in [01-05, 01-20)
+        (2, "w1", "2024-01-01 00:00:00", "2024-01-05 00:00:00"),
+        (2, "w2", "2024-01-20 00:00:00", None),
+        # key 3: empty interval at the same instant a real one starts
+        (3, "dead", "2024-01-02 00:00:00", "2024-01-02 00:00:00"),
+        (3, "live", "2024-01-02 00:00:00", None),
+    ]
+    import pyspark.sql.functions as F
+
+    return (
+        spark.createDataFrame(
+            rows, "id long, ver string, valid_from string, valid_to string"
+        )
+        .withColumn("valid_from", F.col("valid_from").cast("timestamp"))
+        .withColumn("valid_to", F.col("valid_to").cast("timestamp"))
+    )
+
+
+def _pit_facts(spark, rows):
+    import pyspark.sql.functions as F
+
+    return spark.createDataFrame(rows, "fid long, id long, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+
+
+def test_point_in_time_basic_and_boundaries(spark):
+    from censo_escolar_spark.operators.asof import point_in_time_join
+
+    facts = _pit_facts(
+        spark,
+        [
+            (1, 1, "2024-01-05 00:00:00"),  # inside v1
+            (2, 1, "2024-01-10 00:00:00"),  # boundary: [from, to) -> v2
+            (3, 1, "2024-02-01 00:00:00"),  # open-ended current -> v2
+        ],
+    )
+    out = {
+        r.fid: r.ver
+        for r in point_in_time_join(
+            facts, _pit_dim(spark), on="id", ts_col="ts"
+        ).collect()
+    }
+    assert out == {1: "v1", 2: "v2", 3: "v2"}
+
+
+def test_point_in_time_gap_yields_null(spark):
+    from censo_escolar_spark.operators.asof import point_in_time_join
+
+    facts = _pit_facts(spark, [(1, 2, "2024-01-07 00:00:00")])
+    row = point_in_time_join(
+        facts, _pit_dim(spark), on="id", ts_col="ts"
+    ).collect()[0]
+    assert row.ver is None and row.valid_from is None
+
+
+def test_point_in_time_empty_interval_never_matches(spark):
+    from censo_escolar_spark.operators.asof import point_in_time_join
+
+    facts = _pit_facts(spark, [(1, 3, "2024-01-02 00:00:00")])
+    row = point_in_time_join(
+        facts, _pit_dim(spark), on="id", ts_col="ts"
+    ).collect()[0]
+    assert row.ver == "live"
+
+
+def test_point_in_time_before_first_version(spark):
+    from censo_escolar_spark.operators.asof import point_in_time_join
+
+    facts = _pit_facts(spark, [(1, 1, "2023-12-01 00:00:00")])
+    row = point_in_time_join(
+        facts, _pit_dim(spark), on="id", ts_col="ts"
+    ).collect()[0]
+    assert row.ver is None
