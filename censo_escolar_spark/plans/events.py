@@ -748,6 +748,11 @@ def e14_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY user_id, run_id
     """,
 )
+def e15_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return _scd2_intervals(e).orderBy("user_id", "run_id")
+
+
 def _scd2_intervals(e: DataFrame) -> DataFrame:
     """Per-user event_type validity intervals (the e15 build, shared
     with the point-in-time lookup e17)."""
@@ -775,11 +780,6 @@ def _scd2_intervals(e: DataFrame) -> DataFrame:
         F.lead("valid_from").over(wr).isNull().alias("is_current"),
         "n_events",
     )
-
-
-def e15_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
-    return _scd2_intervals(e).orderBy("user_id", "run_id")
 
 
 # ---------------------------------------------------------------------------
