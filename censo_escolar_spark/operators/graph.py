@@ -1,0 +1,102 @@
+"""Graph algorithms over edge DataFrames (beyond the transitive-closure
+connected components in operators/dedup.py).
+
+``pagerank`` is the distributed power iteration: each round joins the
+rank vector to the edge list (shuffle on node id), sums incoming
+contributions (partial-aggregated), and rebuilds the vector with the
+damping term. Rounds are a fixed, caller-chosen count — at corpus scale
+you run O(10) rounds, each one bounded shuffle, with the vector
+localCheckpoint'ed per round so lineage stays O(1) (the connected-
+components lesson).
+
+Determinism contract: ranks are SCALED INTEGERS (``SCALE = 10^12``) and
+every step is integer arithmetic — floor division for the out-degree
+split and the damping ratio, exact integer sums for the gather. Floating
+addition is order-dependent and engines fold in different orders; the
+integer formulation makes the result bit-identical on any engine and
+any partitioning, so PageRank queries are value-hash oracle-checkable.
+The quantization error vs real-valued PageRank is < iters·deg_max/SCALE
+— irrelevant at 10^12.
+
+Dangling nodes (no out-edges) simply leak their damped mass — the
+standard simplification when ranks are used for *ordering* (canonical-
+document selection in a dedup cluster), not as probabilities.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 10**12
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 3,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list.
+
+    Returns (node, rank) with rank a scaled integer (``SCALE`` = 1.0
+    of initial mass per node). ``damping_pct`` is the damping factor in
+    percent (85 = the classic 0.85) — kept integral so the damping step
+    is exact integer arithmetic.
+
+    Update rule per node v:
+        contrib(u) = rank(u) // out_deg(u)
+        rank'(v)   = ((100 - d) * SCALE) // 100
+                     + (d * Σ_{u→v} contrib(u)) // 100
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    # out-degree rides the edge list once; re-used every round
+    e_deg = e.join(deg, "src").localCheckpoint(eager=True)
+
+    base = (100 - damping_pct) * SCALE // 100
+    ranks = nodes.withColumn("rank", F.lit(SCALE).cast("long"))
+    for _ in range(iters):
+        gathered = (
+            e_deg.join(
+                ranks.select(F.col("node").alias("src"), "rank"), "src"
+            )
+            .select(
+                F.col("dst").alias("node"),
+                # BIGINT floor division — never a double in the loop
+                # (a double mantissa silently rounds past 2^53 when the
+                # gather sum grows with in-degree)
+                F.expr("rank div deg").alias("contrib"),
+            )
+            .groupBy("node")
+            .agg(F.sum("contrib").alias("s"))
+        )
+        # floor(d*s/100) = d*(s div 100) + (d*(s % 100)) div 100 —
+        # overflow-safe split: s can approach in_deg·SCALE, so d*s
+        # would overflow BIGINT on high-degree graphs
+        damp = (
+            F.lit(damping_pct) * F.expr("s div 100")
+            + F.expr(f"({damping_pct} * (s % 100)) div 100")
+        )
+        ranks = (
+            nodes.join(gathered, "node", "left")
+            .select(
+                "node",
+                F.when(F.col("s").isNull(), F.lit(base))
+                .otherwise(F.lit(base) + damp)
+                .cast("long")
+                .alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -2025,3 +2025,75 @@ def s10_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq.pq_topk(
         emb, queries, books, k=5, rerank=1_000_000
     ).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# g01 — PageRank centrality over the near-dup pair graph (the canonical-
+# document selector for dedup clusters: keep the most central member,
+# not an arbitrary min-id). operators/graph.py::pagerank runs the
+# distributed power iteration in SCALED-INTEGER arithmetic (floor
+# divisions + exact integer sums), so three rounds are bit-identical
+# across engines and partitionings — the oracle unrolls the same three
+# rounds in SQL over the same d02 edge set.
+# ---------------------------------------------------------------------------
+_G01_ORACLE = f"""
+WITH {_SQL_SHINGLES},
+  sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+  inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  ),
+  pairs AS (
+    SELECT id_a, id_b FROM inter
+    JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+    WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
+  ),
+  edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION SELECT id_b, id_a FROM pairs
+  ),
+  nodes AS (SELECT DISTINCT src AS node FROM edges),
+  deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+  r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS rank FROM nodes),
+  g1 AS (SELECT e.dst AS node, CAST(SUM(r.rank // d.deg) AS BIGINT) AS s
+         FROM edges e JOIN deg d ON d.src = e.src
+         JOIN r0 r ON r.node = e.src GROUP BY e.dst),
+  r1 AS (SELECT n.node, CAST(CASE WHEN g.s IS NULL THEN 150000000000
+           ELSE 150000000000 + 85*(g.s // 100) + (85*(g.s % 100)) // 100
+         END AS BIGINT) AS rank
+         FROM nodes n LEFT JOIN g1 g ON g.node = n.node),
+  g2 AS (SELECT e.dst AS node, CAST(SUM(r.rank // d.deg) AS BIGINT) AS s
+         FROM edges e JOIN deg d ON d.src = e.src
+         JOIN r1 r ON r.node = e.src GROUP BY e.dst),
+  r2 AS (SELECT n.node, CAST(CASE WHEN g.s IS NULL THEN 150000000000
+           ELSE 150000000000 + 85*(g.s // 100) + (85*(g.s % 100)) // 100
+         END AS BIGINT) AS rank
+         FROM nodes n LEFT JOIN g2 g ON g.node = n.node),
+  g3 AS (SELECT e.dst AS node, CAST(SUM(r.rank // d.deg) AS BIGINT) AS s
+         FROM edges e JOIN deg d ON d.src = e.src
+         JOIN r2 r ON r.node = e.src GROUP BY e.dst),
+  r3 AS (SELECT n.node, CAST(CASE WHEN g.s IS NULL THEN 150000000000
+           ELSE 150000000000 + 85*(g.s // 100) + (85*(g.s % 100)) // 100
+         END AS BIGINT) AS rank
+         FROM nodes n LEFT JOIN g3 g ON g.node = n.node)
+SELECT node AS doc_id, rank FROM r3 ORDER BY rank DESC, doc_id
+"""
+
+
+@register("g01_pagerank_dedup_graph", oracle=_G01_ORACLE)
+def g01_pagerank_dedup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from censo_escolar_spark.operators.graph import pagerank
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    return (
+        pagerank(edges, iters=3)
+        .select(F.col("node").alias("doc_id"), "rank")
+        .orderBy(F.desc("rank"), "doc_id")
+    )
