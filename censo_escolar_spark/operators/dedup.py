@@ -901,3 +901,99 @@ def strip_spans(
             F.coalesce("stripped_text", F.lit("")).alias("stripped_text"),
         )
     )
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    published: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Dedup an INCREMENT against an already-published corpus — the
+    production shape of corpus growth (daily crawl batches; the
+    reference's O1 idempotent per-year increments, censo_escolar.py:
+    39-60, lifted to near-dup semantics).
+
+    Two stages, both on banded candidates (never all-pairs):
+
+    1. cross-batch: a new doc with a near-dup (exact Jaccard >=
+       threshold) in ``published`` is dropped — the corpus already
+       represents it. Candidates come from one minhash banding over
+       the union, filtered to cross-side pairs, so the published side
+       contributes signatures only (at scale: the stored index table,
+       bucketed by band key — the increment probes it like a
+       partition-pruned join).
+    2. within-batch: survivors are near-deduped among themselves via
+       the standard pairs → transitive closure → min-id-keep path.
+
+    Returns every new doc with (cluster_id, dup_of_published, keep):
+    ``filter("keep")`` is the publishable increment. Cross-
+    contaminated docs keep their own id as cluster_id (their cluster
+    lives in the published corpus, not the batch).
+
+    Drop-then-cluster order matters and is deliberate: a published
+    near-dup makes the new doc REDUNDANT, so it must not also anchor a
+    within-batch cluster (its remaining members are kept only if no
+    published twin of their own). Incremental output therefore differs
+    (correctly) from re-running full-corpus dedup over
+    published ∪ batch: increments never retroactively delete published
+    docs.
+    """
+    tagged = new_docs.select(
+        F.col(id_col), F.col(text_col), F.lit(True).alias("__new")
+    ).unionByName(
+        published.select(
+            F.col(id_col), F.col(text_col), F.lit(False).alias("__new")
+        )
+    )
+    # pairs are tiny (near-dup edges) but their lineage is the whole
+    # banding+verification pipeline; three consumers below (cross-side
+    # filter, within-batch edges, and every closure iteration) would
+    # re-run it without an eager materialization
+    pairs = minhash_pairs(
+        tagged, id_col, text_col, n=n, threshold=threshold
+    ).localCheckpoint(eager=True)
+    sides = tagged.select(F.col(id_col), "__new")
+    p = (
+        pairs.join(
+            sides.select(F.col(id_col).alias("id_a"), F.col("__new").alias("new_a")),
+            "id_a",
+        )
+        .join(
+            sides.select(F.col(id_col).alias("id_b"), F.col("__new").alias("new_b")),
+            "id_b",
+        )
+    )
+    cross_hit = (
+        p.filter(F.col("new_a") != F.col("new_b"))
+        .select(
+            F.when(F.col("new_a"), F.col("id_a")).otherwise(F.col("id_b")).alias(id_col)
+        )
+        .distinct()
+    )
+    survivors = new_docs.join(cross_hit, id_col, "left_anti")
+    surv_ids = survivors.select(id_col)
+    within = (
+        p.filter(F.col("new_a") & F.col("new_b"))
+        .select("id_a", "id_b")
+        .join(surv_ids.select(F.col(id_col).alias("id_a")), "id_a")
+        .join(surv_ids.select(F.col(id_col).alias("id_b")), "id_b")
+    )
+    labeled = clusters_from_pairs(survivors, within, id_col, max_iter=max_iter)
+    return (
+        new_docs.select(id_col)
+        .join(labeled, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+            F.col("cluster_id").isNull().alias("dup_of_published"),
+        )
+        .withColumn(
+            "keep",
+            ~F.col("dup_of_published") & (F.col(id_col) == F.col("cluster_id")),
+        )
+    )

@@ -2097,3 +2097,78 @@ def g01_pagerank_dedup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("node").alias("doc_id"), "rank")
         .orderBy(F.desc("rank"), "doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# d14 — incremental dedup: odd-id docs are the new batch, even-id docs
+# the published corpus. A new doc near-dup to a published one is
+# dropped (the corpus already represents it — increments never
+# retroactively delete published docs); survivors then near-dedup
+# among themselves (closure + min-id keep). This is the daily-crawl
+# production shape: one minhash banding over the union, the published
+# side contributing signatures only.
+# ---------------------------------------------------------------------------
+_D14_ORACLE = f"""
+WITH RECURSIVE {_SQL_SHINGLES},
+  sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+  inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  ),
+  pairs AS (
+    SELECT id_a, id_b FROM inter
+    JOIN sz sa ON sa.doc_id = id_a
+    JOIN sz sb ON sb.doc_id = id_b
+    WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
+  ),
+  cross_hit AS (
+    SELECT DISTINCT CASE WHEN id_a % 2 = 1 THEN id_a ELSE id_b END AS doc_id
+    FROM pairs WHERE id_a % 2 <> id_b % 2
+  ),
+  survivors AS (
+    SELECT doc_id FROM documents
+    WHERE doc_id % 2 = 1
+      AND doc_id NOT IN (SELECT doc_id FROM cross_hit)
+  ),
+  edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    WHERE id_a % 2 = 1 AND id_b % 2 = 1
+      AND id_a IN (SELECT doc_id FROM survivors)
+      AND id_b IN (SELECT doc_id FROM survivors)
+    UNION
+    SELECT id_b, id_a FROM pairs
+    WHERE id_a % 2 = 1 AND id_b % 2 = 1
+      AND id_a IN (SELECT doc_id FROM survivors)
+      AND id_b IN (SELECT doc_id FROM survivors)
+  ),
+  reach(src, dst) AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+  ),
+  comp AS (
+    SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+    FROM reach GROUP BY src
+  )
+SELECT d.doc_id,
+  CAST(CASE WHEN ch.doc_id IS NOT NULL THEN d.doc_id
+            ELSE COALESCE(c.cluster_id, d.doc_id) END AS BIGINT) AS cluster_id,
+  ch.doc_id IS NOT NULL AS dup_of_published,
+  ch.doc_id IS NULL
+    AND d.doc_id = CAST(COALESCE(c.cluster_id, d.doc_id) AS BIGINT) AS keep
+FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+LEFT JOIN cross_hit ch USING (doc_id)
+LEFT JOIN comp c USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+@register("d14_incremental_dedup", oracle=_D14_ORACLE)
+def d14_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    new_docs = docs.filter(F.col("doc_id") % 2 == 1)
+    published = docs.filter(F.col("doc_id") % 2 == 0)
+    return dedup.incremental_dedup(
+        new_docs, published, "doc_id", "text", n=3, threshold=0.5
+    ).orderBy("doc_id")

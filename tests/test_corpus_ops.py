@@ -323,3 +323,77 @@ def test_dedup_giant_cluster(spark):
     out = corpus_dedup(docs, "doc_id", "text", threshold=0.5)
     assert out.filter("keep").count() == 1
     assert out.filter(F.col("cluster_id") == 0).count() == 200
+
+
+# ---------------------------------------------------------------------------
+# incremental_dedup (increment vs published corpus)
+# ---------------------------------------------------------------------------
+def _inc_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+_BASE = "the quick brown fox jumps over the lazy dog again and again today"
+
+
+def test_incremental_dedup_cross_and_within(spark):
+    from censo_escolar_spark.operators.dedup import incremental_dedup
+
+    published = _inc_docs(spark, [(2, _BASE)])
+    batch = _inc_docs(
+        spark,
+        [
+            (11, _BASE + " extra"),          # near-dup of published 2 -> dropped
+            (13, "completely different words forming another document body here"),
+            (15, "completely different words forming another document body now"),
+            (17, "isolated unique content nothing shares any shingles with this"),
+        ],
+    )
+    out = {r.doc_id: r for r in incremental_dedup(batch, published, "doc_id", "text").collect()}
+    assert set(out) == {11, 13, 15, 17}
+    assert out[11].dup_of_published and not out[11].keep
+    assert out[11].cluster_id == 11  # cluster lives in the published corpus
+    # 13/15 near-dup each other: min id wins
+    assert not out[13].dup_of_published and out[13].keep and out[13].cluster_id == 13
+    assert not out[15].dup_of_published and not out[15].keep and out[15].cluster_id == 13
+    assert out[17].keep
+
+
+def test_incremental_dedup_drop_before_cluster_order(spark):
+    from censo_escolar_spark.operators.dedup import incremental_dedup
+
+    # B' (15) is a near-dup of published P AND of batch-mate B (13).
+    # Drop-then-cluster: 15 leaves via the published side, and 13 —
+    # which has no published twin — is kept, NOT dragged out by 15's
+    # contamination.
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    published = _inc_docs(spark, [(2, shared)])
+    batch = _inc_docs(
+        spark,
+        [
+            (13, shared.replace("alpha beta gamma delta epsilon zeta", "one two three four five six")),
+            (15, shared + " tail"),
+        ],
+    )
+    out = {r.doc_id: r for r in incremental_dedup(batch, published, "doc_id", "text").collect()}
+    assert out[15].dup_of_published and not out[15].keep
+    assert not out[13].dup_of_published and out[13].keep
+
+
+def test_incremental_dedup_empty_published(spark):
+    from censo_escolar_spark.operators.dedup import corpus_dedup, incremental_dedup
+
+    batch = _inc_docs(
+        spark,
+        [(1, _BASE), (3, _BASE + " extra"), (5, "other text entirely unrelated to anything above")],
+    )
+    empty = _inc_docs(spark, []).filter("doc_id IS NOT NULL")
+    inc = {
+        (r.doc_id, r.cluster_id, r.keep)
+        for r in incremental_dedup(batch, empty, "doc_id", "text").collect()
+    }
+    # with no published corpus, incremental == plain corpus dedup
+    full = {
+        (r.doc_id, r.cluster_id, r.keep)
+        for r in corpus_dedup(batch, "doc_id", "text").select("doc_id", "cluster_id", "keep").collect()
+    }
+    assert inc == full
