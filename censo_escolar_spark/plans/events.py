@@ -954,3 +954,59 @@ def e17_point_in_time_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "state", "run_id", "valid_from")
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# e18 — time-weighted average value (TWAP) per user: each event's value
+# holds until the user's next event; the average weights each value by
+# its holding duration (exact integer MICROSECONDS — sub-second
+# timestamps make 'whole seconds' engine-dependent: Spark truncates the
+# unit difference, DuckDB counts boundary crossings). One lead() window
+# per user (single
+# shuffle), then a partial-aggregated groupBy. Division discipline:
+# value is held exact as DECIMAL, durations as BIGINT — the weighted
+# sum is an exact decimal·int sum, with ONE double division at the end
+# (cross-engine bit parity; float accumulation would be
+# fold-order-dependent).
+# ---------------------------------------------------------------------------
+@register(
+    "e18_time_weighted_avg",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, CAST(value AS DECIMAL(18,2)) AS v,
+        CAST(date_diff('microsecond', ts,
+          LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+          AS BIGINT) AS dur_us
+      FROM events
+    )
+    SELECT user_id,
+      CAST(CAST(SUM(v * dur_us) AS DOUBLE) / CAST(SUM(dur_us) AS DOUBLE)
+        AS DOUBLE) AS twap,
+      CAST(SUM(dur_us) AS BIGINT) AS observed_us
+    FROM seq
+    WHERE dur_us IS NOT NULL AND dur_us > 0
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def e18_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        F.col("value").cast(DEC).alias("v"),
+        F.timestamp_diff(
+            "MICROSECOND", F.col("ts"), F.lead("ts").over(w)
+        ).alias("dur_us"),
+    ).filter(F.col("dur_us").isNotNull() & (F.col("dur_us") > 0))
+    return (
+        seq.groupBy("user_id")
+        .agg(
+            (
+                F.sum(F.col("v") * F.col("dur_us")).cast("double")
+                / F.sum("dur_us").cast("double")
+            ).alias("twap"),
+            F.sum("dur_us").cast("bigint").alias("observed_us"),
+        )
+        .orderBy("user_id")
+    )

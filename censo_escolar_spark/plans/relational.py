@@ -1972,3 +1972,77 @@ def q54_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_brand", "p_partkey", "price", "size")
         .orderBy("p_brand", "p_partkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# q55 — co-purchase lift (market-basket association): for part pairs
+# co-occurring in >= 3 orders, support and lift. Pair generation is a
+# self-join of the DISTINCT (order, part) fact — quadratic only in
+# basket SIZE (bounded small), never in catalog size; the pair-count
+# aggregation partial-aggregates before its one shuffle on the pair.
+# Lift = (c_ab·N)/(c_a·c_b) computed as exact BIGINT products and ONE
+# double division (cross-engine bit parity).
+# ---------------------------------------------------------------------------
+@register(
+    "q55_copurchase_lift",
+    oracle="""
+    WITH bi AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM bi),
+    ic AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c FROM bi GROUP BY 1),
+    pc AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        CAST(COUNT(*) AS BIGINT) AS c_ab
+      FROM bi a JOIN bi b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT part_a, part_b, c_ab,
+      CAST(c_ab AS DOUBLE) / n.n_orders AS support,
+      CAST(c_ab * n.n_orders AS DOUBLE) / CAST(ca.c * cb.c AS DOUBLE) AS lift
+    FROM pc
+    JOIN ic ca ON ca.l_partkey = part_a
+    JOIN ic cb ON cb.l_partkey = part_b
+    CROSS JOIN n
+    WHERE c_ab >= 3
+    ORDER BY part_a, part_b
+    """,
+)
+def q55_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    bi = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint(
+        eager=True
+    )  # feeds the self-join twice + both count sides
+    n_orders = bi.select("l_orderkey").distinct().count()  # one scalar job
+    ic = bi.groupBy("l_partkey").agg(F.count("*").alias("c"))
+    a = bi.alias("a")
+    b = bi.alias("b")
+    pc = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("c_ab"))
+        .filter(F.col("c_ab") >= 3)
+    )
+    ca = ic.select(F.col("l_partkey").alias("part_a"), F.col("c").alias("c_a"))
+    cb = ic.select(F.col("l_partkey").alias("part_b"), F.col("c").alias("c_b"))
+    return (
+        pc.join(ca, "part_a")
+        .join(cb, "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "c_ab",
+            (F.col("c_ab").cast("double") / F.lit(n_orders)).alias("support"),
+            (
+                (F.col("c_ab") * F.lit(n_orders)).cast("double")
+                / (F.col("c_a") * F.col("c_b")).cast("double")
+            ).alias("lift"),
+        )
+        .orderBy("part_a", "part_b")
+    )
