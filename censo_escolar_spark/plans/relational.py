@@ -2014,17 +2014,19 @@ def q55_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )  # feeds the self-join twice + both count sides
     n_orders = bi.select("l_orderkey").distinct().count()  # one scalar job
     ic = bi.groupBy("l_partkey").agg(F.count("*").alias("c"))
-    a = bi.alias("a")
-    b = bi.alias("b")
+    rhs = bi.select(
+        F.col("l_orderkey").alias("r_orderkey"),
+        F.col("l_partkey").alias("r_partkey"),
+    )
     pc = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        bi.join(
+            rhs,
+            (F.col("l_orderkey") == F.col("r_orderkey"))
+            & (F.col("l_partkey") < F.col("r_partkey")),
         )
         .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
+            F.col("l_partkey").alias("part_a"),
+            F.col("r_partkey").alias("part_b"),
         )
         .agg(F.count("*").alias("c_ab"))
         .filter(F.col("c_ab") >= 3)
