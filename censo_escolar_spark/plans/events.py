@@ -1010,3 +1010,59 @@ def e18_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# e19 — semi-additive metric (end-of-day balance): per (user, day) the
+# LAST value of the day (max_by over the full event order — never
+# additive within the day), then summed ACROSS users per day. The
+# max_by(value, (ts, event_id)) struct argmax is one partial-aggregated
+# groupBy; no window at all. This is the balance/inventory aggregation
+# rule every warehouse needs and naive SUM gets wrong.
+# ---------------------------------------------------------------------------
+@register(
+    "e19_end_of_day_balance",
+    oracle="""
+    WITH ranked AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, user_id, value,
+        row_number() OVER (
+          PARTITION BY user_id, date_trunc('day', ts)
+          ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ),
+    eod AS (
+      SELECT day, user_id, CAST(value AS DECIMAL(18,2)) AS closing
+      FROM ranked WHERE rn = 1
+    )
+    SELECT CAST(day AS TIMESTAMP) AS day,
+      CAST(COUNT(*) AS BIGINT) AS n_users,
+      CAST(SUM(closing) AS DOUBLE) AS total_closing_balance
+    FROM eod GROUP BY day
+    ORDER BY day
+    """,
+)
+def e19_end_of_day_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    eod = (
+        e.select(
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+            "user_id",
+            F.col("value").cast(DEC).alias("v"),
+            F.struct(F.col("ts"), F.col("event_id")).alias("ord"),
+        )
+        .groupBy("day", "user_id")
+        .agg(F.max_by("v", F.col("ord")).alias("closing"))
+    )
+    return (
+        eod.groupBy("day")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum("closing").cast("double").alias("total_closing_balance"),
+        )
+        .select(
+            F.col("day").cast("timestamp").alias("day"),
+            "n_users",
+            "total_closing_balance",
+        )
+        .orderBy("day")
+    )

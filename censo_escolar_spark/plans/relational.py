@@ -2048,3 +2048,140 @@ def q55_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("part_a", "part_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# q56 — running DISTINCT count per partition: distinct parts each
+# customer has ever ordered, month by month. Spark (like most engines)
+# can't do COUNT(DISTINCT) OVER a running frame; the scale-correct
+# rewrite marks each (customer, part)'s FIRST month (one groupBy) and
+# running-sums first-occurrence counts over the customer's month
+# series — windows stay partitioned by customer, state is a counter,
+# not a distinct set.
+# ---------------------------------------------------------------------------
+@register(
+    "q56_running_distinct_parts",
+    oracle="""
+    WITH li AS (
+      SELECT o.o_custkey AS custkey,
+        CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month,
+        l.l_partkey AS partkey
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    first_m AS (
+      SELECT custkey, partkey, MIN(month) AS month
+      FROM li GROUP BY custkey, partkey
+    ),
+    news AS (
+      SELECT custkey, month, CAST(COUNT(*) AS BIGINT) AS new_parts
+      FROM first_m GROUP BY custkey, month
+    ),
+    months AS (SELECT DISTINCT custkey, month FROM li)
+    SELECT m.custkey, CAST(m.month AS TIMESTAMP) AS month,
+      CAST(SUM(COALESCE(n.new_parts, 0)) OVER (
+        PARTITION BY m.custkey ORDER BY m.month
+        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS distinct_parts_to_date
+    FROM months m LEFT JOIN news n
+      ON n.custkey = m.custkey AND n.month = m.month
+    ORDER BY m.custkey, m.month
+    """,
+)
+def q56_running_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    base = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_custkey").alias("custkey"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+        F.col("l_partkey").alias("partkey"),
+    )
+    first_m = base.groupBy("custkey", "partkey").agg(F.min("month").alias("month"))
+    news = first_m.groupBy("custkey", "month").agg(
+        F.count("*").alias("new_parts")
+    )
+    months = base.select("custkey", "month").distinct()
+    w = (
+        Window.partitionBy("custkey")
+        .orderBy("month")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        months.join(news, ["custkey", "month"], "left")
+        .select(
+            "custkey",
+            "month",
+            F.sum(F.coalesce("new_parts", F.lit(0)))
+            .over(w)
+            .cast("bigint")
+            .alias("distinct_parts_to_date"),
+        )
+        .select(
+            "custkey", F.col("month").cast("timestamp").alias("month"),
+            "distinct_parts_to_date",
+        )
+        .orderBy("custkey", "month")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q57 — RFM segmentation via exact global quartiles: recency (latest
+# order date), frequency (order count), monetary (total spend) per
+# customer, each scored 1-4 by ntile. Global ntile NEVER runs as an
+# unpartitioned window (the q15 lesson): each scoring pass is
+# operators/ranking.py::global_ntile — range-repartitioned two-phase
+# ranking, three bounded range shuffles total.
+# ---------------------------------------------------------------------------
+@register(
+    "q57_rfm_segments",
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey AS custkey,
+        MAX(o_orderdate) AS last_order,
+        CAST(COUNT(*) AS BIGINT) AS frequency,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT custkey, frequency, monetary,
+      CAST(ntile(4) OVER (ORDER BY last_order, custkey) AS INTEGER) AS r_score,
+      CAST(ntile(4) OVER (ORDER BY frequency, custkey) AS INTEGER) AS f_score,
+      CAST(ntile(4) OVER (ORDER BY monetary, custkey) AS INTEGER) AS m_score
+    FROM base
+    ORDER BY custkey
+    """,
+)
+def q57_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from censo_escolar_spark.operators.ranking import global_ntile
+
+    o = load_table(spark, sf_dir, "orders")
+    base = (
+        o.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").alias("frequency"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("monetary"),
+        )
+        .localCheckpoint(eager=True)  # three ranking passes share one scan
+    )
+    r = global_ntile(
+        base, [F.col("last_order"), F.col("custkey")], 4, out_col="r_score"
+    ).select("custkey", "r_score")
+    f = global_ntile(
+        base, [F.col("frequency"), F.col("custkey")], 4, out_col="f_score"
+    ).select("custkey", "f_score")
+    m = global_ntile(
+        base, [F.col("monetary"), F.col("custkey")], 4, out_col="m_score"
+    ).select("custkey", "m_score")
+    return (
+        base.select("custkey", "frequency", "monetary")
+        .join(r, "custkey")
+        .join(f, "custkey")
+        .join(m, "custkey")
+        .select(
+            "custkey",
+            "frequency",
+            "monetary",
+            F.col("r_score").cast("int").alias("r_score"),
+            F.col("f_score").cast("int").alias("f_score"),
+            F.col("m_score").cast("int").alias("m_score"),
+        )
+        .orderBy("custkey")
+    )
