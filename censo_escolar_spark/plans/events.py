@@ -871,15 +871,25 @@ def e16_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("day").cast("timestamp") <= F.col("e"))
     )
     day_ts = F.col("day").cast("timestamp")
+    # +1/-1 points via array+explode, NOT a union of two selects: union
+    # branches are not common-subexpression-eliminated, so the whole
+    # sessionize pipeline would run twice
     pts = days.select(
-        "day", F.greatest("s", day_ts).alias("t"), F.lit(1).alias("delta")
-    ).unionAll(
-        days.select(
-            "day",
-            F.least("e", F.timestamp_add("DAY", F.lit(1), day_ts)).alias("t"),
-            F.lit(-1).alias("delta"),
-        )
-    )
+        "day",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.greatest("s", day_ts).alias("t"), F.lit(1).alias("delta")
+                ),
+                F.struct(
+                    F.least(
+                        "e", F.timestamp_add("DAY", F.lit(1), day_ts)
+                    ).alias("t"),
+                    F.lit(-1).alias("delta"),
+                ),
+            )
+        ).alias("pt"),
+    ).select("day", F.col("pt.t").alias("t"), F.col("pt.delta").alias("delta"))
     ws = Window.partitionBy("day").orderBy(
         F.col("t").asc(), F.col("delta").desc()
     ).rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -2089,16 +2089,24 @@ def q55_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q56_running_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
-    base = li.join(o, li.l_orderkey == o.o_orderkey).select(
-        F.col("o_custkey").alias("custkey"),
-        F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
-        F.col("l_partkey").alias("partkey"),
+    # one fact scan: the distinct (cust, month, part) triple feeds BOTH
+    # the first-occurrence branch and the active-months spine (a second
+    # derivation would re-scan and re-join the fact)
+    tri = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+            F.col("l_partkey").alias("partkey"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
     )
-    first_m = base.groupBy("custkey", "partkey").agg(F.min("month").alias("month"))
+    first_m = tri.groupBy("custkey", "partkey").agg(F.min("month").alias("month"))
     news = first_m.groupBy("custkey", "month").agg(
         F.count("*").alias("new_parts")
     )
-    months = base.select("custkey", "month").distinct()
+    months = tri.select("custkey", "month").distinct()
     w = (
         Window.partitionBy("custkey")
         .orderBy("month")
