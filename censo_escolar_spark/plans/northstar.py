@@ -1986,7 +1986,14 @@ def t25_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("token") != "")
     )
-    occ = tok.groupBy("bucket").agg(F.count("*").alias("n_tokens"))
+    # bucket-level frames are checkpoint-sized; materialize them so the
+    # corpus tokenize pipeline runs once per aggregate, not once per
+    # downstream consumer (the triangular join reads occ twice)
+    occ = (
+        tok.groupBy("bucket")
+        .agg(F.count("*").alias("n_tokens"))
+        .localCheckpoint(eager=True)
+    )
     first_b = tok.groupBy("token").agg(F.min("bucket").alias("bucket"))
     news = first_b.groupBy("bucket").agg(F.count("*").alias("new_types"))
     # triangular cumulate over the checkpoint frame only (tiny; both
