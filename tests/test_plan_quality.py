@@ -140,3 +140,38 @@ def test_approx_percentile_error_bound(spark, sf_dir):
         (F.max("l_extendedprice") - F.min("l_extendedprice")).alias("s")
     ).first().s
     assert abs(row.approx - row.exact) <= 0.05 * spread
+
+
+# Queries allowed to plan a BroadcastNestedLoopJoin. BNL is the classic
+# scale-killer when either side is data-sized; each entry here
+# broadcasts a BOUNDED side by construction:
+#   q17  — 5×5 region cross join (deliberate, tiny dims)
+#   q47  — 1-row global min/max bounds broadcast into the bucket formula
+#   q48  — 1-row expectation-report gate stacked over per-check rows
+#   s01/s02/s08 — bounded query set / block-id pairs broadcast against
+#          the corpus scan (the corpus side is never replicated)
+#   t25  — checkpoint-sized bucket triangle (rows = corpus checkpoints,
+#          independent of data volume)
+BNL_OK = {
+    "q17_region_pairs",
+    "q47_price_histogram",
+    "q48_data_quality_report",
+    "s01_cosine_topk",
+    "s02_cosine_pairs",
+    "s08_matryoshka_topk",
+    "t25_vocab_growth",
+}
+
+
+@pytest.mark.parametrize("name", sorted(entrymod.queries()))
+def test_no_unbounded_nested_loop_join(spark, sf_dir, name):
+    """A BroadcastNestedLoopJoin outside the bounded-side allowlist is a
+    plan regression: some join lost its equi-key (or a cross join crept
+    in) and would replicate a data-sized side at scale."""
+    df = entrymod.queries()[name](spark, sf_dir)
+    plan = _formatted_plan(spark, df)
+    if name not in BNL_OK:
+        assert "BroadcastNestedLoop" not in plan, (
+            f"{name}: unexpected BroadcastNestedLoopJoin — a join lost its "
+            "equi-key, or add a justified allowlist entry"
+        )
