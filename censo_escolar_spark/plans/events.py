@@ -1076,3 +1076,64 @@ def e19_end_of_day_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# e20 — rolling z-score anomaly flags: each event's value scored
+# against the mean/std of the user's previous 20 events. Moment sums
+# over the frame are EXACT decimals (sum, sum of squares); mean/std/z
+# are derived from them with a fixed double expression — one window,
+# fold-order-independent, so the flags are oracle-hashable (a float
+# stddev over a frame would differ by summation order across engines).
+# ---------------------------------------------------------------------------
+@register(
+    "e20_rolling_zscore",
+    oracle="""
+    WITH seq AS (
+      SELECT event_id, user_id, CAST(value AS DECIMAL(18,2)) AS v,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS s1,
+        CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
+          OVER w AS DOUBLE) AS s2,
+        CAST(COUNT(value) OVER w AS BIGINT) AS n
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id,
+      CAST(CASE WHEN n >= 5
+        AND (s2 - s1 * s1 / n) / (n - 1) > 0
+        THEN abs(CAST(v AS DOUBLE) - s1 / n)
+             / sqrt((s2 - s1 * s1 / n) / (n - 1))
+      END AS DOUBLE) AS zscore
+    FROM seq
+    WHERE n >= 5 AND (s2 - s1 * s1 / n) / (n - 1) > 0
+      AND abs(CAST(v AS DOUBLE) - s1 / n)
+          / sqrt((s2 - s1 * s1 / n) / (n - 1)) > 3.0
+    ORDER BY event_id
+    """,
+)
+def e20_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    v = F.col("value").cast(DEC)
+    seq = e.select(
+        "event_id",
+        "user_id",
+        v.alias("v"),
+        F.sum(v).over(w).cast("double").alias("s1"),
+        F.sum(v * v).over(w).cast("double").alias("s2"),
+        F.count("value").over(w).cast("bigint").alias("n"),
+    )
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    z = F.abs(F.col("v").cast("double") - F.col("s1") / F.col("n")) / F.sqrt(var)
+    return (
+        seq.filter((F.col("n") >= 5) & (var > 0) & (z > 3.0))
+        .select("event_id", "user_id", z.cast("double").alias("zscore"))
+        .orderBy("event_id")
+    )

@@ -2193,3 +2193,58 @@ def q57_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# q58 — winsorized group statistics: order-price means per priority with
+# tails clipped to the group's exact [p05, p95]. The percentile pass and
+# the clipped-mean pass are two partial-aggregated groupBys on the SAME
+# key joined back (the bounds frame is group-cardinality-sized and
+# broadcasts); sums stay decimal-exact with one final double division.
+# Robust-stats shape: outlier handling without a sort or a window.
+# ---------------------------------------------------------------------------
+@register(
+    "q58_winsorized_stats",
+    oracle="""
+    WITH b AS (
+      SELECT o_orderpriority,
+        CAST(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.05) AS DOUBLE) AS p05,
+        CAST(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.95) AS DOUBLE) AS p95
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o.o_orderpriority,
+      CAST(COUNT(*) AS BIGINT) AS n_orders,
+      CAST(CAST(SUM(CAST(LEAST(GREATEST(CAST(o.o_totalprice AS DOUBLE), b.p05),
+                               b.p95) AS DECIMAL(18,2))) AS DOUBLE)
+        / COUNT(*) AS DOUBLE) AS winsorized_avg,
+      CAST(SUM(CASE WHEN CAST(o.o_totalprice AS DOUBLE) < b.p05
+                      OR CAST(o.o_totalprice AS DOUBLE) > b.p95
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+    FROM orders o JOIN b USING (o_orderpriority)
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def q58_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("double")
+    bounds = o.groupBy("o_orderpriority").agg(
+        F.percentile(price, F.lit(0.05)).alias("p05"),
+        F.percentile(price, F.lit(0.95)).alias("p95"),
+    )
+    clipped = F.least(F.greatest(price, F.col("p05")), F.col("p95")).cast(DEC)
+    out_of_range = (price < F.col("p05")) | (price > F.col("p95"))
+    return (
+        o.join(F.broadcast(bounds), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            (F.sum(clipped).cast("double") / F.count("*")).alias(
+                "winsorized_avg"
+            ),
+            F.sum(F.when(out_of_range, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clipped"),
+        )
+        .orderBy("o_orderpriority")
+    )
