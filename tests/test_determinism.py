@@ -1,0 +1,49 @@
+"""Partitioning-independence: the reproducibility contract, executed.
+
+SCALE.md promises results independent of executor count / partitioning
+(content-hash splits instead of rand(), scaled-integer PageRank,
+deterministic tie-breaks, two-phase rankings). Re-running a query under
+a different shuffle-partition count is the cheapest local proxy for "a
+different cluster" — any hidden dependence on partition boundaries
+(spark_partition_id leaking into results, rand(), first() without
+order, float fold order) shows up as a diff.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+# Representative determinism-sensitive queries: hash splits/samples,
+# min-label closure, scaled-integer pagerank, two-phase rankings,
+# mode/median tie-breaks, interval sweeps, stratified quotas.
+CASES = [
+    "t06_quality_sample",
+    "t15_dataset_split",
+    "t24_stratified_sample",
+    "g01_pagerank_dedup_graph",
+    "d09_corpus_dedup",
+    "q46_median_mode",
+    "q57_rfm_segments",
+    "e16_peak_concurrency",
+]
+
+
+def _rows(spark, name, sf_dir):
+    df = entrymod.queries()[name](spark, sf_dir)
+    return sorted(map(tuple, df.collect()))
+
+
+@pytest.mark.parametrize("name", CASES)
+def test_result_invariant_under_shuffle_partitioning(spark, sf_dir, name):
+    conf = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(conf)
+    try:
+        spark.conf.set(conf, "32")
+        a = _rows(spark, name, sf_dir)
+        spark.conf.set(conf, "7")
+        b = _rows(spark, name, sf_dir)
+    finally:
+        spark.conf.set(conf, prev)
+    assert a == b, f"{name}: result depends on shuffle partitioning"
