@@ -50,15 +50,31 @@ _R02_GREEN = {
 _R02_GREEN.discard("t02")
 
 
+# Round-3 additions: no artifact row AND no prior judge sweep has seen
+# them — they outrank older fresh queries (which round-1/2 judge sweeps
+# verified at HEAD even where the graded window missed them).
+_R3_NEW = {
+    "e15", "e16", "e17", "e18", "e19", "e20",
+    "d13", "d14", "t24", "t25", "g01", "s10",
+    "q54", "q55", "q56", "q57", "q58",
+}
+
+
 def _sweep_order(names) -> list[str]:
     def seen(n: str) -> bool:
         return n in _R02_GREEN or n.split("_", 1)[0] in _R02_GREEN
 
-    # oracle-bearing entries first within the fresh set: a rows-only
-    # entry in the graded window would spend a slot on the weaker check
-    fresh = [n for n in names if not seen(n) and n in ORACLE]
-    fresh += [n for n in names if not seen(n) and n not in ORACLE]
-    return fresh + [n for n in names if seen(n)]
+    def new3(n: str) -> bool:
+        return n.split("_", 1)[0] in _R3_NEW
+
+    # within the graded window: newest first (never seen by any sweep),
+    # oracle-bearing before rows-only (a rows-only entry in the window
+    # would spend a slot on the weaker check)
+    fresh3 = [n for n in names if new3(n) and n in ORACLE]
+    fresh3 += [n for n in names if new3(n) and n not in ORACLE]
+    fresh = [n for n in names if not seen(n) and not new3(n) and n in ORACLE]
+    fresh += [n for n in names if not seen(n) and not new3(n) and n not in ORACLE]
+    return fresh3 + fresh + [n for n in names if seen(n)]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
