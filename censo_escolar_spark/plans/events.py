@@ -754,32 +754,12 @@ def e15_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _scd2_intervals(e: DataFrame) -> DataFrame:
-    """Per-user event_type validity intervals (the e15 build, shared
-    with the point-in-time lookup e17)."""
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    marked = e.withColumn(
-        "chg",
-        F.when(
-            ~F.col("event_type").eqNullSafe(F.lag("event_type").over(w)), 1
-        ).otherwise(0),
-    )
-    runs = marked.withColumn("run_id", F.sum("chg").over(wc).cast("bigint"))
-    collapsed = runs.groupBy("user_id", "run_id").agg(
-        F.first("event_type").alias("state"),  # constant within a run
-        F.min("ts").alias("valid_from"),
-        F.count("*").alias("n_events"),
-    )
-    wr = Window.partitionBy("user_id").orderBy("run_id")
-    return collapsed.select(
-        "user_id",
-        "run_id",
-        "state",
-        "valid_from",
-        F.lead("valid_from").over(wr).alias("valid_to"),
-        F.lead("valid_from").over(wr).isNull().alias("is_current"),
-        "n_events",
-    )
+    """Per-user event_type validity intervals (operators/scd2.py — the
+    batch build shared with the point-in-time lookup e17 and the
+    streaming maintainer streaming/scd2.py)."""
+    from censo_escolar_spark.operators.scd2 import scd2_intervals
+
+    return scd2_intervals(e)
 
 
 # ---------------------------------------------------------------------------
