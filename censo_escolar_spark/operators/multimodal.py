@@ -29,7 +29,7 @@ from typing import Callable, Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from censo_escolar_spark.functions.hashing import splitmix64
@@ -237,4 +237,52 @@ def sample_frames(
 
     return planned.mapInPandas(
         run, f"{id_col} long, frame_idx int, px_mean double, px_std double"
+    )
+
+
+def plan_shards(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    bytes_col: str = "payload",
+    shard_budget: int = 1 << 16,
+    bucket_size: int = 100,
+) -> DataFrame:
+    """Offset-based shard plan for packing media payloads into
+    ~``shard_budget``-byte archive shards (the WebDataset/tar-shard
+    layout step before training ingestion).
+
+    Every payload gets a virtual byte offset = the cumulative size of
+    its predecessors in deterministic id order; its shard is
+    ``offset div budget``. Shards may run over budget by at most one
+    payload's tail — the price for a plan that is a pure function of
+    (sizes, order), reproducible on any partitioning.
+
+    Scale shape: the running sum is windowed per BUCKET (``id div
+    bucket_size``), never globally — each bucket is an independent
+    shard namespace, so the plan parallelizes to any corpus size
+    (shard ids are (bucket, idx) pairs). One shuffle on the bucket.
+    """
+    size = F.octet_length(F.col(bytes_col)).cast("bigint")
+    w = (
+        Window.partitionBy("shard_bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sized = df.select(
+        F.col(id_col),
+        (F.col(id_col) / bucket_size).cast("long").alias("shard_bucket"),
+        size.alias("n_bytes"),
+    )
+    off = F.coalesce(F.sum("n_bytes").over(w), F.lit(0))
+    # BIGINT floor division (never a double route: cumulative bytes at
+    # corpus scale exceed double's exact-integer range)
+    return sized.select(
+        id_col, "shard_bucket", "n_bytes", off.alias("__off")
+    ).select(
+        id_col,
+        "shard_bucket",
+        "n_bytes",
+        F.expr(f"__off div {int(shard_budget)}").cast("long").alias("shard_idx"),
+        F.expr(f"__off % {int(shard_budget)}").cast("bigint").alias("byte_offset"),
     )

@@ -113,3 +113,44 @@ def m03_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.sample_frames(
         staged, k=4, decoder=M.fake_decode
     ).orderBy("doc_id", "frame_idx")
+
+
+# ---------------------------------------------------------------------------
+# m04 — shard packing plan: every payload gets a (bucket, shard, offset)
+# slot for ~64 KB tar-style training shards. Offset-based assignment
+# (shard = cumulative-bytes div budget) is a pure function of sizes +
+# id order — reproducible on any partitioning; the running sum windows
+# per id-bucket, never globally.
+# ---------------------------------------------------------------------------
+@register(
+    "m04_shard_plan",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+        doc_id // 100 AS shard_bucket,
+        CAST(octet_length(
+          (CASE doc_id % 3 WHEN 0 THEN unhex('FFD8FF')
+                           WHEN 1 THEN unhex('89504E47')
+                           ELSE unhex('52494646') END
+           || encode(text))) AS BIGINT) AS n_bytes
+      FROM documents
+    ),
+    o AS (
+      SELECT doc_id, shard_bucket, n_bytes,
+        COALESCE(SUM(n_bytes) OVER (
+          PARTITION BY shard_bucket ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      FROM p
+    )
+    SELECT doc_id, shard_bucket, n_bytes,
+      CAST(off // 65536 AS BIGINT) AS shard_idx,
+      CAST(off % 65536 AS BIGINT) AS byte_offset
+    FROM o
+    ORDER BY doc_id
+    """,
+)
+def m04_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    staged = _staged_payloads(spark, sf_dir)
+    return M.plan_shards(
+        staged, id_col="doc_id", bytes_col="payload", shard_budget=1 << 16
+    ).orderBy("doc_id")
