@@ -824,7 +824,13 @@ def e16_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     gaps = e.withColumn(
         "new_s",
         F.when(
-            (F.timestamp_diff("SECOND", F.lag("ts").over(w), F.col("ts")) > 1800)
+            (
+                F.timestamp_diff(
+                    "MICROSECOND", F.lag("ts").over(w), F.col("ts")
+                )
+                > 1_800_000_000  # exact: SECOND-unit diffs truncate, so a
+                # 1800.5s gap would split sessions in one engine only
+            )
             | F.lag("ts").over(w).isNull(),
             1,
         ).otherwise(0),
