@@ -38,6 +38,7 @@ def pagerank(
     dst_col: str = "dst",
     iters: int = 3,
     damping_pct: int = 85,
+    checkpoint_interval: int = 4,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list.
 
@@ -66,7 +67,7 @@ def pagerank(
 
     base = (100 - damping_pct) * SCALE // 100
     ranks = nodes.withColumn("rank", F.lit(SCALE).cast("long"))
-    for _ in range(iters):
+    for i in range(iters):
         gathered = (
             e_deg.join(
                 ranks.select(F.col("node").alias("src"), "rank"), "src"
@@ -88,15 +89,16 @@ def pagerank(
             F.lit(damping_pct) * F.expr("s div 100")
             + F.expr(f"({damping_pct} * (s % 100)) div 100")
         )
-        ranks = (
-            nodes.join(gathered, "node", "left")
-            .select(
-                "node",
-                F.when(F.col("s").isNull(), F.lit(base))
-                .otherwise(F.lit(base) + damp)
-                .cast("long")
-                .alias("rank"),
-            )
-            .localCheckpoint(eager=True)
+        ranks = nodes.join(gathered, "node", "left").select(
+            "node",
+            F.when(F.col("s").isNull(), F.lit(base))
+            .otherwise(F.lit(base) + damp)
+            .cast("long")
+            .alias("rank"),
         )
+        # periodic, not per-round: a blocking materialization every
+        # round costs a job each; lineage only needs trimming every few
+        # rounds (3-round plans run as ONE job without any checkpoint)
+        if (i + 1) % checkpoint_interval == 0 and (i + 1) < iters:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks
