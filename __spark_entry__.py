@@ -56,7 +56,7 @@ _R02_GREEN.discard("t02")
 _R3_NEW = {
     "e15", "e16", "e17", "e18", "e19", "e20",
     "d13", "d14", "t24", "t25", "g01", "s10",
-    "q54", "q55", "q56", "q57", "q58", "m04",
+    "q54", "q55", "q56", "q57", "q58", "q59", "m04",
 }
 
 

@@ -2248,3 +2248,76 @@ def q58_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# q59 — top-N with an OTHERS bucket: per region, the 3 highest-revenue
+# nations as rows plus one aggregated "OTHERS" remainder row (the BI
+# leaderboard shape). One aggregate on (region, nation), a partitioned
+# rank window, then a conditional re-aggregation — the remainder is
+# NEVER a second scan or an anti-join back to the fact.
+# ---------------------------------------------------------------------------
+@register(
+    "q59_topn_with_others",
+    oracle="""
+    WITH nat AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+        SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+          * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS revenue
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT region, nation, revenue,
+        row_number() OVER (PARTITION BY region
+                           ORDER BY revenue DESC, nation) AS rnk
+      FROM nat
+    )
+    SELECT region,
+      CASE WHEN rnk <= 3 THEN nation ELSE 'OTHERS' END AS nation,
+      -- revenue stays DECIMAL through BOTH aggregations: an OTHERS
+      -- bucket summed as doubles would be fold-order-dependent
+      CAST(SUM(revenue) AS DOUBLE) AS revenue,
+      CAST(MIN(rnk) AS INTEGER) AS rank
+    FROM ranked
+    GROUP BY 1, 2
+    ORDER BY region, rank
+    """,
+)
+def q59_topn_with_others(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    rev = (
+        F.col("l_extendedprice").cast(DEC)
+        * (F.lit(1) - F.col("l_discount").cast(DEC))
+    )
+    nat = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum(rev).alias("revenue"))  # stays DECIMAL until the end
+    )
+    w = Window.partitionBy("region").orderBy(F.desc("revenue"), F.asc("nation"))
+    ranked = nat.withColumn("rnk", F.row_number().over(w))
+    return (
+        ranked.groupBy(
+            "region",
+            F.when(F.col("rnk") <= 3, F.col("nation"))
+            .otherwise(F.lit("OTHERS"))
+            .alias("nation"),
+        )
+        .agg(
+            F.sum("revenue").cast("double").alias("revenue"),
+            F.min("rnk").cast("int").alias("rank"),
+        )
+        .orderBy("region", "rank")
+    )
