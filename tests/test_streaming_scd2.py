@@ -104,3 +104,35 @@ def test_untouched_keys_pass_through(spark, tmp_path):
         )
     )
     assert u1 == base
+
+
+def test_random_streams_incremental_equals_batch(spark, tmp_path):
+    """Property: for random in-order event streams split at arbitrary
+    batch boundaries, N stitched micro-batches == one batch build."""
+    import numpy as np
+
+    from datetime import timedelta
+
+    rng = np.random.RandomState(11)
+    rows = []
+    eid = 0
+    base_ts = datetime(2024, 3, 1)
+    for user in range(6):
+        t = 0
+        for _ in range(rng.randint(3, 25)):
+            t += int(rng.randint(1, 30))
+            eid += 1
+            rows.append(
+                (base_ts + timedelta(seconds=t), user,
+                 ["view", "click", "purchase"][rng.randint(0, 3)], eid)
+            )
+    rows.sort(key=lambda r: (r[0], r[3]))  # global time order across users
+    cuts = sorted(rng.choice(range(1, len(rows)), size=3, replace=False))
+    batches = [rows[a:b] for a, b in zip([0] + list(cuts), list(cuts) + [len(rows)])]
+
+    state = str(tmp_path / "state")
+    for i, b in enumerate(batches):
+        S.apply_scd2_batch(spark.createDataFrame(b, SCHEMA), i, state_dir=state)
+    streamed = _canon(S.read_scd2_state(spark, state))
+    batch = _canon(scd2_intervals(spark.createDataFrame(rows, SCHEMA)))
+    assert streamed == batch
