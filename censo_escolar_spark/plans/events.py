@@ -1123,3 +1123,76 @@ def e20_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", z.cast("double").alias("zscore"))
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# e21 — merged activity intervals (gaps-and-islands over VARIABLE-length
+# intervals): each event covers [ts, ts + (floor(value)+1) seconds];
+# overlapping/touching intervals per user merge into islands via the
+# classic running-max-end sweep. Variable lengths mean this is NOT
+# expressible as session_window (whose gap is a constant) — it is the
+# general interval-union operator (total covered time, island count).
+# Scale: one shuffle on user_id, one window per user partition; island
+# durations are summed in exact integer microseconds so the per-user
+# totals are fold-order-free and oracle-hashable.
+# ---------------------------------------------------------------------------
+@register(
+    "e21_active_intervals",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, event_id, ts AS s,
+        ts + (CAST(floor(value) AS BIGINT) + 1) * INTERVAL 1 SECOND AS e
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_id, s, e,
+        CASE WHEN MAX(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+          >= s THEN 0 ELSE 1 END AS new_island
+      FROM iv
+    ),
+    islands AS (
+      SELECT user_id, s, e,
+        SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                              ROWS UNBOUNDED PRECEDING) AS island_id
+      FROM flagged
+    ),
+    merged AS (
+      SELECT user_id, island_id,
+        MIN(s) AS island_start, MAX(e) AS island_end
+      FROM islands GROUP BY user_id, island_id
+    )
+    SELECT user_id,
+      CAST(COUNT(*) AS BIGINT) AS n_islands,
+      CAST(SUM(epoch_us(island_end) - epoch_us(island_start)) AS BIGINT)
+        AS active_micros
+    FROM merged GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def e21_active_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from censo_escolar_spark.operators.intervals import (
+        covered_micros,
+        merge_intervals,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    iv = e.select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("s"),
+        F.timestamp_add(
+            "SECOND", (F.floor("value") + F.lit(1)).cast("int"), F.col("ts")
+        ).alias("e"),
+    )
+    merged = merge_intervals(iv, "user_id", "s", "e", "event_id")
+    return (
+        merged.groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_islands"),
+            F.sum(covered_micros(F.col("island_start"), F.col("island_end")))
+            .cast("bigint")
+            .alias("active_micros"),
+        )
+        .orderBy("user_id")
+    )
