@@ -537,8 +537,8 @@ def t01_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT lang,
       COUNT(*) AS n_docs,
-      SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS total_tokens,
-      SUM(CAST(length(text) AS BIGINT)) AS total_chars,
+      CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS total_tokens,
+      CAST(SUM(CAST(length(text) AS BIGINT)) AS BIGINT) AS total_chars,
       CAST(SUM(CAST(len(list_filter(string_split(text, ' '),
           t -> list_contains(['the','a','of','and','to','in','is','it','on','for'], t))) AS BIGINT)) AS DOUBLE)
         / CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS DOUBLE) AS stopword_ratio
