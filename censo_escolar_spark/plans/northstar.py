@@ -2179,3 +2179,226 @@ def d14_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.incremental_dedup(
         new_docs, published, "doc_id", "text", n=3, threshold=0.5
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# t26 — Gopher-style document quality rules (Rae et al. 2021, §A1.1 of
+# the Gopher paper; same family as C4's heuristics): per-document word
+# count bounds, mean-word-length bounds, symbol-to-word and bullet-line
+# ratios, minimum distinct-stopword hits, and a repetition guard
+# (distinct/total token ratio). Every ratio is integer-counts → ONE
+# IEEE double division, so each boolean flag is bit-identical across
+# engines. All flags are codegen expressions over one documents scan —
+# no shuffle at all until the final ORDER BY (which exists only for the
+# oracle compare; the production filter is a pure map).
+# ---------------------------------------------------------------------------
+@register(
+    "t26_gopher_rules",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+          / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mwl,
+        CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+          / CAST(len(string_split(text, ' ')) AS DOUBLE) AS uniq_ratio,
+        len(list_intersect(list_distinct(string_split(text, ' ')),
+            ['the','a','of','and','to','in','is','it','on','for'])) AS sw_hits,
+        CAST(length(text) - length(replace(text, '#', ''))
+             + (length(text) - length(replace(text, '...', ''))) / 3 AS DOUBLE)
+          / CAST(len(string_split(text, ' ')) AS DOUBLE) AS symbol_ratio,
+        CAST(len(list_filter(string_split(text, chr(10)),
+                 l -> l LIKE '- %' OR l LIKE '* %')) AS DOUBLE)
+          / CAST(len(string_split(text, chr(10))) AS DOUBLE) AS bullet_ratio
+      FROM documents
+    )
+    SELECT doc_id, n_words,
+      n_words BETWEEN 30 AND 90 AS ok_words,
+      mwl >= 3.8 AND mwl <= 4.8 AS ok_word_len,
+      symbol_ratio <= 0.1 AS ok_symbols,
+      bullet_ratio <= 0.9 AS ok_bullets,
+      sw_hits >= 2 AS ok_stopwords,
+      uniq_ratio >= 0.45 AS ok_repetition,
+      n_words BETWEEN 30 AND 90 AND mwl >= 3.8 AND mwl <= 4.8
+        AND symbol_ratio <= 0.1 AND bullet_ratio <= 0.9
+        AND sw_hits >= 2 AND uniq_ratio >= 0.45 AS keep
+    FROM s
+    ORDER BY doc_id
+    """,
+)
+def t26_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    n_words = F.size(toks).cast("bigint")
+    nd = n_words.cast("double")
+    mwl = (F.length("text") - (F.size(toks) - 1)).cast("double") / nd
+    uniq_ratio = F.size(F.array_distinct(toks)).cast("double") / nd
+    sw = F.array(*[F.lit(s) for s in T.EN_STOPWORDS])
+    sw_hits = F.size(F.array_intersect(F.array_distinct(toks), sw))
+    n_hash = F.length("text") - F.length(F.replace(F.col("text"), F.lit("#")))
+    n_ellipsis = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit("...")))
+    ) / 3
+    symbol_ratio = (n_hash + n_ellipsis).cast("double") / nd
+    lines = F.split(F.col("text"), "\n")
+    bullets = F.size(
+        F.filter(
+            lines,
+            lambda l: l.startswith("- ") | l.startswith("* "),
+        )
+    )
+    bullet_ratio = bullets.cast("double") / F.size(lines).cast("double")
+    ok_words = (n_words >= 30) & (n_words <= 90)
+    ok_word_len = (mwl >= 3.8) & (mwl <= 4.8)
+    ok_symbols = symbol_ratio <= 0.1
+    ok_bullets = bullet_ratio <= 0.9
+    ok_stopwords = sw_hits >= 2
+    ok_repetition = uniq_ratio >= 0.45
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        ok_words.alias("ok_words"),
+        ok_word_len.alias("ok_word_len"),
+        ok_symbols.alias("ok_symbols"),
+        ok_bullets.alias("ok_bullets"),
+        ok_stopwords.alias("ok_stopwords"),
+        ok_repetition.alias("ok_repetition"),
+        (
+            ok_words & ok_word_len & ok_symbols & ok_bullets
+            & ok_stopwords & ok_repetition
+        ).alias("keep"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# t27 — deterministic weighted sampling via PRIORITY SAMPLING (Duffield,
+# Lund & Thorup, JACM 2007): each doc draws a reproducible uniform
+# u ∈ (0,1] from the first 13 hex chars of md5("ws1:" || doc_id) (52
+# bits — exactly representable in a double, parsed identically by
+# Spark's conv() and DuckDB's 0x-cast), and gets priority w/u with
+# w = n_chars. The weighted sample is the top-k priorities per
+# language. One corpus scan + one top-k window per stratum (same plan
+# shape as deterministic_sample / t24); no rand(), so re-runs and the
+# oracle agree bit-for-bit. The float priority is selection-only —
+# the output carries ids and integer weights, never the priority.
+# ---------------------------------------------------------------------------
+@register(
+    "t27_weighted_sample",
+    oracle="""
+    WITH pri AS (
+      SELECT lang, doc_id, n_chars,
+        CAST(n_chars AS DOUBLE) /
+          ((CAST(('0x' || substr(md5('ws1:' || CAST(doc_id AS VARCHAR)), 1, 13))
+                 AS BIGINT) + 1) / 4503599627370496.0) AS priority
+      FROM documents
+    )
+    SELECT lang, doc_id, n_chars, CAST(rnk AS INTEGER) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY lang ORDER BY priority DESC, doc_id) AS rnk
+      FROM pri
+    )
+    WHERE rnk <= 25
+    ORDER BY lang, rank
+    """,
+)
+def t27_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from censo_escolar_spark.operators.sampling import priority_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        priority_sample(
+            docs,
+            stratum_col="lang",
+            id_col="doc_id",
+            weight_col="n_chars",
+            k=25,
+            salt="ws1:",
+        )
+        .select("lang", "doc_id", "n_chars", "rank")
+        .orderBy("lang", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# s11 — cosine radius (range) search: every neighbor above a similarity
+# floor, per query — FAISS's range_search API, the dual of s01's top-k.
+# Unlike top-k there is NO per-query window (the result is unbounded),
+# so the plan is broadcast-join + codegen filter with zero shuffles:
+# strictly cheaper than s01 at any scale.
+# ---------------------------------------------------------------------------
+@register(
+    "s11_range_search",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      list_dot_product(q.v, c.v) /
+        (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+    FROM e q JOIN e c ON q.vec_id < 8 AND q.vec_id != c.vec_id
+    WHERE list_dot_product(q.v, c.v) /
+        (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) >= 0.3
+    ORDER BY query_id, neighbor_id
+    """,
+)
+def s11_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return similarity.cosine_range(emb, queries, radius=0.3).orderBy(
+        "query_id", "neighbor_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# d15 — quality-aware near-dup dedup: d06's transitive clusters, but the
+# keeper is the HIGHEST-QUALITY member (max n_chars, tie min doc_id) —
+# the policy real corpus curation uses (keep the fullest copy, drop the
+# truncated mirrors), vs d09's min-id keep. One extra per-cluster
+# window on top of the cluster assignment; no global sort.
+# ---------------------------------------------------------------------------
+_D15_ORACLE = f"""
+WITH RECURSIVE {_SQL_SHINGLES},
+  sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+  inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  ),
+  pairs AS (
+    SELECT id_a, id_b FROM inter
+    JOIN sz sa ON sa.doc_id = id_a
+    JOIN sz sb ON sb.doc_id = id_b
+    WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
+  ),
+  edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION
+    SELECT id_b AS src, id_a AS dst FROM pairs
+  ),
+  reach(src, dst) AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+  ),
+  comp AS (
+    SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+    FROM reach GROUP BY src
+  ),
+  labeled AS (
+    SELECT d.doc_id, CAST(COALESCE(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
+      d.n_chars
+    FROM documents d LEFT JOIN comp c USING (doc_id)
+  )
+SELECT doc_id, cluster_id, n_chars,
+  ROW_NUMBER() OVER (PARTITION BY cluster_id
+                     ORDER BY n_chars DESC, doc_id) = 1 AS keep
+FROM labeled
+ORDER BY doc_id
+"""
+
+
+@register("d15_quality_dedup", oracle=_D15_ORACLE)
+def d15_quality_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.dedup_keep_best(
+        docs, "doc_id", "text", "n_chars", n=3, threshold=0.5
+    ).orderBy("doc_id")
