@@ -997,3 +997,39 @@ def incremental_dedup(
             ~F.col("dup_of_published") & (F.col(id_col) == F.col("cluster_id")),
         )
     )
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    quality_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Near-dup dedup that keeps the BEST document per cluster instead
+    of the min-id one — the form production corpus dedup actually uses
+    (drop the low-quality copies, e.g. the truncated or boilerplate
+    mirror, keep the highest-quality member).
+
+    Winner per transitive near-dup cluster = max ``quality_col``,
+    ties broken by min id (fully deterministic, so partitioning and
+    retries cannot flip winners). Output: (id, cluster_id, quality,
+    keep). Plan: the d06 cluster assignment + ONE per-cluster window —
+    cluster cardinality is tiny relative to the corpus, and the window
+    partitions by cluster_id, so no global ordering appears anywhere.
+    """
+    labeled = dedup_clusters(
+        df, id_col, text_col, n=n, threshold=threshold, max_doc_freq=max_doc_freq
+    )
+    scored = labeled.join(
+        df.select(id_col, quality_col), id_col
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc(quality_col), F.asc(id_col)
+    )
+    return scored.withColumn(
+        "keep", F.row_number().over(w) == 1
+    ).select(id_col, "cluster_id", quality_col, "keep")

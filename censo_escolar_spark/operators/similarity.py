@@ -480,3 +480,35 @@ def cosine_dedup_clusters(
         df, pairs.select("id_a", "id_b"), id_col, max_iter=max_iter
     )
     return labeled.withColumn("keep", F.col(id_col) == F.col("cluster_id"))
+
+
+def cosine_range(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    radius: float = 0.3,
+) -> DataFrame:
+    """Radius (range) search: ALL corpus vectors with cosine >= radius
+    per query — the FAISS ``range_search`` API shape, complementing
+    ``cosine_topk``'s fixed-k shape.
+
+    Same scale plan as cosine_topk minus the ranking window: broadcast
+    the bounded query set, one corpus scan, a codegen filter — NO
+    shuffle at all (the per-query result set is unbounded, so no top-k
+    state is needed). Cosines use the exact left-to-right fold, so the
+    reported values are bit-identical to DuckDB's list_dot_product.
+    """
+    q = _prep(queries, id_col, vec_col, "q")
+    c = _prep(corpus, id_col, vec_col, "c")
+    return (
+        c.join(F.broadcast(q), F.col("q_id") != F.col("c_id"))
+        .withColumn("cos", cosine(F.col("q_v"), F.col("c_v")))
+        .filter(F.col("cos") >= radius)
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            "cos",
+        )
+    )
