@@ -2321,3 +2321,76 @@ def q59_topn_with_others(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("region", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# q62 — MERGE INTO (CDC upsert/delete) via operators/merge.py: apply a
+# deterministic change batch to orders — 10% price bump on orderkey%7=3
+# ('U'), deletes on orderkey%97=0 ('D'), clones under orderkey+10M on
+# orderkey%500=1 ('I') — then summarize the merged table per status.
+# One full-outer hash join on the key (NOT anti-join+union+except),
+# the plan a bucketed base table would run exchange-free. Price math
+# is ONE double multiply (bit-identical cross-engine); the summary sums
+# in exact decimal before a single double cast.
+# ---------------------------------------------------------------------------
+@register(
+    "q62_merge_upsert",
+    oracle="""
+    WITH cdc AS (
+      SELECT o_orderkey, 'U' AS op, o_custkey, o_orderstatus,
+        o_totalprice * 1.1 AS o_totalprice, o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 7 = 3 AND o_orderkey % 97 != 0
+      UNION ALL
+      SELECT o_orderkey, 'D', o_custkey, o_orderstatus, o_totalprice,
+        o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 97 = 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, 'I', o_custkey, 'N', o_totalprice,
+        o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 500 = 1
+    ),
+    merged AS (
+      SELECT COALESCE(c.o_orderkey, b.o_orderkey) AS o_orderkey,
+        CASE WHEN c.op IN ('U','I') THEN c.o_orderstatus
+             ELSE b.o_orderstatus END AS o_orderstatus,
+        CASE WHEN c.op IN ('U','I') THEN c.o_totalprice
+             ELSE b.o_totalprice END AS o_totalprice
+      FROM orders b FULL OUTER JOIN cdc c USING (o_orderkey)
+      WHERE c.op IS NULL OR c.op IN ('U','I')
+    )
+    SELECT o_orderstatus,
+      CAST(COUNT(*) AS BIGINT) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM merged GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def q62_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from censo_escolar_spark.operators.merge import merge_upsert
+
+    o = load_table(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    updates = (
+        o.filter((key % 7 == 3) & (key % 97 != 0))
+        .withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
+        .withColumn("op", F.lit("U"))
+    )
+    deletes = o.filter(key % 97 == 0).withColumn("op", F.lit("D"))
+    inserts = (
+        o.filter(key % 500 == 1)
+        .withColumn("o_orderkey", key + 10_000_000)
+        .withColumn("o_orderstatus", F.lit("N"))
+        .withColumn("op", F.lit("I"))
+    )
+    cdc = updates.unionByName(deletes).unionByName(inserts)
+    merged = merge_upsert(o, cdc, "o_orderkey")
+    return (
+        merged.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
