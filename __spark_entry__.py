@@ -21,6 +21,7 @@ import censo_escolar_spark.plans.events  # noqa: F401
 import censo_escolar_spark.plans.multimodal  # noqa: F401
 import censo_escolar_spark.plans.northstar  # noqa: F401
 import censo_escolar_spark.plans.relational  # noqa: F401
+import censo_escolar_spark.plans.sketches  # noqa: F401
 from censo_escolar_spark.plans.registry import ORACLE, QUERIES
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
