@@ -159,6 +159,7 @@ BNL_OK = {
     "s01_cosine_topk",
     "s02_cosine_pairs",
     "s08_matryoshka_topk",
+    "s11_range_search",  # bounded query set broadcast, corpus scanned once
     "t25_vocab_growth",
 }
 
