@@ -154,3 +154,75 @@ def m04_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.plan_shards(
         staged, id_col="doc_id", bytes_col="payload", shard_budget=1 << 16
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# m05 — image-text pair curation (LAION-style dataset assembly): join
+# the media payloads back to their captions (documents.text), keep only
+# still-image formats, apply caption quality floors, and dedup by
+# payload content hash keeping the longest caption. The whole pipeline
+# is JVM-side (sniff/hash/length are codegen; the dedup winner is a
+# per-hash window) — at scale it is one broadcast-free equi-join on
+# doc_id, one window partitioned by content hash, no global ordering.
+# ---------------------------------------------------------------------------
+@register(
+    "m05_caption_pairs",
+    oracle="""
+    WITH staged AS (
+      SELECT doc_id,
+        (CASE doc_id % 3 WHEN 0 THEN unhex('FFD8FF')
+                         WHEN 1 THEN unhex('89504E47')
+                         ELSE unhex('52494646') END
+         || encode(text)) AS payload
+      FROM documents
+    ),
+    pairs AS (
+      SELECT s.doc_id,
+        CASE s.doc_id % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'wav' END
+          AS format,
+        md5(hex(s.payload)) AS payload_md5,
+        CAST(octet_length(s.payload) AS BIGINT) AS n_bytes,
+        d.text AS caption,
+        CAST(len(string_split(d.text, ' ')) AS BIGINT) AS caption_tokens
+      FROM staged s JOIN documents d USING (doc_id)
+    ),
+    filtered AS (
+      SELECT * FROM pairs
+      WHERE format IN ('jpeg', 'png') AND caption_tokens BETWEEN 20 AND 95
+    )
+    SELECT doc_id, format, payload_md5, n_bytes, caption_tokens,
+      ROW_NUMBER() OVER (PARTITION BY payload_md5
+                         ORDER BY caption_tokens DESC, doc_id) = 1 AS keep
+    FROM filtered
+    ORDER BY doc_id
+    """,
+)
+def m05_caption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    staged = _staged_payloads(spark, sf_dir)
+    meta = M.media_metadata("payload")
+    pairs = staged.join(docs.select("doc_id", "text"), "doc_id").select(
+        "doc_id",
+        meta["format"].alias("format"),
+        F.md5(F.hex("payload")).alias("payload_md5"),
+        meta["n_bytes"].cast("bigint").alias("n_bytes"),
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias(
+            "caption_tokens"
+        ),
+    )
+    filtered = pairs.filter(
+        F.col("format").isin("jpeg", "png")
+        & F.col("caption_tokens").between(20, 95)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("payload_md5").orderBy(
+        F.desc("caption_tokens"), F.asc("doc_id")
+    )
+    return (
+        filtered.withColumn("keep", F.row_number().over(w) == 1)
+        .select(
+            "doc_id", "format", "payload_md5", "n_bytes", "caption_tokens", "keep"
+        )
+        .orderBy("doc_id")
+    )
