@@ -209,3 +209,41 @@ def idempotent_parquet_sink(
         .start()
     )
     q.awaitTermination()
+
+
+def windowed_hll_sketches(
+    events: DataFrame,
+    *,
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    lg_k: int = 12,
+) -> DataFrame:
+    """Streaming mergeable distinct-count state: per (window, event_type)
+    the aggregate is an HLL SKETCH of the keys, not a count — so the sink
+    rows can be further unioned (across windows, days, streams) with
+    ``hll_union_agg`` and re-estimated, exactly like the batch rollup in
+    plans/sketches.py (q60).
+
+    This is the streaming form of the lambda-architecture killer: the
+    streaming job emits compact mergeable state (≤ 2^lg_k bytes/group),
+    and ANY later batch query can combine it with historical sketches
+    without replaying events. State size: one sketch per open window ×
+    type; closed windows evict at the watermark.
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), "event_type")
+        .agg(
+            F.hll_sketch_agg(key_col, F.lit(lg_k)).alias("key_sketch"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "key_sketch",
+            F.hll_sketch_estimate("key_sketch").alias("approx_distinct_keys"),
+            "n_events",
+        )
+    )

@@ -297,3 +297,38 @@ def test_idempotent_sink_exactly_once(spark, tmp_path):
     final = spark.read.parquet(out)
     assert final.count() == 3
     assert final.filter(F.col("event_id") == 3).count() == 1
+
+
+def test_streaming_hll_sketch_state_merges_with_batch(spark, tmp_path):
+    """The streaming sink's HLL sketch column must be real mergeable
+    state: unioning the emitted window sketches with hll_union_agg
+    estimates the distinct keys across ALL closed windows, and matches
+    the exact batch answer (exact-mode cardinalities)."""
+    from pyspark.sql import functions as F
+
+    src, ckpt, sink = str(tmp_path / "s"), str(tmp_path / "c"), str(tmp_path / "o")
+    rows = [(_ts(9, m % 50), 100 + (m % 7), "a", 1.0) for m in range(30)]
+    rows += [(_ts(10, m % 50), 200 + (m % 5), "a", 1.0) for m in range(20)]
+    rows += [(_ts(13, 0), 999, "z", 1.0)]  # watermark pusher
+    _write_batch(spark, src, rows)
+    schema = spark.read.parquet(src).schema
+    stream = W.windowed_hll_sketches(
+        W.read_event_stream(spark, src, schema),
+        window="1 hour",
+        watermark="30 minutes",
+    )
+    _drain_to_files(stream, sink, ckpt)
+
+    out = spark.read.parquet(sink)
+    closed = out.filter(F.col("event_type") == "a")
+    # per-window estimates are exact at these cardinalities
+    per_window = {
+        r.window_start: r.approx_distinct_keys for r in closed.collect()
+    }
+    assert per_window[_ts(9, 0)] == 7.0
+    assert per_window[_ts(10, 0)] == 5.0
+    # the sketches merge across windows: 7 + 5 disjoint keys
+    total = closed.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("key_sketch")).alias("e")
+    ).collect()[0]["e"]
+    assert total == 12.0
