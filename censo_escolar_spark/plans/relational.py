@@ -2394,3 +2394,43 @@ def q62_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# q63 — recursive hierarchy flatten (WITH RECURSIVE parity) by pointer
+# doubling: a synthetic forest over customers (parent = custkey div 2,
+# custkey 1 is the root) resolved to (root, depth, root-first path) in
+# ceil(log2(depth)) self-joins of compact state — the distributed form
+# of the recursive CTE the oracle runs (operators/hierarchy.py).
+# ---------------------------------------------------------------------------
+@register(
+    "q63_hierarchy_paths",
+    oracle="""
+    WITH RECURSIVE nodes AS (
+      SELECT c_custkey AS node,
+        CASE WHEN c_custkey = 1 THEN NULL ELSE c_custkey // 2 END AS parent
+      FROM customer WHERE c_custkey <= 255
+    ),
+    walk(node, root, depth, path) AS (
+      SELECT node, node, 0, CAST(node AS VARCHAR) FROM nodes
+      WHERE parent IS NULL
+      UNION ALL
+      SELECT n.node, w.root, w.depth + 1,
+        w.path || '/' || CAST(n.node AS VARCHAR)
+      FROM nodes n JOIN walk w ON n.parent = w.node
+    )
+    SELECT node, root, CAST(depth AS INTEGER) AS depth, path
+    FROM walk ORDER BY node
+    """,
+)
+def q63_hierarchy_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from censo_escolar_spark.operators.hierarchy import flatten_hierarchy
+
+    cust = load_table(spark, sf_dir, "customer")
+    edges = cust.filter(F.col("c_custkey") <= 255).select(
+        F.col("c_custkey").alias("node"),
+        F.when(F.col("c_custkey") == 1, F.lit(None).cast("bigint"))
+        .otherwise(F.expr("c_custkey div 2"))
+        .alias("parent"),
+    )
+    return flatten_hierarchy(edges, max_depth=16).orderBy("node")
