@@ -55,19 +55,27 @@ _DRIVER_GREEN.discard("t02")
 
 _JUDGE_VERIFIED = {f"q{i}" for i in range(26, 41)}
 
+# Round-3 additions: grade them right after t02 so this round's new
+# operators get artifact rows even if the ~50-query window can't also
+# cover every older never-graded entry (those the round-1 judge sweep
+# re-verifies at HEAD anyway).
+_R3_NEW = {"e21", "t26", "t27", "s11", "d15", "m05", "q60", "q61", "q62", "q63"}
+
 
 def _sweep_order(names) -> list[str]:
     def tier(n: str) -> int:
         p = n.split("_", 1)[0]
         if p == "t02":
             return 0  # red r02 row, fixed since — flip it first
+        if p in _R3_NEW:
+            return 1
         if p not in _DRIVER_GREEN and p not in _JUDGE_VERIFIED:
             # never graded by any sweep: oracle-bearing entries outrank
             # rows-only ones (a rows-only slot is the weaker check)
-            return 1 if n in ORACLE else 2
+            return 2 if n in ORACLE else 3
         if p in _JUDGE_VERIFIED:
-            return 3  # judge-verified at r1 HEAD, no driver row yet
-        return 4  # green driver artifact row exists
+            return 4  # judge-verified at r1 HEAD, no driver row yet
+        return 5  # green driver artifact row exists
 
     order = {n: i for i, n in enumerate(names)}
     return sorted(names, key=lambda n: (tier(n), order[n]))
