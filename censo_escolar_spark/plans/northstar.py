@@ -2402,3 +2402,137 @@ def d15_quality_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_keep_best(
         docs, "doc_id", "text", "n_chars", n=3, threshold=0.5
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# t28 — CCNet-style perplexity buckets: rank documents per language by
+# the t14 unigram-likelihood signal and split into head/middle/tail
+# tertiles (Wenzek et al., "CCNet: Extracting high quality monolingual
+# datasets from web crawl data", 2020 — head = most fluent). The
+# ordering key is the SAME bit-identical mean-token-probability t14
+# hash-matches, with doc_id tiebreak, so ntile agrees cross-engine;
+# the window partitions by lang (never global).
+# ---------------------------------------------------------------------------
+_T28_ORACLE = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+freq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS ctok FROM tok GROUP BY term),
+tot AS (SELECT CAST(SUM(ctok) AS BIGINT) AS n_corpus FROM freq),
+per AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+    CAST(SUM(ctok) AS BIGINT) AS sum_freq
+  FROM tok JOIN freq USING (term)
+  GROUP BY doc_id
+),
+scored AS (
+  SELECT d.doc_id, d.lang,
+    CAST(p.sum_freq AS DOUBLE) /
+      (CAST(p.n_tokens AS DOUBLE) * CAST(t.n_corpus AS DOUBLE)) AS mean_tok_prob
+  FROM documents d JOIN per p USING (doc_id) CROSS JOIN tot t
+)
+SELECT doc_id, lang, mean_tok_prob,
+  CASE ntile(3) OVER (PARTITION BY lang ORDER BY mean_tok_prob DESC, doc_id)
+    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM scored
+ORDER BY doc_id
+"""
+
+
+@register("t28_ccnet_buckets", oracle=_T28_ORACLE)
+def t28_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(T.tokens("text")).alias("term"))
+    freq = toks.groupBy("term").agg(F.count("*").alias("ctok"))
+    n_corpus = int(freq.agg(F.sum("ctok")).collect()[0][0] or 0)
+    per = (
+        toks.join(freq, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("ctok").alias("sum_freq"),
+        )
+    )
+    scored = docs.select("doc_id", "lang").join(per, "doc_id").select(
+        "doc_id",
+        "lang",
+        (
+            F.col("sum_freq").cast("double")
+            / (F.col("n_tokens").cast("double") * F.lit(float(n_corpus)))
+        ).alias("mean_tok_prob"),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("mean_tok_prob"), F.asc("doc_id")
+    )
+    tile = F.ntile(3).over(w)
+    return (
+        scored.withColumn(
+            "bucket",
+            F.when(tile == 1, "head").when(tile == 2, "middle").otherwise("tail"),
+        )
+        .select("doc_id", "lang", "mean_tok_prob", "bucket")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# s12 — kNN label propagation: classify the unlabeled tail of the
+# embedding table (vec_id >= 450) by majority vote over its 5 nearest
+# labeled neighbors (cosine; tie -> smallest label). The retrieval half
+# is s01's broadcast-query brute-force scan; the vote is one tiny
+# groupBy + argmax window over k×queries rows.
+# ---------------------------------------------------------------------------
+_S12_ORACLE = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label,
+    list_dot_product(q.v, c.v) /
+      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+  FROM e q JOIN e c ON q.vec_id >= 450 AND c.vec_id < 450
+),
+topk AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, neighbor_id) AS rnk
+    FROM scored
+  ) WHERE rnk <= 5
+),
+votes AS (
+  SELECT query_id, label, CAST(COUNT(*) AS BIGINT) AS n_votes
+  FROM topk GROUP BY query_id, label
+)
+SELECT query_id, label AS predicted_label, n_votes
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY n_votes DESC, label) AS r
+  FROM votes
+) WHERE r = 1
+ORDER BY query_id
+"""
+
+
+@register("s12_knn_classify", oracle=_S12_ORACLE)
+def s12_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    labeled = emb.filter(F.col("vec_id") < 450)
+    queries = emb.filter(F.col("vec_id") >= 450)
+    topk = similarity.cosine_topk(labeled, queries, k=5)
+    votes = (
+        topk.join(
+            emb.select(F.col("vec_id").alias("neighbor_id"), "label"),
+            "neighbor_id",
+        )
+        .groupBy("query_id", "label")
+        .agg(F.count("*").cast("bigint").alias("n_votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("n_votes"), F.asc("label")
+    )
+    return (
+        votes.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select(
+            "query_id",
+            F.col("label").alias("predicted_label"),
+            "n_votes",
+        )
+        .orderBy("query_id")
+    )

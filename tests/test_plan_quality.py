@@ -160,6 +160,7 @@ BNL_OK = {
     "s02_cosine_pairs",
     "s08_matryoshka_topk",
     "s11_range_search",  # bounded query set broadcast, corpus scanned once
+    "s12_knn_classify",  # bounded unlabeled-query set broadcast (s01 shape)
     "t25_vocab_growth",
 }
 
