@@ -256,3 +256,132 @@ def pq_topk(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 4,
+    rerank: int = 50,
+) -> DataFrame:
+    """IVF-PQ: the composite ANN index (coarse inverted lists × PQ
+    codes × exact re-rank) — FAISS's ``IVFx,PQy`` shape with
+    ``by_residual=false`` (codes quantize the normalized vectors
+    directly; the residual variant changes fidelity, not the plan).
+
+    Per query only the ``nprobe`` probed cells' CODES are scanned
+    (an equi-join on centroid id — at scale a partition-pruned read of
+    a codes table bucketed by cell), each code scored by ``m`` ADC
+    table lookups; only the per-query top-``rerank`` pool rejoins the
+    float vectors for exact fold-order cosine. ``nprobe >= C`` and
+    ``rerank >= |corpus|`` degrade to exact brute force — the
+    oracle-checked configuration, same contract as ivf_topk/pq_topk.
+    """
+    from censo_escolar_spark.operators.similarity import ivf_assign
+
+    queries = queries.filter(F.col(vec_col).isNotNull())
+    m, kk, dsub = codebooks.shape
+    books = codebooks
+    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+
+    q_rows = queries.select(
+        F.col(id_col).alias("q_id"), as_double_array(vec_col).alias("q_v")
+    ).collect()
+    if not q_rows:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cos double, rank int"
+        )
+    q_ids = np.array([r.q_id for r in q_rows])
+    q_mat = _normalized(np.vstack([r.q_v for r in q_rows]))
+    tables = np.stack(
+        [q_mat[:, j * dsub : (j + 1) * dsub] @ books[j].T for j in range(m)],
+        axis=1,
+    )  # (nq, m, kk)
+    probe_lists = np.argsort(-(q_mat @ cn.T), axis=1, kind="stable")[
+        :, : min(nprobe, cn.shape[0])
+    ]
+
+    # (qi, cell) probe pairs — nq × nprobe rows, a driver-side constant
+    spark = corpus.sparkSession
+    probes = spark.createDataFrame(
+        [
+            (int(q_ids[qi]), int(qi), int(cell))
+            for qi in range(len(q_ids))
+            for cell in probe_lists[qi]
+        ],
+        "q_id long, qi int, __centroid_id int",
+    )
+
+    coded = pq_encode(
+        ivf_assign(corpus, centroids, vec_col=vec_col),
+        codebooks,
+        id_col=id_col,
+        vec_col=vec_col,
+    ).select(
+        F.col(id_col).alias("c_id"), "__centroid_id", "pq_code"
+    )
+
+    cand = coded.join(F.broadcast(probes), "__centroid_id").filter(
+        F.col("q_id") != F.col("c_id")
+    )
+
+    def adc(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qi = pdf["qi"].to_numpy()
+            cmat = np.vstack(pdf["pq_code"].to_numpy())
+            s = np.zeros(len(pdf))
+            for j in range(m):
+                s += tables[qi, j, cmat[:, j]]
+            out = pdf[["q_id", "c_id"]].copy()
+            out["adc"] = s
+            yield out
+
+    scored = cand.select("q_id", "qi", "c_id", "pq_code").mapInPandas(
+        adc, "q_id long, c_id long, adc double"
+    )
+    # two-phase per-query top-R (same rationale as pq_topk: never pull a
+    # query's full probed scan through one window task)
+    w_pre = Window.partitionBy("q_id", "__p").orderBy(
+        F.desc("adc"), F.asc("c_id")
+    )
+    pre = (
+        scored.withColumn("__p", F.spark_partition_id())
+        .withColumn("r1", F.row_number().over(w_pre))
+        .filter(F.col("r1") <= rerank)
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.desc("adc"), F.asc("c_id"))
+    pool = (
+        pre.withColumn("r", F.row_number().over(wq))
+        .filter(F.col("r") <= rerank)
+        .select("q_id", "c_id")
+    )
+    qv = queries.select(
+        F.col(id_col).alias("q_id"), as_double_array(vec_col).alias("q_v")
+    )
+    cv = corpus.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("c_id"), as_double_array(vec_col).alias("c_v")
+    )
+    exact = (
+        pool.join(F.broadcast(qv), "q_id")
+        .join(cv, "c_id")
+        .withColumn("cos", cosine(F.col("q_v"), F.col("c_v")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("c_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            "cos",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -2536,3 +2536,23 @@ def s12_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# s13 — IVF-PQ composite index (coarse inverted lists × PQ codes × exact
+# re-rank): run exhaustively (nprobe = C, rerank >= corpus) so the full
+# train→assign→encode→probe→ADC→re-rank pipeline equals brute force and
+# the s01 oracle hash-checks it — the same contract as s04 and s10.
+# Recall at realistic (nprobe, rerank) is asserted in tests/test_pq.py.
+# ---------------------------------------------------------------------------
+@register("s13_ivfpq_topk", oracle=_S01_ORACLE)
+def s13_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from censo_escolar_spark.operators import pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    centroids = similarity.train_centroids(emb, n_centroids=8, iters=1)
+    books = pq.train_pq_codebooks(emb, m=4, k=16, iters=1)
+    return pq.ivfpq_topk(
+        emb, queries, centroids, books, k=5, nprobe=8, rerank=1_000_000
+    ).orderBy("query_id", "rank")

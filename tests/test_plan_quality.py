@@ -28,6 +28,7 @@ ARROW_OK = {
     "s04_ivf_topk",
     "s05_ivf_bucketed_pairs",  # ivf_assign GEMM + _verify_exact prescore
     "s10_pq_topk",  # PQ encode GEMM + ADC table-lookup scan
+    "s13_ivfpq_topk",  # IVF assign + PQ encode GEMMs + ADC gather
     "s07_cluster_profile",  # ivf_assign GEMM against fixed centroids
     "t16_lang_zscores",  # grouped-map applyInPandas standardization
     "t03_fingerprints",

@@ -84,3 +84,42 @@ def test_pq_empty_queries(spark, emb):
     books = pq.train_pq_codebooks(emb, m=4, k=8, iters=0)
     out = pq.pq_topk(emb, emb.filter(F.lit(False)), books, k=3)
     assert out.count() == 0
+
+
+def test_ivfpq_exhaustive_equals_brute_force(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 4)
+    centroids = similarity.train_centroids(emb, n_centroids=8, iters=1)
+    books = pq.train_pq_codebooks(emb, m=4, k=8, iters=1)
+    approx = pq.ivfpq_topk(
+        emb, queries, centroids, books, k=3, nprobe=8, rerank=10**6
+    )
+    exact = similarity.cosine_topk(emb, queries, k=3)
+    cols = ["query_id", "neighbor_id", "rank"]
+    assert sorted(map(tuple, approx.select(*cols).collect())) == sorted(
+        map(tuple, exact.select(*cols).collect())
+    )
+
+
+def test_ivfpq_recall_at_realistic_config(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 8)
+    centroids = similarity.train_centroids(emb, n_centroids=8, iters=1)
+    books = pq.train_pq_codebooks(emb, m=4, k=16, iters=1)
+    approx = pq.ivfpq_topk(
+        emb, queries, centroids, books, k=5, nprobe=4, rerank=100
+    )
+    exact = similarity.cosine_topk(emb, queries, k=5)
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    recall = len(a & e) / len(e)
+    # isotropic fixture + half the cells probed: IVF alone holds ~0.6
+    # here (tests/test_similarity_ivf.py); the PQ pool must not drop it
+    assert recall >= 0.5, f"IVF-PQ recall {recall:.2f} below bound"
+
+
+def test_ivfpq_empty_queries(spark, emb):
+    centroids = similarity.train_centroids(emb, n_centroids=4, iters=0)
+    books = pq.train_pq_codebooks(emb, m=4, k=8, iters=0)
+    out = pq.ivfpq_topk(
+        emb, emb.filter(F.col("vec_id") < 0), centroids, books, k=3
+    )
+    assert out.count() == 0
