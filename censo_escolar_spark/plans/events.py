@@ -1196,3 +1196,106 @@ def e21_active_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# e22 — gap fill with LINEAR INTERPOLATION (the numeric-resampling dual
+# of e07's carry-forward): per event_type, hours with no events get
+# prev + (next − prev) · elapsed/gap between the nearest observed
+# hourly totals. Present-hour totals are exact decimal sums stored as
+# doubles; the interpolation is one fixed double expression over
+# stored values and INTEGER hour distances, so filled values are
+# bit-identical cross-engine. Plan: spine bounded per type (no global
+# calendar), two windows over the SAME type partitioning.
+# ---------------------------------------------------------------------------
+@register(
+    "e22_interpolated_fill",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    bounds AS (
+      SELECT event_type, MIN(hr) AS h0, MAX(hr) AS h1
+      FROM hourly GROUP BY event_type
+    ),
+    spine AS (
+      SELECT event_type, g.hr
+      FROM bounds, UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS g(hr)
+    ),
+    marked AS (
+      SELECT s.event_type, s.hr, h.v,
+        last_value(h.v IGNORE NULLS) OVER w_prev AS pv,
+        last_value(CASE WHEN h.v IS NOT NULL THEN s.hr END IGNORE NULLS)
+          OVER w_prev AS ph,
+        first_value(h.v IGNORE NULLS) OVER w_next AS nv,
+        first_value(CASE WHEN h.v IS NOT NULL THEN s.hr END IGNORE NULLS)
+          OVER w_next AS nh
+      FROM spine s LEFT JOIN hourly h USING (event_type, hr)
+      WINDOW
+        w_prev AS (PARTITION BY s.event_type ORDER BY s.hr
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        w_next AS (PARTITION BY s.event_type ORDER BY s.hr
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, hr,
+      CASE WHEN v IS NOT NULL THEN v
+        ELSE pv + (nv - pv) *
+          (CAST(date_diff('hour', ph, hr) AS DOUBLE)
+           / CAST(date_diff('hour', ph, nh) AS DOUBLE))
+      END AS filled_value,
+      v IS NULL AS interpolated
+    FROM marked
+    ORDER BY event_type, hr
+    """,
+)
+def e22_interpolated_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.withColumn("hr", F.date_trunc("hour", "ts"))
+        .groupBy("event_type", "hr")
+        .agg(F.sum(F.col("value").cast(DEC)).cast("double").alias("v"))
+    )
+    spine = (
+        hourly.groupBy("event_type")
+        .agg(F.min("hr").alias("h0"), F.max("hr").alias("h1"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hr"),
+        )
+    )
+    joined = spine.join(hourly, ["event_type", "hr"], "left")
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    present_hr = F.when(F.col("v").isNotNull(), F.col("hr"))
+    marked = joined.select(
+        "event_type",
+        "hr",
+        "v",
+        F.last("v", ignorenulls=True).over(w_prev).alias("pv"),
+        F.last(present_hr, ignorenulls=True).over(w_prev).alias("ph"),
+        F.first("v", ignorenulls=True).over(w_next).alias("nv"),
+        F.first(present_hr, ignorenulls=True).over(w_next).alias("nh"),
+    )
+    frac = F.timestamp_diff("HOUR", F.col("ph"), F.col("hr")).cast(
+        "double"
+    ) / F.timestamp_diff("HOUR", F.col("ph"), F.col("nh")).cast("double")
+    return marked.select(
+        "event_type",
+        "hr",
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * frac)
+        .alias("filled_value"),
+        F.col("v").isNull().alias("interpolated"),
+    ).orderBy("event_type", "hr")

@@ -2434,3 +2434,76 @@ def q63_hierarchy_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("parent"),
     )
     return flatten_hierarchy(edges, max_depth=16).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# q64 — rolling 30-day Pearson correlation between daily quantity and
+# daily revenue per return flag: the moving multivariate-stats window.
+# Same bit-exactness scheme as e20's rolling z-score: all six moment
+# sums over the frame are EXACT decimals (fold-order-free), cast to
+# double once, and the correlation is one fixed IEEE expression — a
+# float corr() over a frame would differ by summation order across
+# engines. One flag-partitioned window, never global.
+# ---------------------------------------------------------------------------
+@register(
+    "q64_rolling_price_qty_corr",
+    oracle="""
+    WITH daily AS (
+      SELECT l_returnflag AS flag, date_trunc('day', l_shipdate) AS day,
+        SUM(CAST(l_quantity AS DECIMAL(18,2))) AS x,
+        SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS y
+      FROM lineitem GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT flag, day,
+        CAST(COUNT(*) OVER w AS BIGINT) AS n,
+        CAST(SUM(x) OVER w AS DOUBLE) AS sx,
+        CAST(SUM(y) OVER w AS DOUBLE) AS sy,
+        CAST(SUM(x * y) OVER w AS DOUBLE) AS sxy,
+        CAST(SUM(x * x) OVER w AS DOUBLE) AS sxx,
+        CAST(SUM(y * y) OVER w AS DOUBLE) AS syy
+      FROM daily
+      WINDOW w AS (PARTITION BY flag ORDER BY day
+                   ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
+    )
+    SELECT flag, day, n,
+      (n * sxy - sx * sy)
+        / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price
+    FROM m
+    WHERE n >= 10 AND (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+    ORDER BY flag, day
+    """,
+)
+def q64_rolling_price_qty_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = (
+        li.groupBy(
+            F.col("l_returnflag").alias("flag"),
+            F.date_trunc("day", "l_shipdate").alias("day"),
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast(DEC)).alias("x"),
+            F.sum(F.col("l_extendedprice").cast(DEC)).alias("y"),
+        )
+    )
+    w = Window.partitionBy("flag").orderBy("day").rowsBetween(-29, 0)
+    m = daily.select(
+        "flag",
+        "day",
+        F.count("*").over(w).cast("bigint").alias("n"),
+        F.sum("x").over(w).cast("double").alias("sx"),
+        F.sum("y").over(w).cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).cast("double").alias("syy"),
+    )
+    var_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(var_x) * F.sqrt(var_y)
+    )
+    return (
+        m.filter((F.col("n") >= 10) & (var_x > 0) & (var_y > 0))
+        .select("flag", "day", "n", corr.alias("corr_qty_price"))
+        .orderBy("flag", "day")
+    )
