@@ -2556,3 +2556,60 @@ def s13_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq.ivfpq_topk(
         emb, queries, centroids, books, k=5, nprobe=8, rerank=1_000_000
     ).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# t29 — bigram language-model table: conditional next-token probability
+# P(b|a) = n(a,b)/n(a·) over the corpus, top-50 bigrams by joint count.
+# Counts are exact integers (order-free partial aggs); each probability
+# is a single division — the statistical core of n-gram LM training
+# (and of the bigram-repetition quality signals), at corpus scale one
+# token-pair shuffle + one first-token margin join.
+# ---------------------------------------------------------------------------
+@register(
+    "t29_bigram_lm",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    bg AS (
+      SELECT t[i] AS w1, t[i+1] AS w2
+      FROM toks, UNNEST(range(1, len(t))) AS u(i)
+    ),
+    joint AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_ab FROM bg GROUP BY w1, w2
+    ),
+    marg AS (SELECT w1, CAST(SUM(n_ab) AS BIGINT) AS n_a FROM joint GROUP BY w1)
+    SELECT w1, w2, n_ab, n_a,
+      CAST(n_ab AS DOUBLE) / CAST(n_a AS DOUBLE) AS cond_p
+    FROM joint JOIN marg USING (w1)
+    ORDER BY n_ab DESC, w1, w2
+    LIMIT 50
+    """,
+)
+def t29_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    bg = docs.select(
+        F.explode(
+            F.zip_with(
+                F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+                F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    joint = bg.groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("n_ab"))
+    marg = joint.groupBy("w1").agg(F.sum("n_ab").cast("bigint").alias("n_a"))
+    return (
+        joint.join(marg, "w1")
+        .select(
+            "w1",
+            "w2",
+            "n_ab",
+            "n_a",
+            (F.col("n_ab").cast("double") / F.col("n_a").cast("double")).alias(
+                "cond_p"
+            ),
+        )
+        .orderBy(F.desc("n_ab"), "w1", "w2")
+        .limit(50)
+    )

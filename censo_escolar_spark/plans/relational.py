@@ -2507,3 +2507,61 @@ def q64_rolling_price_qty_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("flag", "day", "n", corr.alias("corr_qty_price"))
         .orderBy("flag", "day")
     )
+
+
+# ---------------------------------------------------------------------------
+# q65 — chi-square contingency analysis (returnflag × linestatus): the
+# categorical-independence diagnostic. Observed/row/col/grand counts
+# are exact integers; expected and the per-cell chi-square contribution
+# are each ONE fixed double expression — the output is per cell, never
+# a float sum across cells (a cross-cell sum would be fold-order-
+# dependent and unhashable). Plan: one groupBy + two broadcast-sized
+# margins rejoined; the fact table is scanned once.
+# ---------------------------------------------------------------------------
+@register(
+    "q65_chisquare_cells",
+    oracle="""
+    WITH obs AS (
+      SELECT l_returnflag AS flag, l_linestatus AS status,
+        CAST(COUNT(*) AS BIGINT) AS o
+      FROM lineitem GROUP BY 1, 2
+    ),
+    rowm AS (SELECT flag, CAST(SUM(o) AS BIGINT) AS r FROM obs GROUP BY flag),
+    colm AS (SELECT status, CAST(SUM(o) AS BIGINT) AS c FROM obs GROUP BY status),
+    tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs)
+    SELECT flag, status, o,
+      CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS expected,
+      (CAST(o AS DOUBLE) - CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+        * (CAST(o AS DOUBLE) - CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+        / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) AS chi2_cell
+    FROM obs JOIN rowm USING (flag) JOIN colm USING (status) CROSS JOIN tot
+    ORDER BY flag, status
+    """,
+)
+def q65_chisquare_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_linestatus").alias("status"),
+    ).agg(F.count("*").cast("bigint").alias("o"))
+    rowm = obs.groupBy("flag").agg(F.sum("o").cast("bigint").alias("r"))
+    colm = obs.groupBy("status").agg(F.sum("o").cast("bigint").alias("c"))
+    tot = obs.agg(F.sum("o").cast("bigint").alias("n"))
+    j = (
+        obs.join(F.broadcast(rowm), "flag")
+        .join(F.broadcast(colm), "status")
+        .crossJoin(F.broadcast(tot))
+    )
+    expected = (
+        F.col("r").cast("double")
+        * F.col("c").cast("double")
+        / F.col("n").cast("double")
+    )
+    dev = F.col("o").cast("double") - expected
+    return j.select(
+        "flag",
+        "status",
+        "o",
+        expected.alias("expected"),
+        (dev * dev / expected).alias("chi2_cell"),
+    ).orderBy("flag", "status")
