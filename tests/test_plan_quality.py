@@ -157,6 +157,7 @@ BNL_OK = {
     "q17_region_pairs",
     "q47_price_histogram",
     "q48_data_quality_report",
+    "q65_chisquare_cells",  # 1-row grand-total broadcast into the cells
     "s01_cosine_topk",
     "s02_cosine_pairs",
     "s08_matryoshka_topk",
