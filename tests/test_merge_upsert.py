@@ -55,3 +55,47 @@ def test_mixed_batch(spark):
     )
     assert set(got) == {2, 3, 7}
     assert got[2] == ("u", 2.5) and got[7] == ("i", 7.0)
+
+
+# ---------------------------------------------------------------------------
+# Property: merge_upsert == the naive three-way spec (base-minus-touched
+# ∪ upserts) on arbitrary generated batches — ties to the base keyspace,
+# op mixes, and disjoint inserts included.
+# ---------------------------------------------------------------------------
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_base_rows = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(-5, 5)),
+    min_size=0,
+    max_size=8,
+    unique_by=lambda t: t[0],
+)
+_cdc_rows = st.lists(
+    st.tuples(
+        st.integers(0, 14), st.sampled_from(["U", "I", "D"]), st.integers(-5, 5)
+    ),
+    min_size=0,
+    max_size=8,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(base=_base_rows, cdc=_cdc_rows)
+def test_merge_upsert_equals_naive_spec(spark, base, cdc):
+    bdf = spark.createDataFrame(base, "k long, v long") if base else (
+        spark.createDataFrame([], "k long, v long")
+    )
+    cdf = spark.createDataFrame(
+        [(k, v, op) for k, op, v in cdc], "k long, v long, op string"
+    ) if cdc else spark.createDataFrame([], "k long, v long, op string")
+
+    got = {
+        (r["k"], r["v"]) for r in merge_upsert(bdf, cdf, "k").collect()
+    }
+
+    bmap = dict(base)
+    touched = {k for k, _, _ in cdc}
+    expect = {(k, v) for k, v in bmap.items() if k not in touched}
+    expect |= {(k, v) for k, op, v in cdc if op in ("U", "I")}
+    assert got == expect
