@@ -2474,11 +2474,12 @@ def t28_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# s12 — kNN label propagation: classify the unlabeled tail of the
-# embedding table (vec_id >= 450) by majority vote over its 5 nearest
-# labeled neighbors (cosine; tie -> smallest label). The retrieval half
-# is s01's broadcast-query brute-force scan; the vote is one tiny
-# groupBy + argmax window over k×queries rows.
+# s12 — kNN label propagation: classify a BOUNDED unlabeled batch
+# (vec_id < 50 — fixed size at any corpus scale, the s01 broadcast
+# contract) by majority vote over its 5 nearest labeled neighbors
+# (cosine; tie -> smallest label) from the rest of the table. The
+# retrieval half is s01's broadcast-query brute-force scan; the vote is
+# one tiny groupBy + argmax window over k×queries rows.
 # ---------------------------------------------------------------------------
 _S12_ORACLE = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
@@ -2486,7 +2487,7 @@ scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label,
     list_dot_product(q.v, c.v) /
       (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
-  FROM e q JOIN e c ON q.vec_id >= 450 AND c.vec_id < 450
+  FROM e q JOIN e c ON q.vec_id < 50 AND c.vec_id >= 50
 ),
 topk AS (
   SELECT * FROM (
@@ -2512,8 +2513,8 @@ ORDER BY query_id
 @register("s12_knn_classify", oracle=_S12_ORACLE)
 def s12_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    labeled = emb.filter(F.col("vec_id") < 450)
-    queries = emb.filter(F.col("vec_id") >= 450)
+    labeled = emb.filter(F.col("vec_id") >= 50)
+    queries = emb.filter(F.col("vec_id") < 50)
     topk = similarity.cosine_topk(labeled, queries, k=5)
     votes = (
         topk.join(
