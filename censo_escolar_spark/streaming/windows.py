@@ -247,3 +247,42 @@ def windowed_hll_sketches(
             "n_events",
         )
     )
+
+
+def windowed_kll_sketches(
+    events: DataFrame,
+    *,
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    k: int = 200,
+) -> DataFrame:
+    """Streaming mergeable QUANTILE state: per (window, event_type) the
+    aggregate is a KLL sketch of the values (plus a provisional median
+    estimate for dashboards). Sink rows fold together with
+    ``kll_sketch_merge_double`` — the quantile dual of
+    ``windowed_hll_sketches``, and the streaming half of the q60/q61
+    batch rollups (plans/sketches.py): daily batch sketches and live
+    window sketches combine without replaying events. State per open
+    window is O(k log n) doubles; closed windows evict at the watermark.
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), "event_type")
+        .agg(
+            F.expr(f"kll_sketch_agg_double({value_col}, {k})").alias(
+                "value_sketch"
+            ),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "value_sketch",
+            F.expr(
+                "kll_sketch_get_quantile_double(value_sketch, 0.5)"
+            ).alias("approx_median"),
+            "n_events",
+        )
+    )

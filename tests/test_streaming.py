@@ -332,3 +332,39 @@ def test_streaming_hll_sketch_state_merges_with_batch(spark, tmp_path):
         F.hll_sketch_estimate(F.hll_union_agg("key_sketch")).alias("e")
     ).collect()[0]["e"]
     assert total == 12.0
+
+
+def test_streaming_kll_sketch_state_merges_across_windows(spark, tmp_path):
+    """The emitted KLL state must merge across closed windows: the
+    merged sketch's median over two disjoint-window populations equals
+    the exact all-data median (exact regime: n < k buffer)."""
+    from pyspark.sql import functions as F
+
+    src, ckpt, sink = str(tmp_path / "s"), str(tmp_path / "c"), str(tmp_path / "o")
+    rows = [(_ts(9, m % 50), 1, "a", float(m)) for m in range(40)]       # 0..39
+    rows += [(_ts(10, m % 50), 1, "a", float(100 + m)) for m in range(40)]  # 100..139
+    rows += [(_ts(13, 0), 9, "z", 0.0)]  # watermark pusher
+    _write_batch(spark, src, rows)
+    schema = spark.read.parquet(src).schema
+    stream = W.windowed_kll_sketches(
+        W.read_event_stream(spark, src, schema),
+        window="1 hour",
+        watermark="30 minutes",
+        k=200,
+    )
+    _drain_to_files(stream, sink, ckpt)
+
+    closed = spark.read.parquet(sink).filter(F.col("event_type") == "a")
+    per_window = {r.window_start: r.approx_median for r in closed.collect()}
+    assert per_window[_ts(9, 0)] == 19.0   # exact-mode median of 0..39
+    assert per_window[_ts(10, 0)] == 119.0
+    merged = closed.agg(F.collect_list("value_sketch").alias("sks")).select(
+        F.expr(
+            "kll_sketch_get_quantile_double("
+            "aggregate(slice(sks, 2, greatest(size(sks) - 1, 0)),"
+            " element_at(sks, 1),"
+            " (acc, x) -> kll_sketch_merge_double(acc, x)), 0.5)"
+        ).alias("m")
+    ).collect()[0]["m"]
+    # exact regime: merged 80 values, lower-median semantics
+    assert merged in (39.0, 100.0)
