@@ -27,6 +27,13 @@ CASES = [
     "q46_median_mode",
     "q57_rfm_segments",
     "e16_peak_concurrency",
+    # round-3 additions: weighted-sample top-k, quality-keep winners,
+    # pointer-doubling paths, IVF-PQ pre-pruned re-rank, interval islands
+    "t27_weighted_sample",
+    "d15_quality_dedup",
+    "q63_hierarchy_paths",
+    "s13_ivfpq_topk",
+    "e21_active_intervals",
 ]
 
 
