@@ -60,7 +60,8 @@ _JUDGE_VERIFIED = {f"q{i}" for i in range(26, 41)}
 # cover every older never-graded entry (those the round-1 judge sweep
 # re-verifies at HEAD anyway).
 _R3_NEW = {
-    "e21", "e22", "t26", "t27", "t28", "t29", "s11", "s12", "s13",
+    "e21", "e22", "e23", "t26", "t27", "t28", "t29",
+    "s11", "s12", "s13", "s14",
     "d15", "m05", "q60", "q61", "q62", "q63", "q64", "q65",
 }
 

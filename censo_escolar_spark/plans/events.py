@@ -1299,3 +1299,72 @@ def e22_interpolated_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("filled_value"),
         F.col("v").isNull().alias("interpolated"),
     ).orderBy("event_type", "hr")
+
+
+# ---------------------------------------------------------------------------
+# e23 — CUSUM change-point alerts (Page 1954): the clamped recurrence
+# s_i = max(0, s_{i-1} + dev_i) is not a window function, but it has an
+# exact closed form over running sums: s_i = RS_i − min(0, min_{j≤i}
+# RS_j) — two frames over ONE user partitioning, no recursion, no UDF.
+# Deviations and both running aggregates are exact decimals, so the
+# alert flags are engine- and partitioning-independent. This is the
+# streaming-analytics drift detector in its batch-checkable form.
+# ---------------------------------------------------------------------------
+@register(
+    "e23_cusum_alerts",
+    oracle="""
+    WITH dev AS (
+      SELECT user_id, event_id, ts,
+        CAST(value AS DECIMAL(18,2)) - 60.0 AS d
+      FROM events
+    ),
+    sums AS (
+      SELECT user_id, event_id, ts,
+        SUM(d) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS run_sum
+      FROM dev
+    ),
+    rs AS (
+      SELECT user_id, event_id, run_sum,
+        MIN(run_sum) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS run_min
+      FROM sums
+    )
+    SELECT user_id, event_id,
+      CAST(run_sum - LEAST(run_min, 0) AS DOUBLE) AS cusum
+    FROM rs
+    WHERE run_sum - LEAST(run_min, 0) > 500.0
+    ORDER BY user_id, event_id
+    """,
+)
+def e23_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    dev = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        (F.col("value").cast(DEC) - F.lit(60.0)).alias("d"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sums = dev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum("d").over(w).alias("run_sum"),
+    )
+    rs = sums.select(
+        "user_id",
+        "event_id",
+        "run_sum",
+        F.min("run_sum").over(w).alias("run_min"),
+    )
+    cusum = F.col("run_sum") - F.least(F.col("run_min"), F.lit(0).cast(DEC))
+    return (
+        rs.filter(cusum > 500.0)
+        .select("user_id", "event_id", cusum.cast("double").alias("cusum"))
+        .orderBy("user_id", "event_id")
+    )

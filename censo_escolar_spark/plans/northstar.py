@@ -2614,3 +2614,70 @@ def t29_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_ab"), "w1", "w2")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# s14 — hard-negative mining (contrastive-training data prep): for each
+# anchor in a bounded batch, the top-5 MOST similar vectors with a
+# DIFFERENT label — the negatives that actually teach an embedding
+# model (high-cosine, wrong class). The s01 broadcast-anchor scan with
+# a label-inequality predicate folded in; one top-k window per anchor.
+# ---------------------------------------------------------------------------
+_S14_ORACLE = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+    scored AS (
+      SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+        c.vec_id AS negative_id, c.label AS negative_label,
+        list_dot_product(a.v, c.v) /
+          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+      FROM e a JOIN e c
+        ON a.vec_id < 8 AND a.vec_id != c.vec_id AND a.label != c.label
+    )
+    SELECT anchor_id, anchor_label, negative_id, negative_label, cos,
+      CAST(rnk AS INTEGER) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                   ORDER BY cos DESC, negative_id) AS rnk
+      FROM scored
+    )
+    WHERE rnk <= 5
+    ORDER BY anchor_id, rank
+    """
+
+
+@register("s14_hard_negatives", oracle=_S14_ORACLE)
+def s14_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    from censo_escolar_spark.functions.vectors import as_double_array, cosine
+
+    anchors = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        as_double_array("embedding").alias("a_v"),
+    )
+    corpus = emb.filter(F.col("embedding").isNotNull()).select(
+        F.col("vec_id").alias("negative_id"),
+        F.col("label").alias("negative_label"),
+        as_double_array("embedding").alias("c_v"),
+    )
+    scored = corpus.join(
+        F.broadcast(anchors),
+        (F.col("anchor_id") != F.col("negative_id"))
+        & (F.col("anchor_label") != F.col("negative_label")),
+    ).withColumn("cos", cosine(F.col("a_v"), F.col("c_v")))
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cos"), F.asc("negative_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "negative_id",
+            "negative_label",
+            "cos",
+            "rank",
+        )
+        .orderBy("anchor_id", "rank")
+    )

@@ -163,6 +163,7 @@ BNL_OK = {
     "s08_matryoshka_topk",
     "s11_range_search",  # bounded query set broadcast, corpus scanned once
     "s12_knn_classify",  # bounded unlabeled-query set broadcast (s01 shape)
+    "s14_hard_negatives",  # bounded anchor batch broadcast (s01 shape)
     "t25_vocab_growth",
 }
 
