@@ -42,6 +42,9 @@ _TEXT_QUERIES = [
     "t20_top_half_quality",
     "d01_dedup_exact",
     "d02_jaccard_pairs",
+    "t26_gopher_rules",
+    "t27_weighted_sample",
+    "t29_bigram_lm",
 ]
 
 
