@@ -44,6 +44,7 @@ _TEXT_QUERIES = [
     "d02_jaccard_pairs",
     "t26_gopher_rules",
     "t27_weighted_sample",
+    "t28_ccnet_buckets",
     "t29_bigram_lm",
 ]
 
