@@ -62,7 +62,7 @@ _JUDGE_VERIFIED = {f"q{i}" for i in range(26, 41)}
 _R3_NEW = {
     "e21", "e22", "e23", "t26", "t27", "t28", "t29",
     "s11", "s12", "s13", "s14",
-    "d15", "m05", "q60", "q61", "q62", "q63", "q64", "q65",
+    "d15", "m05", "q60", "q61", "q62", "q63", "q64", "q65", "q66",
 }
 
 

@@ -2565,3 +2565,53 @@ def q65_chisquare_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         expected.alias("expected"),
         (dev * dev / expected).alias("chi2_cell"),
     ).orderBy("flag", "status")
+
+
+# ---------------------------------------------------------------------------
+# q66 — incremental view maintenance of a JOIN view (delta rules): the
+# orders⋈customer view is maintained from deterministic base/delta
+# splits as V_old ∪ (dO⋈C ∪ O⋈dC ∪ dO⋈dC) — operators/ivm.py — and the
+# oracle recomputes the FULL join from scratch: the maintained view
+# must be identical. Maintenance cost scales with the increment (delta
+# sides broadcast), not the view; the aggregate half of IVM is e11.
+# ---------------------------------------------------------------------------
+@register(
+    "q66_incremental_join_view",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, c.c_mktsegment,
+      o.o_totalprice, o.o_orderstatus
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY o.o_orderkey
+    """,
+)
+def q66_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from censo_escolar_spark.operators.ivm import join_view_delta
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    base_o = o.filter(F.col("o_orderkey") % 10 < 8)
+    delta_o = o.filter(F.col("o_orderkey") % 10 >= 8)
+    base_c = c.filter(F.col("c_custkey") % 7 != 0)
+    delta_c = c.filter(F.col("c_custkey") % 7 == 0)
+    base_view = base_o.withColumnRenamed("o_custkey", "c_custkey").join(
+        base_c, "c_custkey"
+    )
+    delta_view = join_view_delta(
+        base_o.withColumnRenamed("o_custkey", "c_custkey"),
+        base_c,
+        delta_o.withColumnRenamed("o_custkey", "c_custkey"),
+        delta_c,
+        "c_custkey",
+    )
+    maintained = base_view.unionByName(delta_view)
+    return maintained.select(
+        "o_orderkey",
+        F.col("c_custkey").alias("o_custkey"),
+        "c_mktsegment",
+        "o_totalprice",
+        "o_orderstatus",
+    ).orderBy("o_orderkey")

@@ -99,3 +99,46 @@ def test_merge_upsert_equals_naive_spec(spark, base, cdc):
     expect = {(k, v) for k, v in bmap.items() if k not in touched}
     expect |= {(k, v) for k, op, v in cdc if op in ("U", "I")}
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# IVM delta rule: maintained join view == full recompute, on arbitrary
+# generated base/delta splits (duplicate keys and empty sides included).
+# ---------------------------------------------------------------------------
+from censo_escolar_spark.operators.ivm import join_view_delta  # noqa: E402
+
+_side = st.lists(
+    st.tuples(st.integers(0, 4), st.integers(0, 20), st.booleans()),
+    min_size=0,
+    max_size=10,
+)
+
+
+@settings(max_examples=20, deadline=None)
+@given(a=_side, b=_side)
+def test_join_view_delta_equals_full_recompute(spark, a, b):
+    adf = spark.createDataFrame(
+        [(k, v) for k, v, _ in a] or [], "k long, av long"
+    )
+    bdf = spark.createDataFrame(
+        [(k, v) for k, v, _ in b] or [], "k long, bv long"
+    )
+    base_a = spark.createDataFrame(
+        [(k, v) for k, v, d in a if not d] or [], "k long, av long"
+    )
+    delta_a = spark.createDataFrame(
+        [(k, v) for k, v, d in a if d] or [], "k long, av long"
+    )
+    base_b = spark.createDataFrame(
+        [(k, v) for k, v, d in b if not d] or [], "k long, bv long"
+    )
+    delta_b = spark.createDataFrame(
+        [(k, v) for k, v, d in b if d] or [], "k long, bv long"
+    )
+    maintained = base_a.join(base_b, "k").unionByName(
+        join_view_delta(base_a, base_b, delta_a, delta_b, "k")
+    )
+    full = adf.join(bdf, "k")
+    got = sorted(map(tuple, maintained.collect()))
+    want = sorted(map(tuple, full.collect()))
+    assert got == want
