@@ -63,6 +63,8 @@ _R3_NEW = {
     "e21", "e22", "e23", "t26", "t27", "t28", "t29",
     "s11", "s12", "s13", "s14",
     "d15", "m05", "q60", "q61", "q62", "q63", "q64", "q65", "q66",
+    # second round-3 batch
+    "q67", "q68", "q69", "e24", "e25", "g02", "s15", "d16", "t30", "m06",
 }
 
 

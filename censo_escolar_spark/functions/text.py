@@ -195,6 +195,30 @@ def first_domain(col: str | Column) -> Column:
     return F.regexp_extract(_c(col), DOMAIN_RE, 1)
 
 
+#: First URL including its path, host as group 1, path as group 2.
+_FIRST_URL_RE = r"https?://([A-Za-z0-9.-]+)(/[A-Za-z0-9./_%-]*)?"
+
+
+def canonical_url(col: str | Column) -> Column:
+    """Canonical form of the FIRST http(s) URL in the text, or '' when
+    there is none: scheme dropped, host lowercased and 'www.'-stripped,
+    query/fragment cut (the capture stops at path characters), trailing
+    slashes trimmed. The canonical key behind URL-level dedup — CC-style
+    pipelines dedup on this BEFORE any content hashing, because the same
+    page is crawled under http/https/www variants and tracking-param
+    decorations.
+
+    Every step is a codegen regexp/string expression shared verbatim
+    with the SQL oracle (d16), so canonical keys are engine-portable.
+    """
+    c = _c(col)
+    host = F.lower(F.regexp_extract(c, _FIRST_URL_RE, 1))
+    host = F.regexp_replace(host, r"^www\.", "")
+    path = F.regexp_extract(c, _FIRST_URL_RE, 2)
+    path = F.regexp_replace(path, r"/+$", "")
+    return F.when(host == "", F.lit("")).otherwise(F.concat(host, path))
+
+
 def strip_boilerplate(col: str | Column) -> Column:
     """Blank out boilerplate lines (copyright/cookie/subscribe/ToS
     notices). Lines are emptied, not spliced out, so surviving content

@@ -286,3 +286,66 @@ def plan_shards(
         F.expr(f"__off div {int(shard_budget)}").cast("long").alias("shard_idx"),
         F.expr(f"__off % {int(shard_budget)}").cast("bigint").alias("byte_offset"),
     )
+
+
+def plan_audio_frames(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    bytes_col: str = "payload",
+    rate_col: str = "sample_rate",
+    channels_col: str = "channels",
+    frame_len: int = 1024,
+    hop: int = 512,
+) -> DataFrame:
+    """Audio framing plan over raw PCM (s16le) payloads: one row per
+    fully-contained analysis frame, with its sample/byte offsets and
+    start time. The plan half of an audio feature pipeline (the decode
+    half — RMS/FFT per frame — is an Arrow batch over these offsets,
+    same split as image decode in ``sample_frames``).
+
+    Everything is BIGINT arithmetic on (octet_length, rate, channels) —
+    no payload byte ever leaves the JVM, so the plan is oracle-checkable
+    and the scan can prune the binary column entirely. Frame count per
+    payload is ``(n_samples - frame_len) div hop + 1`` (payloads shorter
+    than one frame emit nothing); the explode fan-out is proportional to
+    audio duration, the same narrow shape as token chunking.
+    """
+    sized = df.select(
+        F.col(id_col),
+        F.col(rate_col).cast("bigint").alias("sample_rate"),
+        F.col(channels_col).cast("bigint").alias("channels"),
+        F.expr(f"octet_length({bytes_col}) div ({channels_col} * 2)")
+        .cast("bigint")
+        .alias("n_samples"),
+    )
+    framed = sized.select(
+        "*",
+        F.when(
+            F.col("n_samples") < frame_len, F.lit(0).cast("bigint")
+        )
+        .otherwise(
+            F.expr(f"(n_samples - {frame_len}) div {hop}").cast("bigint") + 1
+        )
+        .alias("n_frames"),
+        F.expr("n_samples * 1000000 div sample_rate")
+        .cast("bigint")
+        .alias("duration_us"),
+    )
+    frames = framed.filter(F.col("n_frames") > 0).select(
+        "*", F.explode(F.sequence(F.lit(0).cast("bigint"), F.col("n_frames") - 1)).alias("frame_idx")
+    )
+    return frames.select(
+        id_col,
+        "sample_rate",
+        "channels",
+        "n_samples",
+        "n_frames",
+        "duration_us",
+        "frame_idx",
+        (F.col("frame_idx") * hop).alias("sample_offset"),
+        (F.col("frame_idx") * hop * F.col("channels") * 2).alias("byte_offset"),
+        F.expr(f"frame_idx * {hop} * 1000000 div sample_rate")
+        .cast("bigint")
+        .alias("frame_start_us"),
+    )

@@ -197,6 +197,103 @@ def cosine_pairs(
     return _verify_exact(cands, df, id_col, vec_col, threshold)
 
 
+def knn_join(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """Exact k-nearest-neighbor self-join: the top-k cosine neighbors of
+    EVERY corpus row (not a bounded query set — the corpus is both
+    sides). The kNN-join primitive behind kNN-graph construction,
+    SemDeDup-style canonicalization, and label propagation at full
+    corpus width.
+
+    Same blocked-GEMM shape as ``cosine_pairs``: ids hash into blocks,
+    blocks pack into single rows, and every ordered block pair is scored
+    with one matrix product. Per (left row, block pair) only candidates
+    within ``1e-6`` of that row's local k-th best survive — a global
+    top-k member is by definition among the k best of its own block, so
+    the union of local top-k (with the epsilon guard for GEMM summation
+    rounding) is a superset of the global answer. Candidates are then
+    re-scored with the exact left-to-right JVM fold and ranked with a
+    window partitioned by query id, so reported cosines and ranks are
+    bit-identical to a brute-force SQL oracle.
+
+    Cost is O((n/B)²) block pairs — this is the EXACT baseline, same
+    contract as ``cosine_pairs``; the sub-quadratic scale path is IVF
+    (``ivf_topk`` probing with the corpus as the query side), which
+    trades recall for pruned cells.
+    """
+    df = df.filter(F.col(vec_col).isNotNull())  # same rule as _prep
+    if n_blocks is None:
+        n_blocks = auto_n_blocks(df.count())
+    v = as_double_array(vec_col)
+    rows = df.select(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("blk"),
+        F.struct(F.col(id_col).alias("id"), v.alias("v")).alias("row"),
+    )
+    packed = rows.groupBy("blk").agg(F.collect_list("row").alias("rows"))
+    a = packed.select(F.col("blk").alias("blk_a"), F.col("rows").alias("rows_a"))
+    b = packed.select(F.col("blk").alias("blk_b"), F.col("rows").alias("rows_b"))
+    # full B×B (every left block meets every right block): top-k needs
+    # all neighbors, so no triangular cut — bounded by blocks, not rows
+    block_pairs = a.crossJoin(b)
+    eps = 1e-6
+
+    def score_blocks(batches):
+        for pdf in batches:
+            out_a, out_b = [], []
+            for t in pdf.itertuples(index=False):
+                ids_a = np.asarray([r["id"] for r in t.rows_a], dtype=np.int64)
+                mat_a = np.vstack([r["v"] for r in t.rows_a])
+                ids_b = np.asarray([r["id"] for r in t.rows_b], dtype=np.int64)
+                mat_b = np.vstack([r["v"] for r in t.rows_b])
+                na = mat_a / np.linalg.norm(mat_a, axis=1, keepdims=True)
+                nb = mat_b / np.linalg.norm(mat_b, axis=1, keepdims=True)
+                sim = na @ nb.T
+                # self matches can never be neighbors
+                sim[ids_a[:, None] == ids_b[None, :]] = -np.inf
+                if sim.shape[1] > k:
+                    kth = np.partition(sim, -k, axis=1)[:, -k]
+                else:
+                    kth = np.full(sim.shape[0], -np.inf)
+                ii, jj = np.nonzero(sim >= (kth - eps)[:, None])
+                keep = ids_a[ii] != ids_b[jj]  # -inf >= -inf when a block
+                # holds <= k rows: drop the self match explicitly
+                out_a.append(ids_a[ii[keep]])
+                out_b.append(ids_b[jj[keep]])
+            empty = np.array([], dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    "id_a": np.concatenate(out_a) if out_a else empty,
+                    "id_b": np.concatenate(out_b) if out_b else empty,
+                }
+            )
+
+    cands = block_pairs.mapInPandas(score_blocks, "id_a long, id_b long")
+    vaj = df.select(F.col(id_col).alias("id_a"), v.alias("__va"))
+    vbj = df.select(F.col(id_col).alias("id_b"), v.alias("__vb"))
+    scored = (
+        cands.join(vaj, "id_a")
+        .join(vbj, "id_b")
+        .withColumn("cos", cosine(F.col("__va"), F.col("__vb")))
+    )
+    w = Window.partitionBy("id_a").orderBy(F.desc("cos"), F.asc("id_b"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("id_a").alias("query_id"),
+            F.col("id_b").alias("neighbor_id"),
+            "cos",
+            "rank",
+        )
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int) -> np.ndarray:
     """(n_planes, dim) pseudo-random hyperplanes in [-0.5, 0.5)."""
     raw = splitmix64(0xC0FFEE, n_planes * dim)

@@ -1368,3 +1368,117 @@ def e23_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_id", cusum.cast("double").alias("cusum"))
         .orderBy("user_id", "event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# e24 — dyadic EWMA smoothing: per-user exponentially weighted trailing
+# average of `value` with α = 1/2 over the last 8 observations (the
+# final tap reuses weight 1/128 so the kernel sums to exactly 1). The
+# monitoring-pipeline smoother, written as an explicit 8-tap lag chain
+# instead of a float recurrence: every weight is a power of two (IEEE
+# scaling is EXACT) and the taps are summed in one fixed left-to-right
+# tree shared with the oracle — so unlike s_t = αx + (1−α)s_{t−1} run
+# engine-side, the result is bit-identical cross-engine and
+# partition-independent. One window partitioned by user_id; missing
+# leading history contributes zero mass (documented truncation).
+# ---------------------------------------------------------------------------
+@register(
+    "e24_ewma_smoothing",
+    oracle="""
+    SELECT event_id, user_id, ts, value,
+      value / 2
+      + COALESCE(LAG(value, 1) OVER w, 0) / 4
+      + COALESCE(LAG(value, 2) OVER w, 0) / 8
+      + COALESCE(LAG(value, 3) OVER w, 0) / 16
+      + COALESCE(LAG(value, 4) OVER w, 0) / 32
+      + COALESCE(LAG(value, 5) OVER w, 0) / 64
+      + COALESCE(LAG(value, 6) OVER w, 0) / 128
+      + COALESCE(LAG(value, 7) OVER w, 0) / 128 AS ewma8
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, ts, event_id
+    """,
+)
+def e24_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+    def tap(i: int, denom: int):
+        return F.coalesce(F.lag("value", i).over(w), F.lit(0)) / denom
+
+    ewma = (
+        F.col("value") / 2
+        + tap(1, 4)
+        + tap(2, 8)
+        + tap(3, 16)
+        + tap(4, 32)
+        + tap(5, 64)
+        + tap(6, 128)
+        + tap(7, 128)
+    )
+    return e.select(
+        "event_id", "user_id", "ts", "value", ewma.alias("ewma8")
+    ).orderBy("user_id", "ts", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# e25 — conversion latency: first 'view' → first subsequent 'purchase'
+# per user, rolled up to the first-view day cohort with exact
+# interpolating latency percentiles over integer microseconds (the q46
+# percentile pairing — midpoints of integers are exact in double). Two
+# user-keyed groupBys and one user-keyed equi-join — co-partitioned,
+# no broadcast of anything user-sized, and the percentile runs per
+# cohort day, never globally.
+# ---------------------------------------------------------------------------
+@register(
+    "e25_conversion_latency",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS vts FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    p AS (
+      SELECT e.user_id, v.vts, MIN(e.ts) AS pts
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > v.vts
+      GROUP BY e.user_id, v.vts
+    ),
+    lat AS (
+      SELECT date_trunc('day', vts) AS cohort_day,
+        epoch_us(pts) - epoch_us(vts) AS lat_us
+      FROM p
+    )
+    SELECT cohort_day,
+      CAST(COUNT(*) AS BIGINT) AS n_conversions,
+      quantile_cont(lat_us, 0.5) AS p50_latency_us,
+      quantile_cont(lat_us, 0.9) AS p90_latency_us
+    FROM lat GROUP BY cohort_day ORDER BY cohort_day
+    """,
+)
+def e25_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("vts"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("vts"))
+        .groupBy("user_id", "vts")
+        .agg(F.min("ts").alias("pts"))
+    )
+    lat = p.select(
+        F.date_trunc("day", "vts").alias("cohort_day"),
+        F.timestamp_diff("MICROSECOND", F.col("vts"), F.col("pts")).alias("lat_us"),
+    )
+    return (
+        lat.groupBy("cohort_day")
+        .agg(
+            F.count("*").cast("bigint").alias("n_conversions"),
+            F.percentile("lat_us", 0.5).alias("p50_latency_us"),
+            F.percentile("lat_us", 0.9).alias("p90_latency_us"),
+        )
+        .orderBy("cohort_day")
+    )

@@ -226,3 +226,64 @@ def m05_caption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# m06 — audio framing plan: raw PCM (s16le) payloads staged from
+# documents.text bytes with planted (rate, channels) metadata, framed
+# into 64-sample windows with 32-sample hop (staged text payloads
+# are short; real audio uses the operator defaults 1024/512). One row per fully-
+# contained frame with sample/byte offsets and start time — the plan
+# half of an audio feature pipeline; the decode half (per-frame
+# RMS/FFT) is an Arrow batch over these offsets, exactly like image
+# decode in m02/m03. All BIGINT arithmetic on octet_length + metadata,
+# so the whole framing path is oracle-checked and the scan never
+# materializes payload bytes for the plan.
+# ---------------------------------------------------------------------------
+@register(
+    "m06_audio_frame_plan",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+        CAST(8000 + (doc_id % 3) * 4000 AS BIGINT) AS sample_rate,
+        CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, sample_rate, channels,
+        n_bytes // (channels * 2) AS n_samples
+      FROM p
+    ),
+    f AS (
+      SELECT *,
+        CASE WHEN n_samples < 64 THEN 0
+             ELSE (n_samples - 64) // 32 + 1 END AS n_frames,
+        n_samples * 1000000 // sample_rate AS duration_us
+      FROM s
+    ),
+    fr AS (
+      SELECT doc_id, sample_rate, channels, n_samples, n_frames,
+        duration_us, unnest(range(0, n_frames)) AS frame_idx
+      FROM f WHERE n_frames > 0
+    )
+    SELECT doc_id, sample_rate, channels, n_samples, n_frames, duration_us,
+      CAST(frame_idx AS BIGINT) AS frame_idx,
+      CAST(frame_idx * 32 AS BIGINT) AS sample_offset,
+      CAST(frame_idx * 32 * channels * 2 AS BIGINT) AS byte_offset,
+      CAST(frame_idx * 32 * 1000000 // sample_rate AS BIGINT) AS frame_start_us
+    FROM fr
+    ORDER BY doc_id, frame_idx
+    """,
+)
+def m06_audio_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+        (8000 + (F.col("doc_id") % 3) * 4000).cast("bigint").alias("sample_rate"),
+        (1 + F.col("doc_id") % 2).cast("bigint").alias("channels"),
+    )
+    return M.plan_audio_frames(
+        staged, id_col="doc_id", bytes_col="payload", frame_len=64, hop=32
+    ).orderBy("doc_id", "frame_idx")

@@ -2681,3 +2681,184 @@ def s14_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("anchor_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# g02 — per-node triangle counts over the d05 simhash near-dup graph:
+# the clustering-coefficient numerator, the standard mirror-farm /
+# template-spam signal on dedup graphs (a doc embedded in a dense
+# triangle neighborhood sits in a copy clique, not a chance collision).
+# Spark side is degree-ordered orientation (operators/graph.py:
+# triangle_counts) — wedge fan-out bounded by O(sqrt(m)) out-degree,
+# every triangle found exactly once; the oracle is the brute-force
+# three-way self-join on the id-ordered edge list.
+# ---------------------------------------------------------------------------
+_G02_ORACLE = f"""
+WITH fp AS ({_D04_ORACLE.replace("ORDER BY doc_id", "")}),
+  e AS (
+    SELECT a.doc_id AS u, b.doc_id AS v
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+  ),
+  tri AS (
+    SELECT ab.u AS a, ab.v AS b, bc.v AS c
+    FROM e ab
+    JOIN e bc ON bc.u = ab.v
+    JOIN e ac ON ac.u = ab.u AND ac.v = bc.v
+  ),
+  corners AS (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  )
+SELECT node AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM corners GROUP BY node ORDER BY doc_id
+"""
+
+
+@register("g02_triangle_counts", oracle=_G02_ORACLE)
+def g02_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from censo_escolar_spark.operators.graph import triangle_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=3, n_bands=4)
+    return (
+        triangle_counts(pairs, a_col="id_a", b_col="id_b")
+        .select(F.col("node").alias("doc_id"), "n_triangles")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# s15 — exact kNN self-join: top-k cosine neighbors of EVERY corpus row
+# (kNN-graph construction), via the blocked-GEMM candidate pass with an
+# epsilon-guarded local cut + exact fold-order re-score (operators/
+# similarity.py::knn_join). Oracle is the brute-force all-pairs ranking.
+# ---------------------------------------------------------------------------
+_S15_ORACLE = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        list_dot_product(a.v, b.v) /
+          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+      FROM e a JOIN e b ON a.vec_id != b.vec_id
+    )
+    SELECT query_id, neighbor_id, cos,
+      CAST(rnk AS INTEGER) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+      FROM scored
+    )
+    WHERE rnk <= 3
+    ORDER BY query_id, rank
+    """
+
+
+@register("s15_knn_join", oracle=_S15_ORACLE)
+def s15_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.knn_join(emb, k=3).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# d16 — canonical-URL dedup: normalize the first URL in each document
+# (scheme/www/query/trailing-slash stripped, host lowercased) and keep
+# the min doc_id per canonical key; docs with no URL always keep. The
+# CC-pipeline first pass — URL-level dedup is ~free (one groupBy on a
+# short string key) and removes crawl-variant duplicates before any
+# content hashing runs. All canonicalization is shared codegen
+# regexp/string expressions (functions/text.py::canonical_url).
+# ---------------------------------------------------------------------------
+@register(
+    "d16_url_dedup",
+    oracle=r"""
+    WITH canon AS (
+      SELECT doc_id,
+        CASE
+          WHEN regexp_extract(text, 'https?://([A-Za-z0-9.-]+)(/[A-Za-z0-9./_%-]*)?', 1) = ''
+          THEN ''
+          ELSE regexp_replace(
+                 lower(regexp_extract(text, 'https?://([A-Za-z0-9.-]+)(/[A-Za-z0-9./_%-]*)?', 1)),
+                 '^www\.', '')
+               || regexp_replace(
+                 regexp_extract(text, 'https?://([A-Za-z0-9.-]+)(/[A-Za-z0-9./_%-]*)?', 2),
+                 '/+$', '')
+        END AS canon_url
+      FROM documents
+    )
+    SELECT doc_id, canon_url,
+      (canon_url = ''
+       OR doc_id = MIN(doc_id) OVER (PARTITION BY canon_url)) AS keep
+    FROM canon
+    ORDER BY doc_id
+    """,
+)
+def d16_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    canon = docs.select("doc_id", T.canonical_url("text").alias("canon_url"))
+    w = Window.partitionBy("canon_url")
+    return canon.select(
+        "doc_id",
+        "canon_url",
+        ((F.col("canon_url") == "") | (F.col("doc_id") == F.min("doc_id").over(w)))
+        .alias("keep"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# t30 — vocabulary statistics per language: types, tokens, hapax
+# legomena, type-token ratio. The corpus-health dashboard numbers
+# (synthetic/templated text shows abnormally low TTR and hapax mass).
+# Counts are exact integers off ONE doc-token fan-out; each ratio is a
+# single final IEEE division. Per-(lang, token) partial aggregation
+# means the shuffle carries the distinct vocabulary, not the token
+# stream.
+# ---------------------------------------------------------------------------
+@register(
+    "t30_vocab_stats",
+    oracle="""
+    WITH tok AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    vocab AS (
+      SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS n
+      FROM tok GROUP BY lang, tok
+    )
+    SELECT lang,
+      CAST(SUM(n) AS BIGINT) AS n_tokens,
+      CAST(COUNT(*) AS BIGINT) AS vocab_size,
+      CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_count,
+      CAST(COUNT(*) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS type_token_ratio,
+      CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        / CAST(COUNT(*) AS DOUBLE) AS hapax_frac
+    FROM vocab GROUP BY lang ORDER BY lang
+    """,
+)
+def t30_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    return (
+        vocab.groupBy("lang")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_tokens"),
+            F.count("*").cast("bigint").alias("vocab_size"),
+            F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("hapax_count"),
+        )
+        .select(
+            "lang",
+            "n_tokens",
+            "vocab_size",
+            "hapax_count",
+            (F.col("vocab_size").cast("double") / F.col("n_tokens").cast("double"))
+            .alias("type_token_ratio"),
+            (F.col("hapax_count").cast("double") / F.col("vocab_size").cast("double"))
+            .alias("hapax_frac"),
+        )
+        .orderBy("lang")
+    )

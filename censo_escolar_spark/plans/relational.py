@@ -2615,3 +2615,135 @@ def q66_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         "o_orderstatus",
     ).orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# q67 — A/B comparison via Welch's t statistic: discounted (>= 5%) vs
+# non-discounted line items compared on extended price, per return
+# flag. The experimentation-platform primitive: both arms' moments
+# (n, Σx, Σx²) come out of ONE conditional-aggregation scan — no join,
+# no second pass — as exact decimals; mean/variance/t are then a fixed
+# tree of IEEE double ops shared verbatim with the oracle, so the
+# statistic is bit-identical cross-engine (the q64/q65 determinism
+# recipe). At 100 TB this is a single partial-aggregated groupBy.
+# ---------------------------------------------------------------------------
+@register(
+    "q67_ab_welch_t",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag AS flag,
+        CAST(COUNT(*) FILTER (WHERE l_discount >= 0.05) AS BIGINT) AS n_t,
+        CAST(COUNT(*) FILTER (WHERE l_discount < 0.05) AS BIGINT) AS n_c,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+             FILTER (WHERE l_discount >= 0.05) AS DOUBLE) AS sx_t,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+             FILTER (WHERE l_discount < 0.05) AS DOUBLE) AS sx_c,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(l_extendedprice AS DECIMAL(18,2)))
+             FILTER (WHERE l_discount >= 0.05) AS DOUBLE) AS sxx_t,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(l_extendedprice AS DECIMAL(18,2)))
+             FILTER (WHERE l_discount < 0.05) AS DOUBLE) AS sxx_c
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT flag, n_t, n_c,
+      sx_t / n_t AS mean_t,
+      sx_c / n_c AS mean_c,
+      (sx_t / n_t - sx_c / n_c)
+        / sqrt(((sxx_t - sx_t * sx_t / n_t) / (n_t - 1)) / n_t
+             + ((sxx_c - sx_c * sx_c / n_c) / (n_c - 1)) / n_c) AS t_stat
+    FROM m
+    WHERE n_t >= 2 AND n_c >= 2
+    ORDER BY flag
+    """,
+)
+def q67_ab_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    x = _dec("l_extendedprice")
+    treated = F.col("l_discount") >= 0.05
+    m = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.count(F.when(treated, 1)).cast("bigint").alias("n_t"),
+        F.count(F.when(~treated, 1)).cast("bigint").alias("n_c"),
+        F.sum(F.when(treated, x)).cast("double").alias("sx_t"),
+        F.sum(F.when(~treated, x)).cast("double").alias("sx_c"),
+        F.sum(F.when(treated, x * x)).cast("double").alias("sxx_t"),
+        F.sum(F.when(~treated, x * x)).cast("double").alias("sxx_c"),
+    )
+    mean_t = F.col("sx_t") / F.col("n_t")
+    mean_c = F.col("sx_c") / F.col("n_c")
+    var_t = (F.col("sxx_t") - F.col("sx_t") * F.col("sx_t") / F.col("n_t")) / (
+        F.col("n_t") - 1
+    )
+    var_c = (F.col("sxx_c") - F.col("sx_c") * F.col("sx_c") / F.col("n_c")) / (
+        F.col("n_c") - 1
+    )
+    t_stat = (mean_t - mean_c) / F.sqrt(var_t / F.col("n_t") + var_c / F.col("n_c"))
+    return (
+        m.filter((F.col("n_t") >= 2) & (F.col("n_c") >= 2))
+        .select(
+            "flag",
+            "n_t",
+            "n_c",
+            mean_t.alias("mean_t"),
+            mean_c.alias("mean_c"),
+            t_stat.alias("t_stat"),
+        )
+        .orderBy("flag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q68 — period-over-period revenue: monthly order revenue with
+# month-over-month (within the calendar year) and year-over-year (same
+# month, previous year) comparisons. The BI time-comparison staple.
+# The fact table collapses to one row per month BEFORE any window runs;
+# both lags then partition the tiny series (by year for MoM, by
+# month-of-year for YoY) — no unpartitioned window, no self-join.
+# Revenue sums are exact decimals; each growth ratio is one double
+# division then one subtraction, shared op-for-op with the oracle.
+# ---------------------------------------------------------------------------
+@register(
+    "q68_yoy_growth",
+    oracle="""
+    WITH monthly AS (
+      SELECT date_trunc('month', o_orderdate) AS month,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM orders GROUP BY 1
+    ),
+    laged AS (
+      SELECT month, revenue,
+        LAG(revenue) OVER (PARTITION BY EXTRACT(year FROM month)
+                           ORDER BY month) AS prev_month_rev,
+        LAG(revenue) OVER (PARTITION BY EXTRACT(month FROM month)
+                           ORDER BY month) AS prev_year_rev
+      FROM monthly
+    )
+    SELECT month, revenue, prev_month_rev, prev_year_rev,
+      revenue / prev_month_rev - 1 AS mom_growth,
+      revenue / prev_year_rev - 1 AS yoy_growth
+    FROM laged
+    ORDER BY month
+    """,
+)
+def q68_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(F.sum(_dec("o_totalprice")).cast("double").alias("revenue"))
+    )
+    w_mom = Window.partitionBy(F.year("month")).orderBy("month")
+    w_yoy = Window.partitionBy(F.month("month")).orderBy("month")
+    lagged = monthly.select(
+        "month",
+        "revenue",
+        F.lag("revenue").over(w_mom).alias("prev_month_rev"),
+        F.lag("revenue").over(w_yoy).alias("prev_year_rev"),
+    )
+    return lagged.select(
+        "month",
+        "revenue",
+        "prev_month_rev",
+        "prev_year_rev",
+        (F.col("revenue") / F.col("prev_month_rev") - 1).alias("mom_growth"),
+        (F.col("revenue") / F.col("prev_year_rev") - 1).alias("yoy_growth"),
+    ).orderBy("month")

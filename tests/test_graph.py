@@ -76,3 +76,68 @@ def test_pagerank_empty_edges(spark):
         _edges(spark, []).filter(F.lit(False)), iters=2
     )
     assert out.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# triangle_counts
+# ---------------------------------------------------------------------------
+
+
+def _pairs(spark, rows):
+    return spark.createDataFrame(rows, "id_a long, id_b long")
+
+
+def _tri_counts(spark, rows):
+    from censo_escolar_spark.operators.graph import triangle_counts
+
+    return {
+        r.node: r.n_triangles
+        for r in triangle_counts(_pairs(spark, rows)).collect()
+    }
+
+
+def test_triangle_single(spark):
+    out = _tri_counts(spark, [(1, 2), (2, 3), (1, 3)])
+    assert out == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangle_none_in_path_graph(spark):
+    assert _tri_counts(spark, [(1, 2), (2, 3), (3, 4)]) == {}
+
+
+def test_triangle_k4_counts(spark):
+    # K4: 4 triangles total, each node in exactly 3
+    rows = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    assert _tri_counts(spark, rows) == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangle_dedup_selfloops_and_direction(spark):
+    # duplicates, reversed duplicates, and self-loops must not inflate
+    rows = [(1, 2), (2, 1), (2, 3), (1, 3), (3, 3), (1, 2)]
+    assert _tri_counts(spark, rows) == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangle_hub_with_pendant_edges(spark):
+    # hub 0 touches 1..5 but only (1,2) closes a triangle
+    rows = [(0, i) for i in range(1, 6)] + [(1, 2)]
+    assert _tri_counts(spark, rows) == {0: 1, 1: 1, 2: 1}
+
+
+def test_triangle_matches_bruteforce_on_random_graph(spark):
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    nodes = range(12)
+    rows = [
+        (a, b)
+        for a, b in itertools.combinations(nodes, 2)
+        if rng.random() < 0.4
+    ]
+    eset = set(rows)
+    expect = {}
+    for a, b, c in itertools.combinations(nodes, 3):
+        if {(a, b), (a, c), (b, c)} <= eset:
+            for n in (a, b, c):
+                expect[n] = expect.get(n, 0) + 1
+    assert _tri_counts(spark, rows) == expect

@@ -105,3 +105,57 @@ def test_sample_frames_determinism(spark, payloads):
     a = sorted(map(tuple, M.sample_frames(df, k=4, decoder=M.fake_decode).collect()))
     b = sorted(map(tuple, M.sample_frames(df, k=4, decoder=M.fake_decode).collect()))
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# plan_audio_frames (m06's operator)
+# ---------------------------------------------------------------------------
+
+
+def _audio_df(spark, rows):
+    # rows: (id, n_bytes, rate, channels)
+    data = [(i, b"\x00" * n, r, c) for i, n, r, c in rows]
+    return spark.createDataFrame(
+        data, "doc_id long, payload binary, sample_rate int, channels int"
+    )
+
+
+def test_audio_frame_plan_hand_computed(spark):
+    from censo_escolar_spark.operators.multimodal import plan_audio_frames
+
+    # 5000 bytes mono => 2500 samples => frames at 1024/512: idx 0,1,2
+    df = _audio_df(spark, [(1, 5000, 8000, 1)])
+    rows = plan_audio_frames(df).orderBy("frame_idx").collect()
+    assert [r.frame_idx for r in rows] == [0, 1, 2]
+    assert rows[0].n_samples == 2500
+    assert rows[0].n_frames == 3
+    assert rows[0].duration_us == 2500 * 1_000_000 // 8000
+    assert [r.sample_offset for r in rows] == [0, 512, 1024]
+    assert [r.byte_offset for r in rows] == [0, 1024, 2048]
+    assert rows[2].frame_start_us == 1024 * 1_000_000 // 8000
+
+
+def test_audio_frame_plan_stereo_and_short(spark):
+    from censo_escolar_spark.operators.multimodal import plan_audio_frames
+
+    df = _audio_df(
+        spark,
+        [
+            (1, 4096, 16000, 2),  # 1024 samples stereo -> exactly 1 frame
+            (2, 2000, 16000, 2),  # 500 samples -> too short, no frames
+        ],
+    )
+    rows = plan_audio_frames(df).collect()
+    assert [(r.doc_id, r.frame_idx) for r in rows] == [(1, 0)]
+    assert rows[0].byte_offset == 0
+    assert rows[0].n_samples == 1024
+
+
+def test_audio_frame_plan_custom_framing_counts(spark):
+    from censo_escolar_spark.operators.multimodal import plan_audio_frames
+
+    # 300 samples with 64/32 framing: (300-64)//32+1 = 8 frames
+    df = _audio_df(spark, [(1, 600, 8000, 1)])
+    rows = plan_audio_frames(df, frame_len=64, hop=32).collect()
+    assert len(rows) == 8
+    assert rows[-1].sample_offset == 7 * 32

@@ -32,6 +32,7 @@ ARROW_OK = {
     "s07_cluster_profile",  # ivf_assign GEMM against fixed centroids
     "t16_lang_zscores",  # grouped-map applyInPandas standardization
     "t03_fingerprints",
+    "s15_knn_join",  # blocked-GEMM candidate pass (cosine_pairs shape)
 }
 
 
@@ -165,6 +166,7 @@ BNL_OK = {
     "s12_knn_classify",  # bounded unlabeled-query set broadcast (s01 shape)
     "s14_hard_negatives",  # bounded anchor batch broadcast (s01 shape)
     "t25_vocab_growth",
+    "s15_knn_join",  # B×B packed-block pairs (blocks, never rows, replicate)
 }
 
 

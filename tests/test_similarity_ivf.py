@@ -55,3 +55,64 @@ def test_ivf_exhaustive_equals_brute_force(spark, emb):
     assert [(r.query_id, r.neighbor_id, r.rank) for r in exact] == [
         (r.query_id, r.neighbor_id, r.rank) for r in ivf
     ]
+
+
+# ---------------------------------------------------------------------------
+# knn_join (exact kNN self-join)
+# ---------------------------------------------------------------------------
+
+
+def _brute_knn(vecs: dict[int, np.ndarray], k: int) -> set[tuple[int, int, int]]:
+    out = set()
+    for qid, qv in vecs.items():
+        scored = []
+        for cid, cv in vecs.items():
+            if cid == qid:
+                continue
+            cos = float(
+                np.dot(qv, cv) / (np.linalg.norm(qv) * np.linalg.norm(cv))
+            )
+            scored.append((-cos, cid))
+        scored.sort()
+        for rank, (_, cid) in enumerate(scored[:k], start=1):
+            out.add((qid, cid, rank))
+    return out
+
+
+def test_knn_join_matches_brute_force_multiblock(spark, emb):
+    sub = emb.filter(F.col("vec_id") < 40)
+    vecs = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in sub.collect()
+    }
+    # n_blocks=4 forces real cross-block candidate generation
+    got = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in S.knn_join(sub, k=3, n_blocks=4).collect()
+    }
+    assert got == _brute_knn(vecs, 3)
+
+
+def test_knn_join_k_larger_than_corpus(spark, emb):
+    sub = emb.filter(F.col("vec_id") < 4)
+    rows = S.knn_join(sub, k=10, n_blocks=2).collect()
+    # every row can only have the other 3 as neighbors; no self matches
+    by_q: dict[int, list] = {}
+    for r in rows:
+        assert r.query_id != r.neighbor_id
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    assert set(by_q) == {0, 1, 2, 3}
+    for ranks in by_q.values():
+        assert sorted(ranks) == [1, 2, 3]
+
+
+def test_knn_join_ranks_are_cos_descending(spark, emb):
+    sub = emb.filter(F.col("vec_id") < 20)
+    rows = S.knn_join(sub, k=4, n_blocks=3).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.cos))
+    for pairs in by_q.values():
+        pairs.sort()
+        coses = [c for _, c in pairs]
+        assert coses == sorted(coses, reverse=True)

@@ -72,3 +72,43 @@ def test_repetition_stats_single_token_doc(spark):
         .first()
     )
     assert row.dt == 0.0 and row.db == 0.0  # no bigrams -> defined as 0
+
+
+# ---------------------------------------------------------------------------
+# canonical_url (d16's key)
+# ---------------------------------------------------------------------------
+
+
+def _canon(spark, texts):
+    from censo_escolar_spark.functions.text import canonical_url
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    return [r.c for r in df.select(canonical_url("text").alias("c")).collect()]
+
+
+def test_canonical_url_normalizes_variants(spark):
+    variants = [
+        "see http://www.Example.com/a/b?utm=1 now",
+        "see https://example.com/a/b now",
+        "see https://EXAMPLE.com/a/b/ now",
+        "see http://example.com/a/b#frag now",
+    ]
+    assert set(_canon(spark, variants)) == {"example.com/a/b"}
+
+
+def test_canonical_url_host_only_and_missing(spark):
+    got = _canon(
+        spark,
+        [
+            "visit https://www.site.org today",
+            "visit https://site.org/ today",
+            "no links here at all",
+            "ftp://site.org/not-http",
+        ],
+    )
+    assert got == ["site.org", "site.org", "", ""]
+
+
+def test_canonical_url_first_url_wins(spark):
+    got = _canon(spark, ["a http://first.com/x then https://second.com/y"])
+    assert got == ["first.com/x"]
