@@ -764,6 +764,29 @@ def simhash_pairs(
     # materialize: the band self-join would otherwise compute every
     # fingerprint twice (same rationale as minhash_candidates)
     fps = simhash_fingerprints(df, id_col, text_col).localCheckpoint(eager=True)
+    return simhash_pairs_from_fingerprints(
+        fps, id_col, max_hamming=max_hamming, n_bands=n_bands
+    )
+
+
+def simhash_pairs_from_fingerprints(
+    fps: DataFrame,
+    id_col: str,
+    *,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Pigeonhole band join over an existing (id, simhash) frame.
+
+    Split out of ``simhash_pairs`` so callers can pre-contract identical
+    fingerprints (GROUP BY simhash, keep min id) before pairing — on
+    dedup graphs the identical-document groups are large cliques, and
+    any graph analytics downstream (triangles, components) should run
+    on the contracted multigraph, not the raw one. ``fps`` must be
+    cheap to evaluate or already materialized: the band self-join
+    references it twice.
+    """
+    assert max_hamming < n_bands, "pigeonhole exactness requires max_hamming < n_bands"
     banded = fps.select(
         F.col(id_col),
         "simhash",

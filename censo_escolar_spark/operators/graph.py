@@ -62,6 +62,11 @@ def triangle_counts(
             F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
         )
         .distinct()
+        # e feeds the degree count twice (both endpoints) plus the
+        # degree-attach join — without a checkpoint the caller's edge
+        # pipeline (often an LSH/banded pair generator) re-runs 3×;
+        # the materialized rows are just 2 longs each
+        .localCheckpoint(eager=True)
     )
     deg = (
         e.select(F.col("u").alias("node"))

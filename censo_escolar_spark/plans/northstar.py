@@ -2684,20 +2684,26 @@ def s14_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# g02 — per-node triangle counts over the d05 simhash near-dup graph:
-# the clustering-coefficient numerator, the standard mirror-farm /
-# template-spam signal on dedup graphs (a doc embedded in a dense
-# triangle neighborhood sits in a copy clique, not a chance collision).
-# Spark side is degree-ordered orientation (operators/graph.py:
-# triangle_counts) — wedge fan-out bounded by O(sqrt(m)) out-degree,
-# every triangle found exactly once; the oracle is the brute-force
-# three-way self-join on the id-ordered edge list.
+# g02 — per-node triangle counts over the CONTRACTED simhash near-dup
+# graph: identical fingerprints collapse to one vertex (min doc_id)
+# first, then vertices pair at hamming <= 3 and triangles are counted
+# per vertex. The clustering-coefficient numerator — the mirror-farm /
+# template-spam signal on dedup graphs. Contraction is the load-bearing
+# scale step: an m-document identical-template group is an m-clique
+# with C(m,3) triangles (90M on the raw sf0.1 graph); on the contracted
+# graph triangle work is proportional to structure BETWEEN distinct
+# fingerprints, which is what the analysis is about. Spark side is
+# degree-ordered orientation (operators/graph.py::triangle_counts) —
+# wedge fan-out bounded by O(sqrt(m)) out-degree, every triangle found
+# exactly once; the oracle is the brute-force three-way self-join on
+# the id-ordered contracted edge list.
 # ---------------------------------------------------------------------------
 _G02_ORACLE = f"""
 WITH fp AS ({_D04_ORACLE.replace("ORDER BY doc_id", "")}),
+  con AS (SELECT simhash, MIN(doc_id) AS doc_id FROM fp GROUP BY simhash),
   e AS (
     SELECT a.doc_id AS u, b.doc_id AS v
-    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    FROM con a JOIN con b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
   ),
   tri AS (
@@ -2721,7 +2727,11 @@ def g02_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from censo_escolar_spark.operators.graph import triangle_counts
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=3, n_bands=4)
+    fps = dedup.simhash_fingerprints(docs, "doc_id", "text")
+    contracted = fps.groupBy("simhash").agg(F.min("doc_id").alias("doc_id"))
+    pairs = dedup.simhash_pairs_from_fingerprints(
+        contracted.localCheckpoint(eager=True), "doc_id", max_hamming=3, n_bands=4
+    )
     return (
         triangle_counts(pairs, a_col="id_a", b_col="id_b")
         .select(F.col("node").alias("doc_id"), "n_triangles")
