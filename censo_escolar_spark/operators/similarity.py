@@ -294,6 +294,105 @@ def knn_join(
     )
 
 
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    fetch_k: int = 10,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking: per query, greedily pick
+    ``k`` results maximizing ``lam·rel(c) − (1−lam)·max_{s∈selected}
+    sim(c, s)`` over a ``fetch_k`` candidate pool — the diversity-aware
+    retrieval step RAG stacks run after ANN (Carbonell/Goldstein,
+    SIGIR 1998).
+
+    The greedy loop unrolls into the PLAN (k is small by nature): each
+    round is one candidates⋈selected equi-join on query id + one
+    max-penalty aggregate + one pick window — all JVM-side with exact
+    fold-order cosines, so scores and picks are bit-identical to an
+    unrolled SQL oracle. No Arrow boundary: the per-query candidate
+    pool is fetch_k rows and the pairwise-similarity frame fetch_k²,
+    both bounded per query, so every shuffle is keyed on query_id and
+    scales with the query batch, never the corpus. The candidate and
+    pairwise frames are checkpointed once (bounded: nq·fetch_k(²))
+    because every greedy round references them.
+    """
+    assert 1 <= k <= fetch_k
+    rel = (
+        cosine_topk(
+            corpus, queries, id_col=id_col, vec_col=vec_col, k=fetch_k
+        )
+        .select(
+            "query_id",
+            F.col("neighbor_id").alias("cand_id"),
+            F.col("cos").alias("rel"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    v = corpus.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("__vid"), as_double_array(vec_col).alias("__v")
+    )
+    ca = rel.select("query_id", "cand_id")
+    cb = rel.select("query_id", F.col("cand_id").alias("other_id"))
+    pair = (
+        ca.join(cb, "query_id")
+        .filter(F.col("cand_id") != F.col("other_id"))
+        .join(v.select(F.col("__vid").alias("cand_id"), F.col("__v").alias("__va")), "cand_id")
+        .join(v.select(F.col("__vid").alias("other_id"), F.col("__v").alias("__vb")), "other_id")
+        .select(
+            "query_id",
+            "cand_id",
+            "other_id",
+            cosine(F.col("__va"), F.col("__vb")).alias("sim"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    one_minus = 1.0 - lam  # computed once; the oracle writes (1 - lam)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("cand_id")
+    )
+    sel = (
+        rel.withColumn("score", F.lit(lam) * F.col("rel"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("query_id", "cand_id", F.lit(1).alias("mmr_rank"), "score")
+    )
+    for step in range(2, k + 1):
+        sel_ids = sel.select("query_id", F.col("cand_id").alias("other_id"))
+        penal = (
+            pair.join(sel_ids, ["query_id", "other_id"])
+            .groupBy("query_id", "cand_id")
+            .agg(F.max("sim").alias("penal"))
+        )
+        remaining = rel.join(
+            sel.select("query_id", "cand_id"), ["query_id", "cand_id"], "left_anti"
+        )
+        pick = (
+            remaining.join(penal, ["query_id", "cand_id"], "left")
+            .withColumn(
+                "score",
+                F.lit(lam) * F.col("rel")
+                - F.lit(one_minus) * F.coalesce(F.col("penal"), F.lit(0.0)),
+            )
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(
+                "query_id", "cand_id", F.lit(step).alias("mmr_rank"), "score"
+            )
+        )
+        sel = sel.unionByName(pick)
+    return sel.select(
+        "query_id",
+        F.col("cand_id").alias("neighbor_id"),
+        "mmr_rank",
+        "score",
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int) -> np.ndarray:
     """(n_planes, dim) pseudo-random hyperplanes in [-0.5, 0.5)."""
     raw = splitmix64(0xC0FFEE, n_planes * dim)

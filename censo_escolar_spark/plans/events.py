@@ -1482,3 +1482,64 @@ def e25_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_day")
     )
+
+
+# ---------------------------------------------------------------------------
+# e26 — robust anomaly counts via median absolute deviation: per user,
+# the median/MAD of `value` and how many events sit outside
+# 3·1.4826·MAD of the median (the Hampel identifier). The robust
+# complement to e20's rolling z-scores — MAD has a 50% breakdown
+# point, so a burst of outliers can't drag its own threshold the way a
+# stddev does. Two user-keyed percentile aggregates, two user-keyed
+# joins back, one conditional count (exact interpolating percentiles,
+# the q46 pairing); the threshold is one fixed IEEE product shared
+# with the oracle. Nothing global: every shuffle keys on user_id.
+# ---------------------------------------------------------------------------
+@register(
+    "e26_mad_anomalies",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, value FROM events WHERE value IS NOT NULL
+    ),
+    med AS (
+      SELECT user_id, quantile_cont(value, 0.5) AS med,
+        CAST(COUNT(*) AS BIGINT) AS n
+      FROM v GROUP BY user_id
+    ),
+    dev AS (
+      SELECT v.user_id, m.n, m.med, abs(v.value - m.med) AS dev
+      FROM v JOIN med m ON v.user_id = m.user_id
+    ),
+    madt AS (
+      SELECT user_id, quantile_cont(dev, 0.5) AS mad FROM dev GROUP BY user_id
+    )
+    SELECT d.user_id, d.n, d.med, m.mad,
+      CAST(COUNT(*) FILTER (WHERE d.dev > 3 * 1.4826 * m.mad) AS BIGINT)
+        AS n_anomalies
+    FROM dev d JOIN madt m ON d.user_id = m.user_id
+    GROUP BY d.user_id, d.n, d.med, m.mad
+    ORDER BY d.user_id
+    """,
+)
+def e26_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    v = e.filter(F.col("value").isNotNull()).select("user_id", "value")
+    med = v.groupBy("user_id").agg(
+        F.percentile("value", 0.5).alias("med"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    dev = v.join(med, "user_id").select(
+        "user_id", "n", "med", F.abs(F.col("value") - F.col("med")).alias("dev")
+    )
+    mad = dev.groupBy("user_id").agg(F.percentile("dev", 0.5).alias("mad"))
+    thresh = F.lit(3.0) * F.lit(1.4826) * F.col("mad")
+    return (
+        dev.join(mad, "user_id")
+        .groupBy("user_id", "n", "med", "mad")
+        .agg(
+            F.count(F.when(F.col("dev") > thresh, 1))
+            .cast("bigint")
+            .alias("n_anomalies")
+        )
+        .orderBy("user_id")
+    )

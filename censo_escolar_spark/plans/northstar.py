@@ -2872,3 +2872,101 @@ def t30_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# s16 — MMR diversified retrieval: per query, greedily select 3 of the
+# top-10 candidates maximizing lam*relevance − (1−lam)*max-sim-to-
+# already-selected (Carbonell/Goldstein MMR — the RAG diversity
+# re-rank). The greedy loop is UNROLLED INTO THE PLAN (operators/
+# similarity.py::mmr_rerank): per round one query-keyed equi-join, one
+# max-penalty aggregate, one pick window — all JVM-side exact-fold
+# cosines, so the oracle replays the identical unrolled selection in
+# SQL and every score bit-matches.
+# ---------------------------------------------------------------------------
+_S16_ORACLE = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+    list_dot_product(q.v, c.v) /
+      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS rel
+  FROM e q JOIN e c ON q.vec_id != c.vec_id
+  WHERE q.vec_id < 8
+),
+cand AS (
+  SELECT query_id, cand_id, rel FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rel DESC, cand_id) AS rn
+    FROM scored
+  ) WHERE rn <= 10
+),
+pair AS (
+  SELECT a.query_id, a.cand_id, b.cand_id AS other_id,
+    list_dot_product(va.v, vb.v) /
+      (sqrt(list_dot_product(va.v, va.v)) * sqrt(list_dot_product(vb.v, vb.v))) AS sim
+  FROM cand a
+  JOIN cand b ON a.query_id = b.query_id AND a.cand_id != b.cand_id
+  JOIN e va ON va.vec_id = a.cand_id
+  JOIN e vb ON vb.vec_id = b.cand_id
+),
+s1 AS (
+  SELECT query_id, cand_id, score FROM (
+    SELECT query_id, cand_id, 0.7 * rel AS score,
+      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY 0.7 * rel DESC, cand_id) AS rn
+    FROM cand
+  ) WHERE rn = 1
+),
+p2 AS (
+  SELECT p.query_id, p.cand_id, MAX(p.sim) AS penal
+  FROM pair p JOIN s1 ON s1.query_id = p.query_id AND s1.cand_id = p.other_id
+  GROUP BY p.query_id, p.cand_id
+),
+s2 AS (
+  SELECT query_id, cand_id, score FROM (
+    SELECT c.query_id, c.cand_id,
+      0.7 * c.rel - (1 - 0.7) * COALESCE(p2.penal, 0.0) AS score,
+      ROW_NUMBER() OVER (PARTITION BY c.query_id
+        ORDER BY 0.7 * c.rel - (1 - 0.7) * COALESCE(p2.penal, 0.0) DESC,
+                 c.cand_id) AS rn
+    FROM cand c
+    LEFT JOIN p2 ON p2.query_id = c.query_id AND p2.cand_id = c.cand_id
+    WHERE NOT EXISTS (SELECT 1 FROM s1 WHERE s1.query_id = c.query_id
+                      AND s1.cand_id = c.cand_id)
+  ) WHERE rn = 1
+),
+sel12 AS (
+  SELECT query_id, cand_id FROM s1 UNION ALL SELECT query_id, cand_id FROM s2
+),
+p3 AS (
+  SELECT p.query_id, p.cand_id, MAX(p.sim) AS penal
+  FROM pair p JOIN sel12 s ON s.query_id = p.query_id AND s.cand_id = p.other_id
+  GROUP BY p.query_id, p.cand_id
+),
+s3 AS (
+  SELECT query_id, cand_id, score FROM (
+    SELECT c.query_id, c.cand_id,
+      0.7 * c.rel - (1 - 0.7) * COALESCE(p3.penal, 0.0) AS score,
+      ROW_NUMBER() OVER (PARTITION BY c.query_id
+        ORDER BY 0.7 * c.rel - (1 - 0.7) * COALESCE(p3.penal, 0.0) DESC,
+                 c.cand_id) AS rn
+    FROM cand c
+    LEFT JOIN p3 ON p3.query_id = c.query_id AND p3.cand_id = c.cand_id
+    WHERE NOT EXISTS (SELECT 1 FROM sel12 s WHERE s.query_id = c.query_id
+                      AND s.cand_id = c.cand_id)
+  ) WHERE rn = 1
+)
+SELECT query_id, cand_id AS neighbor_id, CAST(1 AS INTEGER) AS mmr_rank, score FROM s1
+UNION ALL
+SELECT query_id, cand_id, CAST(2 AS INTEGER), score FROM s2
+UNION ALL
+SELECT query_id, cand_id, CAST(3 AS INTEGER), score FROM s3
+ORDER BY query_id, mmr_rank
+"""
+
+
+@register("s16_mmr_rerank", oracle=_S16_ORACLE)
+def s16_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return similarity.mmr_rerank(
+        emb, queries, k=3, fetch_k=10, lam=0.7
+    ).orderBy("query_id", "mmr_rank")

@@ -34,6 +34,11 @@ CASES = [
     "q63_hierarchy_paths",
     "s13_ivfpq_topk",
     "e21_active_intervals",
+    # second round-3 batch: greedy MMR picks, contracted-graph triangle
+    # counts, blocked-GEMM kNN ranks
+    "s16_mmr_rerank",
+    "g02_triangle_counts",
+    "s15_knn_join",
 ]
 
 

@@ -116,3 +116,63 @@ def test_knn_join_ranks_are_cos_descending(spark, emb):
         pairs.sort()
         coses = [c for _, c in pairs]
         assert coses == sorted(coses, reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# mmr_rerank (greedy diversity re-rank)
+# ---------------------------------------------------------------------------
+
+
+def _mmr_brute(vecs, qids, k, fetch_k, lam):
+    def cos(a, b):
+        return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    out = {}
+    for q in qids:
+        cands = sorted(
+            ((cos(vecs[q], vecs[c]), c) for c in vecs if c != q),
+            key=lambda t: (-t[0], t[1]),
+        )[:fetch_k]
+        rel = {c: r for r, c in cands}
+        selected = []
+        for _ in range(k):
+            best = None
+            for c in rel:
+                if c in selected:
+                    continue
+                pen = max((cos(vecs[c], vecs[s]) for s in selected), default=0.0)
+                score = lam * rel[c] - (1.0 - lam) * pen
+                key = (-score, c)
+                if best is None or key < best[0]:
+                    best = (key, c)
+            selected.append(best[1])
+        out[q] = selected
+    return out
+
+
+def test_mmr_matches_greedy_reference(spark, emb):
+    sub = emb.filter(F.col("vec_id") < 30)
+    vecs = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in sub.collect()
+    }
+    queries = sub.filter(F.col("vec_id") < 4)
+    rows = S.mmr_rerank(sub, queries, k=3, fetch_k=8, lam=0.7).collect()
+    got = {}
+    for r in sorted(rows, key=lambda r: (r.query_id, r.mmr_rank)):
+        got.setdefault(r.query_id, []).append(r.neighbor_id)
+    assert got == _mmr_brute(vecs, [0, 1, 2, 3], 3, 8, 0.7)
+
+
+def test_mmr_rank1_is_top_cosine(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 4)
+    top1 = {
+        r.query_id: r.neighbor_id
+        for r in S.cosine_topk(emb, queries, k=1).collect()
+    }
+    mmr1 = {
+        r.query_id: r.neighbor_id
+        for r in S.mmr_rerank(emb, queries, k=2, fetch_k=6).collect()
+        if r.mmr_rank == 1
+    }
+    assert mmr1 == top1
