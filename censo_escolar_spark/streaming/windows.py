@@ -132,8 +132,9 @@ def interval_join(
     lower: str = "0 seconds",
     upper: str = "10 minutes",
     watermark: str = "30 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join on a key within an event-time interval:
+    """Stream-stream join on a key within an event-time interval:
     right_ts ∈ [left_ts − lower, left_ts + upper].
 
     Both sides are watermarked and the join condition bounds event time
@@ -141,6 +142,12 @@ def interval_join(
     store evict rows once the watermark passes their interval, so state
     stays bounded no matter how long the streams run. Column names other
     than the key must be disjoint (pre-rename upstream).
+
+    ``how='leftOuter'`` additionally emits each unmatched LEFT row
+    (right columns NULL) — but only once the watermark passes the end
+    of its match interval, since before that a matching right row could
+    still arrive. Outer results therefore trail the watermark; tests
+    must advance it (later data or stream end) to observe them.
     """
     l = left.withWatermark(left_ts, watermark).alias("l")
     r = right.withWatermark(right_ts, watermark).alias("r")
@@ -149,7 +156,7 @@ def interval_join(
         & (F.col(f"r.{right_ts}") >= F.expr(f"l.{left_ts} - interval {lower}"))
         & (F.col(f"r.{right_ts}") <= F.expr(f"l.{left_ts} + interval {upper}"))
     )
-    return l.join(r, cond, "inner").drop(F.col(f"r.{on}"))
+    return l.join(r, cond, how).drop(F.col(f"r.{on}"))
 
 
 def run_available_now(

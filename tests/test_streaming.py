@@ -368,3 +368,53 @@ def test_streaming_kll_sketch_state_merges_across_windows(spark, tmp_path):
     ).collect()[0]["m"]
     # exact regime: merged 80 values, lower-median semantics
     assert merged in (39.0, 100.0)
+
+
+def test_stream_stream_interval_join_left_outer(spark, tmp_path):
+    """leftOuter interval join emits unmatched left rows (right side
+    NULL) once the watermark passes their match interval."""
+    clicks_src, views_src = str(tmp_path / "oclicks"), str(tmp_path / "oviews")
+    ckpt = str(tmp_path / "ockpt")
+    # batch 1: the real data — user 2's click has no view within range
+    _write_batch(spark, clicks_src, [
+        (_ts(9, 0), 1, "click", 1.0),
+        (_ts(9, 5), 2, "click", 3.0),
+    ])
+    _write_batch(spark, views_src, [
+        (_ts(9, 2), 1, "view", 10.0),
+        (_ts(9, 50), 2, "view", 30.0),  # outside [9:00, 9:15]
+    ])
+    # batch 2: watermark advancers (user 99/98 can't join each other)
+    _write_batch(spark, clicks_src, [(_ts(11, 0), 99, "click", 0.0)])
+    _write_batch(spark, views_src, [(_ts(11, 0), 98, "view", 0.0)])
+    schema = spark.read.parquet(clicks_src).schema
+
+    def prep(path, prefix):
+        df = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+        )
+        for a, b in {
+            "ts": f"{prefix}_ts",
+            "event_type": f"{prefix}_type",
+            "value": f"{prefix}_val",
+        }.items():
+            df = df.withColumnRenamed(a, b)
+        return df
+
+    joined = W.interval_join(
+        prep(clicks_src, "c"), prep(views_src, "v"),
+        on="user_id", left_ts="c_ts", right_ts="v_ts",
+        lower="5 minutes", upper="10 minutes",
+        watermark="30 minutes", how="leftOuter",
+    )
+    _drain(joined, "sjoin_outer", ckpt, "append")
+    got = {
+        (r.user_id, r.c_ts, r.v_ts)
+        for r in spark.table("sjoin_outer").collect()
+        if r.user_id in (1, 2)
+    }
+    assert (1, _ts(9, 0), _ts(9, 2)) in got           # matched pair
+    assert (2, _ts(9, 5), None) in got                # unmatched left emitted
+    assert all(v is not None for (u, c, v) in got if u == 1)
