@@ -1056,3 +1056,120 @@ def dedup_keep_best(
     return scored.withColumn(
         "keep", F.row_number().over(w) == 1
     ).select(id_col, "cluster_id", quality_col, "keep")
+
+
+def portable_minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    n_hashes: int = 16,
+) -> DataFrame:
+    """PORTABLE minhash signatures: hash family h_i(s) = first 60 bits
+    of md5(shingle || ':' || i) — reproducible in any engine or
+    language with an md5 primitive, so signatures written by this
+    engine can be probed by another system (and vice versa). The
+    interchange counterpart of ``minhash_signatures``'s splitmix64
+    family (which is ~10× cheaper and preferred when signatures never
+    leave the engine).
+
+    One shingle fan-out, ``n_hashes`` md5 evaluations per shingle row
+    (all codegen), one partial-aggregated groupBy per document.
+    Returns (id, sig array<long> of length n_hashes).
+    """
+    sh = shingle_strings(df, id_col, text_col, n)
+    hashes = [
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("shingle"), F.lit(f":{i}"))), 1, 15
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias(f"__h{i}")
+        for i in range(n_hashes)
+    ]
+    per = sh.select(F.col(id_col), *hashes)
+    sig = per.groupBy(id_col).agg(
+        *[F.min(f"__h{i}").alias(f"__m{i}") for i in range(n_hashes)]
+    )
+    return sig.select(
+        F.col(id_col),
+        F.array(*[F.col(f"__m{i}") for i in range(n_hashes)]).alias("sig"),
+    )
+
+
+def minhash_estimate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs with ESTIMATED Jaccard — the sketch-only regime.
+
+    ``minhash_lsh_pairs`` exact-verifies candidates against full
+    shingle sets; at 100 TB that second pass re-reads text. This
+    variant never touches the text after signatures exist: candidates
+    come from banded signature agreement (shuffle O(docs × bands) of
+    string band keys), and the reported similarity is the unbiased
+    minhash estimate matches/n_hashes (±1/√n_hashes ≈ 0.25 @ 16 —
+    widen n_hashes for tighter bands). Built on the PORTABLE md5 hash
+    family, so a SQL oracle replays the identical estimate bit for bit
+    — and stored signatures interoperate across engines.
+
+    ``threshold`` filters on the ESTIMATE (quantized to multiples of
+    1/n_hashes); with n_bands bands of r = n_hashes/n_bands rows,
+    candidate recall at true Jaccard j is 1 − (1 − j^r)^b.
+    """
+    assert n_hashes % n_bands == 0
+    rows_per_band = n_hashes // n_bands
+    sig = portable_minhash_signatures(
+        df, id_col, text_col, n=n, n_hashes=n_hashes
+    ).localCheckpoint(eager=True)  # banding + both estimate joins reuse it
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                "_",
+                *[
+                    F.col("sig").getItem(b * rows_per_band + j)
+                    for j in range(rows_per_band)
+                ],
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = sig.select(
+        F.col(id_col).alias("id"), F.posexplode(band_keys).alias("band_idx", "band_key")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col(id_col).alias("id_a"), F.col("sig").alias("__sa"))
+    sb = sig.select(F.col(id_col).alias("id_b"), F.col("sig").alias("__sb"))
+    matches = F.expr("size(filter(zip_with(__sa, __sb, (x, y) -> x = y), v -> v))")
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (matches.cast("double") / F.lit(float(n_hashes))).alias(
+                "est_jaccard"
+            ),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+    )

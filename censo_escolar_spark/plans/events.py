@@ -1543,3 +1543,100 @@ def e26_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# e27 — sequence-pattern detection (the MATCH_RECOGNIZE / CEP shape):
+# every (signup → FIRST purchase within 1 hour) pair with NO error
+# event between them, per user. Spark side is ONE user_id partitioning
+# carrying two windows — a running error counter and a next-purchase
+# carry-back (first_value over the following frame, struct-packed with
+# its own error counter) — so pattern matching costs a single shuffle,
+# no self-join, state one struct per row. The oracle finds the same
+# matches by explicit joins; boundaries compare on the (ts, event_id)
+# total order in BOTH engines so equal timestamps can't diverge.
+# ---------------------------------------------------------------------------
+@register(
+    "e27_sequence_patterns",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, ts AS s_ts, event_id AS s_eid FROM events
+      WHERE event_type = 'signup'
+    ),
+    p AS (
+      SELECT user_id, ts AS p_ts, event_id AS p_eid FROM events
+      WHERE event_type = 'purchase'
+    ),
+    first_p AS (
+      SELECT user_id, s_ts, s_eid, p_ts, p_eid FROM (
+        SELECT s.user_id, s.s_ts, s.s_eid, p.p_ts, p.p_eid,
+          ROW_NUMBER() OVER (PARTITION BY s.user_id, s.s_eid
+                             ORDER BY p.p_ts, p.p_eid) AS rn
+        FROM s JOIN p ON s.user_id = p.user_id
+          AND (p.p_ts > s.s_ts OR (p.p_ts = s.s_ts AND p.p_eid > s.s_eid))
+      ) WHERE rn = 1
+    ),
+    within AS (
+      SELECT * FROM first_p WHERE p_ts <= s_ts + INTERVAL 1 HOUR
+    ),
+    clean AS (
+      SELECT w.user_id, w.s_ts, w.s_eid, w.p_ts,
+        CAST(epoch_us(w.p_ts) - epoch_us(w.s_ts) AS BIGINT) AS gap_us
+      FROM within w
+      WHERE NOT EXISTS (
+        SELECT 1 FROM events e
+        WHERE e.user_id = w.user_id AND e.event_type = 'error'
+          AND (e.ts > w.s_ts OR (e.ts = w.s_ts AND e.event_id > w.s_eid))
+          AND (e.ts < w.p_ts OR (e.ts = w.p_ts AND e.event_id < w.p_eid))
+      )
+    )
+    SELECT user_id, s_ts AS signup_ts, p_ts AS purchase_ts, gap_us
+    FROM clean ORDER BY user_id, signup_ts, s_eid
+    """,
+)
+def e27_sequence_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_next = w_ord.rowsBetween(1, Window.unboundedFollowing)
+    err_run = F.sum(
+        F.when(F.col("event_type") == "error", 1).otherwise(0)
+    ).over(w_ord)
+    annotated = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        err_run.alias("__err_run"),
+    )
+    nxt = F.first(
+        F.when(
+            F.col("event_type") == "purchase",
+            F.struct(
+                F.col("ts").alias("p_ts"),
+                F.col("event_id").alias("p_eid"),
+                F.col("__err_run").alias("p_err"),
+            ),
+        ),
+        ignorenulls=True,
+    ).over(w_next)
+    matched = (
+        annotated.withColumn("__next_p", nxt)
+        .filter(F.col("event_type") == "signup")
+        .filter(F.col("__next_p").isNotNull())
+        .filter(
+            F.col("__next_p.p_ts")
+            <= F.col("ts") + F.expr("INTERVAL 1 HOUR")
+        )
+        # errors strictly between the two events in the (ts, event_id)
+        # order: the purchase's running counter already excludes events
+        # after it and the purchase itself is not an error
+        .filter(F.col("__next_p.p_err") == F.col("__err_run"))
+    )
+    return matched.select(
+        "user_id",
+        F.col("ts").alias("signup_ts"),
+        F.col("__next_p.p_ts").alias("purchase_ts"),
+        F.timestamp_diff(
+            "MICROSECOND", F.col("ts"), F.col("__next_p.p_ts")
+        ).alias("gap_us"),
+    ).orderBy("user_id", "signup_ts", "event_id")

@@ -2970,3 +2970,59 @@ def s16_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.mmr_rerank(
         emb, queries, k=3, fetch_k=10, lam=0.7
     ).orderBy("query_id", "mmr_rank")
+
+
+# ---------------------------------------------------------------------------
+# d17 — minhash ESTIMATE pairs: the sketch-only dedup regime. d03
+# exact-verifies its candidates against full shingle sets; at 100 TB
+# that second pass re-reads text, and production near-dup sweeps often
+# ship on the estimate alone. Candidates come from banded signature
+# agreement (4 bands × 4 rows), the similarity reported is the
+# unbiased minhash estimate matches/16 — and the hash family is the
+# PORTABLE md5-derived one (operators/dedup.py::
+# portable_minhash_signatures), so stored signatures interoperate
+# across engines and the oracle replays the ENTIRE pipeline —
+# signatures, banding, estimate — bit for bit in SQL.
+# ---------------------------------------------------------------------------
+_D17_ORACLE = f"""
+WITH {_SQL_SHINGLES},
+  hr AS (
+    SELECT doc_id, i,
+      MIN(list_sum(list_transform(range(0,15), k ->
+        (strpos('0123456789abcdef',
+                substr(md5(shingle || ':' || i), k+1, 1)) - 1)::BIGINT
+        << (4*(14-k))))) AS m
+    FROM sh CROSS JOIN (SELECT unnest(range(0,16)) AS i)
+    GROUP BY doc_id, i
+  ),
+  sig AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM hr GROUP BY doc_id),
+  band AS (
+    SELECT doc_id, b,
+      array_to_string(sig[4*b+1 : 4*b+4], '_') AS key
+    FROM sig CROSS JOIN (SELECT unnest(range(0,4)) AS b)
+  ),
+  cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, x.doc_id AS id_b
+    FROM band a JOIN band x
+      ON a.b = x.b AND a.key = x.key AND a.doc_id < x.doc_id
+  ),
+  est AS (
+    SELECT c.id_a, c.id_b,
+      list_sum(list_transform(range(1,17), j ->
+        CASE WHEN sa.sig[j] = sb.sig[j] THEN 1 ELSE 0 END)) AS matches
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.id_a
+    JOIN sig sb ON sb.doc_id = c.id_b
+  )
+SELECT id_a, id_b, CAST(matches AS DOUBLE) / 16 AS est_jaccard
+FROM est WHERE CAST(matches AS DOUBLE) / 16 >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
+@register("d17_minhash_estimates", oracle=_D17_ORACLE)
+def d17_minhash_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_estimate_pairs(
+        docs, "doc_id", "text", n=3, n_hashes=16, n_bands=4, threshold=0.5
+    ).orderBy("id_a", "id_b")

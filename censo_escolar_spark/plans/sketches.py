@@ -13,12 +13,14 @@ the merge step is the whole point (it is what a materialized daily
 rollup replays at query time).
 
 Oracle note: at grading scale the sketches are in their EXACT regimes
-(HLL stays in coupon/list-set mode far below ~0.75·2^lgK distincts;
-a KLL with k buffer holds every item while n ≤ k), so the estimates
-hash-match exact SQL answers; beyond those sizes they degrade to the
-published error bounds (HLL ±1.04/√(2^lgK); KLL ~1.7%/√k rank error)
-— documented here rather than hidden, since the driver grades at
-sf0.01 (≤ ~600 rows/group) where exactness holds with margin.
+(HLL in coupon/list-set mode — empirically exact through the low
+thousands of distincts per group, with ±1 coupon-collision drift
+appearing around ~7k regardless of lgK; a KLL with k buffer holds
+every item while n ≤ k), so the estimates hash-match exact SQL
+answers; beyond those sizes they degrade to the published error
+bounds (HLL ±1.04/√(2^lgK); KLL ~1.7%/√k rank error) — documented
+here rather than hidden. Group granularities are chosen so the exact
+regime holds through sf0.1 (10× grading scale) with margin.
 """
 
 from __future__ import annotations
@@ -33,8 +35,11 @@ from censo_escolar_spark.sources.readers import load_table
 # ---------------------------------------------------------------------------
 # q60 — HLL distinct-customer rollup: per-(nation, segment) partial HLL
 # sketches union-merged to per-nation estimates. lgK=14 keeps the
-# sketch exact past 10k distincts/group (grading scale: ≤600), and is
-# 16 KB/group worst-case at 100 TB — the mergeable-rollup sweet spot.
+# sketch in its exact (coupon) regime through the low thousands of
+# distincts per group (measured: ±1 drift appears around ~7k — the
+# coupon store is itself a hash set); per-nation groups here are ≤600
+# at sf0.1. 16 KB/group worst-case at 100 TB — the mergeable-rollup
+# sweet spot.
 # ---------------------------------------------------------------------------
 @register(
     "q60_hll_distinct",
@@ -123,22 +128,30 @@ def q61_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q69 — sketch set algebra: customer-audience overlap between URGENT and
-# HIGH priority orders, per order status, via inclusion–exclusion on
-# HLL sketches (|A∩B| = |A| + |B| − |A∪B|). The audience-overlap /
-# cross-device reach primitive: per-segment sketches are built ONCE in
-# a single conditional-aggregation scan (the union sketch folds the
-# same partials — no third pass over the fact table), can be stored
-# per day and merged later, and never reshuffle raw ids to answer an
-# intersection. lgK=14 keeps every estimate in the exact HLL regime at
-# grading scale (far below ~0.75·2^lgK distincts); beyond that the
-# ±1.04/√2^14 bound applies — and intersection error grows with
-# |A∪B|/|A∩B|, the documented inclusion–exclusion caveat.
+# q69 — sketch set algebra: customer-audience overlap between URGENT
+# and HIGH priority orders, per customer nation, via inclusion–
+# exclusion on HLL sketches (|A∩B| = |A| + |B| − |A∪B|). The
+# audience-overlap / cross-device reach primitive: per-arm sketches
+# are built in ONE conditional-aggregation scan, can be stored per day
+# and merged later, and never reshuffle raw ids to answer an
+# intersection. Granularity is chosen for the exactness contract: HLL
+# set-mode is a coupon HASH set, so "estimate == exact" only holds to
+# ~low thousands of distincts per arm regardless of lgK (empirically
+# ±1 drift appears by ~7k even at lgK=21); per-nation arms stay in the
+# low hundreds at sf0.1, with the ±1.04/√2^14 bound taking over
+# beyond. The inclusion–exclusion caveat stands at any scale: relative
+# error grows with |A∪B|/|A∩B|.
 # ---------------------------------------------------------------------------
 @register(
     "q69_hll_overlap",
     oracle="""
-    SELECT o_orderstatus AS status,
+    WITH j AS (
+      SELECT n.n_name, o.o_orderpriority, o.o_custkey
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+    )
+    SELECT n_name,
       CAST(COUNT(DISTINCT o_custkey)
            FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT) AS n_urgent,
       CAST(COUNT(DISTINCT o_custkey)
@@ -153,22 +166,29 @@ def q61_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
            - COUNT(DISTINCT o_custkey)
              FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
            AS BIGINT) AS n_overlap
-    FROM orders
-    GROUP BY o_orderstatus
-    ORDER BY status
+    FROM j
+    GROUP BY n_name
+    ORDER BY n_name
     """,
 )
 def q69_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    j = (
+        o.join(cust, o.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+    )
     urgent = F.col("o_orderpriority") == "1-URGENT"
     high = F.col("o_orderpriority") == "2-HIGH"
-    sk = o.groupBy(F.col("o_orderstatus").alias("status")).agg(
+    sk = j.groupBy("n_name").agg(
         F.hll_sketch_agg(F.when(urgent, F.col("o_custkey")), F.lit(14)).alias("sk_u"),
         F.hll_sketch_agg(F.when(high, F.col("o_custkey")), F.lit(14)).alias("sk_h"),
         F.hll_sketch_agg(
             F.when(urgent | high, F.col("o_custkey")), F.lit(14)
         ).alias("sk_uh"),
     )
+
     # an arm with zero rows aggregates to a NULL sketch; its distinct
     # count is 0 (DuckDB's COUNT DISTINCT FILTER convention)
     def est(c):
@@ -180,9 +200,9 @@ def q69_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_h = est("sk_h")
     n_union = est("sk_uh")
     return sk.select(
-        "status",
+        F.col("n_name"),
         n_u.alias("n_urgent"),
         n_h.alias("n_high"),
         n_union.alias("n_union"),
         (n_u + n_h - n_union).alias("n_overlap"),
-    ).orderBy("status")
+    ).orderBy("n_name")

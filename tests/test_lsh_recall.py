@@ -84,3 +84,65 @@ def test_cosine_pairs_autosized_matches_explicit(spark, sf_dir):
         for r in S.cosine_pairs(emb, threshold=0.45, n_blocks=8).collect()
     }
     assert auto == explicit and len(auto) > 0
+
+
+# ---------------------------------------------------------------------------
+# portable minhash estimates (d17)
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_estimate_pairs_identical_and_disjoint(spark):
+    from censo_escolar_spark.operators.dedup import minhash_estimate_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base),
+        (2, base),  # identical -> sig match on every hash -> est 1.0
+        (3, "one two three four five six seven eight nine ten"),  # disjoint
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in minhash_estimate_pairs(df, "doc_id", "text").collect()
+    }
+    assert got == {(1, 2): 1.0}
+
+
+def test_minhash_estimate_tracks_true_jaccard(spark):
+    from censo_escolar_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_estimate_pairs,
+    )
+
+    # heavy-overlap pair: shared 12-token core, one word changed at the
+    # end -> true trigram jaccard well above 0.5
+    a = "the quick brown fox jumps over the lazy dog near the river bank"
+    b = "the quick brown fox jumps over the lazy dog near the river shore"
+    df = spark.createDataFrame(
+        [(1, a), (2, b)], "doc_id long, text string"
+    )
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_pairs(df, "doc_id", "text", threshold=0.0).collect()
+    }
+    est = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in minhash_estimate_pairs(
+            df, "doc_id", "text", threshold=0.0
+        ).collect()
+    }
+    assert (1, 2) in exact and (1, 2) in est
+    # 16 hashes -> std ~ sqrt(j(1-j)/16) ~ 0.1; allow 3.5 sigma
+    assert abs(est[(1, 2)] - exact[(1, 2)]) <= 0.35
+
+
+def test_minhash_estimate_deterministic(spark, docs_df=None):
+    from censo_escolar_spark.operators.dedup import minhash_estimate_pairs
+    from censo_escolar_spark.sources.readers import load_table
+
+    import tests.conftest as C
+
+    docs = load_table(spark, C.SF_DIR, "documents")
+    a = sorted(map(tuple, minhash_estimate_pairs(docs, "doc_id", "text").collect()))
+    b = sorted(map(tuple, minhash_estimate_pairs(docs, "doc_id", "text").collect()))
+    assert a == b  # md5 family: no RNG, identical across runs/partitions
