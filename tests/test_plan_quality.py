@@ -172,13 +172,21 @@ BNL_OK = {
 
 @pytest.mark.parametrize("name", sorted(entrymod.queries()))
 def test_no_unbounded_nested_loop_join(spark, sf_dir, name):
-    """A BroadcastNestedLoopJoin outside the bounded-side allowlist is a
-    plan regression: some join lost its equi-key (or a cross join crept
-    in) and would replicate a data-sized side at scale."""
+    """A BroadcastNestedLoopJoin or CartesianProduct outside the
+    bounded-side allowlist is a plan regression: some join lost its
+    equi-key (or a cross join crept in) and would replicate — or
+    pairwise-expand — a data-sized side at scale. CartesianProduct is
+    the same hazard as BNL without even a broadcast bound (Spark plans
+    it when neither side can broadcast), so the two share an
+    allowlist."""
     df = entrymod.queries()[name](spark, sf_dir)
     plan = _formatted_plan(spark, df)
     if name not in BNL_OK:
         assert "BroadcastNestedLoop" not in plan, (
             f"{name}: unexpected BroadcastNestedLoopJoin — a join lost its "
             "equi-key, or add a justified allowlist entry"
+        )
+        assert "CartesianProduct" not in plan, (
+            f"{name}: unexpected CartesianProduct — a join lost its "
+            "equi-key entirely, or add a justified allowlist entry"
         )
