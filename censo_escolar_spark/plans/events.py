@@ -1640,3 +1640,166 @@ def e27_sequence_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
             "MICROSECOND", F.col("ts"), F.col("__next_p.p_ts")
         ).alias("gap_us"),
     ).orderBy("user_id", "signup_ts", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# e28 — LINEAR multi-touch attribution: every click in the hour before
+# a purchase shares the credit equally (e10 is the last-touch
+# counterpart). Pair generation rides the bucketized
+# bounded_range_join (never a post-filtered sort-merge); credit is
+# EXACT integer micro-cents — value_cents·10⁶·ch_clicks div n_clicks —
+# so per-channel totals are fold-order-free BIGINT sums (a float
+# credit = value/n summed across purchases would be unhashable
+# cross-engine). Purchases with no window clicks credit 'organic' in
+# full. Floor division may strand ≤ n−1 micro-cents per purchase —
+# the documented rounding residue.
+# ---------------------------------------------------------------------------
+@register(
+    "e28_linear_attribution",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, ts AS click_ts,
+        'ch' || CAST(CAST(json_extract_string(props, '$.k') AS INT) % 3 AS VARCHAR)
+          AS channel
+      FROM events WHERE event_type = 'click'
+    ),
+    purch AS (
+      SELECT user_id, ts AS p_ts, event_id AS p_eid,
+        CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    pairs AS (
+      SELECT p.p_eid, p.cents, c.channel
+      FROM purch p JOIN clicks c ON c.user_id = p.user_id
+        AND c.click_ts BETWEEN p.p_ts - INTERVAL 1 HOUR AND p.p_ts
+    ),
+    perch AS (
+      SELECT p_eid, cents, channel, CAST(COUNT(*) AS BIGINT) AS ch
+      FROM pairs GROUP BY p_eid, cents, channel
+    ),
+    credit AS (
+      SELECT p_eid, channel, ch,
+        cents * 1000000 * ch // SUM(ch) OVER (PARTITION BY p_eid)
+          AS credit_micros
+      FROM perch
+    ),
+    organic AS (
+      SELECT p.p_eid, 'organic' AS channel, CAST(0 AS BIGINT) AS ch,
+        p.cents * 1000000 AS credit_micros
+      FROM purch p
+      WHERE NOT EXISTS (SELECT 1 FROM pairs w WHERE w.p_eid = p.p_eid)
+    ),
+    allc AS (
+      SELECT * FROM credit UNION ALL SELECT * FROM organic
+    )
+    SELECT channel,
+      CAST(COUNT(*) AS BIGINT) AS n_conversions,
+      CAST(SUM(ch) AS BIGINT) AS n_touches,
+      CAST(SUM(credit_micros) AS BIGINT) AS credit_micros
+    FROM allc GROUP BY channel ORDER BY channel
+    """,
+)
+def e28_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from censo_escolar_spark.operators.rangejoin import bounded_range_join
+
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.concat(
+            F.lit("ch"),
+            (F.get_json_object("props", "$.k").cast("int") % 3).cast("string"),
+        ).alias("channel"),
+    )
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_eid"),
+        (F.col("value").cast(DEC) * 100).cast("bigint").alias("cents"),
+    )
+    pairs = bounded_range_join(
+        purch, clicks, on="user_id", left_ts="p_ts", right_ts="click_ts",
+        lower=-3600.0, upper=0.0,
+    ).select("p_eid", "cents", "channel")
+    perch = pairs.groupBy("p_eid", "cents", "channel").agg(
+        F.count("*").cast("bigint").alias("ch")
+    )
+    w_p = Window.partitionBy("p_eid")
+    credit = perch.select(
+        "p_eid",
+        "channel",
+        "ch",
+        F.expr("cents * 1000000 * ch").cast("bigint").alias("__num"),
+        F.sum("ch").over(w_p).alias("__n"),
+    ).select(
+        "p_eid",
+        "channel",
+        "ch",
+        F.expr("__num div __n").cast("bigint").alias("credit_micros"),
+    )
+    organic = (
+        purch.join(pairs.select("p_eid").distinct(), "p_eid", "left_anti")
+        .select(
+            "p_eid",
+            F.lit("organic").alias("channel"),
+            F.lit(0).cast("bigint").alias("ch"),
+            (F.col("cents") * 1000000).cast("bigint").alias("credit_micros"),
+        )
+    )
+    return (
+        credit.unionByName(organic)
+        .groupBy("channel")
+        .agg(
+            F.count("*").cast("bigint").alias("n_conversions"),
+            F.sum("ch").cast("bigint").alias("n_touches"),
+            F.sum("credit_micros").cast("bigint").alias("credit_micros"),
+        )
+        .orderBy("channel")
+    )
+
+
+# ---------------------------------------------------------------------------
+# e29 — inter-arrival gap statistics: per event type, exact
+# interpolating percentiles of the per-user gap between consecutive
+# events (the arrival-process health metric behind rate alerting and
+# session-gap tuning). One (user, type)-partitioned lag window over
+# integer microseconds, one small groupBy per type — the percentile
+# runs over gaps, partitioned by the 5-value type key.
+# ---------------------------------------------------------------------------
+@register(
+    "e29_interarrival_gaps",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+        CAST(epoch_us(ts) - epoch_us(LAG(ts) OVER (
+          PARTITION BY user_id, event_type ORDER BY ts, event_id))
+          AS BIGINT) AS gap_us
+      FROM events
+    )
+    SELECT event_type,
+      CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+      quantile_cont(gap_us, 0.5) AS p50_gap_us,
+      quantile_cont(gap_us, 0.9) AS p90_gap_us,
+      CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+    FROM g GROUP BY event_type ORDER BY event_type
+    """,
+)
+def e29_interarrival_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    g = e.select(
+        "event_type",
+        F.timestamp_diff(
+            "MICROSECOND", F.lag("ts").over(w), F.col("ts")
+        ).alias("gap_us"),
+    )
+    return (
+        g.groupBy("event_type")
+        .agg(
+            F.count("gap_us").cast("bigint").alias("n_gaps"),
+            F.percentile("gap_us", 0.5).alias("p50_gap_us"),
+            F.percentile("gap_us", 0.9).alias("p90_gap_us"),
+            F.max("gap_us").cast("bigint").alias("max_gap_us"),
+        )
+        .orderBy("event_type")
+    )

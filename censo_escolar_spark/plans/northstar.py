@@ -3026,3 +3026,76 @@ def d17_minhash_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_estimate_pairs(
         docs, "doc_id", "text", n=3, n_hashes=16, n_bands=4, threshold=0.5
     ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# d18 — chunk-level duplication fraction: split every document into
+# fixed 10-token chunks, hash-count how many DISTINCT documents carry
+# each chunk string, and report per document what fraction of its
+# chunks appear elsewhere — the standard corpus-contamination /
+# boilerplate dashboard number (d10/d11 find+strip exact spans; this
+# is the cheap report-side metric). One chunk fan-out (narrow, ~n/10
+# rows per doc), one partial-aggregated groupBy on the chunk string,
+# one doc-keyed rejoin; the final fraction is a single IEEE division.
+# ---------------------------------------------------------------------------
+@register(
+    "d18_chunk_dup_fraction",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, i,
+        array_to_string(t[10*i+1 : 10*i+10], ' ') AS chunk
+      FROM toks,
+        UNNEST(range(0, CAST(ceil(len(t) / 10.0) AS BIGINT))) AS u(i)
+    ),
+    freq AS (
+      SELECT chunk, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM chunks GROUP BY chunk
+    )
+    SELECT c.doc_id,
+      CAST(COUNT(*) AS BIGINT) AS n_chunks,
+      CAST(SUM(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_dup_chunks,
+      CAST(SUM(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        / CAST(COUNT(*) AS DOUBLE) AS dup_frac
+    FROM chunks c JOIN freq f ON c.chunk = f.chunk
+    GROUP BY c.doc_id
+    ORDER BY c.doc_id
+    """,
+)
+def d18_chunk_dup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    chunks = toks.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("bigint"),
+                F.ceil(F.size("t") / F.lit(10.0)).cast("bigint") - 1,
+            )
+        ).alias("i"),
+        F.col("t"),
+    ).select(
+        "doc_id",
+        F.array_join(
+            F.slice("t", (F.col("i") * 10 + 1).cast("int"), 10), " "
+        ).alias("chunk"),
+    )
+    freq = chunks.groupBy("chunk").agg(
+        F.count_distinct("doc_id").cast("bigint").alias("n_docs")
+    )
+    dup = F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+    return (
+        chunks.join(freq, "chunk")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_chunks"),
+            dup.cast("bigint").alias("n_dup_chunks"),
+            (dup.cast("double") / F.count("*").cast("double")).alias(
+                "dup_frac"
+            ),
+        )
+        .orderBy("doc_id")
+    )
