@@ -31,12 +31,21 @@ def test_convention_rules_hold_for_arbitrary_cells(spark, rows):
     for (tp, in_, nu), r in zip(rows, out):
         assert r["TP_X"] == MAP.get(tp), f"dict.get semantics broke for {tp!r}"
         assert r["IN_X"] == ({"1": True, "0": False}.get(in_)), f"bool rule broke for {in_!r}"
-        # try_cast int semantics: python int() on the trimmed literal, else NULL
-        try:
-            expected_nu = int(nu.strip()) if nu is not None and nu.strip() else None
-            if expected_nu is not None and not (-(2**31) <= expected_nu < 2**31):
+        # try_cast int semantics: python int() on the trimmed literal,
+        # else NULL. Spark's string->int cast trims EVERY char <= 0x20
+        # (UTF8String.trimAll — control chars included, e.g. '0\x1b'
+        # casts to 0), not just Python str.strip()'s whitespace set.
+        # (and only ASCII digits count: python int() would also accept
+        # unicode decimal digits, Spark's toInt does not)
+        import re as _re
+
+        _spark_trim = "".join(chr(c) for c in range(0x21))
+        trimmed = nu.strip(_spark_trim) if nu is not None else None
+        if trimmed and _re.fullmatch(r"[+-]?[0-9]+", trimmed):
+            expected_nu = int(trimmed)
+            if not (-(2**31) <= expected_nu < 2**31):
                 expected_nu = None
-        except (ValueError, AttributeError):
+        else:
             expected_nu = None
         assert r["NU_X"] == expected_nu, f"int rule broke for {nu!r}"
 
