@@ -216,6 +216,8 @@ def sample_frames(
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
         for pdf in batches:
             ids, idxs, means, stds = [], [], [], []
             for rid, payload, idx in zip(
@@ -224,8 +226,18 @@ def sample_frames(
                 img = decoder(bytes(payload) + bytes([idx % 256]), "frame")
                 ids.append(rid)
                 idxs.append(idx)
-                means.append(float(img.mean()))
-                stds.append(float(img.std()))
+                # stats from EXACT integer moments with one fixed float
+                # expression each (not np.mean/np.std, whose pairwise
+                # float folds are summation-order-dependent): pixel sums
+                # are exact in int64, so mean/std are bit-reproducible
+                # on any batch split — and SQL-oracle-checkable
+                arr = img.astype(np.int64).ravel()
+                s1 = int(arr.sum())
+                s2 = int((arr * arr).sum())
+                n = arr.size
+                mean = s1 / n
+                means.append(mean)
+                stds.append(math.sqrt(s2 / n - mean * mean))
             yield pd.DataFrame(
                 {
                     id_col: np.asarray(ids, dtype=np.int64),

@@ -4,10 +4,12 @@ No media fixture exists, so payloads are STAGED from documents.text —
 utf-8 bytes behind a planted magic prefix keyed on doc_id — and pushed
 through the real operators (operators/multimodal.py). m01 keeps every
 output JVM-computable so the DuckDB oracle hash-checks the whole binary
-path (concat/sniff/octet_length/md5 over identical bytes); m02 runs the
-decode → resize → feature pipeline on the deterministic fake decoder
-(rows-only: numpy decode is not SQL-expressible; golden-value tests
-live in tests/test_multimodal.py).
+path (concat/sniff/octet_length/md5 over identical bytes); m02/m03 run
+the decode → feature pipelines on the deterministic fake decoder AND
+are still oracle-checked: the decoder is a splitmix64 stream, which the
+oracles replay in SQL via HUGEINT split-multiplication, so even the
+Arrow decode paths are value-hash-verified end to end (golden tests
+additionally in tests/test_multimodal.py).
 """
 
 from __future__ import annotations
@@ -80,10 +82,84 @@ def m01_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@register("m02_image_features")
+# m02's oracle replays the DETERMINISTIC fake decoder in SQL: the
+# pixel stream is splitmix64(seed, 64) % 256 with seed =
+# (octet_length << 16) XOR first_byte XOR (last_byte << 8), and
+# splitmix64's wrapping 64-bit arithmetic is expressible in DuckDB via
+# HUGEINT split-multiplication (a·b mod 2^64 decomposed through the
+# 32-bit halves so no product exceeds INT128). Features then follow
+# the exact expression shapes of media_features — integer pixel sums
+# are exact in double at n=64, so means/stds hash-match bit for bit.
+_SM64_MUL = (
+    "((( ({a}) // 4294967296 * {m} % 4294967296) * 4294967296"
+    " + ({a}) % 4294967296 * {m}) % 18446744073709551616)"
+)
+_M02_ORACLE = f"""
+WITH staged AS (
+  SELECT doc_id,
+    (CASE doc_id % 3 WHEN 0 THEN unhex('FFD8FF')
+                     WHEN 1 THEN unhex('89504E47')
+                     ELSE unhex('52494646') END
+     || encode(text)) AS payload
+  FROM documents
+),
+sd AS (
+  SELECT doc_id,
+    xor(xor(CAST(octet_length(payload) AS UBIGINT) * 65536,
+            CAST(CASE doc_id % 3 WHEN 0 THEN 255 WHEN 1 THEN 137
+                 ELSE 82 END AS UBIGINT)),
+        CAST(CAST('0x' || substr(hex(payload), octet_length(payload)*2 - 1, 2)
+             AS INT) * 256 AS UBIGINT)) AS seed
+  FROM staged
+),
+z0 AS (
+  SELECT doc_id, i,
+    CAST((CAST(seed AS HUGEINT) + CAST(i AS HUGEINT) * 11400714819323198485)
+         % 18446744073709551616 AS UBIGINT) AS z
+  FROM sd CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
+),
+x0 AS (SELECT doc_id, i, CAST(xor(z, z >> 30) AS HUGEINT) AS x FROM z0),
+z1 AS (SELECT doc_id, i,
+  CAST({_SM64_MUL.format(a='x', m='13787848793156543929')} AS UBIGINT) AS z
+  FROM x0),
+x1 AS (SELECT doc_id, i, CAST(xor(z, z >> 27) AS HUGEINT) AS x FROM z1),
+z2 AS (SELECT doc_id, i,
+  CAST({_SM64_MUL.format(a='x', m='10723151780598845931')} AS UBIGINT) AS z
+  FROM x1),
+pix AS (
+  SELECT doc_id, i, CAST(xor(z, z >> 31) % 256 AS BIGINT) AS px FROM z2
+),
+feat AS (
+  SELECT doc_id,
+    CAST(SUM(px) AS DOUBLE) / 64 AS px_mean,
+    sqrt(CAST(SUM(px*px) AS DOUBLE) / 64
+         - (CAST(SUM(px) AS DOUBLE) / 64) * (CAST(SUM(px) AS DOUBLE) / 64))
+      AS px_std
+  FROM pix GROUP BY doc_id
+),
+hist AS (
+  SELECT doc_id, b, COUNT(*) FILTER (WHERE px // 32 = b) AS c
+  FROM pix CROSS JOIN (SELECT unnest(range(0, 8)) AS b)
+  GROUP BY doc_id, b
+),
+hs AS (
+  SELECT doc_id, array_to_string(list(c ORDER BY b), ',') AS px_hist
+  FROM hist GROUP BY doc_id
+)
+SELECT f.doc_id, f.px_mean, f.px_std, h.px_hist
+FROM feat f JOIN hs h ON f.doc_id = h.doc_id
+ORDER BY f.doc_id
+"""
+
+
+@register("m02_image_features", oracle=_M02_ORACLE)
 def m02_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode → resize → feature pipeline on the deterministic fake
-    decoder (rows-only check; golden values in tests/test_multimodal.py)."""
+    decoder. The decode itself is an Arrow batch (mapInPandas); the
+    oracle replays the splitmix64 pixel stream and feature math in SQL
+    (see _M02_ORACLE), so even the Python-side decode path is
+    value-hash-checked end to end. Golden values additionally pinned in
+    tests/test_multimodal.py."""
     staged = _staged_payloads(spark, sf_dir)
     decoded = M.decode_media(staged, bytes_col="payload", decoder=M.fake_decode)
     return (
@@ -101,11 +177,69 @@ def m02_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # m03 — frame sampling EXECUTED: the m01 frame plan's indices are
 # decoded (deterministic fake decoder — real codec libs absent) and
-# per-frame stats emitted. Rows-only like m02 (numpy decode is not
-# SQL-expressible); the plan half is oracle-checked in m01 and the
-# decode half has golden tests in tests/test_multimodal.py.
-# ---------------------------------------------------------------------------
-@register("m03_frame_samples")
+# per-frame stats emitted.
+# The oracle decodes the SAME frames in SQL: the sampled payload is
+# payload || byte(frame_idx % 256), so the splitmix64 seed becomes
+# ((octet_length + 1) << 16) XOR first_byte XOR (frame_idx << 8);
+# per-frame stats use the exact-integer-moment formulas the operator
+# emits (s1/64, sqrt(s2/64 - mean^2)) — bit-identical cross-engine.
+_M03_ORACLE = f"""
+WITH staged AS (
+  SELECT doc_id,
+    (CASE doc_id % 3 WHEN 0 THEN unhex('FFD8FF')
+                     WHEN 1 THEN unhex('89504E47')
+                     ELSE unhex('52494646') END
+     || encode(text)) AS payload,
+    CAST(doc_id % 10 + 1 AS INTEGER) AS n_frames
+  FROM documents
+),
+planned AS (
+  SELECT doc_id, payload,
+    CAST(unnest(
+      CASE WHEN n_frames <= 4
+           THEN list_transform(range(0, CAST(greatest(n_frames, 1) AS BIGINT)),
+                               i -> CAST(i AS INTEGER))
+           ELSE list_transform(range(0, 4),
+                               i -> CAST((i * n_frames) // 4 AS INTEGER))
+      END) AS INTEGER) AS frame_idx
+  FROM staged
+),
+sd AS (
+  SELECT doc_id, frame_idx,
+    xor(xor(CAST(octet_length(payload) + 1 AS UBIGINT) * 65536,
+            CAST(CASE doc_id % 3 WHEN 0 THEN 255 WHEN 1 THEN 137
+                 ELSE 82 END AS UBIGINT)),
+        CAST((frame_idx % 256) * 256 AS UBIGINT)) AS seed
+  FROM planned
+),
+z0 AS (
+  SELECT doc_id, frame_idx, i,
+    CAST((CAST(seed AS HUGEINT) + CAST(i AS HUGEINT) * 11400714819323198485)
+         % 18446744073709551616 AS UBIGINT) AS z
+  FROM sd CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
+),
+x0 AS (SELECT doc_id, frame_idx, i, CAST(xor(z, z >> 30) AS HUGEINT) AS x FROM z0),
+z1 AS (SELECT doc_id, frame_idx, i,
+  CAST({_SM64_MUL.format(a='x', m='13787848793156543929')} AS UBIGINT) AS z
+  FROM x0),
+x1 AS (SELECT doc_id, frame_idx, i, CAST(xor(z, z >> 27) AS HUGEINT) AS x FROM z1),
+z2 AS (SELECT doc_id, frame_idx, i,
+  CAST({_SM64_MUL.format(a='x', m='10723151780598845931')} AS UBIGINT) AS z
+  FROM x1),
+pix AS (
+  SELECT doc_id, frame_idx, CAST(xor(z, z >> 31) % 256 AS BIGINT) AS px FROM z2
+)
+SELECT doc_id, frame_idx,
+  CAST(SUM(px) AS DOUBLE) / 64 AS px_mean,
+  sqrt(CAST(SUM(px*px) AS DOUBLE) / 64
+       - (CAST(SUM(px) AS DOUBLE) / 64) * (CAST(SUM(px) AS DOUBLE) / 64))
+    AS px_std
+FROM pix GROUP BY doc_id, frame_idx
+ORDER BY doc_id, frame_idx
+"""
+
+
+@register("m03_frame_samples", oracle=_M03_ORACLE)
 def m03_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = _staged_payloads(spark, sf_dir).withColumn(
         "n_frames", (F.col("doc_id") % 10 + 1).cast("int")
