@@ -2747,3 +2747,51 @@ def q68_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("revenue") / F.col("prev_month_rev") - 1).alias("mom_growth"),
         (F.col("revenue") / F.col("prev_year_rev") - 1).alias("yoy_growth"),
     ).orderBy("month")
+
+
+# ---------------------------------------------------------------------------
+# q70 — dominant-supplier detection (TPC-H Q20 shape, adapted to the
+# fixture schema): suppliers that shipped more than an eighth of some
+# part's total shipped quantity, with how many parts they dominate.
+# The scalar-threshold-subquery decorrelation pattern: both aggregates
+# come off ONE fact-scan rollup (per-(supp, part) partials re-rolled to
+# per-part totals — no second scan), the threshold compare is exact
+# decimal integer arithmetic (8·q > total, never 0.125·total in float),
+# and the supplier dimension joins broadcast.
+# ---------------------------------------------------------------------------
+@register(
+    "q70_dominant_suppliers",
+    oracle="""
+    WITH sp AS (
+      SELECT l_suppkey, l_partkey,
+        SUM(CAST(l_quantity AS DECIMAL(18,2))) AS q
+      FROM lineitem GROUP BY l_suppkey, l_partkey
+    ),
+    pt AS (
+      SELECT l_partkey, SUM(q) AS tq FROM sp GROUP BY l_partkey
+    )
+    SELECT sp.l_suppkey AS suppkey,
+      CAST(COUNT(*) AS BIGINT) AS n_dominated_parts,
+      CAST(SUM(sp.q) AS DOUBLE) AS dominated_qty
+    FROM sp JOIN pt ON sp.l_partkey = pt.l_partkey
+    WHERE sp.q * 8 > pt.tq
+    GROUP BY sp.l_suppkey
+    ORDER BY suppkey
+    """,
+)
+def q70_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sp = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(_dec("l_quantity")).alias("q")
+    )
+    pt = sp.groupBy("l_partkey").agg(F.sum("q").alias("tq"))
+    return (
+        sp.join(pt, "l_partkey")
+        .filter(F.col("q") * 8 > F.col("tq"))
+        .groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_dominated_parts"),
+            F.sum("q").cast("double").alias("dominated_qty"),
+        )
+        .orderBy("suppkey")
+    )
