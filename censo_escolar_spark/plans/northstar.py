@@ -3099,3 +3099,84 @@ def d18_chunk_dup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# t31 — vocabulary drift between crawls: treat sources src0-src9 as the
+# "old" crawl and src10+ as the "new" one, and rank tokens by their
+# chi-square contribution against the homogeneity hypothesis — the
+# distribution-shift monitor a corpus pipeline runs between snapshots
+# (a token surging in the new crawl = topical/domain drift or spam).
+# Counts are exact integers off one token fan-out; the two corpus
+# totals are a 1-ROW broadcast (the q47/q65 bounds pattern); each
+# contribution is a fixed per-row IEEE tree, never summed across rows.
+# ---------------------------------------------------------------------------
+@register(
+    "t31_vocab_drift",
+    oracle="""
+    WITH tok AS (
+      SELECT CASE WHEN CAST(substr(source, 4) AS INT) < 10
+                  THEN 'old' ELSE 'new' END AS crawl,
+        unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    counts AS (
+      SELECT tok,
+        CAST(COUNT(*) FILTER (WHERE crawl = 'old') AS BIGINT) AS n_old,
+        CAST(COUNT(*) FILTER (WHERE crawl = 'new') AS BIGINT) AS n_new
+      FROM tok GROUP BY tok
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_old) AS BIGINT) AS na, CAST(SUM(n_new) AS BIGINT) AS nb
+      FROM counts
+    ),
+    scored AS (
+      SELECT tok, n_old, n_new,
+        (n_old - CAST((n_old + n_new) * na AS DOUBLE) / (na + nb))
+          * (n_old - CAST((n_old + n_new) * na AS DOUBLE) / (na + nb))
+          / (CAST((n_old + n_new) * na AS DOUBLE) / (na + nb))
+        + (n_new - CAST((n_old + n_new) * nb AS DOUBLE) / (na + nb))
+          * (n_new - CAST((n_old + n_new) * nb AS DOUBLE) / (na + nb))
+          / (CAST((n_old + n_new) * nb AS DOUBLE) / (na + nb)) AS chi2
+      FROM counts CROSS JOIN tot
+      WHERE n_old + n_new >= 20
+    )
+    SELECT tok, n_old, n_new, chi2
+    FROM scored ORDER BY chi2 DESC, tok LIMIT 30
+    """,
+)
+def t31_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.when(
+            F.substring("source", 4, 10).cast("int") < 10, F.lit("old")
+        )
+        .otherwise(F.lit("new"))
+        .alias("crawl"),
+        F.explode(F.split("text", " ")).alias("tok"),
+    )
+    counts = tok.groupBy("tok").agg(
+        F.count(F.when(F.col("crawl") == "old", 1)).cast("bigint").alias("n_old"),
+        F.count(F.when(F.col("crawl") == "new", 1)).cast("bigint").alias("n_new"),
+    )
+    tot = counts.agg(
+        F.sum("n_old").cast("bigint").alias("na"),
+        F.sum("n_new").cast("bigint").alias("nb"),
+    )
+    j = counts.crossJoin(F.broadcast(tot)).filter(
+        F.col("n_old") + F.col("n_new") >= 20
+    )
+    ea = ((F.col("n_old") + F.col("n_new")) * F.col("na")).cast("double") / (
+        F.col("na") + F.col("nb")
+    )
+    eb = ((F.col("n_old") + F.col("n_new")) * F.col("nb")).cast("double") / (
+        F.col("na") + F.col("nb")
+    )
+    chi2 = (F.col("n_old") - ea) * (F.col("n_old") - ea) / ea + (
+        F.col("n_new") - eb
+    ) * (F.col("n_new") - eb) / eb
+    return (
+        j.select("tok", "n_old", "n_new", chi2.alias("chi2"))
+        .orderBy(F.desc("chi2"), F.asc("tok"))
+        .limit(30)
+    )

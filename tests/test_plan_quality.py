@@ -167,6 +167,7 @@ BNL_OK = {
     "s14_hard_negatives",  # bounded anchor batch broadcast (s01 shape)
     "t25_vocab_growth",
     "s15_knn_join",  # B×B packed-block pairs (blocks, never rows, replicate)
+    "t31_vocab_drift",  # 1-row corpus-totals broadcast (q47/q65 pattern)
 }
 
 
