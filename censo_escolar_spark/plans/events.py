@@ -1803,3 +1803,62 @@ def e29_interarrival_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# e30 — rolling behavioral diversity: how many DISTINCT event types
+# each user exercised in the trailing hour, per event. A distinct-
+# count-over-frame is normally a stateful window nightmare (a set per
+# frame); with a BOUNDED type domain it collapses to bit_or over a
+# per-type bitmask + bit_count — O(1) state per row, exact, and the
+# same trick scales to any enum-like domain (status codes, countries).
+# One (user)-partitioned RANGE window over event-time seconds.
+# ---------------------------------------------------------------------------
+@register(
+    "e30_rolling_type_diversity",
+    oracle="""
+    WITH m AS (
+      SELECT event_id, user_id, ts,
+        epoch_us(ts) // 1000000 AS sec,
+        CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+          WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8 ELSE 16 END AS mask
+      FROM events
+    )
+    SELECT event_id, user_id, ts,
+      CAST(bit_count(CAST(bit_or(mask) OVER (
+        PARTITION BY user_id ORDER BY sec
+        RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT)) AS INTEGER)
+        AS n_types_1h
+    FROM m
+    ORDER BY user_id, ts, event_id
+    """,
+)
+def e30_rolling_type_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    mask = (
+        F.when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "error", 2)
+        .when(F.col("event_type") == "purchase", 4)
+        .when(F.col("event_type") == "signup", 8)
+        .otherwise(16)
+    )
+    m = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 1000000").alias("sec"),
+        mask.alias("mask"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return m.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.bit_count(F.expr("bit_or(mask)").over(w).cast("bigint"))
+        .cast("int")
+        .alias("n_types_1h"),
+    ).orderBy("user_id", "ts", "event_id")

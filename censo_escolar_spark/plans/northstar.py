@@ -3180,3 +3180,22 @@ def t31_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("chi2"), F.asc("tok"))
         .limit(30)
     )
+
+
+# ---------------------------------------------------------------------------
+# s17 — IVF kNN-join: the sub-quadratic scale path for s15's exact
+# blocked-GEMM kNN self-join. The whole corpus probes the inverted
+# file as the query side (ivf_topk with queries=corpus) — per row only
+# nprobe/C of the corpus is scored, an equi-join on centroid id that
+# becomes a partition-pruned bucketed probe at 100 TB. Run here at
+# nprobe = n_centroids (exhaustive) so the result EQUALS the exact
+# kNN-join and s15's brute-force oracle hash-checks it; recall at
+# nprobe < C is asserted against s15 in tests/test_similarity_ivf.py.
+# ---------------------------------------------------------------------------
+@register("s17_ivf_knn_join", oracle=_S15_ORACLE)
+def s17_ivf_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = similarity.train_centroids(emb, n_centroids=8, iters=1)
+    return similarity.ivf_topk(
+        emb, emb, centroids, k=3, nprobe=8
+    ).orderBy("query_id", "rank")

@@ -33,6 +33,7 @@ ARROW_OK = {
     "t16_lang_zscores",  # grouped-map applyInPandas standardization
     "t03_fingerprints",
     "s15_knn_join",  # blocked-GEMM candidate pass (cosine_pairs shape)
+    "s17_ivf_knn_join",  # ivf_assign + probe GEMMs (s04 shape, corpus-wide)
 }
 
 

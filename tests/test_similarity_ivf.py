@@ -176,3 +176,21 @@ def test_mmr_rank1_is_top_cosine(spark, emb):
         if r.mmr_rank == 1
     }
     assert mmr1 == top1
+
+
+def test_ivf_knn_join_recall_vs_exact(spark, emb):
+    """s17's shape: the whole corpus probes the inverted file. At
+    nprobe < C recall degrades gracefully against the exact blocked-GEMM
+    kNN-join (s15); exhaustive probing equals it (oracle-checked)."""
+    sub = emb.filter(F.col("vec_id") < 60)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.knn_join(sub, k=3).collect()
+    }
+    centroids = S.train_centroids(sub, n_centroids=6, iters=1)
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ivf_topk(sub, sub, centroids, k=3, nprobe=2).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, f"IVF kNN-join nprobe=2/6 recall {recall:.2f}"
