@@ -538,6 +538,119 @@ def ivf_topk(
     )
 
 
+def ivf_knn_join(
+    df: DataFrame,
+    centroids: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    nprobe: int = 4,
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """kNN self-join through the inverted file — the sub-quadratic
+    scale path for ``knn_join``. Every row probes its ``nprobe``
+    nearest cells and is scored ONLY against vectors assigned there;
+    at ``nprobe = n_centroids`` the candidate set is the whole corpus
+    and the result equals the exact join (oracle-checkable).
+
+    Scoring is blocked GEMM, never the interpreted per-pair fold: both
+    sides pack into (cell, block) rows — blocks hash-bounded to
+    ``TARGET_BLOCK_ROWS`` so a cell of ANY size splits into
+    Arrow-safe chunks — and block pairs meet through an EQUI-join on
+    the cell id (≙ a partition-pruned probe of a cell-bucketed table
+    at 100 TB; contrast knn_join's full B×B). Per (query row, block
+    pair) the local top-k with a 1e-6 epsilon guard survives, and the
+    exact fold-order re-score + ranking window make the final answer
+    bit-identical to a brute-force SQL oracle when candidates cover
+    the true top-k.
+    """
+    df = df.filter(F.col(vec_col).isNotNull())  # same rule as _prep
+    if n_blocks is None:
+        n_blocks = auto_n_blocks(df.count())
+    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    nprobe = min(nprobe, len(centroids)) if len(centroids) else 0
+
+    assigned = ivf_assign(df, centroids, vec_col=vec_col)
+    v = as_double_array(vec_col)
+    c_rows = assigned.select(
+        F.col("__centroid_id").alias("cell"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("cblk"),
+        F.struct(F.col(id_col).alias("id"), v.alias("v")).alias("row"),
+    )
+    packed_c = c_rows.groupBy("cell", "cblk").agg(
+        F.collect_list("row").alias("rows_c")
+    )
+
+    @pandas_udf("array<int>")
+    def probes(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack(vecs.to_numpy())
+        matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        order = np.argsort(-(matn @ cn.T), axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(order.astype(np.int32)))
+
+    q_rows = df.select(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("qblk"),
+        F.struct(F.col(id_col).alias("id"), v.alias("v")).alias("row"),
+        F.explode(probes(v)).alias("cell"),
+    )
+    packed_q = q_rows.groupBy("cell", "qblk").agg(
+        F.collect_list("row").alias("rows_q")
+    )
+    block_pairs = packed_q.join(packed_c, "cell")
+    eps = 1e-6
+
+    def score_blocks(batches):
+        for pdf in batches:
+            out_a, out_b = [], []
+            for t in pdf.itertuples(index=False):
+                ids_a = np.asarray([r["id"] for r in t.rows_q], dtype=np.int64)
+                mat_a = np.vstack([r["v"] for r in t.rows_q])
+                ids_b = np.asarray([r["id"] for r in t.rows_c], dtype=np.int64)
+                mat_b = np.vstack([r["v"] for r in t.rows_c])
+                na = mat_a / np.linalg.norm(mat_a, axis=1, keepdims=True)
+                nb = mat_b / np.linalg.norm(mat_b, axis=1, keepdims=True)
+                sim = na @ nb.T
+                sim[ids_a[:, None] == ids_b[None, :]] = -np.inf
+                if sim.shape[1] > k:
+                    kth = np.partition(sim, -k, axis=1)[:, -k]
+                else:
+                    kth = np.full(sim.shape[0], -np.inf)
+                ii, jj = np.nonzero(sim >= (kth - eps)[:, None])
+                keep = ids_a[ii] != ids_b[jj]
+                out_a.append(ids_a[ii[keep]])
+                out_b.append(ids_b[jj[keep]])
+            empty = np.array([], dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    "id_a": np.concatenate(out_a) if out_a else empty,
+                    "id_b": np.concatenate(out_b) if out_b else empty,
+                }
+            )
+
+    cands = block_pairs.mapInPandas(
+        score_blocks, "id_a long, id_b long"
+    ).distinct()
+    vaj = df.select(F.col(id_col).alias("id_a"), v.alias("__va"))
+    vbj = df.select(F.col(id_col).alias("id_b"), v.alias("__vb"))
+    scored = (
+        cands.join(vaj, "id_a")
+        .join(vbj, "id_b")
+        .withColumn("cos", cosine(F.col("__va"), F.col("__vb")))
+    )
+    w = Window.partitionBy("id_a").orderBy(F.desc("cos"), F.asc("id_b"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("id_a").alias("query_id"),
+            F.col("id_b").alias("neighbor_id"),
+            "cos",
+            "rank",
+        )
+    )
+
+
 def lsh_bucketed_pairs(
     df: DataFrame,
     *,

@@ -3196,6 +3196,6 @@ def t31_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 def s17_ivf_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     centroids = similarity.train_centroids(emb, n_centroids=8, iters=1)
-    return similarity.ivf_topk(
-        emb, emb, centroids, k=3, nprobe=8
+    return similarity.ivf_knn_join(
+        emb, centroids, k=3, nprobe=8
     ).orderBy("query_id", "rank")

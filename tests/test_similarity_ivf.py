@@ -190,7 +190,17 @@ def test_ivf_knn_join_recall_vs_exact(spark, emb):
     centroids = S.train_centroids(sub, n_centroids=6, iters=1)
     approx = {
         (r.query_id, r.neighbor_id)
-        for r in S.ivf_topk(sub, sub, centroids, k=3, nprobe=2).collect()
+        for r in S.ivf_knn_join(sub, centroids, k=3, nprobe=2).collect()
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.4, f"IVF kNN-join nprobe=2/6 recall {recall:.2f}"
+
+    exhaustive = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in S.ivf_knn_join(sub, centroids, k=3, nprobe=6).collect()
+    }
+    exact_ranked = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in S.knn_join(sub, k=3).collect()
+    }
+    assert exhaustive == exact_ranked  # nprobe = C degrades to exact
