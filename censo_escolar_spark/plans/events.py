@@ -1862,3 +1862,86 @@ def e30_rolling_type_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("n_types_1h"),
     ).orderBy("user_id", "ts", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# e31 — growth accounting: per activity day, how many active users are
+# NEW (first day ever), RETAINED (also active the previous day),
+# RESURRECTED (active before, but not yesterday) — plus yesterday's
+# CHURN (active yesterday, absent today). The canonical product-growth
+# decomposition (new + retained + resurrected = DAU). One distinct
+# user-day rollup, one user-partitioned lag window, one day groupBy —
+# churn derives from the same lead per user-day, so the fact table is
+# scanned once and nothing joins day-to-day.
+# ---------------------------------------------------------------------------
+@register(
+    "e31_growth_accounting",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    ),
+    seq AS (
+      SELECT user_id, day,
+        LAG(day) OVER (PARTITION BY user_id ORDER BY day) AS prev_day,
+        LEAD(day) OVER (PARTITION BY user_id ORDER BY day) AS next_day
+      FROM ud
+    ),
+    flags AS (
+      SELECT CAST(day AS TIMESTAMP) AS day,
+        CAST(COUNT(*) AS BIGINT) AS dau,
+        CAST(COUNT(*) FILTER (WHERE prev_day IS NULL) AS BIGINT) AS new_users,
+        CAST(COUNT(*) FILTER (WHERE prev_day = day - 1) AS BIGINT) AS retained,
+        CAST(COUNT(*) FILTER (WHERE prev_day IS NOT NULL
+                              AND prev_day < day - 1) AS BIGINT) AS resurrected,
+        CAST(COUNT(*) FILTER (WHERE next_day IS NULL OR next_day > day + 1)
+             AS BIGINT) AS churned_after
+      FROM seq GROUP BY day
+    )
+    SELECT * FROM flags ORDER BY day
+    """,
+)
+def e31_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    seq = ud.select(
+        "user_id",
+        "day",
+        F.lag("day").over(w).alias("prev_day"),
+        F.lead("day").over(w).alias("next_day"),
+    )
+    one_day = F.expr("INTERVAL 1 DAY")
+    return (
+        seq.groupBy(F.col("day").cast("timestamp").alias("day"))
+        .agg(
+            F.count("*").cast("bigint").alias("dau"),
+            F.count(F.when(F.col("prev_day").isNull(), 1))
+            .cast("bigint")
+            .alias("new_users"),
+            F.count(F.when(F.col("prev_day") == F.date_sub("day", 1), 1))
+            .cast("bigint")
+            .alias("retained"),
+            F.count(
+                F.when(
+                    F.col("prev_day").isNotNull()
+                    & (F.col("prev_day") < F.date_sub("day", 1)),
+                    1,
+                )
+            )
+            .cast("bigint")
+            .alias("resurrected"),
+            F.count(
+                F.when(
+                    F.col("next_day").isNull()
+                    | (F.col("next_day") > F.date_add("day", 1)),
+                    1,
+                )
+            )
+            .cast("bigint")
+            .alias("churned_after"),
+        )
+        .orderBy("day")
+    )

@@ -3199,3 +3199,55 @@ def s17_ivf_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_knn_join(
         emb, centroids, k=3, nprobe=8
     ).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# t32 — metadata/content language confusion matrix: the declared `lang`
+# column vs the content-based lang_id prediction, with per-declared-
+# lang accuracy. The metadata-QC report every multilingual corpus runs
+# (mislabeled language is a top silent-quality killer for per-language
+# sampling weights). Reuses t04's oracle-replicable classifier; one
+# groupBy on the 5×5-ish label pair grid, one division per row.
+# ---------------------------------------------------------------------------
+@register(
+    "t32_lang_confusion",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+        list_sort(list_transform({_T04_MARKERS_SQL},
+          s -> {{neg: -len(list_filter(string_split(text, ' '),
+                                       t -> list_contains(s.m, t))),
+                 lang: s.l}}))[1] AS best
+      FROM documents
+    ),
+    pred AS (
+      SELECT lang,
+        CASE WHEN best.neg < 0 THEN best.lang ELSE 'unknown' END AS lang_pred
+      FROM scored
+    ),
+    cell AS (
+      SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+      FROM pred GROUP BY lang, lang_pred
+    )
+    SELECT lang, lang_pred, n,
+      CAST(n AS DOUBLE)
+        / SUM(n) OVER (PARTITION BY lang) AS frac_of_declared
+    FROM cell
+    ORDER BY lang, lang_pred
+    """,
+)
+def t32_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pred = docs.select("lang", T.lang_id("text").alias("lang_pred"))
+    cell = pred.groupBy("lang", "lang_pred").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    w = Window.partitionBy("lang")
+    return cell.select(
+        "lang",
+        "lang_pred",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(w)).alias(
+            "frac_of_declared"
+        ),
+    ).orderBy("lang", "lang_pred")
