@@ -3251,3 +3251,56 @@ def t32_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frac_of_declared"
         ),
     ).orderBy("lang", "lang_pred")
+
+
+# ---------------------------------------------------------------------------
+# s18 — embedding-table QC: per label, the L2-norm distribution
+# (min / exact median / max) plus how many vectors are not unit-norm
+# within 1% and how many are degenerate (near-zero norm). The health
+# check run before any cosine-based pipeline ships — un-normalized or
+# zero vectors silently poison cosine math. Norms use the exact
+# fold-order dot (bit-identical to list_dot_product); the median is
+# the q46 interpolating pairing; one label-keyed groupBy, one scan.
+# ---------------------------------------------------------------------------
+@register(
+    "s18_norm_stats",
+    oracle="""
+    WITH n AS (
+      SELECT label, sqrt(list_dot_product(embedding::DOUBLE[],
+                                          embedding::DOUBLE[])) AS nrm
+      FROM embeddings WHERE embedding IS NOT NULL
+    )
+    SELECT label,
+      CAST(COUNT(*) AS BIGINT) AS n_vectors,
+      MIN(nrm) AS min_norm,
+      quantile_cont(nrm, 0.5) AS median_norm,
+      MAX(nrm) AS max_norm,
+      CAST(COUNT(*) FILTER (WHERE abs(nrm - 1) > 0.01) AS BIGINT)
+        AS n_unnormalized,
+      CAST(COUNT(*) FILTER (WHERE nrm < 1e-6) AS BIGINT) AS n_degenerate
+    FROM n GROUP BY label ORDER BY label
+    """,
+)
+def s18_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from censo_escolar_spark.functions.vectors import as_double_array, norm2
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.filter(F.col("embedding").isNotNull()).select(
+        "label", norm2(as_double_array("embedding")).alias("nrm")
+    )
+    return (
+        n.groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vectors"),
+            F.min("nrm").alias("min_norm"),
+            F.percentile("nrm", 0.5).alias("median_norm"),
+            F.max("nrm").alias("max_norm"),
+            F.count(F.when(F.abs(F.col("nrm") - 1) > 0.01, 1))
+            .cast("bigint")
+            .alias("n_unnormalized"),
+            F.count(F.when(F.col("nrm") < 1e-6, 1))
+            .cast("bigint")
+            .alias("n_degenerate"),
+        )
+        .orderBy("label")
+    )
