@@ -1945,3 +1945,67 @@ def e31_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# e32 — debounced alerting: a user raises an alert only after >= 3
+# CONSECUTIVE events above the value threshold (single spikes are
+# noise; flapping must not page). Classic gaps-and-islands: the
+# above-threshold runs come from the two-row_number island key over
+# ONE user partitioning; each qualifying run emits one alert interval
+# with its exact integer duration. No self-join, no state machine —
+# per-row state is two counters.
+# ---------------------------------------------------------------------------
+@register(
+    "e32_debounced_alerts",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, value > 100 AS hot,
+        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          - ROW_NUMBER() OVER (PARTITION BY user_id, value > 100
+                               ORDER BY ts, event_id) AS island
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT user_id,
+      MIN(ts) AS alert_start,
+      MAX(ts) AS alert_end,
+      CAST(COUNT(*) AS BIGINT) AS n_events,
+      CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT) AS duration_us
+    FROM flagged
+    WHERE hot
+    GROUP BY user_id, island
+    HAVING COUNT(*) >= 3
+    ORDER BY user_id, alert_start
+    """,
+)
+def e32_debounced_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    base = e.select(
+        "user_id", "ts", "event_id", (F.col("value") > 100).alias("hot")
+    )
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_flag = Window.partitionBy("user_id", "hot").orderBy("ts", "event_id")
+    flagged = base.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "hot",
+        (F.row_number().over(w_all) - F.row_number().over(w_flag)).alias(
+            "island"
+        ),
+    )
+    return (
+        flagged.filter(F.col("hot"))
+        .groupBy("user_id", "island")
+        .agg(
+            F.min("ts").alias("alert_start"),
+            F.max("ts").alias("alert_end"),
+            F.count("*").cast("bigint").alias("n_events"),
+            F.timestamp_diff("MICROSECOND", F.min("ts"), F.max("ts"))
+            .cast("bigint")
+            .alias("duration_us"),
+        )
+        .filter(F.col("n_events") >= 3)
+        .drop("island")
+        .orderBy("user_id", "alert_start")
+    )

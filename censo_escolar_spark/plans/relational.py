@@ -2795,3 +2795,60 @@ def q70_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("suppkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# q71 — market concentration (Herfindahl–Hirschman index): per part
+# brand, the HHI of supplier revenue shares and the top-supplier
+# share. The antitrust/assortment-concentration metric. Determinism
+# discipline: HHI = Σrᵢ²/(Σrᵢ)² over EXACT decimal revenue sums — the
+# naive Σ(shareᵢ²) sums floats across rows (fold-order-dependent);
+# here both Σrᵢ² and Σrᵢ are exact decimals, cast to double once, and
+# combined in ONE fixed expression. Two partial-aggregated groupBys,
+# dims broadcast.
+# ---------------------------------------------------------------------------
+@register(
+    "q71_market_concentration",
+    oracle="""
+    WITH sb AS (
+      SELECT p.p_brand AS brand, l.l_suppkey,
+        SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS rev
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_brand, l.l_suppkey
+    ),
+    m AS (
+      SELECT brand,
+        CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+        CAST(SUM(CAST(rev AS DOUBLE) * CAST(rev AS DOUBLE)) AS DOUBLE)
+          AS sum_sq,
+        CAST(SUM(rev) AS DOUBLE) AS tot,
+        CAST(MAX(rev) AS DOUBLE) AS top_rev
+      FROM sb GROUP BY brand
+    )
+    SELECT brand, n_suppliers,
+      sum_sq / (tot * tot) AS hhi,
+      top_rev / tot AS top_share
+    FROM m ORDER BY brand
+    """,
+)
+def q71_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    sb = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"), "l_suppkey")
+        .agg(F.sum(_dec("l_extendedprice")).alias("rev"))
+    )
+    rev_d = F.col("rev").cast("double")
+    m = sb.groupBy("brand").agg(
+        F.count("*").cast("bigint").alias("n_suppliers"),
+        F.sum(rev_d * rev_d).cast("double").alias("sum_sq"),
+        F.sum("rev").cast("double").alias("tot"),
+        F.max("rev").cast("double").alias("top_rev"),
+    )
+    return m.select(
+        "brand",
+        "n_suppliers",
+        (F.col("sum_sq") / (F.col("tot") * F.col("tot"))).alias("hhi"),
+        (F.col("top_rev") / F.col("tot")).alias("top_share"),
+    ).orderBy("brand")
