@@ -65,7 +65,7 @@ _R3_NEW = {
     "d15", "m05", "q60", "q61", "q62", "q63", "q64", "q65", "q66",
     # second round-3 batch
     "q67", "q68", "q69", "e24", "e25", "g02", "s15", "d16", "t30", "m06",
-    "s16", "e26", "d17", "e27", "e28", "e29", "d18", "q70", "t31", "s17", "e30", "t32", "e31", "s18", "q71", "e32",
+    "s16", "e26", "d17", "e27", "e28", "e29", "d18", "q70", "t31", "s17", "e30", "t32", "e31", "s18", "q71", "e32", "m07",
 }
 
 

@@ -14,7 +14,7 @@ additionally in tests/test_multimodal.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from censo_escolar_spark.operators import multimodal as M
@@ -421,3 +421,93 @@ def m06_audio_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.plan_audio_frames(
         staged, id_col="doc_id", bytes_col="payload", frame_len=64, hop=32
     ).orderBy("doc_id", "frame_idx")
+
+
+# ---------------------------------------------------------------------------
+# m07 — shard-manifest integrity audit: verify the m04 packing plan's
+# invariants per (bucket, shard) — offsets start at 0 for a shard's
+# first member, every member starts exactly where its predecessor
+# ended (contiguity), and only a shard's LAST member may cross the
+# shard budget (the documented tail-overrun). The publish gate a
+# WebDataset-style writer runs before shipping shards to training.
+# One lag window over the plan's own (bucket, shard) partitioning —
+# auditing costs one pass over the manifest, never touches payloads.
+# ---------------------------------------------------------------------------
+@register(
+    "m07_shard_audit",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+        doc_id // 100 AS shard_bucket,
+        CAST(octet_length(
+          (CASE doc_id % 3 WHEN 0 THEN unhex('FFD8FF')
+                           WHEN 1 THEN unhex('89504E47')
+                           ELSE unhex('52494646') END
+           || encode(text))) AS BIGINT) AS n_bytes
+      FROM documents
+    ),
+    o AS (
+      SELECT doc_id, shard_bucket, n_bytes,
+        COALESCE(SUM(n_bytes) OVER (
+          PARTITION BY shard_bucket ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      FROM p
+    ),
+    plan AS (
+      SELECT doc_id, shard_bucket, n_bytes,
+        CAST(off // 65536 AS BIGINT) AS shard_idx,
+        CAST(off % 65536 AS BIGINT) AS byte_offset
+      FROM o
+    ),
+    checked AS (
+      SELECT shard_bucket, shard_idx, doc_id, n_bytes, byte_offset,
+        LAG(byte_offset + n_bytes) OVER (
+          PARTITION BY shard_bucket, shard_idx ORDER BY doc_id) AS prev_end,
+        LEAD(doc_id) OVER (
+          PARTITION BY shard_bucket, shard_idx ORDER BY doc_id) AS next_doc
+      FROM plan
+    )
+    SELECT shard_bucket, shard_idx,
+      CAST(COUNT(*) AS BIGINT) AS n_items,
+      CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+      bool_and(CASE WHEN prev_end IS NULL THEN byte_offset = 0
+                    ELSE byte_offset = prev_end END) AS contiguous,
+      bool_and(next_doc IS NULL OR byte_offset + n_bytes <= 65536)
+        AS only_tail_overruns
+    FROM checked
+    GROUP BY shard_bucket, shard_idx
+    ORDER BY shard_bucket, shard_idx
+    """,
+)
+def m07_shard_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    staged = _staged_payloads(spark, sf_dir)
+    plan = M.plan_shards(
+        staged, id_col="doc_id", bytes_col="payload", shard_budget=1 << 16
+    )
+    w = Window.partitionBy("shard_bucket", "shard_idx").orderBy("doc_id")
+    checked = plan.select(
+        "shard_bucket",
+        "shard_idx",
+        "doc_id",
+        "n_bytes",
+        "byte_offset",
+        F.lag(F.col("byte_offset") + F.col("n_bytes")).over(w).alias("prev_end"),
+        F.lead("doc_id").over(w).alias("next_doc"),
+    )
+    return (
+        checked.groupBy("shard_bucket", "shard_idx")
+        .agg(
+            F.count("*").cast("bigint").alias("n_items"),
+            F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+            F.bool_and(
+                F.when(
+                    F.col("prev_end").isNull(), F.col("byte_offset") == 0
+                ).otherwise(F.col("byte_offset") == F.col("prev_end"))
+            ).alias("contiguous"),
+            F.bool_and(
+                F.col("next_doc").isNull()
+                | (F.col("byte_offset") + F.col("n_bytes") <= (1 << 16))
+            ).alias("only_tail_overruns"),
+        )
+        .orderBy("shard_bucket", "shard_idx")
+    )
