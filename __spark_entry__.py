@@ -33,56 +33,53 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness sweep walks queries() in dict order and grades
-# only the first ~50 it has budget for (CORRECTNESS_r01/r02 are each an
-# exact 50-query registration-order prefix).  Order the registry so the
-# sweep window covers queries with no green artifact row before the ones
-# already proven green.  Provenance of "green":
-#   - driver rows: CORRECTNESS_r01.json + CORRECTNESS_r02.json
-#   - judge sweep: VERDICT.md (round 1) re-ran the full HEAD registry and
-#     verified q26-q40 even though no driver artifact covers them.
-# t02 is re-listed first: its r02 row was a hash mismatch (driver graded
-# a pre-fix commit; fixed in 23d48ec) and needs a green row on record.
+# only the first ~50 it has budget for (CORRECTNESS_r01-r03 are each a
+# registration-order prefix).  Order the registry so the sweep window
+# covers queries with NO green artifact row before the ones already
+# proven green.  Provenance of "green": the union of green rows across
+# CORRECTNESS_r01+r02+r03 (hash_match AND rows_match) — nothing else
+# counts (judge re-runs at HEAD are advisory, not artifact rows).
 _DRIVER_GREEN = {
     "c01",
-    *(f"d{i:02d}" for i in range(1, 11)),
-    *(f"e{i:02d}" for i in range(1, 8)),
-    "m01", "m02",
-    *(f"q{i:02d}" for i in range(1, 26)),
-    *(f"s{i:02d}" for i in range(1, 7)),
-    *(f"t{i:02d}" for i in range(1, 18)),
+    *(f"d{i:02d}" for i in (*range(1, 11), *range(15, 19))),
+    *(f"e{i:02d}" for i in (*range(1, 10), *range(21, 33))),
+    "g02", "m01", "m05", "m06", "m07",
+    *(f"q{i:02d}" for i in range(1, 26) if i not in (13, 20)),
+    "q60", "q61", *(f"q{i}" for i in range(63, 72)),
+    *(f"s{i:02d}" for i in (*range(1, 7), *range(11, 19))),
+    *(f"t{i:02d}" for i in (*range(1, 18), *range(26, 33))),
 }
-_DRIVER_GREEN.discard("t02")
 
-_JUDGE_VERIFIED = {f"q{i}" for i in range(26, 41)}
+# Queries whose ONLY driver rows are red, fixed since — re-grade before
+# everything else: q62 (hash red r3, decimal-exact 1.1 bump landed this
+# round), m02 (graded `no_oracle` r1/r2; splitmix64 SQL oracle exists
+# now), m03 (same oracle family, never graded), q13/q20 (hash red r1,
+# fixed in round 2).
+_REGRADE_FIRST = ["q62", "m02", "m03", "q13", "q20"]
 
-# Round-3 additions: grade them right after t02 so this round's new
-# operators get artifact rows even if the ~50-query window can't also
-# cover every older never-graded entry (those the round-1 judge sweep
-# re-verifies at HEAD anyway).
-_R3_NEW = {
-    "e21", "e22", "e23", "t26", "t27", "t28", "t29",
-    "s11", "s12", "s13", "s14",
-    "d15", "m05", "q60", "q61", "q62", "q63", "q64", "q65", "q66",
-    # second round-3 batch
-    "q67", "q68", "q69", "e24", "e25", "g02", "s15", "d16", "t30", "m06",
-    "s16", "e26", "d17", "e27", "e28", "e29", "d18", "q70", "t31", "s17", "e30", "t32", "e31", "s18", "q71", "e32", "m07",
-}
+# Round-4 additions needing their first artifact row.
+_R4_NEW = {"t19", "d19", "q72", "e33"}
 
 
 def _sweep_order(names) -> list[str]:
     def tier(n: str) -> int:
         p = n.split("_", 1)[0]
-        if p == "t02":
-            return 0  # red r02 row, fixed since — flip it first
-        if p in _R3_NEW:
-            return 1
-        if p not in _DRIVER_GREEN and p not in _JUDGE_VERIFIED:
-            # never graded by any sweep: oracle-bearing entries outrank
-            # rows-only ones (a rows-only slot is the weaker check)
-            return 2 if n in ORACLE else 3
-        if p in _JUDGE_VERIFIED:
-            return 4  # judge-verified at r1 HEAD, no driver row yet
-        return 5  # green driver artifact row exists
+        if p in _REGRADE_FIRST:
+            return _REGRADE_FIRST.index(p)
+        base = len(_REGRADE_FIRST)
+        if p in _R4_NEW:
+            return base
+        if p not in _DRIVER_GREEN:
+            # never driver-graded: the relational surface (q26-q59) is
+            # the most user-visible — grade it before the events tail,
+            # then everything else (s07-s10, t18-t25, d11-d14, m04,
+            # g01, c02) next round if the window runs out
+            if p.startswith("q"):
+                return base + 1
+            if p.startswith("e"):
+                return base + 2
+            return base + 3
+        return base + 4  # green driver artifact row exists
 
     order = {n: i for i, n in enumerate(names)}
     return sorted(names, key=lambda n: (tier(n), order[n]))

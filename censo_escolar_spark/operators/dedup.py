@@ -319,22 +319,37 @@ def connected_components(
     where ``component`` is the minimum node id reachable from ``node``.
 
     Dedup needs TRANSITIVE closure: if A≈B and B≈C, all three are one
-    duplicate group even when A and C never pair directly. Implemented as
-    iterative min-label propagation: each round every node takes the min
-    of its own label and its neighbors' labels; converged when no label
-    changes. Rounds = component diameter — near-dup components are
-    star-like (a handful of rounds); ``max_iter`` bounds pathological
-    chains, raising if not converged rather than returning wrong labels.
+    duplicate group even when A and C never pair directly. Each round
+    runs two monotone label-shrinking steps:
 
-    Scale shape: one shuffle per round on node id (edges join labels),
+    1. PROPAGATE — every node takes the min of its own label and its
+       neighbors' labels (one edges⋈labels shuffle);
+    2. POINTER-JUMP (path compression) — every node replaces its label
+       with its label's label (one labels⋈labels shuffle). Labels are
+       always node ids of the same component with label(x) ≤ x, so the
+       jump stays inside the component and only ever decreases.
+
+    Propagation alone needs rounds = component diameter — fine for
+    star-like near-dup groups, pathological on chain graphs. The jump
+    roughly doubles the distance a min label covers per round, so a
+    path of n nodes converges in O(log n) rounds (the same effect as
+    Kiveris et al.'s large-star/small-star alternation, in one extra
+    bounded shuffle per round). ``max_iter`` still bounds the loop,
+    raising if not converged rather than returning wrong labels.
+
+    Fixpoint argument: at convergence label(u) ≤ label(v) for every
+    edge (u,v) and symmetrically label(v) ≤ label(u), so labels are
+    constant per component; the component's min node m has
+    label(m) ≤ m, hence the constant is the component min — identical
+    output to plain propagation, just fewer rounds.
+
+    Scale shape: two keyed shuffles per round over bounded frames,
     labels eagerly localCheckpoint'd so lineage stays O(1) deep instead
     of O(rounds). The convergence probe exploits monotonicity: labels
     only ever DECREASE, so the total label sum strictly decreases until
     the fixpoint — one scalar aggregate per round on the checkpointed
     frame (decimal(38,0): exact, no int64 overflow at any node count),
-    instead of an old-vs-new join + count. (The alternating
-    large-star/small-star contraction of Kiveris et al. cuts rounds to
-    O(log² n) for huge diameters; unnecessary for dedup graphs.)
+    instead of an old-vs-new join + count.
     """
     sym = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
@@ -358,10 +373,27 @@ def connected_components(
         neighbor = sym.join(
             labels, sym["src"] == labels["node"], "inner"
         ).select(F.col("dst").alias("node"), "component")
-        new_labels = (
+        prop = (
             labels.unionByName(neighbor)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
+        )
+        # pointer-jump: component <- label(component). Every label IS a
+        # node id in `prop` (labels start as ids and min() preserves
+        # that), so the self-join always matches; coalesce is belt-and-
+        # braces. least() keeps monotonicity explicit.
+        jump = prop.select(
+            F.col("node").alias("c_node"), F.col("component").alias("c_comp")
+        )
+        new_labels = (
+            prop.join(jump, prop["component"] == jump["c_node"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce("c_comp", "component"),
+                ).alias("component"),
+            )
             .localCheckpoint(eager=True)
         )
         new_sum = label_sum(new_labels)

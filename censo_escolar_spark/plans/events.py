@@ -1846,7 +1846,14 @@ def e30_rolling_type_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "ts",
-        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 1000000").alias("sec"),
+        # FLOOR division (pmod keeps the remainder non-negative), matching
+        # DuckDB's `//`; a bare `div` truncates toward zero and would shift
+        # the bucket by one second for pre-1970 timestamps.
+        F.expr(
+            "(unix_micros(CAST(ts AS TIMESTAMP))"
+            " - pmod(unix_micros(CAST(ts AS TIMESTAMP)), 1000000))"
+            " div 1000000"
+        ).alias("sec"),
         mask.alias("mask"),
     )
     w = (
@@ -2009,3 +2016,70 @@ def e32_debounced_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("island")
         .orderBy("user_id", "alert_start")
     )
+
+
+# ---------------------------------------------------------------------------
+# e33 — streaming SCD2 maintenance parity: the events table arrives as
+# three TIME-ORDERED micro-batches (Jan 1-10, 11-20, 21-31 — a stream's
+# arrival order) through the streaming maintainer's foreachBatch body
+# (streaming/scd2.py::apply_scd2_batch — per-batch local run build +
+# stitch into the versioned snapshot, history never rescanned), and the
+# FINAL snapshot is returned. The oracle is the FULL BATCH RECOMPUTE
+# (e15's SQL verbatim): the whole parity claim is that incremental
+# stitching over any time-ordered batch split reproduces the one-shot
+# build bit-for-bit — runs fused across batch boundaries, counts
+# carried, run ids re-based. Streaming upkeep under the hash gate.
+# ---------------------------------------------------------------------------
+@register(
+    "e33_streaming_scd2_parity",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, event_type, ts, event_id,
+        CASE WHEN event_type IS DISTINCT FROM
+          LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        THEN 1 ELSE 0 END AS chg
+      FROM events
+    ),
+    runs AS (
+      SELECT user_id, event_type, ts,
+        SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM marked
+    ),
+    collapsed AS (
+      SELECT user_id, CAST(run_id AS BIGINT) AS run_id,
+        event_type AS state, MIN(ts) AS valid_from,
+        CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM runs GROUP BY user_id, run_id, event_type
+    )
+    SELECT user_id, run_id, state, valid_from,
+      LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY run_id)
+        AS valid_to,
+      CASE WHEN LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY run_id)
+        IS NULL THEN TRUE ELSE FALSE END AS is_current,
+      n_events
+    FROM collapsed
+    ORDER BY user_id, run_id
+    """,
+)
+def e33_streaming_scd2_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from censo_escolar_spark.streaming.scd2 import (
+        apply_scd2_batch,
+        read_scd2_state,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    cuts = ["2024-01-11", "2024-01-21"]
+    lo = F.lit(cuts[0]).cast("timestamp")
+    hi = F.lit(cuts[1]).cast("timestamp")
+    batches = [
+        e.filter(F.col("ts") < lo),
+        e.filter((F.col("ts") >= lo) & (F.col("ts") < hi)),
+        e.filter(F.col("ts") >= hi),
+    ]
+    state = tempfile.mkdtemp(prefix="e33_scd2_state_")
+    for bid, batch in enumerate(batches, start=1):
+        apply_scd2_batch(batch, bid, state_dir=state)
+    return read_scd2_state(spark, state).orderBy("user_id", "run_id")

@@ -1312,6 +1312,14 @@ def t17_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Scale shape: assignment is one GEMM per Arrow batch against an 8×64
 # broadcast constant; the profile is a partial-aggregated groupBy on an
 # 8-value key. One pass over the corpus, one 8-row shuffle.
+#
+# Exactness: the GEMM cosine (normalized BLAS product) is NOT
+# bit-identical to the oracle's fold-order dot product, and a float
+# AVG across rows folds in partition order — so the profiled cosine is
+# RE-SCORED JVM-side with the exact left-to-right fold against the
+# winning centroid (one 64-wide codegen fold, no second GEMM), then
+# averaged as exact scaled-integer decimals (cos·1e12 rounded — the
+# mean is of 1e-12-quantized cosines, documented, engine-identical).
 # ---------------------------------------------------------------------------
 @register(
     "s07_cluster_profile",
@@ -1333,7 +1341,8 @@ def t17_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(cid AS INT) AS cluster_id,
       CAST(COUNT(*) AS BIGINT) AS n_vectors,
-      AVG(cos) AS avg_cos,
+      CAST(SUM(CAST(round(cos * 1000000000000.0) AS DECIMAL(38,0)))
+           AS DOUBLE) / COUNT(*) / 1000000000000.0 AS avg_cos,
       AVG(CAST(label AS DOUBLE)) AS avg_label
     FROM scored WHERE rn = 1
     GROUP BY cid
@@ -1343,6 +1352,8 @@ def t17_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 def s07_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
+    from censo_escolar_spark.functions.vectors import as_double_array, cosine
+
     emb = load_table(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull()
     )
@@ -1350,12 +1361,20 @@ def s07_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") < 8).orderBy("vec_id").select("embedding").collect()
     )  # 8×64 floats — constant-sized driver pull, broadcast into the UDF
     centroids = np.array([r.embedding for r in seeds], dtype=np.float64)
-    assigned = similarity.ivf_assign(emb, centroids, include_score=True)
+    assigned = similarity.ivf_assign(emb, centroids)
+    cent_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    cvec = F.element_at(cent_lit, F.col("__centroid_id") + 1)
+    cos_exact = cosine(as_double_array("embedding"), cvec)
+    sc = F.round(cos_exact * F.lit(1e12)).cast("decimal(38,0)")
     return (
         assigned.groupBy(F.col("__centroid_id").alias("cluster_id"))
         .agg(
             F.count("*").alias("n_vectors"),
-            F.avg("__centroid_cos").alias("avg_cos"),
+            (
+                F.sum(sc).cast("double") / F.count("*") / F.lit(1e12)
+            ).alias("avg_cos"),
             F.avg(F.col("label").cast("double")).alias("avg_label"),
         )
         .orderBy("cluster_id")
@@ -1484,18 +1503,99 @@ def t20_top_half_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # t19 — BPE vocabulary training (operators/bpe.py): 8 merge rounds over
-# the documents corpus, returning the ranked merge table. Inherently
-# iterative (each round's pair statistics depend on the previous
-# round's rewrite), so no SQL oracle exists — the registry entry is
-# rows-only by design; the algorithm is pinned against a pure-Python
-# BPE reference implementation in tests/test_bpe.py.
+# the documents corpus, returning the ranked merge table. The rounds
+# are iterative, but a FIXED number of them is SQL-expressible by
+# unrolling (the g01 unrolled-pagerank precedent): each round r is a
+# pair-count + argmax CTE (b{r}) over vocabulary v{r-1}, and the
+# greedy left-fold rewrite becomes a gaps-and-islands parity rule —
+# match positions form runs, and the fold takes exactly the
+# even-offset positions of each run (for a≠b runs are length 1, so
+# every match merges; for a=b a length-L run yields ⌊L/2⌋ merges,
+# matching `aaaa` + (a,a) → `aa aa`). The algorithm is additionally
+# pinned against a pure-Python BPE reference in tests/test_bpe.py.
 # ---------------------------------------------------------------------------
-@register("t19_bpe_vocab")
+_T19_ROUNDS = 8
+
+
+def _t19_oracle(rounds: int = _T19_ROUNDS) -> str:
+    parts = [
+        r"""v0 AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS weight,
+        list_filter(string_split(word, ''), s -> s != '') AS syms
+      FROM (
+        SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                  w -> w != '')) AS word
+        FROM documents
+      ) GROUP BY word
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"v{r - 1}"
+        parts.append(
+            f"""b{r} AS (
+      SELECT syms[i] AS a, syms[i+1] AS b,
+        CAST(SUM(weight) AS BIGINT) AS freq
+      FROM {prev}, UNNEST(range(1, len(syms))) AS u(i)
+      GROUP BY 1, 2
+      ORDER BY freq DESC, a ASC, b ASC
+      LIMIT 1
+    )"""
+        )
+        if r == rounds:
+            break
+        parts.append(
+            f"""m{r} AS (
+      SELECT t.word, t.weight, t.syms, u.i, b.a AS ma, b.b AS mb,
+        CASE WHEN u.i < len(t.syms)
+                  AND t.syms[u.i] = b.a AND t.syms[u.i+1] = b.b
+             THEN 1 ELSE 0 END AS hit
+      FROM {prev} t, UNNEST(range(1, len(t.syms) + 1)) AS u(i), b{r} b
+    )"""
+        )
+        parts.append(
+            f"""t{r} AS (
+      SELECT word, weight, syms, i, ma, mb,
+        CASE WHEN hit = 1
+                  AND (i - MIN(i) OVER (PARTITION BY word, isl)) % 2 = 0
+             THEN 1 ELSE 0 END AS takn
+      FROM (
+        SELECT *,
+          CASE WHEN hit = 1
+               THEN i - ROW_NUMBER() OVER (PARTITION BY word, hit ORDER BY i)
+               ELSE NULL END AS isl
+        FROM m{r}
+      )
+    )"""
+        )
+        parts.append(
+            f"""v{r} AS (
+      SELECT word, MIN(weight) AS weight, list(sym ORDER BY i) AS syms
+      FROM (
+        SELECT word, weight, i,
+          CASE WHEN takn = 1 THEN ma || mb ELSE syms[i] END AS sym,
+          LAG(takn, 1, 0) OVER (PARTITION BY word ORDER BY i) AS prev_takn
+        FROM t{r}
+      )
+      WHERE prev_takn = 0
+      GROUP BY word
+    )"""
+        )
+    finals = "\n    UNION ALL ".join(
+        f'SELECT CAST({r} AS INTEGER) AS rank, a AS "left", b AS "right", '
+        f"a || b AS merged, freq FROM b{r}"
+        for r in range(1, rounds + 1)
+    )
+    return (
+        "WITH " + ",\n    ".join(parts) + "\n    " + finals + "\n    ORDER BY rank"
+    )
+
+
+@register("t19_bpe_vocab", oracle=_t19_oracle())
 def t19_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     from censo_escolar_spark.operators import bpe
 
     docs = load_table(spark, sf_dir, "documents")
-    merges = bpe.train_bpe_merges(docs, n_merges=8)
+    merges = bpe.train_bpe_merges(docs, n_merges=_T19_ROUNDS)
     return bpe.merges_df(spark, merges).orderBy("rank")
 
 
@@ -2778,6 +2878,10 @@ def s15_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # short string key) and removes crawl-variant duplicates before any
 # content hashing runs. All canonicalization is shared codegen
 # regexp/string expressions (functions/text.py::canonical_url).
+# Skew guard: URL-less docs (canon_url='') always keep, so they skip
+# the min-window entirely — at corpus scale that '' key would funnel
+# the no-URL majority through ONE window task; the window runs only
+# over rows with a real canonical key, then the frames union.
 # ---------------------------------------------------------------------------
 @register(
     "d16_url_dedup",
@@ -2806,13 +2910,16 @@ def s15_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d16_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     canon = docs.select("doc_id", T.canonical_url("text").alias("canon_url"))
+    no_url = canon.filter(F.col("canon_url") == "").withColumn(
+        "keep", F.lit(True)
+    )
     w = Window.partitionBy("canon_url")
-    return canon.select(
+    with_url = canon.filter(F.col("canon_url") != "").select(
         "doc_id",
         "canon_url",
-        ((F.col("canon_url") == "") | (F.col("doc_id") == F.min("doc_id").over(w)))
-        .alias("keep"),
-    ).orderBy("doc_id")
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("keep"),
+    )
+    return no_url.unionByName(with_url).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -3304,3 +3411,138 @@ def s18_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# d19 — streaming dedup maintenance parity: the documents corpus
+# arrives as three micro-batches (doc_id % 3 = 0, 1, 2 → batch ids
+# 1, 2, 3) through the streaming maintainer's foreachBatch body
+# (streaming/dedup.py::apply_dedup_batch — versioned published
+# snapshots, incremental_dedup per batch), and the FINAL published
+# corpus is returned. The oracle unrolls the three rounds
+# declaratively: batch 1 is plain within-batch closure dedup; each
+# later batch first drops docs with an exact-Jaccard≥0.5 partner in
+# the published set (increments never retroactively delete published
+# docs — the d14 contract), then closure-dedups its survivors. This
+# puts the streaming corpus-upkeep operator under the hash-compare
+# gate (batch-equivalence), not just pytest.
+# ---------------------------------------------------------------------------
+_D19_ORACLE = f"""
+WITH RECURSIVE {_SQL_SHINGLES},
+  sz AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+  inter AS MATERIALIZED (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  ),
+  pairs AS MATERIALIZED (
+    SELECT id_a, id_b FROM inter
+    JOIN sz sa ON sa.doc_id = id_a
+    JOIN sz sb ON sb.doc_id = id_b
+    WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
+  ),
+  e0 AS MATERIALIZED (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    WHERE id_a % 3 = 0 AND id_b % 3 = 0
+    UNION
+    SELECT id_b, id_a FROM pairs WHERE id_a % 3 = 0 AND id_b % 3 = 0
+  ),
+  r0(src, dst) AS (
+    SELECT src, dst FROM e0
+    UNION
+    SELECT r.src, e.dst FROM r0 r JOIN e0 e ON r.dst = e.src
+  ),
+  c0 AS MATERIALIZED (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cl FROM r0 GROUP BY src),
+  k0 AS MATERIALIZED (
+    SELECT d.doc_id
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 0) d
+    LEFT JOIN c0 USING (doc_id)
+    WHERE d.doc_id = COALESCE(c0.cl, d.doc_id)
+  ),
+  x1 AS MATERIALIZED (
+    SELECT DISTINCT CASE WHEN id_a % 3 = 1 THEN id_a ELSE id_b END AS doc_id
+    FROM pairs
+    WHERE (id_a % 3 = 1 AND id_b IN (SELECT doc_id FROM k0))
+       OR (id_b % 3 = 1 AND id_a IN (SELECT doc_id FROM k0))
+  ),
+  s1 AS MATERIALIZED (
+    SELECT doc_id FROM documents
+    WHERE doc_id % 3 = 1 AND doc_id NOT IN (SELECT doc_id FROM x1)
+  ),
+  e1 AS MATERIALIZED (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    WHERE id_a IN (SELECT doc_id FROM s1) AND id_b IN (SELECT doc_id FROM s1)
+    UNION
+    SELECT id_b, id_a FROM pairs
+    WHERE id_a IN (SELECT doc_id FROM s1) AND id_b IN (SELECT doc_id FROM s1)
+  ),
+  r1(src, dst) AS (
+    SELECT src, dst FROM e1
+    UNION
+    SELECT r.src, e.dst FROM r1 r JOIN e1 e ON r.dst = e.src
+  ),
+  c1 AS MATERIALIZED (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cl FROM r1 GROUP BY src),
+  k1 AS MATERIALIZED (
+    SELECT s1.doc_id FROM s1
+    LEFT JOIN c1 USING (doc_id)
+    WHERE s1.doc_id = COALESCE(c1.cl, s1.doc_id)
+  ),
+  pub2 AS MATERIALIZED (SELECT doc_id FROM k0 UNION ALL SELECT doc_id FROM k1),
+  x2 AS MATERIALIZED (
+    SELECT DISTINCT CASE WHEN id_a % 3 = 2 THEN id_a ELSE id_b END AS doc_id
+    FROM pairs
+    WHERE (id_a % 3 = 2 AND id_b IN (SELECT doc_id FROM pub2))
+       OR (id_b % 3 = 2 AND id_a IN (SELECT doc_id FROM pub2))
+  ),
+  s2 AS MATERIALIZED (
+    SELECT doc_id FROM documents
+    WHERE doc_id % 3 = 2 AND doc_id NOT IN (SELECT doc_id FROM x2)
+  ),
+  e2 AS MATERIALIZED (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    WHERE id_a IN (SELECT doc_id FROM s2) AND id_b IN (SELECT doc_id FROM s2)
+    UNION
+    SELECT id_b, id_a FROM pairs
+    WHERE id_a IN (SELECT doc_id FROM s2) AND id_b IN (SELECT doc_id FROM s2)
+  ),
+  r2(src, dst) AS (
+    SELECT src, dst FROM e2
+    UNION
+    SELECT r.src, e.dst FROM r2 r JOIN e2 e ON r.dst = e.src
+  ),
+  c2 AS MATERIALIZED (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cl FROM r2 GROUP BY src),
+  k2 AS MATERIALIZED (
+    SELECT s2.doc_id FROM s2
+    LEFT JOIN c2 USING (doc_id)
+    WHERE s2.doc_id = COALESCE(c2.cl, s2.doc_id)
+  )
+SELECT doc_id, CAST(doc_id % 3 + 1 AS INTEGER) AS batch
+FROM (
+  SELECT doc_id FROM k0
+  UNION ALL SELECT doc_id FROM k1
+  UNION ALL SELECT doc_id FROM k2
+)
+ORDER BY doc_id
+"""
+
+
+@register("d19_streaming_dedup_parity", oracle=_D19_ORACLE)
+def d19_streaming_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from censo_escolar_spark.streaming.dedup import (
+        apply_dedup_batch,
+        read_published,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    state = tempfile.mkdtemp(prefix="d19_dedup_state_")
+    for bid in (1, 2, 3):
+        batch = docs.filter(F.col("doc_id") % 3 == bid - 1).select(
+            "doc_id", "text"
+        )
+        apply_dedup_batch(batch, bid, state_dir=state, threshold=0.5)
+    final = read_published(spark, state)
+    return final.select(
+        "doc_id", (F.col("doc_id") % 3 + 1).cast("int").alias("batch")
+    ).orderBy("doc_id")

@@ -1087,35 +1087,65 @@ def q34_nations_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q35 — bivariate statistics: corr / covar_samp / linear regression, all
-# streaming co-moment aggregates (single pass, partial+final merge — no
-# materialized intermediate, scale-free).
+# q35 — bivariate statistics: corr / covar_samp / linear regression,
+# single pass, partial+final merge, scale-free. Built from the five
+# EXACT DECIMAL moment sums (Σx, Σy, Σxy, Σxx, Σyy — q64's scheme)
+# rather than the engines' native streaming co-moment aggregates:
+# those fold doubles in partial-merge order, so corr()'s last ulps
+# vary across partitionings and across engines. Here every cross-row
+# sum is a decimal; each statistic is ONE fixed IEEE expression shared
+# textually with the oracle.
 # ---------------------------------------------------------------------------
 @register(
     "q35_price_quantity_regression",
     oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                 * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+      FROM lineitem GROUP BY l_returnflag
+    )
     SELECT l_returnflag,
-      corr(CAST(l_extendedprice AS DOUBLE), CAST(l_quantity AS DOUBLE)) AS corr_pq,
-      covar_samp(CAST(l_extendedprice AS DOUBLE), CAST(l_quantity AS DOUBLE)) AS cov_pq,
-      regr_slope(CAST(l_extendedprice AS DOUBLE), CAST(l_quantity AS DOUBLE)) AS slope,
-      regr_intercept(CAST(l_extendedprice AS DOUBLE), CAST(l_quantity AS DOUBLE)) AS icept
-    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+      (n * sxy - sx * sy)
+        / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_pq,
+      (sxy - sx * sy / n) / (n - 1) AS cov_pq,
+      (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+      (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS icept
+    FROM s ORDER BY l_returnflag
     """,
 )
 def q35_price_quantity_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
-    y = F.col("l_extendedprice").cast("double")
-    x = F.col("l_quantity").cast("double")
-    return (
-        l.groupBy("l_returnflag")
-        .agg(
-            F.corr(y, x).alias("corr_pq"),
-            F.covar_samp(y, x).alias("cov_pq"),
-            F.regr_slope(y, x).alias("slope"),
-            F.regr_intercept(y, x).alias("icept"),
-        )
-        .orderBy("l_returnflag")
+    x = _dec("l_quantity")
+    y = _dec("l_extendedprice")
+    s = l.groupBy("l_returnflag").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(y * x).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
     )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        "l_returnflag",
+        (
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+        ).alias("corr_pq"),
+        ((sxy - sx * sy / n) / (n - 1)).alias("cov_pq"),
+        slope.alias("slope"),
+        ((sy - slope * sx) / n).alias("icept"),
+    ).orderBy("l_returnflag")
 
 
 # ---------------------------------------------------------------------------
@@ -1216,11 +1246,16 @@ def q38_price_percentiles_by_brand(spark: SparkSession, sf_dir: str) -> DataFram
 # full-corpus avg-per-partkey never materializes — at 100 TB the
 # aggregation runs over only the ~0.1% of lineitem that can survive the
 # final join. One shuffle (per-part avg), one broadcast-rejoin.
+# Exactness: the revenue sum is DECIMAL (a raw double sum would be
+# fold-order-dependent); the avg-quantity threshold may stay double
+# because quantities are integer-valued — their double sum is exact in
+# any order, so the avg and the 0.2× cut are engine-identical.
 # ---------------------------------------------------------------------------
 @register(
     "q39_small_quantity_revenue",
     oracle="""
-    SELECT CAST(SUM(l_extendedprice) / 7.0 AS DOUBLE) AS avg_yearly
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / 7.0 AS avg_yearly
     FROM lineitem, part
     WHERE p_partkey = l_partkey
       AND p_brand = 'Brand#1' AND p_size < 15
@@ -1244,7 +1279,8 @@ def q39_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         touched.join(F.broadcast(limits), "l_partkey")
         .filter(F.col("l_quantity").cast("double") < F.col("qty_limit"))
         .agg(
-            (F.sum(F.col("l_extendedprice").cast("double")) / F.lit(7.0)).alias("avg_yearly")
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0))
+            .alias("avg_yearly")
         )
     )
 
@@ -1259,7 +1295,9 @@ def q39_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q40_salted_join_brand_revenue",
     oracle="""
     SELECT p_brand,
-      CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE) AS revenue,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        AS revenue,
       CAST(COUNT(*) AS BIGINT) AS n_lines
     FROM lineitem JOIN part ON l_partkey = p_partkey
     GROUP BY p_brand
@@ -1270,10 +1308,16 @@ def q40_salted_join_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
     li = load_table(spark, sf_dir, "lineitem").withColumnRenamed("l_partkey", "p_partkey")
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     joined = salted_join(li, p, ["p_partkey"], salt_from="l_orderkey", n_salts=8)
-    rev = F.col("l_extendedprice").cast("double") * (1 - F.col("l_discount").cast("double"))
+    # exact-decimal revenue: a double product summed across rows would be
+    # fold-order-dependent (and salt-count-dependent — the very thing the
+    # salted-join contract forbids)
+    rev = _dec("l_extendedprice") * (1 - _dec("l_discount"))
     return (
         joined.groupBy("p_brand")
-        .agg(F.sum(rev).alias("revenue"), F.count("*").alias("n_lines"))
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
         .orderBy("p_brand")
     )
 
@@ -1863,22 +1907,27 @@ def q52_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q53 — ratio-to-report: each nation's share of its region's total
 # account balance, plus its rank within the region. The share is a
 # window SUM over the region partition — no self-join against the
-# aggregate, one shuffle on the partition key.
+# aggregate, one shuffle on the partition key. The balance stays
+# DECIMAL through BOTH the groupBy and the window sum (a double window
+# sum would fold in partition-arrival order); each output is one final
+# double cast / division.
 # ---------------------------------------------------------------------------
 @register(
     "q53_ratio_to_report",
     oracle="""
     WITH nat AS (
       SELECT n.n_name, r.r_name,
-        CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS nation_bal
+        SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS nb
       FROM customer c
       JOIN nation n ON c.c_nationkey = n.n_nationkey
       JOIN region r ON n.n_regionkey = r.r_regionkey
       GROUP BY n.n_name, r.r_name
     )
-    SELECT r_name, n_name, nation_bal,
-      nation_bal / SUM(nation_bal) OVER (PARTITION BY r_name) AS region_share,
-      CAST(rank() OVER (PARTITION BY r_name ORDER BY nation_bal DESC, n_name)
+    SELECT r_name, n_name,
+      CAST(nb AS DOUBLE) AS nation_bal,
+      CAST(nb AS DOUBLE)
+        / CAST(SUM(nb) OVER (PARTITION BY r_name) AS DOUBLE) AS region_share,
+      CAST(rank() OVER (PARTITION BY r_name ORDER BY nb DESC, n_name)
            AS INT) AS region_rank
     FROM nat
     ORDER BY r_name, region_rank
@@ -1892,16 +1941,19 @@ def q53_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name", "r_name")
-        .agg(F.sum(F.col("c_acctbal").cast(DEC)).cast("double").alias("nation_bal"))
+        .agg(F.sum(F.col("c_acctbal").cast(DEC)).alias("nb"))
     )
     w = Window.partitionBy("r_name")
     return nat.select(
         "r_name",
         "n_name",
-        "nation_bal",
-        (F.col("nation_bal") / F.sum("nation_bal").over(w)).alias("region_share"),
+        F.col("nb").cast("double").alias("nation_bal"),
+        (
+            F.col("nb").cast("double")
+            / F.sum("nb").over(w).cast("double")
+        ).alias("region_share"),
         F.rank()
-        .over(w.orderBy(F.desc("nation_bal"), F.asc("n_name")))
+        .over(w.orderBy(F.desc("nb"), F.asc("n_name")))
         .cast("int")
         .alias("region_rank"),
     ).orderBy("r_name", "region_rank")
@@ -2197,49 +2249,87 @@ def q57_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # q58 — winsorized group statistics: order-price means per priority with
-# tails clipped to the group's exact [p05, p95]. The percentile pass and
-# the clipped-mean pass are two partial-aggregated groupBys on the SAME
-# key joined back (the bounds frame is group-cardinality-sized and
-# broadcasts); sums stay decimal-exact with one final double division.
-# Robust-stats shape: outlier handling without a sort or a window.
+# tails clipped to the group's [p05, p95]. Percentiles are DISCRETE
+# (nearest-rank: the value at row ceil(p·n) of the group's price
+# order) computed in integer-cents space — interpolated quantiles are
+# arbitrary binary doubles whose decimal rounding can land on a cent
+# boundary where engines disagree (the q62 failure mode), and the two
+# engines' lerp formulas need not agree in the last ulp. Ranks come
+# from the two-phase grouped_row_number (operators/ranking.py) so the
+# 5-value priority key never funnels a group through one task; the
+# clipped sum is exact BIGINT cents with one final double division.
+# Robust-stats shape: outlier handling with a bounded-cardinality rank
+# pass, no interpolation, no float accumulation.
 # ---------------------------------------------------------------------------
 @register(
     "q58_winsorized_stats",
     oracle="""
-    WITH b AS (
+    WITH px AS (
+      SELECT o_orderpriority, o_orderkey,
+        CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    ranked AS (
+      SELECT o_orderpriority, cents,
+        ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                           ORDER BY cents, o_orderkey) AS rn,
+        COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM px
+    ),
+    b AS (
       SELECT o_orderpriority,
-        CAST(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.05) AS DOUBLE) AS p05,
-        CAST(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.95) AS DOUBLE) AS p95
-      FROM orders GROUP BY o_orderpriority
+        MIN(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.05 * n) AS BIGINT))
+                 THEN cents END) AS lo,
+        MIN(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.95 * n) AS BIGINT))
+                 THEN cents END) AS hi
+      FROM ranked GROUP BY o_orderpriority
     )
-    SELECT o.o_orderpriority,
+    SELECT p.o_orderpriority,
       CAST(COUNT(*) AS BIGINT) AS n_orders,
-      CAST(CAST(SUM(CAST(LEAST(GREATEST(CAST(o.o_totalprice AS DOUBLE), b.p05),
-                               b.p95) AS DECIMAL(18,2))) AS DOUBLE)
-        / COUNT(*) AS DOUBLE) AS winsorized_avg,
-      CAST(SUM(CASE WHEN CAST(o.o_totalprice AS DOUBLE) < b.p05
-                      OR CAST(o.o_totalprice AS DOUBLE) > b.p95
+      CAST(SUM(LEAST(GREATEST(p.cents, b.lo), b.hi)) AS DOUBLE)
+        / 100.0 / COUNT(*) AS winsorized_avg,
+      CAST(SUM(CASE WHEN p.cents < b.lo OR p.cents > b.hi
                     THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
-    FROM orders o JOIN b USING (o_orderpriority)
-    GROUP BY o.o_orderpriority
-    ORDER BY o.o_orderpriority
+    FROM px p JOIN b USING (o_orderpriority)
+    GROUP BY p.o_orderpriority
+    ORDER BY p.o_orderpriority
     """,
 )
 def q58_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from censo_escolar_spark.operators.ranking import grouped_row_number
+
     o = load_table(spark, sf_dir, "orders")
-    price = F.col("o_totalprice").cast("double")
-    bounds = o.groupBy("o_orderpriority").agg(
-        F.percentile(price, F.lit(0.05)).alias("p05"),
-        F.percentile(price, F.lit(0.95)).alias("p95"),
+    cents = F.round(F.col("o_totalprice").cast("double") * 100).cast("bigint")
+    base = o.select("o_orderpriority", "o_orderkey", cents.alias("cents"))
+    ranked = grouped_row_number(
+        base,
+        "o_orderpriority",
+        [F.col("cents"), F.col("o_orderkey")],
+        out_col="rn",
     )
-    clipped = F.least(F.greatest(price, F.col("p05")), F.col("p95")).cast(DEC)
-    out_of_range = (price < F.col("p05")) | (price > F.col("p95"))
-    return (
-        o.join(F.broadcast(bounds), "o_orderpriority")
+    kb = base.groupBy("o_orderpriority").agg(
+        F.greatest(F.lit(1).cast("bigint"), F.ceil(F.lit(0.05) * F.count("*")))
+        .alias("k05"),
+        F.greatest(F.lit(1).cast("bigint"), F.ceil(F.lit(0.95) * F.count("*")))
+        .alias("k95"),
+    )
+    bounds = (
+        ranked.join(F.broadcast(kb), "o_orderpriority")
+        .filter((F.col("rn") == F.col("k05")) | (F.col("rn") == F.col("k95")))
         .groupBy("o_orderpriority")
         .agg(
-            F.count("*").alias("n_orders"),
-            (F.sum(clipped).cast("double") / F.count("*")).alias(
+            F.min(F.when(F.col("rn") == F.col("k05"), F.col("cents"))).alias("lo"),
+            F.min(F.when(F.col("rn") == F.col("k95"), F.col("cents"))).alias("hi"),
+        )
+    )
+    clipped = F.least(F.greatest(F.col("cents"), F.col("lo")), F.col("hi"))
+    out_of_range = (F.col("cents") < F.col("lo")) | (F.col("cents") > F.col("hi"))
+    return (
+        base.join(F.broadcast(bounds), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            (F.sum(clipped).cast("double") / F.lit(100.0) / F.count("*")).alias(
                 "winsorized_avg"
             ),
             F.sum(F.when(out_of_range, 1).otherwise(0))
@@ -2329,25 +2419,36 @@ def q59_topn_with_others(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ('U'), deletes on orderkey%97=0 ('D'), clones under orderkey+10M on
 # orderkey%500=1 ('I') — then summarize the merged table per status.
 # One full-outer hash join on the key (NOT anti-join+union+except),
-# the plan a bucketed base table would run exchange-free. Price math
-# is ONE double multiply (bit-identical cross-engine); the summary sums
-# in exact decimal before a single double cast.
+# the plan a bucketed base table would run exchange-free. Price math is
+# EXACT DECIMAL end-to-end: the 1.1 bump multiplies DECIMAL(18,2) by
+# DECIMAL(3,1) (never a double multiply — Spark and DuckDB round a
+# double->decimal cent boundary differently), every branch carries
+# DECIMAL(19,3), the summary sums in decimal and casts to double ONCE.
 # ---------------------------------------------------------------------------
 @register(
     "q62_merge_upsert",
     oracle="""
-    WITH cdc AS (
+    WITH based AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+        CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(19,3))
+          AS o_totalprice,
+        o_orderdate, o_orderpriority
+      FROM orders
+    ),
+    cdc AS (
       SELECT o_orderkey, 'U' AS op, o_custkey, o_orderstatus,
-        o_totalprice * 1.1 AS o_totalprice, o_orderdate, o_orderpriority
+        CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST('1.1' AS DECIMAL(3,1))
+             AS DECIMAL(19,3)) AS o_totalprice,
+        o_orderdate, o_orderpriority
       FROM orders WHERE o_orderkey % 7 = 3 AND o_orderkey % 97 != 0
       UNION ALL
       SELECT o_orderkey, 'D', o_custkey, o_orderstatus, o_totalprice,
         o_orderdate, o_orderpriority
-      FROM orders WHERE o_orderkey % 97 = 0
+      FROM based WHERE o_orderkey % 97 = 0
       UNION ALL
       SELECT o_orderkey + 10000000, 'I', o_custkey, 'N', o_totalprice,
         o_orderdate, o_orderpriority
-      FROM orders WHERE o_orderkey % 500 = 1
+      FROM based WHERE o_orderkey % 500 = 1
     ),
     merged AS (
       SELECT COALESCE(c.o_orderkey, b.o_orderkey) AS o_orderkey,
@@ -2355,12 +2456,12 @@ def q59_topn_with_others(spark: SparkSession, sf_dir: str) -> DataFrame:
              ELSE b.o_orderstatus END AS o_orderstatus,
         CASE WHEN c.op IN ('U','I') THEN c.o_totalprice
              ELSE b.o_totalprice END AS o_totalprice
-      FROM orders b FULL OUTER JOIN cdc c USING (o_orderkey)
+      FROM based b FULL OUTER JOIN cdc c USING (o_orderkey)
       WHERE c.op IS NULL OR c.op IN ('U','I')
     )
     SELECT o_orderstatus,
       CAST(COUNT(*) AS BIGINT) AS n_orders,
-      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      CAST(SUM(o_totalprice) AS DOUBLE) AS total_price
     FROM merged GROUP BY o_orderstatus
     ORDER BY o_orderstatus
     """,
@@ -2368,11 +2469,20 @@ def q59_topn_with_others(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q62_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from censo_escolar_spark.operators.merge import merge_upsert
 
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "o_totalprice",
+        F.col("o_totalprice").cast("decimal(18,2)").cast("decimal(19,3)"),
+    )
     key = F.col("o_orderkey")
     updates = (
         o.filter((key % 7 == 3) & (key % 97 != 0))
-        .withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
+        .withColumn(
+            "o_totalprice",
+            (
+                F.col("o_totalprice").cast("decimal(18,2)")
+                * F.lit("1.1").cast("decimal(3,1)")
+            ).cast("decimal(19,3)"),
+        )
         .withColumn("op", F.lit("U"))
     )
     deletes = o.filter(key % 97 == 0).withColumn("op", F.lit("D"))
@@ -2388,9 +2498,7 @@ def q62_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged.groupBy("o_orderstatus")
         .agg(
             F.count("*").cast("bigint").alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-            .cast("double")
-            .alias("total_price"),
+            F.sum("o_totalprice").cast("double").alias("total_price"),
         )
         .orderBy("o_orderstatus")
     )
@@ -2696,9 +2804,13 @@ def q67_ab_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q68 — period-over-period revenue: monthly order revenue with
 # month-over-month (within the calendar year) and year-over-year (same
 # month, previous year) comparisons. The BI time-comparison staple.
-# The fact table collapses to one row per month BEFORE any window runs;
-# both lags then partition the tiny series (by year for MoM, by
-# month-of-year for YoY) — no unpartitioned window, no self-join.
+# The fact table collapses to one row per month BEFORE anything else
+# runs; MoM and YoY then come from two broadcast self-joins of that
+# tiny series on calendar arithmetic (month-1, month-12) — strict
+# "previous calendar month / same month previous year" semantics, so
+# Dec→Jan growth IS reported (a year-partitioned lag would NULL every
+# January) and a missing month yields NULL rather than silently
+# comparing to an older period. No window at all — nothing to skew.
 # Revenue sums are exact decimals; each growth ratio is one double
 # division then one subtraction, shared op-for-op with the oracle.
 # ---------------------------------------------------------------------------
@@ -2711,12 +2823,12 @@ def q67_ab_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders GROUP BY 1
     ),
     laged AS (
-      SELECT month, revenue,
-        LAG(revenue) OVER (PARTITION BY EXTRACT(year FROM month)
-                           ORDER BY month) AS prev_month_rev,
-        LAG(revenue) OVER (PARTITION BY EXTRACT(month FROM month)
-                           ORDER BY month) AS prev_year_rev
-      FROM monthly
+      SELECT m.month, m.revenue,
+        pm.revenue AS prev_month_rev,
+        py.revenue AS prev_year_rev
+      FROM monthly m
+      LEFT JOIN monthly pm ON pm.month + INTERVAL 1 MONTH = m.month
+      LEFT JOIN monthly py ON py.month + INTERVAL 12 MONTH = m.month
     )
     SELECT month, revenue, prev_month_rev, prev_year_rev,
       revenue / prev_month_rev - 1 AS mom_growth,
@@ -2731,13 +2843,20 @@ def q68_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
         .agg(F.sum(_dec("o_totalprice")).cast("double").alias("revenue"))
     )
-    w_mom = Window.partitionBy(F.year("month")).orderBy("month")
-    w_yoy = Window.partitionBy(F.month("month")).orderBy("month")
-    lagged = monthly.select(
-        "month",
-        "revenue",
-        F.lag("revenue").over(w_mom).alias("prev_month_rev"),
-        F.lag("revenue").over(w_yoy).alias("prev_year_rev"),
+    pm = monthly.select(
+        F.add_months("month", 1).cast("timestamp").alias("pm_month"),
+        F.col("revenue").alias("prev_month_rev"),
+    )
+    py = monthly.select(
+        F.add_months("month", 12).cast("timestamp").alias("py_month"),
+        F.col("revenue").alias("prev_year_rev"),
+    )
+    lagged = (
+        monthly.join(
+            F.broadcast(pm), F.col("month") == F.col("pm_month"), "left"
+        )
+        .join(F.broadcast(py), F.col("month") == F.col("py_month"), "left")
+        .select("month", "revenue", "prev_month_rev", "prev_year_rev")
     )
     return lagged.select(
         "month",
@@ -2803,9 +2922,11 @@ def q70_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # share. The antitrust/assortment-concentration metric. Determinism
 # discipline: HHI = Σrᵢ²/(Σrᵢ)² over EXACT decimal revenue sums — the
 # naive Σ(shareᵢ²) sums floats across rows (fold-order-dependent);
-# here both Σrᵢ² and Σrᵢ are exact decimals, cast to double once, and
-# combined in ONE fixed expression. Two partial-aggregated groupBys,
-# dims broadcast.
+# here both Σrᵢ² and Σrᵢ are exact decimals — rᵢ² multiplies
+# DECIMAL(18,2) by itself (scale-4 decimal, never an IEEE product, so
+# the cross-row sum is fold-order independent) — cast to double once,
+# and combined in ONE fixed expression. Two partial-aggregated
+# groupBys, dims broadcast.
 # ---------------------------------------------------------------------------
 @register(
     "q71_market_concentration",
@@ -2819,8 +2940,8 @@ def q70_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     m AS (
       SELECT brand,
         CAST(COUNT(*) AS BIGINT) AS n_suppliers,
-        CAST(SUM(CAST(rev AS DOUBLE) * CAST(rev AS DOUBLE)) AS DOUBLE)
-          AS sum_sq,
+        CAST(SUM(CAST(rev AS DECIMAL(16,2)) * CAST(rev AS DECIMAL(16,2)))
+             AS DOUBLE) AS sum_sq,
         CAST(SUM(rev) AS DOUBLE) AS tot,
         CAST(MAX(rev) AS DOUBLE) AS top_rev
       FROM sb GROUP BY brand
@@ -2839,10 +2960,10 @@ def q71_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("p_brand").alias("brand"), "l_suppkey")
         .agg(F.sum(_dec("l_extendedprice")).alias("rev"))
     )
-    rev_d = F.col("rev").cast("double")
+    rev_n = F.col("rev").cast("decimal(16,2)")
     m = sb.groupBy("brand").agg(
         F.count("*").cast("bigint").alias("n_suppliers"),
-        F.sum(rev_d * rev_d).cast("double").alias("sum_sq"),
+        F.sum(rev_n * rev_n).cast("double").alias("sum_sq"),
         F.sum("rev").cast("double").alias("tot"),
         F.max("rev").cast("double").alias("top_rev"),
     )
@@ -2852,3 +2973,124 @@ def q71_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("sum_sq") / (F.col("tot") * F.col("tot"))).alias("hhi"),
         (F.col("top_rev") / F.col("tot")).alias("top_share"),
     ).orderBy("brand")
+
+
+# ---------------------------------------------------------------------------
+# q72 — streaming MERGE maintenance parity: three CDC micro-batches
+# (full load, then update/delete, then update/re-insert waves, all
+# derived deterministically from `orders`) are applied through the
+# streaming maintainer's foreachBatch body (streaming/merge.py::
+# apply_merge_batch — versioned snapshots, within-batch last-image
+# compaction, full-outer MERGE), and the FINAL snapshot is summarized.
+# The oracle recomputes the same final state declaratively: rank every
+# CDC row per key by (batch DESC, seq DESC, op DESC), keep rn=1 rows
+# whose op isn't 'D'. This puts the streaming upkeep operator itself
+# under the hash-compare gate (batch-equivalence), not just pytest.
+# Price math is exact decimal end-to-end (the q62 discipline): bumps
+# multiply DECIMAL(18,2) by one-decimal DECIMAL literals, every image
+# carries DECIMAL(19,3) (no rounding anywhere), summary sums in
+# decimal and casts to double once.
+# ---------------------------------------------------------------------------
+@register(
+    "q72_streaming_merge_parity",
+    oracle="""
+    WITH based AS (
+      SELECT o_orderkey AS k, o_orderstatus AS st,
+        CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(19,3)) AS pr
+      FROM orders
+    ),
+    cdc AS (
+      SELECT k, 1 AS b, 1 AS seq, 'I' AS op, st, pr FROM based
+      UNION ALL
+      SELECT k, 2, 1, 'U', st,
+        CAST(CAST(pr AS DECIMAL(18,2)) * CAST('1.1' AS DECIMAL(3,1))
+             AS DECIMAL(19,3))
+      FROM based WHERE k % 5 = 2
+      UNION ALL
+      SELECT k, 2, 2, 'D', st, pr FROM based WHERE k % 11 = 0
+      UNION ALL
+      SELECT k, 3, 1, 'U', st,
+        CAST(CAST(pr AS DECIMAL(18,2)) * CAST('1.2' AS DECIMAL(2,1))
+             AS DECIMAL(19,3))
+      FROM based WHERE k % 7 = 3
+      UNION ALL
+      SELECT k, 3, 2, 'I', 'N', pr FROM based WHERE k % 33 = 0
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY k
+                  ORDER BY b DESC, seq DESC, op DESC) AS rn
+      FROM cdc
+    ),
+    final AS (SELECT k, st, pr FROM ranked WHERE rn = 1 AND op != 'D')
+    SELECT st AS o_orderstatus,
+      CAST(COUNT(*) AS BIGINT) AS n_orders,
+      CAST(SUM(pr) AS DOUBLE) AS total_price
+    FROM final GROUP BY st ORDER BY st
+    """,
+)
+def q72_streaming_merge_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from censo_escolar_spark.streaming.merge import (
+        apply_merge_batch,
+        read_merged_state,
+    )
+
+    schema = "o_orderkey bigint, o_orderstatus string, o_totalprice decimal(19,3)"
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").cast("decimal(19,3)")
+        .alias("o_totalprice"),
+    )
+    k = F.col("o_orderkey")
+    dec2 = F.col("o_totalprice").cast("decimal(18,2)")
+    b1 = o.withColumn("op", F.lit("I")).withColumn("seq", F.lit(1))
+    b2 = (
+        o.filter(k % 5 == 2)
+        .withColumn(
+            "o_totalprice",
+            (dec2 * F.lit("1.1").cast("decimal(3,1)")).cast("decimal(19,3)"),
+        )
+        .withColumn("op", F.lit("U"))
+        .withColumn("seq", F.lit(1))
+        .unionByName(
+            o.filter(k % 11 == 0)
+            .withColumn("op", F.lit("D"))
+            .withColumn("seq", F.lit(2))
+        )
+    )
+    b3 = (
+        o.filter(k % 7 == 3)
+        .withColumn(
+            "o_totalprice",
+            (dec2 * F.lit("1.2").cast("decimal(2,1)")).cast("decimal(19,3)"),
+        )
+        .withColumn("op", F.lit("U"))
+        .withColumn("seq", F.lit(1))
+        .unionByName(
+            o.filter(k % 33 == 0)
+            .withColumn("o_orderstatus", F.lit("N"))
+            .withColumn("op", F.lit("I"))
+            .withColumn("seq", F.lit(2))
+        )
+    )
+    state = tempfile.mkdtemp(prefix="q72_merge_state_")
+    for bid, batch in ((1, b1), (2, b2), (3, b3)):
+        apply_merge_batch(
+            batch,
+            bid,
+            state_dir=state,
+            key_col="o_orderkey",
+            seq_col="seq",
+            schema=schema,
+        )
+    final = read_merged_state(spark, state, schema=schema)
+    return (
+        final.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("o_totalprice").cast("double").alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )

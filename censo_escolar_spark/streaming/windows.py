@@ -148,7 +148,18 @@ def interval_join(
     of its match interval, since before that a matching right row could
     still arrive. Outer results therefore trail the watermark; tests
     must advance it (later data or stream end) to observe them.
+
+    Only ``inner`` and ``leftOuter`` are accepted: the interval bound
+    is written for the LEFT side's timeline, so a right/full outer join
+    would silently emit unmatched RIGHT rows under an asymmetric
+    constraint never defined for them (swap the inputs to get
+    right-outer semantics).
     """
+    if how not in ("inner", "leftOuter"):
+        raise ValueError(
+            "interval_join supports how='inner' or 'leftOuter' only "
+            f"(got {how!r}); swap left/right for right-outer semantics"
+        )
     l = left.withWatermark(left_ts, watermark).alias("l")
     r = right.withWatermark(right_ts, watermark).alias("r")
     cond = (

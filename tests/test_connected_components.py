@@ -28,12 +28,24 @@ def test_multiple_components_and_min_label(spark):
 
 
 def test_max_iter_raises_instead_of_wrong_labels(spark):
-    # a 6-chain needs ~3 doubling-free propagation rounds; max_iter=1 must raise
+    # a 20-chain can't finish in one propagate+jump round; max_iter=1 must raise
     edges = spark.createDataFrame(
-        [(i, i + 1) for i in range(1, 7)], "id_a long, id_b long"
+        [(i, i + 1) for i in range(1, 21)], "id_a long, id_b long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, max_iter=1)
+
+
+def test_long_path_converges_logarithmically(spark):
+    # 1,000-node path graph: plain propagation needs ~999 rounds (the
+    # adversarial worst case the pointer-jump step exists for); with
+    # path compression it must converge within 12 rounds.
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 1000)], "id_a long, id_b long"
+    )
+    got = _labels(connected_components(edges, max_iter=12))
+    assert set(got.values()) == {1}
+    assert len(got) == 1000
 
 
 def test_dedup_clusters_singletons_keep_own_id(spark):
