@@ -1362,9 +1362,13 @@ def s07_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )  # 8×64 floats — constant-sized driver pull, broadcast into the UDF
     centroids = np.array([r.embedding for r in seeds], dtype=np.float64)
     assigned = similarity.ivf_assign(emb, centroids)
-    cent_lit = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
-    )
+    if len(centroids) == 0:
+        # empty corpus: keep the expression typed (array() alone is VOID)
+        cent_lit = F.lit(None).cast("array<array<double>>")
+    else:
+        cent_lit = F.array(
+            *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+        )
     cvec = F.element_at(cent_lit, F.col("__centroid_id") + 1)
     cos_exact = cosine(as_double_array("embedding"), cvec)
     sc = F.round(cos_exact * F.lit(1e12)).cast("decimal(38,0)")
@@ -3546,3 +3550,67 @@ def d19_streaming_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.select(
         "doc_id", (F.col("doc_id") % 3 + 1).cast("int").alias("batch")
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# t33 — temperature-reweighted language mixture: the multilingual
+# sampling-weight computation (XLM-R §3.1 family): per language,
+# p_lang = token share, reweighted by temperature α = 0.5 —
+# q_lang ∝ p_lang^0.5 — and renormalized; boost = q/p is the up/down-
+# sampling factor low-resource languages receive. α is FIXED at 0.5
+# because sqrt is correctly rounded in IEEE (bit-identical across
+# engines) while pow(x, 0.3) need not be; the normalizing denominator
+# is a cross-row sum, so each sqrt(p) is quantized to an exact 1e15
+# integer first (fold-order-free BIGINT sum, q is one division of
+# exact integers). One scan for token counts, one 6-row rollup.
+# ---------------------------------------------------------------------------
+@register(
+    "t33_mixture_reweighting",
+    oracle="""
+    WITH counts AS (
+      SELECT lang,
+        CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS n FROM counts),
+    s AS (
+      SELECT lang, n_tokens,
+        CAST(n_tokens AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+        CAST(round(sqrt(CAST(n_tokens AS DOUBLE) / CAST(n AS DOUBLE))
+                   * 1000000000000000.0) AS BIGINT) AS sq
+      FROM counts CROSS JOIN tot
+    ),
+    z AS (SELECT CAST(SUM(sq) AS BIGINT) AS zsum FROM s)
+    SELECT lang, n_tokens, p,
+      CAST(sq AS DOUBLE) / CAST(zsum AS DOUBLE) AS q,
+      CAST(sq AS DOUBLE) / CAST(zsum AS DOUBLE) / p AS boost
+    FROM s CROSS JOIN z
+    ORDER BY lang
+    """,
+)
+def t33_mixture_reweighting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens")
+    )
+    tot = counts.agg(F.sum("n_tokens").cast("bigint").alias("n"))
+    p = F.col("n_tokens").cast("double") / F.col("n").cast("double")
+    s = counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_tokens",
+        p.alias("p"),
+        F.round(F.sqrt(p) * F.lit(1e15)).cast("bigint").alias("sq"),
+    )
+    z = s.agg(F.sum("sq").cast("bigint").alias("zsum"))
+    q = F.col("sq").cast("double") / F.col("zsum").cast("double")
+    return (
+        s.crossJoin(F.broadcast(z))
+        .select(
+            "lang",
+            "n_tokens",
+            "p",
+            q.alias("q"),
+            (q / F.col("p")).alias("boost"),
+        )
+        .orderBy("lang")
+    )
