@@ -821,3 +821,39 @@ def cosine_range(
             "cos",
         )
     )
+
+
+def sign_projection_matrix(out_dim: int, in_dim: int, seed: int = 19) -> np.ndarray:
+    """Deterministic ±1 random-projection matrix (Achlioptas 2003 sign
+    variant of Johnson–Lindenstrauss): entry (k, j) is +1/−1 by one bit
+    of the splitmix64 stream — no RNG state, reproducible everywhere,
+    and replicable as a plain literal in any SQL oracle."""
+    bits = splitmix64(seed, out_dim * in_dim)
+    return np.where(bits & np.uint64(1), 1.0, -1.0).reshape(out_dim, in_dim)
+
+
+def project_signs(
+    df: DataFrame,
+    matrix: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "proj",
+) -> DataFrame:
+    """Project embeddings through a constant ±1 sign matrix — the
+    dimensionality-reduction half of JL-style ANN (store/search 16
+    dims instead of 64; cosine ranks are approximately preserved).
+
+    Each output coordinate is one exact left-to-right fold against a
+    broadcast constant row (no GEMM: projected values must be
+    bit-identical to the oracle's list_dot_product so downstream
+    cosines hash-match; out_dim × in_dim stays small by design — this
+    is a per-row map, zero shuffle)."""
+    from censo_escolar_spark.functions.vectors import as_double_array, dot
+
+    v = as_double_array(vec_col)
+    rows = [F.array(*[F.lit(float(x)) for x in row]) for row in matrix]
+    proj = F.array(*[dot(v, r) for r in rows])
+    return df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col), proj.alias(out_col)
+    )

@@ -3614,3 +3614,83 @@ def t33_mixture_reweighting(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# s19 — random-projection retrieval: embeddings projected 64 → 16 dims
+# through a fixed ±1 sign matrix (Achlioptas/JL; splitmix64-derived,
+# operators/similarity.py::sign_projection_matrix), then exact cosine
+# top-k in the PROJECTED space for the bounded query set. The memory/
+# bandwidth play of embedding pipelines: store and search 4× fewer
+# dims with approximately preserved ranks (recall vs full-dim ranks is
+# asserted in tests). Projection is a per-row map (16 exact folds
+# against broadcast constant rows — bit-identical to the oracle's
+# list_dot_product, which is why there is no GEMM here); retrieval is
+# the s01 broadcast shape. The same constant matrix is inlined into
+# the SQL as a literal, so both engines share it verbatim.
+# ---------------------------------------------------------------------------
+def _s19_matrix_sql() -> str:
+    from censo_escolar_spark.operators.similarity import sign_projection_matrix
+
+    m = sign_projection_matrix(16, 64)
+    rows = ", ".join(
+        "[" + ", ".join(f"{x:.1f}" for x in row) + "]" for row in m
+    )
+    return "[" + rows + "]"
+
+
+_S19_ORACLE = f"""
+    WITH s AS (SELECT {_s19_matrix_sql()} AS S),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+          WHERE embedding IS NOT NULL),
+    p AS (
+      SELECT vec_id, list(list_dot_product(v, s.S[k]) ORDER BY k) AS pv
+      FROM e, s, UNNEST(range(1, 17)) AS u(k)
+      GROUP BY vec_id
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        list_dot_product(q.pv, c.pv) /
+          (sqrt(list_dot_product(q.pv, q.pv))
+           * sqrt(list_dot_product(c.pv, c.pv))) AS cos16
+      FROM p q JOIN p c ON q.vec_id != c.vec_id
+      WHERE q.vec_id < 8
+        AND list_dot_product(q.pv, q.pv) > 0
+        AND list_dot_product(c.pv, c.pv) > 0
+    )
+    SELECT query_id, neighbor_id, cos16, CAST(rnk AS INTEGER) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cos16 DESC, neighbor_id) AS rnk
+      FROM scored
+    )
+    WHERE rnk <= 5
+    ORDER BY query_id, rank
+    """
+
+
+@register("s19_random_projection_topk", oracle=_S19_ORACLE)
+def s19_random_projection_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from censo_escolar_spark.functions.vectors import cosine, dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    mat = similarity.sign_projection_matrix(16, 64)
+    proj = similarity.project_signs(emb, mat)
+    c = proj.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("proj").alias("cv")
+    ).filter(dot(F.col("cv"), F.col("cv")) > 0)
+    q = proj.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("proj").alias("qv")
+    ).filter(dot(F.col("qv"), F.col("qv")) > 0)
+    scored = c.join(
+        F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
+    ).withColumn("cos16", cosine(F.col("qv"), F.col("cv")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos16"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "cos16", "rank")
+        .orderBy("query_id", "rank")
+    )

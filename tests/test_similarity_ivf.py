@@ -204,3 +204,48 @@ def test_ivf_knn_join_recall_vs_exact(spark, emb):
         for r in S.knn_join(sub, k=3).collect()
     }
     assert exhaustive == exact_ranked  # nprobe = C degrades to exact
+
+
+# --- random projection (s19) -------------------------------------------
+
+
+def test_sign_projection_matches_numpy(spark, emb):
+    mat = S.sign_projection_matrix(16, 64)
+    got = {
+        r.vec_id: np.array(r.proj)
+        for r in S.project_signs(emb, mat).collect()
+    }
+    raw = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in emb.filter(F.col("embedding").isNotNull()).collect()
+    }
+    for vid, v in raw.items():
+        np.testing.assert_allclose(got[vid], mat @ v, rtol=1e-9)
+
+
+def test_sign_projection_shortlist_recall(spark, emb):
+    """JL contract in its production shape: the projected space is a
+    CANDIDATE generator (shortlist top-50, exact re-rank full-dim).
+    True top-5 neighbors must land in the projected top-50 well above
+    chance. (Exact top-5-to-top-5 overlap is NOT asserted: the fixture
+    embeddings are near-random, so 16-dim distortion swamps the tiny
+    neighbor gaps — the shortlist is what the operator promises.)"""
+    mat = S.sign_projection_matrix(16, 64)
+    raw = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in emb.filter(F.col("embedding").isNotNull()).collect()
+    }
+    ids = sorted(raw)
+    X = np.vstack([raw[i] for i in ids])
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    P = X @ mat.T
+    Pn = P / np.linalg.norm(P, axis=1, keepdims=True)
+    recalls = []
+    for qi in range(min(8, len(ids))):
+        full = (Xn @ Xn[qi]).argsort()[::-1]
+        proj = (Pn @ Pn[qi]).argsort()[::-1]
+        top_full = {ids[j] for j in full[1:6]}
+        shortlist = {ids[j] for j in proj[1:51]}
+        recalls.append(len(top_full & shortlist) / 5)
+    # chance is 50/n (= 0.1 at the 500-row fixture); measured ~0.5
+    assert sum(recalls) / len(recalls) >= 0.3
