@@ -65,7 +65,11 @@ for name in Q:  # registration order, like the real driver
                 if av.dtype.kind == 'f' or bv.dtype.kind == 'f':
                     if not (av.isna() == bv.isna()).all():  # NULL vs 0.0 is a real diff
                         ok_vals = False; print(f"  {name}.{c}: null-mask mismatch")
-                    elif not ((av.fillna(0) - bv.fillna(0)).abs().max() <= 1e-9 * (1+bv.abs().max())):
+                    # 1e-12: the real driver red-flagged q62 at ~3e-10
+                    # relative (cent-level), while engine-identical
+                    # expressions sit at <=1e-15 ulp noise (q64/q67/q71,
+                    # all driver-green) — 1e-12 separates the two classes
+                    elif not ((av.fillna(0) - bv.fillna(0)).abs().max() <= 1e-12 * (1+bv.abs().max())):
                         ok_vals = False; print(f"  {name}.{c}: max diff {(av-bv).abs().max()}")
                 else:
                     def _s(v):
