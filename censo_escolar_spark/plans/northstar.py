@@ -148,8 +148,10 @@ def d05_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the oracle computes the same components by brute-force transitive
 # closure in a recursive CTE.
 # ---------------------------------------------------------------------------
-_D06_ORACLE = f"""
-WITH RECURSIVE {_SQL_SHINGLES},
+# Jaccard>=0.5 pair closure CTEs shared by d06 (labels) and d20 (size
+# histogram): shingles -> exact-Jaccard pairs -> recursive reach ->
+# min-label components.
+_SQL_JACCARD_CLOSURE = f"""{_SQL_SHINGLES},
   sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
   inter AS (
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
@@ -175,7 +177,10 @@ WITH RECURSIVE {_SQL_SHINGLES},
   comp AS (
     SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
     FROM reach GROUP BY src
-  )
+  )"""
+
+_D06_ORACLE = f"""
+WITH RECURSIVE {_SQL_JACCARD_CLOSURE}
 SELECT d.doc_id, CAST(COALESCE(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
 FROM documents d LEFT JOIN comp c USING (doc_id)
 ORDER BY doc_id
@@ -3693,4 +3698,66 @@ def s19_random_projection_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("query_id", "neighbor_id", "cos16", "rank")
         .orderBy("query_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# d20 — duplicate-cluster size histogram: the dedup QA dashboard. From
+# the d06 transitive near-dup clusters (singletons included), the
+# distribution of cluster sizes — how much of the corpus is unique,
+# how heavy the duplication tail is, whether a degenerate giant
+# component exists (the classic symptom of a too-loose threshold or a
+# hot shingle). All counts are exact integers off one extra rollup of
+# the cluster labels; corpus_frac is one final IEEE division against a
+# 1-row total broadcast (q65 pattern). At scale this reads the stored
+# cluster-label table — the histogram is two partial-aggregated
+# groupBys, nothing rescans text.
+# ---------------------------------------------------------------------------
+_D20_ORACLE = f"""
+WITH RECURSIVE {_SQL_JACCARD_CLOSURE},
+  labels AS (
+    SELECT d.doc_id,
+      CAST(COALESCE(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
+    FROM documents d LEFT JOIN comp c USING (doc_id)
+  ),
+  sizes AS (
+    SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+    FROM labels GROUP BY cluster_id
+  ),
+  tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs_total FROM labels)
+SELECT cluster_size,
+  CAST(COUNT(*) AS BIGINT) AS n_clusters,
+  CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs,
+  CAST(cluster_size * COUNT(*) AS DOUBLE) / CAST(n_docs_total AS DOUBLE)
+    AS corpus_frac
+FROM sizes CROSS JOIN tot
+GROUP BY cluster_size, n_docs_total
+ORDER BY cluster_size
+"""
+
+
+@register("d20_cluster_size_histogram", oracle=_D20_ORACLE)
+def d20_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    labels = dedup.dedup_clusters(docs, "doc_id", "text", n=3, threshold=0.5)
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count("*").cast("bigint").alias("cluster_size")
+    )
+    tot = labels.agg(F.count("*").cast("bigint").alias("n_docs_total"))
+    return (
+        sizes.crossJoin(F.broadcast(tot))
+        .groupBy("cluster_size", "n_docs_total")
+        .agg(F.count("*").cast("bigint").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("bigint")
+            .alias("n_docs"),
+            (
+                (F.col("cluster_size") * F.col("n_clusters")).cast("double")
+                / F.col("n_docs_total").cast("double")
+            ).alias("corpus_frac"),
+        )
+        .orderBy("cluster_size")
     )

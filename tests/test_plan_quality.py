@@ -171,6 +171,7 @@ BNL_OK = {
     "t31_vocab_drift",  # 1-row corpus-totals broadcast (q47/q65 pattern)
     "t33_mixture_reweighting",  # two 1-row totals broadcasts (q65 pattern)
     "s19_random_projection_topk",  # bounded query set broadcast (s01 shape)
+    "d20_cluster_size_histogram",  # 1-row corpus-total broadcast (q65 pattern)
 }
 
 

@@ -46,6 +46,9 @@ _TEXT_QUERIES = [
     "t27_weighted_sample",
     "t28_ccnet_buckets",
     "t29_bigram_lm",
+    "t19_bpe_vocab",  # char split parity: Spark split("") vs string_split(w,'')
+    "t30_vocab_stats",
+    "t33_mixture_reweighting",
 ]
 
 
