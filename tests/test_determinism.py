@@ -39,6 +39,15 @@ CASES = [
     "s16_mmr_rerank",
     "g02_triangle_counts",
     "s15_knn_join",
+    # round-4: discrete-rank winsorization (two-phase ranking), streaming
+    # maintenance replays (versioned snapshots), pointer-jump closure
+    # histogram, projected-space ranks
+    "q58_winsorized_stats",
+    "q72_streaming_merge_parity",
+    "d19_streaming_dedup_parity",
+    "e33_streaming_scd2_parity",
+    "d20_cluster_size_histogram",
+    "s19_random_projection_topk",
 ]
 
 
