@@ -58,7 +58,7 @@ _DRIVER_GREEN = {
 _REGRADE_FIRST = ["q62", "m02", "m03", "q13", "q20"]
 
 # Round-4 additions needing their first artifact row.
-_R4_NEW = {"t19", "d19", "q72", "e33", "t33", "s19", "d20"}
+_R4_NEW = {"t19", "d19", "q72", "e33", "t33", "s19", "d20", "s20", "e35"}
 
 
 def _sweep_order(names) -> list[str]:

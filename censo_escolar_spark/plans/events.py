@@ -2083,3 +2083,75 @@ def e33_streaming_scd2_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     for bid, batch in enumerate(batches, start=1):
         apply_scd2_batch(batch, bid, state_dir=state)
     return read_scd2_state(spark, state).orderBy("user_id", "run_id")
+
+
+# ---------------------------------------------------------------------------
+# e35 — late-event (watermark) audit: per source partition (event_type
+# here — each type models a stream partition carrying its own
+# watermark front), how far events arrive behind the running
+# event-time front, in ARRIVAL order (event_id — the generator's
+# arrival sequence). The watermark-tuning diagnostic: the lateness
+# histogram tells you what `withWatermark` delay actually drops.
+# Lateness is an exact MICROSECOND integer against the running-max
+# front (one type-partitioned window); every bucket is an integer
+# count; late_frac is one final IEEE division.
+# ---------------------------------------------------------------------------
+@register(
+    "e35_late_event_audit",
+    oracle="""
+    WITH fronted AS (
+      SELECT event_type, ts, event_id,
+        MAX(ts) OVER (PARTITION BY event_type ORDER BY event_id
+                      ROWS UNBOUNDED PRECEDING) AS front
+      FROM events
+    ),
+    lat AS (
+      SELECT event_type,
+        date_diff('microsecond', ts, front) AS late_us
+      FROM fronted
+    )
+    SELECT event_type,
+      CAST(COUNT(*) AS BIGINT) AS n_events,
+      CAST(SUM(CASE WHEN late_us > 10000000 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_late_10s,
+      CAST(SUM(CASE WHEN late_us > 60000000 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_late_60s,
+      CAST(SUM(CASE WHEN late_us > 600000000 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_late_600s,
+      CAST(MAX(late_us) AS BIGINT) AS max_late_us,
+      CAST(SUM(CASE WHEN late_us > 10000000 THEN 1 ELSE 0 END) AS DOUBLE)
+        / COUNT(*) AS late_frac_10s
+    FROM lat GROUP BY event_type ORDER BY event_type
+    """,
+)
+def e35_late_event_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    front = F.max("ts").over(w)
+    fronted = e.select(
+        "event_type",
+        F.timestamp_diff("MICROSECOND", F.col("ts"), front).alias("late_us"),
+    )
+    late10 = F.when(F.col("late_us") > 10_000_000, 1).otherwise(0)
+    return (
+        fronted.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(late10).cast("bigint").alias("n_late_10s"),
+            F.sum(F.when(F.col("late_us") > 60_000_000, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_late_60s"),
+            F.sum(F.when(F.col("late_us") > 600_000_000, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_late_600s"),
+            F.max("late_us").cast("bigint").alias("max_late_us"),
+            (F.sum(late10).cast("double") / F.count("*")).alias(
+                "late_frac_10s"
+            ),
+        )
+        .orderBy("event_type")
+    )

@@ -3761,3 +3761,121 @@ def d20_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+# ---------------------------------------------------------------------------
+# s20 — binary-embedding retrieval (1-bit quantization): each 64-dim
+# vector collapses to two 32-bit sign words; candidates rank by
+# Hamming distance (bit_count of XOR — pure integer codegen, 16 bytes
+# per vector instead of 512), the top-32 shortlist re-ranks by exact
+# fold cosine, final top-5 by cosine. The memory-bound ANN pattern
+# (binary/embedding-cache search): the scan side touches only packed
+# words, floats are read for the bounded shortlist alone. Sign bits,
+# XOR, bit_count, and the fold cosine are all bit-identical
+# cross-engine, so the whole pipeline hash-matches its SQL replay.
+# ---------------------------------------------------------------------------
+def _s20_word_sql(lo: int, alias: str) -> str:
+    terms = " + ".join(
+        f"CASE WHEN v[{j}] > 0 THEN CAST(2**{j - lo} AS BIGINT) ELSE 0 END"
+        for j in range(lo, lo + 32)
+    )
+    return f"({terms}) AS {alias}"
+
+
+_S20_ORACLE = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE embedding IS NOT NULL),
+    b AS (
+      SELECT vec_id, v, {_s20_word_sql(1, "w0")}, {_s20_word_sql(33, "w1")}
+      FROM e
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        CAST(bit_count(xor(q.w0, c.w0)) + bit_count(xor(q.w1, c.w1))
+             AS INTEGER) AS hamming,
+        q.v AS qv, c.v AS cv
+      FROM b q JOIN b c ON q.vec_id != c.vec_id
+      WHERE q.vec_id < 8
+    ),
+    shortlist AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY hamming, neighbor_id) AS h_rn
+      FROM scored
+    ),
+    reranked AS (
+      SELECT query_id, neighbor_id, hamming,
+        list_dot_product(qv, cv) /
+          (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+          AS cos
+      FROM shortlist WHERE h_rn <= 32
+    )
+    SELECT query_id, neighbor_id, hamming, cos, CAST(rnk AS INTEGER) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, neighbor_id) AS rnk
+      FROM reranked
+    )
+    WHERE rnk <= 5
+    ORDER BY query_id, rank
+    """
+
+
+@register("s20_binary_hamming_topk", oracle=_S20_ORACLE)
+def s20_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    from censo_escolar_spark.functions.vectors import as_double_array, cosine
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    v = as_double_array("embedding")
+
+    def word(lo: int):
+        return reduce(
+            lambda a, b: a + b,
+            [
+                F.when(
+                    F.element_at(v, j) > 0,
+                    F.lit(1 << (j - lo)).cast("bigint"),
+                ).otherwise(F.lit(0).cast("bigint"))
+                for j in range(lo, lo + 32)
+            ],
+        )
+
+    b = emb.select(
+        "vec_id", v.alias("v"), word(1).alias("w0"), word(33).alias("w1")
+    )
+    q = b.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("w0").alias("qw0"),
+        F.col("w1").alias("qw1"),
+    )
+    c = b.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("w0").alias("cw0"),
+        F.col("w1").alias("cw1"),
+    )
+    hamming = (
+        F.bit_count(F.expr("qw0 ^ cw0")) + F.bit_count(F.expr("qw1 ^ cw1"))
+    ).cast("int")
+    scored = c.join(
+        F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
+    ).withColumn("hamming", hamming)
+    wh = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    reranked = (
+        scored.withColumn("h_rn", F.row_number().over(wh))
+        .filter(F.col("h_rn") <= 32)
+        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        reranked.withColumn("rank", F.row_number().over(wc).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "hamming", "cos", "rank")
+        .orderBy("query_id", "rank")
+    )

@@ -172,6 +172,7 @@ BNL_OK = {
     "t33_mixture_reweighting",  # two 1-row totals broadcasts (q65 pattern)
     "s19_random_projection_topk",  # bounded query set broadcast (s01 shape)
     "d20_cluster_size_histogram",  # 1-row corpus-total broadcast (q65 pattern)
+    "s20_binary_hamming_topk",  # bounded query set broadcast (s01 shape)
 }
 
 
