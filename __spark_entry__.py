@@ -57,8 +57,13 @@ _DRIVER_GREEN = {
 # fixed in round 2).
 _REGRADE_FIRST = ["q62", "m02", "m03", "q13", "q20"]
 
-# Round-4 additions needing their first artifact row.
-_R4_NEW = {"t19", "d19", "q72", "e33", "t33", "s19", "d20", "s20", "e35"}
+# Round-4 additions needing their first artifact row. CORE carries the
+# round's verdict asks (t19's new oracle, the three streaming-parity
+# entries, mixture weights); EXTRA holds the optional additions — they
+# rank BELOW the never-graded backlog so the ~50-query window still
+# covers >=45 of the 65 backlog entries (the round-3 verdict target).
+_R4_NEW_CORE = {"t19", "d19", "q72", "e33", "t33"}
+_R4_NEW_EXTRA = {"s19", "d20", "s20", "e35"}
 
 
 def _sweep_order(names) -> list[str]:
@@ -67,19 +72,21 @@ def _sweep_order(names) -> list[str]:
         if p in _REGRADE_FIRST:
             return _REGRADE_FIRST.index(p)
         base = len(_REGRADE_FIRST)
-        if p in _R4_NEW:
+        if p in _R4_NEW_CORE:
             return base
+        if p in _R4_NEW_EXTRA:
+            return base + 4
         if p not in _DRIVER_GREEN:
             # never driver-graded: the relational surface (q26-q59) is
             # the most user-visible — grade it before the events tail,
             # then everything else (s07-s10, t18-t25, d11-d14, m04,
-            # g01, c02) next round if the window runs out
+            # g01, c02), then this round's extras
             if p.startswith("q"):
                 return base + 1
             if p.startswith("e"):
                 return base + 2
             return base + 3
-        return base + 4  # green driver artifact row exists
+        return base + 5  # green driver artifact row exists
 
     order = {n: i for i, n in enumerate(names)}
     return sorted(names, key=lambda n: (tier(n), order[n]))
