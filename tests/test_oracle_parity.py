@@ -28,7 +28,12 @@ def test_query_matches_oracle(spark, sf_dir, name):
     assert_matches_oracle(df, _ORACLE[name], sf_dir)
 
 
-@pytest.mark.parametrize("name", sorted(set(_QUERIES) - set(_ORACLE)))
-def test_query_without_oracle_runs(spark, sf_dir, name):
-    df = _QUERIES[name](spark, sf_dir)
-    assert df.count() >= 0
+def test_every_query_has_oracle():
+    """100% oracle coverage, asserted: t19 (the last rows-only entry)
+    gained an unrolled-SQL oracle in round 4 — every registered query
+    is now hash-compared, none is graded rows-only. A future rows-only
+    registration must be a deliberate decision: shrink this set here
+    with a justification, don't let it regress silently."""
+    assert set(_QUERIES) == set(_ORACLE), (
+        f"queries without oracle: {sorted(set(_QUERIES) - set(_ORACLE))}"
+    )
