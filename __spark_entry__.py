@@ -63,7 +63,7 @@ _REGRADE_FIRST = ["q62", "m02", "m03", "q13", "q20"]
 # rank BELOW the never-graded backlog so the ~50-query window still
 # covers >=45 of the 65 backlog entries (the round-3 verdict target).
 _R4_NEW_CORE = {"t19", "d19", "q72", "e33", "t33"}
-_R4_NEW_EXTRA = {"s19", "d20", "s20", "e35"}
+_R4_NEW_EXTRA = {"s19", "d20", "s20", "e35", "m08"}
 
 
 def _sweep_order(names) -> list[str]:

@@ -511,3 +511,87 @@ def m07_shard_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard_bucket", "shard_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# m08 — modality-interleaved sequence packing: the multimodal-training
+# counterpart of t17. Per staged document, the training-sample length
+# is text tokens + media tokens (a deterministic patch proxy:
+# ceil(payload bytes / 64), capped at 256 — ViT-style patch budgets
+# are a fixed function of media size) + 2 separator tokens; samples
+# then concatenation-pack into 2048-token sequences PER MODALITY LANE
+# (format = jpeg/png/wav — vision and audio batches pack separately,
+# as multimodal trainers do). Same operator as t17
+# (operators/packing.py::pack_offsets): exclusive prefix sum + integer
+# div/mod per lane, no global window, all integer arithmetic — the
+# oracle replays it exactly.
+# ---------------------------------------------------------------------------
+@register(
+    "m08_multimodal_packing",
+    oracle="""
+    WITH staged AS (
+      SELECT doc_id,
+        CASE doc_id % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'wav' END
+          AS format,
+        octet_length(
+          (CASE doc_id % 3 WHEN 0 THEN unhex('FFD8FF')
+                           WHEN 1 THEN unhex('89504E47')
+                           ELSE unhex('52494646') END
+           || encode(text))) AS n_bytes,
+        len(string_split(text, ' ')) AS n_text
+      FROM documents
+    ),
+    sized AS (
+      SELECT doc_id, format,
+        CAST(n_text AS BIGINT) AS n_text_tokens,
+        CAST(LEAST((n_bytes + 63) // 64, 256) AS BIGINT) AS n_media_tokens,
+        CAST(n_text + LEAST((n_bytes + 63) // 64, 256) + 2 AS BIGINT) AS n
+      FROM staged
+    ),
+    o AS (
+      SELECT *, CAST(COALESCE(SUM(n) OVER (
+          PARTITION BY format ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+      FROM sized
+    )
+    SELECT doc_id, format, n_text_tokens, n_media_tokens,
+      n AS n_total_tokens,
+      s // 2048 AS pack_first,
+      (s + GREATEST(n, 1) - 1) // 2048 AS pack_last,
+      s % 2048 AS pack_offset,
+      ((s + GREATEST(n, 1) - 1) // 2048) - (s // 2048) + 1 AS n_packs
+    FROM o ORDER BY doc_id
+    """,
+)
+def m08_multimodal_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from censo_escolar_spark.functions import text as T
+    from censo_escolar_spark.operators.packing import pack_offsets
+
+    staged = _staged_payloads(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    fmt = (
+        F.when(F.col("doc_id") % 3 == 0, "jpeg")
+        .when(F.col("doc_id") % 3 == 1, "png")
+        .otherwise("wav")
+    )
+    n_text = T.token_count("text").cast("bigint")
+    n_media = F.least(
+        F.floor((F.octet_length("payload") + 63) / 64), F.lit(256)
+    ).cast("bigint")
+    sized = (
+        staged.join(docs, "doc_id")
+        .select(
+            "doc_id",
+            fmt.alias("format"),
+            n_text.alias("n_text_tokens"),
+            n_media.alias("n_media_tokens"),
+            (n_text + n_media + 2).alias("n_total_tokens"),
+        )
+    )
+    return pack_offsets(
+        sized,
+        "doc_id",
+        "n_total_tokens",
+        capacity=2048,
+        stream_cols=["format"],
+    ).orderBy("doc_id")
