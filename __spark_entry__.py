@@ -33,37 +33,40 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness sweep walks queries() in dict order and grades
-# only the first ~50 it has budget for (CORRECTNESS_r01-r03 are each a
+# only the first ~50 it has budget for (each CORRECTNESS_r0X is a
 # registration-order prefix).  Order the registry so the sweep window
 # covers queries with NO green artifact row before the ones already
 # proven green.  Provenance of "green": the union of green rows across
-# CORRECTNESS_r01+r02+r03 (hash_match AND rows_match) — nothing else
+# CORRECTNESS_r01..r04 (hash_match AND rows_match) — nothing else
 # counts (judge re-runs at HEAD are advisory, not artifact rows).
 _DRIVER_GREEN = {
     "c01",
-    *(f"d{i:02d}" for i in (*range(1, 11), *range(15, 19))),
-    *(f"e{i:02d}" for i in (*range(1, 10), *range(21, 33))),
-    "g02", "m01", "m05", "m06", "m07",
-    *(f"q{i:02d}" for i in range(1, 26) if i not in (13, 20)),
-    "q60", "q61", *(f"q{i}" for i in range(63, 72)),
+    *(f"d{i:02d}" for i in (*range(1, 11), *range(15, 20))),
+    *(f"e{i:02d}" for i in (*range(1, 16), *range(21, 34))),
+    "g02", "m01", "m02", "m03", "m05", "m06", "m07",
+    *(f"q{i:02d}" for i in range(1, 60) if i not in (13, 20)),
+    *(f"q{i}" for i in range(60, 73)),
     *(f"s{i:02d}" for i in (*range(1, 7), *range(11, 19))),
-    *(f"t{i:02d}" for i in (*range(1, 18), *range(26, 33))),
+    *(f"t{i:02d}" for i in (*range(1, 18), 19, *range(26, 34))),
 }
 
 # Queries whose ONLY driver rows are red, fixed since — re-grade before
-# everything else: q62 (hash red r3, decimal-exact 1.1 bump landed this
-# round), m02 (graded `no_oracle` r1/r2; splitmix64 SQL oracle exists
-# now), m03 (same oracle family, never graded), q13/q20 (hash red r1,
-# fixed in round 2).
-_REGRADE_FIRST = ["q62", "m02", "m03", "q13", "q20"]
+# everything else: q13/q20 (hash red r1 AND r4; root cause found in the
+# round-4 verdict: their oracles carried the repo's only bare
+# `SUM(CASE ...)`, which DuckDB types HUGEINT vs Spark's BIGINT and the
+# driver hash is typed — both now CAST(... AS BIGINT), this round).
+_REGRADE_FIRST = ["q13", "q20"]
 
-# Round-4 additions needing their first artifact row. CORE carries the
-# round's verdict asks (t19's new oracle, the three streaming-parity
-# entries, mixture weights); EXTRA holds the optional additions — they
-# rank BELOW the never-graded backlog so the ~50-query window still
-# covers >=45 of the 65 backlog entries (the round-3 verdict target).
-_R4_NEW_CORE = {"t19", "d19", "q72", "e33", "t33"}
-_R4_NEW_EXTRA = {"s19", "d20", "s20", "e35", "m08"}
+# The 28 registered queries with no CORRECTNESS row in any round, in the
+# verdict-suggested order.  28 + 2 regrades ≪ the ~50-query window, so
+# this round should leave the never-graded backlog at zero.
+_NEVER_GRADED = [
+    "c02", "d11", "d12", "d13", "d14", "d20",
+    "e16", "e17", "e18", "e19", "e20", "e35",
+    "g01", "m04", "m08",
+    "s07", "s08", "s09", "s10", "s19", "s20",
+    "t18", "t20", "t21", "t22", "t23", "t24", "t25",
+]
 
 
 def _sweep_order(names) -> list[str]:
@@ -72,21 +75,12 @@ def _sweep_order(names) -> list[str]:
         if p in _REGRADE_FIRST:
             return _REGRADE_FIRST.index(p)
         base = len(_REGRADE_FIRST)
-        if p in _R4_NEW_CORE:
-            return base
-        if p in _R4_NEW_EXTRA:
-            return base + 4
+        if p in _NEVER_GRADED:
+            return base + _NEVER_GRADED.index(p)
+        base += len(_NEVER_GRADED)
         if p not in _DRIVER_GREEN:
-            # never driver-graded: the relational surface (q26-q59) is
-            # the most user-visible — grade it before the events tail,
-            # then everything else (s07-s10, t18-t25, d11-d14, m04,
-            # g01, c02), then this round's extras
-            if p.startswith("q"):
-                return base + 1
-            if p.startswith("e"):
-                return base + 2
-            return base + 3
-        return base + 5  # green driver artifact row exists
+            return base  # new this round: first artifact row needed
+        return base + 1  # green driver artifact row exists
 
     order = {n: i for i, n in enumerate(names)}
     return sorted(names, key=lambda n: (tier(n), order[n]))

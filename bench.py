@@ -75,7 +75,11 @@ def main() -> None:
         "queries": timings,
     }
     line = json.dumps(headline, separators=(",", ":"))
-    budget = 2000  # bytes; driver window observed ~2880
+    # Budget for the FINAL line: the r4 driver captured exactly 2000
+    # bytes of tail, so a 2000-char line + trailing newline pushed the
+    # opening "{" out of the window (BENCH_r04 parsed:null, tail was the
+    # full JSON minus its first byte). Keep a wide safety margin.
+    budget = 1500
     if len(line) > budget:
         slowest = dict(
             sorted(timings.items(), key=lambda kv: -kv[1])

@@ -212,7 +212,10 @@ def pq_topk(
     ).select(
         "c_id", F.posexplode("s").alias("qi", "adc")
     )
-    qmap = F.array(*[F.lit(int(i)) for i in q_ids])
+    # explicit bigint: F.lit on a small Python int makes an int32
+    # literal, which would narrow query_id below the corpus id's int64
+    # and break the driver's TYPED hash (the q13/q20 class)
+    qmap = F.array(*[F.lit(int(i)) for i in q_ids]).cast("array<bigint>")
     scored = scored.select(
         F.element_at(qmap, F.col("qi") + 1).alias("q_id"), "c_id", "adc"
     ).filter(F.col("q_id") != F.col("c_id"))

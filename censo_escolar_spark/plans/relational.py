@@ -427,8 +427,8 @@ def q12_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       CAST(year(o_orderdate) AS INTEGER) AS order_year,
       CAST(month(o_orderdate) AS INTEGER) AS order_month,
-      SUM(CASE WHEN o_totalprice >= 200000 THEN 1 ELSE 0 END) AS n_big,
-      SUM(CASE WHEN o_totalprice < 200000 THEN 1 ELSE 0 END) AS n_small,
+      CAST(SUM(CASE WHEN o_totalprice >= 200000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+      CAST(SUM(CASE WHEN o_totalprice < 200000 THEN 1 ELSE 0 END) AS BIGINT) AS n_small,
       COUNT(*) AS n_total
     FROM orders
     GROUP BY 1, 2
@@ -633,9 +633,9 @@ def q19_nation_customer_supplier_full(spark: SparkSession, sf_dir: str) -> DataF
     "q20_status_pivot_by_year",
     oracle="""
     SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
-      SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
-      SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
-      SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_pending
+      CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+      CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+      CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending
     FROM orders
     GROUP BY 1
     ORDER BY order_year
