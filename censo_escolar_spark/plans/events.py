@@ -2079,10 +2079,18 @@ def e33_streaming_scd2_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter((F.col("ts") >= lo) & (F.col("ts") < hi)),
         e.filter(F.col("ts") >= hi),
     ]
+    from censo_escolar_spark.streaming import detach_from_state
+
     state = tempfile.mkdtemp(prefix="e33_scd2_state_")
-    for bid, batch in enumerate(batches, start=1):
-        apply_scd2_batch(batch, bid, state_dir=state)
-    return read_scd2_state(spark, state).orderBy("user_id", "run_id")
+    try:
+        for bid, batch in enumerate(batches, start=1):
+            apply_scd2_batch(batch, bid, state_dir=state)
+        out = read_scd2_state(spark, state).orderBy("user_id", "run_id")
+        return detach_from_state(out, state)
+    finally:
+        import shutil
+
+        shutil.rmtree(state, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------

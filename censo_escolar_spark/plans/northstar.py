@@ -1319,12 +1319,15 @@ def t17_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 8-value key. One pass over the corpus, one 8-row shuffle.
 #
 # Exactness: the GEMM cosine (normalized BLAS product) is NOT
-# bit-identical to the oracle's fold-order dot product, and a float
-# AVG across rows folds in partition order — so the profiled cosine is
-# RE-SCORED JVM-side with the exact left-to-right fold against the
-# winning centroid (one 64-wide codegen fold, no second GEMM), then
-# averaged as exact scaled-integer decimals (cos·1e12 rounded — the
-# mean is of 1e-12-quantized cosines, documented, engine-identical).
+# bit-identical to the oracle's fold-order dot product — so with only
+# 8 fixed centroids BOTH the assignment argmax AND the profiled cosine
+# use the exact left-to-right fold JVM-side (8 codegen folds per row,
+# array_max over (cos, -cid) structs = ORDER BY cos DESC, cid ASC);
+# a GEMM-vs-fold ulp near-tie can no longer flip a row's cluster. The
+# mean is of 1e-12-quantized cosines summed as exact decimals
+# (documented, engine-identical). The GEMM path (ivf_assign) remains
+# the scale machinery for moving-centroid training (s04/s05), where
+# bit-parity against a SQL oracle is not required.
 # ---------------------------------------------------------------------------
 @register(
     "s07_cluster_profile",
@@ -1355,28 +1358,47 @@ def t17_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def s07_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import numpy as np
-
-    from censo_escolar_spark.functions.vectors import as_double_array, cosine
+    from censo_escolar_spark.functions.vectors import as_double_array, dot, norm2
 
     emb = load_table(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull()
     )
     seeds = (
         emb.filter(F.col("vec_id") < 8).orderBy("vec_id").select("embedding").collect()
-    )  # 8×64 floats — constant-sized driver pull, broadcast into the UDF
-    centroids = np.array([r.embedding for r in seeds], dtype=np.float64)
-    assigned = similarity.ivf_assign(emb, centroids)
-    if len(centroids) == 0:
-        # empty corpus: keep the expression typed (array() alone is VOID)
-        cent_lit = F.lit(None).cast("array<array<double>>")
-    else:
-        cent_lit = F.array(
-            *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )  # 8×64 floats — constant-sized driver pull, inlined as literals
+    centroids = [[float(x) for x in r.embedding] for r in seeds]
+    base = emb.withColumn("__v", as_double_array("embedding")).withColumn(
+        "__nv", norm2(F.col("__v"))
+    )
+    if centroids:
+        # array_max over (cos, -cid) structs == ORDER BY cos DESC, cid ASC
+        best = F.array_max(
+            F.array(
+                *[
+                    F.struct(
+                        (
+                            dot(F.col("__v"), F.array(*[F.lit(x) for x in c]))
+                            / (
+                                F.col("__nv")
+                                * norm2(F.array(*[F.lit(x) for x in c]))
+                            )
+                        ).alias("cos"),
+                        F.lit(-i).alias("ncid"),
+                    )
+                    for i, c in enumerate(centroids)
+                ]
+            )
         )
-    cvec = F.element_at(cent_lit, F.col("__centroid_id") + 1)
-    cos_exact = cosine(as_double_array("embedding"), cvec)
-    sc = F.round(cos_exact * F.lit(1e12)).cast("decimal(38,0)")
+    else:
+        # no seed centroids: typed NULL keeps the plan analyzable; the
+        # isNotNull filter below then yields the oracle's empty result
+        best = F.lit(None).cast("struct<cos:double,ncid:int>")
+    assigned = (
+        base.withColumn("__centroid_id", (-best["ncid"]).cast("int"))
+        .withColumn("__cos_exact", best["cos"])
+        .filter(F.col("__centroid_id").isNotNull())
+    )
+    sc = F.round(F.col("__cos_exact") * F.lit(1e12)).cast("decimal(38,0)")
     return (
         assigned.groupBy(F.col("__centroid_id").alias("cluster_id"))
         .agg(
@@ -3544,17 +3566,25 @@ def d19_streaming_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_published,
     )
 
+    from censo_escolar_spark.streaming import detach_from_state
+
     docs = load_table(spark, sf_dir, "documents")
     state = tempfile.mkdtemp(prefix="d19_dedup_state_")
-    for bid in (1, 2, 3):
-        batch = docs.filter(F.col("doc_id") % 3 == bid - 1).select(
-            "doc_id", "text"
-        )
-        apply_dedup_batch(batch, bid, state_dir=state, threshold=0.5)
-    final = read_published(spark, state)
-    return final.select(
-        "doc_id", (F.col("doc_id") % 3 + 1).cast("int").alias("batch")
-    ).orderBy("doc_id")
+    try:
+        for bid in (1, 2, 3):
+            batch = docs.filter(F.col("doc_id") % 3 == bid - 1).select(
+                "doc_id", "text"
+            )
+            apply_dedup_batch(batch, bid, state_dir=state, threshold=0.5)
+        final = read_published(spark, state)
+        out = final.select(
+            "doc_id", (F.col("doc_id") % 3 + 1).cast("int").alias("batch")
+        ).orderBy("doc_id")
+        return detach_from_state(out, state)
+    finally:
+        import shutil
+
+        shutil.rmtree(state, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------
@@ -3784,7 +3814,9 @@ def _s20_word_sql(lo: int, alias: str) -> str:
 
 _S20_ORACLE = f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-               WHERE embedding IS NOT NULL),
+               WHERE embedding IS NOT NULL
+                 AND list_dot_product(embedding::DOUBLE[],
+                                      embedding::DOUBLE[]) > 0),
     b AS (
       SELECT vec_id, v, {_s20_word_sql(1, "w0")}, {_s20_word_sql(33, "w1")}
       FROM e
@@ -3824,12 +3856,16 @@ _S20_ORACLE = f"""
 def s20_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from functools import reduce
 
-    from censo_escolar_spark.functions.vectors import as_double_array, cosine
+    from censo_escolar_spark.functions.vectors import as_double_array, cosine, dot
 
     emb = load_table(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull()
     )
     v = as_double_array("embedding")
+    # zero-norm guard (mirrors s19): a zero vector reaching the
+    # shortlist would cosine to 0/0 = NaN, whose DESC placement relies
+    # on both engines' unpinned NaN sort order
+    emb = emb.filter(dot(v, v) > 0)
 
     def word(lo: int):
         return reduce(

@@ -2940,7 +2940,7 @@ def q70_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     m AS (
       SELECT brand,
         CAST(COUNT(*) AS BIGINT) AS n_suppliers,
-        CAST(SUM(CAST(rev AS DECIMAL(16,2)) * CAST(rev AS DECIMAL(16,2)))
+        CAST(SUM(CAST(rev AS DECIMAL(18,2)) * CAST(rev AS DECIMAL(18,2)))
              AS DOUBLE) AS sum_sq,
         CAST(SUM(rev) AS DOUBLE) AS tot,
         CAST(MAX(rev) AS DOUBLE) AS top_rev
@@ -2960,7 +2960,10 @@ def q71_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("p_brand").alias("brand"), "l_suppkey")
         .agg(F.sum(_dec("l_extendedprice")).alias("rev"))
     )
-    rev_n = F.col("rev").cast("decimal(16,2)")
+    # (18,2): the square's precision 18+18+1=37 still fits Spark's 38
+    # cap, and (16,2) would silently NULL (non-ANSI cast) on a >1e14
+    # revenue sum where DuckDB errors loudly
+    rev_n = F.col("rev").cast("decimal(18,2)")
     m = sb.groupBy("brand").agg(
         F.count("*").cast("bigint").alias("n_suppliers"),
         F.sum(rev_n * rev_n).cast("double").alias("sum_sq"),
@@ -3075,22 +3078,32 @@ def q72_streaming_merge_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("seq", F.lit(2))
         )
     )
+    from censo_escolar_spark.streaming import detach_from_state
+
     state = tempfile.mkdtemp(prefix="q72_merge_state_")
-    for bid, batch in ((1, b1), (2, b2), (3, b3)):
-        apply_merge_batch(
-            batch,
-            bid,
-            state_dir=state,
-            key_col="o_orderkey",
-            seq_col="seq",
-            schema=schema,
+    try:
+        for bid, batch in ((1, b1), (2, b2), (3, b3)):
+            apply_merge_batch(
+                batch,
+                bid,
+                state_dir=state,
+                key_col="o_orderkey",
+                seq_col="seq",
+                schema=schema,
+            )
+        final = read_merged_state(spark, state, schema=schema)
+        summary = (
+            final.groupBy("o_orderstatus")
+            .agg(
+                F.count("*").cast("bigint").alias("n_orders"),
+                F.sum("o_totalprice").cast("double").alias("total_price"),
+            )
+            .orderBy("o_orderstatus")
         )
-    final = read_merged_state(spark, state, schema=schema)
-    return (
-        final.groupBy("o_orderstatus")
-        .agg(
-            F.count("*").cast("bigint").alias("n_orders"),
-            F.sum("o_totalprice").cast("double").alias("total_price"),
-        )
-        .orderBy("o_orderstatus")
-    )
+        return detach_from_state(summary, state)
+    finally:
+        # no-op after detach_from_state already removed it; covers the
+        # mid-loop failure path
+        import shutil
+
+        shutil.rmtree(state, ignore_errors=True)
