@@ -112,12 +112,55 @@ def fake_decode(payload: bytes, fmt: str, *, h: int = 8, w: int = 8) -> np.ndarr
     return (vals % np.uint64(256)).astype(np.uint8).reshape(h, w)
 
 
-def real_decode_stub(payload: bytes, fmt: str) -> np.ndarray:
-    """STUB: wire Pillow/soundfile/pyav here when available."""
+def real_decode(payload: bytes, fmt: str) -> np.ndarray:
+    """Real codec decode, gated on an import-probe per media family:
+    images via Pillow (grayscale uint8 ``(h, w)``, the exact
+    ``fake_decode`` contract), audio via soundfile (mono samples
+    quantized to uint8 and framed into a 2-D array so the downstream
+    resize/feature plumbing is shared). When the library for the
+    sniffed format is absent — all of them in this container — raises
+    ``NotImplementedError``; pass ``decoder=fake_decode`` for the
+    deterministic oracle path (m02/m03's splitmix64 SQL replay)."""
+    if fmt in ("jpeg", "png"):
+        try:
+            from PIL import Image
+        except ImportError as exc:
+            raise NotImplementedError(
+                f"decoding {fmt} requires Pillow, which is not installed; "
+                "pass decoder=fake_decode for deterministic testing"
+            ) from exc
+        import io
+
+        with Image.open(io.BytesIO(payload)) as im:
+            return np.asarray(im.convert("L"), dtype=np.uint8)
+    if fmt == "wav":
+        try:
+            import soundfile as sf
+        except ImportError as exc:
+            raise NotImplementedError(
+                "decoding wav requires soundfile, which is not installed; "
+                "pass decoder=fake_decode for deterministic testing"
+            ) from exc
+        import io
+
+        samples, _rate = sf.read(io.BytesIO(payload), dtype="float64")
+        if samples.ndim > 1:  # downmix to mono
+            samples = samples.mean(axis=1)
+        q = np.clip((samples + 1.0) * 127.5, 0, 255).astype(np.uint8)
+        frame = 64  # fixed frame width; trailing partial frame dropped
+        n = (len(q) // frame) * frame
+        if n == 0:
+            return q.reshape(1, -1) if len(q) else np.zeros((1, 1), np.uint8)
+        return q[:n].reshape(-1, frame)
     raise NotImplementedError(
-        "media decoding requires codec libraries not present in this "
-        "environment; pass decoder=fake_decode for deterministic testing"
+        f"no decoder wired for format {fmt!r}; "
+        "pass decoder=fake_decode for deterministic testing"
     )
+
+
+# Back-compat name: the default `decoder=` argument below predates the
+# import-probed implementation.
+real_decode_stub = real_decode
 
 
 def decode_media(

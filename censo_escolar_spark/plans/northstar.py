@@ -1358,7 +1358,9 @@ def t17_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def s07_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from censo_escolar_spark.functions.vectors import as_double_array, dot, norm2
+    import math
+
+    from censo_escolar_spark.functions.vectors import as_double_array, dot
 
     emb = load_table(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull()
@@ -1367,8 +1369,22 @@ def s07_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") < 8).orderBy("vec_id").select("embedding").collect()
     )  # 8×64 floats — constant-sized driver pull, inlined as literals
     centroids = [[float(x) for x in r.embedding] for r in seeds]
+
+    def py_norm(c):
+        # same left-to-right float64 adds as the engines' fold; sqrt is
+        # IEEE-correctly-rounded, so this equals sqrt(list_dot_product)
+        # of the literal centroid without an interpreted per-row fold
+        acc = 0.0
+        for x in c:
+            acc += x * x
+        return math.sqrt(acc)
+
+    # NOTE on shape: an unrolled element_at sum (512 codegen terms) was
+    # tried and is ~3× SLOWER end-to-end than the zip_with/aggregate
+    # fold — Catalyst spends longer optimizing the 1600-node tree than
+    # the interpreted fold spends evaluating. The fold stays.
     base = emb.withColumn("__v", as_double_array("embedding")).withColumn(
-        "__nv", norm2(F.col("__v"))
+        "__nv", F.sqrt(dot(F.col("__v"), F.col("__v")))
     )
     if centroids:
         # array_max over (cos, -cid) structs == ORDER BY cos DESC, cid ASC
@@ -1378,10 +1394,7 @@ def s07_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.struct(
                         (
                             dot(F.col("__v"), F.array(*[F.lit(x) for x in c]))
-                            / (
-                                F.col("__nv")
-                                * norm2(F.array(*[F.lit(x) for x in c]))
-                            )
+                            / (F.col("__nv") * F.lit(py_norm(c)))
                         ).alias("cos"),
                         F.lit(-i).alias("ncid"),
                     )
