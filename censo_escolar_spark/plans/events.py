@@ -969,40 +969,54 @@ def e17_point_in_time_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     "e18_time_weighted_avg",
     oracle="""
     WITH seq AS (
-      SELECT user_id, CAST(value AS DECIMAL(18,2)) AS v,
+      SELECT user_id,
+        CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_cents,
         CAST(date_diff('microsecond', ts,
           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
-          AS BIGINT) AS dur_us
+          AS BIGINT) // 1000 AS dur_ms
       FROM events
     )
     SELECT user_id,
-      CAST(CAST(SUM(v * dur_us) AS DOUBLE) / CAST(SUM(dur_us) AS DOUBLE)
-        AS DOUBLE) AS twap,
-      CAST(SUM(dur_us) AS BIGINT) AS observed_us
+      CAST(SUM(v_cents * dur_ms) AS DOUBLE)
+        / CAST(SUM(dur_ms) AS DOUBLE) / 100.0 AS twap,
+      CAST(SUM(dur_ms) AS BIGINT) AS observed_ms
     FROM seq
-    WHERE dur_us IS NOT NULL AND dur_us > 0
+    WHERE dur_ms IS NOT NULL AND dur_ms > 0
     GROUP BY user_id
     ORDER BY user_id
     """,
 )
 def e18_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Millisecond-resolution TWAP in exact integer arithmetic.
+
+    Exactness discipline: the naive shape — decimal Σ(v·dur_µs) cast to
+    DOUBLE — is exact in BOTH engines, yet still hash-diverges: the
+    sum's unscaled value exceeds 2^53 and the DECIMAL→DOUBLE conversion
+    rounds differently (JVM BigDecimal.doubleValue is one-step
+    correctly rounded; DuckDB's int128 path is not guaranteed to be).
+    So the weighted sum is kept as a BIGINT of cent·ms units — bounded
+    by max|value|·corpus-span, ~1.5e14 here, comfortably inside 2^53
+    even at 1000× the span — whose DOUBLE conversion is value-exact,
+    and twap is two IEEE divisions of identical operands."""
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = e.select(
         "user_id",
-        F.col("value").cast(DEC).alias("v"),
-        F.timestamp_diff(
-            "MICROSECOND", F.col("ts"), F.lead("ts").over(w)
-        ).alias("dur_us"),
-    ).filter(F.col("dur_us").isNotNull() & (F.col("dur_us") > 0))
+        (F.col("value").cast(DEC) * 100).cast("bigint").alias("v_cents"),
+        F.expr(
+            "timestampdiff(MICROSECOND, ts, lead(ts) over "
+            "(partition by user_id order by ts, event_id)) div 1000"
+        ).alias("dur_ms"),
+    ).filter(F.col("dur_ms").isNotNull() & (F.col("dur_ms") > 0))
     return (
         seq.groupBy("user_id")
         .agg(
             (
-                F.sum(F.col("v") * F.col("dur_us")).cast("double")
-                / F.sum("dur_us").cast("double")
+                F.sum(F.col("v_cents") * F.col("dur_ms")).cast("double")
+                / F.sum("dur_ms").cast("double")
+                / F.lit(100.0)
             ).alias("twap"),
-            F.sum("dur_us").cast("bigint").alias("observed_us"),
+            F.sum("dur_ms").cast("bigint").alias("observed_ms"),
         )
         .orderBy("user_id")
     )
@@ -1320,8 +1334,12 @@ def e22_interpolated_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sums AS (
       SELECT user_id, event_id, ts,
-        SUM(d) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                     ROWS UNBOUNDED PRECEDING) AS run_sum
+        -- narrow from the window SUM's DECIMAL(38,2): at width 38 the
+        -- later run_sum - LEAST(run_min, 0) would exceed DuckDB's
+        -- decimal cap and silently fall back to DOUBLE arithmetic
+        -- (measured 1.1e-13 drift vs Spark's exact decimal path)
+        CAST(SUM(d) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS DECIMAL(30,2)) AS run_sum
       FROM dev
     ),
     rs AS (
@@ -1331,19 +1349,27 @@ def e22_interpolated_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM sums
     )
     SELECT user_id, event_id,
-      CAST(run_sum - LEAST(run_min, 0) AS DOUBLE) AS cusum
+      -- CASE, not LEAST: DuckDB's LEAST promotes DECIMAL args to
+      -- DOUBLE, which would float the whole final subtraction
+      CAST(run_sum - (CASE WHEN run_min < 0 THEN run_min
+                      ELSE CAST(0 AS DECIMAL(30,2)) END) AS DOUBLE) AS cusum
     FROM rs
-    WHERE run_sum - LEAST(run_min, 0) > 500.0
+    WHERE run_sum - (CASE WHEN run_min < 0 THEN run_min
+                     ELSE CAST(0 AS DECIMAL(30,2)) END) > 500.0
     ORDER BY user_id, event_id
     """,
 )
 def e23_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
+    # decimal literal, NOT 60.0 (a double would promote d to DOUBLE and
+    # turn the windowed running sum into a float accumulation — DuckDB
+    # parses 60.0 as DECIMAL(3,1) and stays exact; measured 2.3e-13
+    # drift at sf0.01 before this pin)
     dev = e.select(
         "user_id",
         "event_id",
         "ts",
-        (F.col("value").cast(DEC) - F.lit(60.0)).alias("d"),
+        (F.col("value").cast(DEC) - F.lit("60.0").cast("decimal(3,1)")).alias("d"),
     )
     w = (
         Window.partitionBy("user_id")
@@ -1364,7 +1390,7 @@ def e23_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cusum = F.col("run_sum") - F.least(F.col("run_min"), F.lit(0).cast(DEC))
     return (
-        rs.filter(cusum > 500.0)
+        rs.filter(cusum > F.lit("500.0").cast("decimal(4,1)"))
         .select("user_id", "event_id", cusum.cast("double").alias("cusum"))
         .orderBy("user_id", "event_id")
     )

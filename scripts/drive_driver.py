@@ -68,7 +68,14 @@ for name in Q:  # registration order, like the real driver
                     # 1e-12: the real driver red-flagged q62 at ~3e-10
                     # relative (cent-level), while engine-identical
                     # expressions sit at <=1e-15 ulp noise (q64/q67/q71,
-                    # all driver-green) — 1e-12 separates the two classes
+                    # all driver-green) — 1e-12 separates the two classes.
+                    # DRIVER_SIM_EXACT=1 drops the tolerance to BITWISE
+                    # equality (stricter than the driver) to flag any
+                    # query leaning on float luck rather than the
+                    # engineered decimal/fold exactness conventions.
+                    elif os.environ.get("DRIVER_SIM_EXACT") == "1":
+                        if not (av.fillna(0.0).to_numpy() == bv.fillna(0.0).to_numpy()).all():
+                            ok_vals = False; print(f"  {name}.{c}: max diff {(av-bv).abs().max()} (exact mode)")
                     elif not ((av.fillna(0) - bv.fillna(0)).abs().max() <= 1e-12 * (1+bv.abs().max())):
                         ok_vals = False; print(f"  {name}.{c}: max diff {(av-bv).abs().max()}")
                 else:
