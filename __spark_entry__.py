@@ -69,13 +69,13 @@ _NEVER_GRADED = [
 ]
 
 
-# Driver-green queries whose floats differ from the oracle at the
-# 1e-15-relative (1-ulp) level under DRIVER_SIM_EXACT=1 — giant-decimal
-# DOUBLE conversions (unscaled > 2^53) round differently per engine.
-# The driver's hash has graded all four green, but they are the least
-# hash-robust greens, so they sort LAST: a ~50-query window re-grades
-# bitwise-exact queries before ever reaching them.
-_ULP_TAIL = {"s16", "q64", "q67", "q71"}
+# Driver-green queries whose floats differ from the oracle under
+# DRIVER_SIM_EXACT=1 sort LAST so a re-grade window prefers
+# bitwise-exact queries. Emptied this round: the last four (s16's
+# decimal-vs-IEEE lambda constant; q64/q67/q71's not-correctly-rounded
+# DuckDB int128-decimal->DOUBLE casts, fixed via decimal->VARCHAR->
+# DOUBLE) are now bitwise-exact — the whole registry is.
+_ULP_TAIL: set[str] = set()
 
 
 def _sweep_order(names) -> list[str]:

@@ -3035,6 +3035,10 @@ def t30_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cosines, so the oracle replays the identical unrolled selection in
 # SQL and every score bit-matches.
 # ---------------------------------------------------------------------------
+# NOTE: the MMR weight (1 − λ) is written CAST(1.0 AS DOUBLE) − CAST(0.7
+# AS DOUBLE) throughout — the operator computes `1.0 - lam` in IEEE
+# (0.30000000000000004); DuckDB's bare (1 - 0.7) is exact decimal 0.3,
+# one ulp below, and the score hash diverges at 2.8e-17.
 _S16_ORACLE = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 scored AS (
@@ -3074,9 +3078,9 @@ p2 AS (
 s2 AS (
   SELECT query_id, cand_id, score FROM (
     SELECT c.query_id, c.cand_id,
-      0.7 * c.rel - (1 - 0.7) * COALESCE(p2.penal, 0.0) AS score,
+      0.7 * c.rel - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * COALESCE(p2.penal, 0.0) AS score,
       ROW_NUMBER() OVER (PARTITION BY c.query_id
-        ORDER BY 0.7 * c.rel - (1 - 0.7) * COALESCE(p2.penal, 0.0) DESC,
+        ORDER BY 0.7 * c.rel - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * COALESCE(p2.penal, 0.0) DESC,
                  c.cand_id) AS rn
     FROM cand c
     LEFT JOIN p2 ON p2.query_id = c.query_id AND p2.cand_id = c.cand_id
@@ -3095,9 +3099,9 @@ p3 AS (
 s3 AS (
   SELECT query_id, cand_id, score FROM (
     SELECT c.query_id, c.cand_id,
-      0.7 * c.rel - (1 - 0.7) * COALESCE(p3.penal, 0.0) AS score,
+      0.7 * c.rel - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * COALESCE(p3.penal, 0.0) AS score,
       ROW_NUMBER() OVER (PARTITION BY c.query_id
-        ORDER BY 0.7 * c.rel - (1 - 0.7) * COALESCE(p3.penal, 0.0) DESC,
+        ORDER BY 0.7 * c.rel - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * COALESCE(p3.penal, 0.0) DESC,
                  c.cand_id) AS rn
     FROM cand c
     LEFT JOIN p3 ON p3.query_id = c.query_id AND p3.cand_id = c.cand_id

@@ -2565,11 +2565,15 @@ def q63_hierarchy_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     m AS (
       SELECT flag, day,
         CAST(COUNT(*) OVER w AS BIGINT) AS n,
-        CAST(SUM(x) OVER w AS DOUBLE) AS sx,
-        CAST(SUM(y) OVER w AS DOUBLE) AS sy,
-        CAST(SUM(x * y) OVER w AS DOUBLE) AS sxy,
-        CAST(SUM(x * x) OVER w AS DOUBLE) AS sxx,
-        CAST(SUM(y * y) OVER w AS DOUBLE) AS syy
+        -- DOUBLE via VARCHAR: DuckDB's direct int128-decimal->double
+        -- cast is not correctly rounded once the unscaled value tops
+        -- 2^53, while decimal->varchar->double is (strtod), matching
+        -- the JVM's BigDecimal.doubleValue exactly
+        CAST(CAST(SUM(x) OVER w AS VARCHAR) AS DOUBLE) AS sx,
+        CAST(CAST(SUM(y) OVER w AS VARCHAR) AS DOUBLE) AS sy,
+        CAST(CAST(SUM(x * y) OVER w AS VARCHAR) AS DOUBLE) AS sxy,
+        CAST(CAST(SUM(x * x) OVER w AS VARCHAR) AS DOUBLE) AS sxx,
+        CAST(CAST(SUM(y * y) OVER w AS VARCHAR) AS DOUBLE) AS syy
       FROM daily
       WINDOW w AS (PARTITION BY flag ORDER BY day
                    ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
@@ -2742,16 +2746,18 @@ def q66_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT l_returnflag AS flag,
         CAST(COUNT(*) FILTER (WHERE l_discount >= 0.05) AS BIGINT) AS n_t,
         CAST(COUNT(*) FILTER (WHERE l_discount < 0.05) AS BIGINT) AS n_c,
-        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
-             FILTER (WHERE l_discount >= 0.05) AS DOUBLE) AS sx_t,
-        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
-             FILTER (WHERE l_discount < 0.05) AS DOUBLE) AS sx_c,
-        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        -- DOUBLE via VARCHAR: correctly-rounded conversion of the
+        -- giant decimal sums (see q64)
+        CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+             FILTER (WHERE l_discount >= 0.05) AS VARCHAR) AS DOUBLE) AS sx_t,
+        CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+             FILTER (WHERE l_discount < 0.05) AS VARCHAR) AS DOUBLE) AS sx_c,
+        CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
                  * CAST(l_extendedprice AS DECIMAL(18,2)))
-             FILTER (WHERE l_discount >= 0.05) AS DOUBLE) AS sxx_t,
-        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             FILTER (WHERE l_discount >= 0.05) AS VARCHAR) AS DOUBLE) AS sxx_t,
+        CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
                  * CAST(l_extendedprice AS DECIMAL(18,2)))
-             FILTER (WHERE l_discount < 0.05) AS DOUBLE) AS sxx_c
+             FILTER (WHERE l_discount < 0.05) AS VARCHAR) AS DOUBLE) AS sxx_c
       FROM lineitem GROUP BY l_returnflag
     )
     SELECT flag, n_t, n_c,
@@ -2940,9 +2946,11 @@ def q70_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     m AS (
       SELECT brand,
         CAST(COUNT(*) AS BIGINT) AS n_suppliers,
-        CAST(SUM(CAST(rev AS DECIMAL(18,2)) * CAST(rev AS DECIMAL(18,2)))
-             AS DOUBLE) AS sum_sq,
-        CAST(SUM(rev) AS DOUBLE) AS tot,
+        -- DOUBLE via VARCHAR: correctly-rounded conversion of the
+        -- giant decimal sums (see q64)
+        CAST(CAST(SUM(CAST(rev AS DECIMAL(18,2)) * CAST(rev AS DECIMAL(18,2)))
+             AS VARCHAR) AS DOUBLE) AS sum_sq,
+        CAST(CAST(SUM(rev) AS VARCHAR) AS DOUBLE) AS tot,
         CAST(MAX(rev) AS DOUBLE) AS top_rev
       FROM sb GROUP BY brand
     )
