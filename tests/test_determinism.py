@@ -48,6 +48,11 @@ CASES = [
     "e33_streaming_scd2_parity",
     "d20_cluster_size_histogram",
     "s19_random_projection_topk",
+    # round-5 reshapes: integer cent*ms TWAP, decimal CUSUM runs,
+    # exact-fold centroid argmax
+    "e18_time_weighted_avg",
+    "e23_cusum_alerts",
+    "s07_cluster_profile",
 ]
 
 
