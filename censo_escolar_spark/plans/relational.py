@@ -1483,18 +1483,26 @@ def q44_sole_failing_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = load_table(spark, sf_dir, "supplier")
     su = li.select("l_orderkey", "l_suppkey").distinct()
     failed = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey").distinct()
-    other = su.withColumnRenamed("l_suppkey", "o_suppkey")
-    other_failed = failed.withColumnRenamed("l_suppkey", "o_suppkey")
+    # rename BOTH columns on the probe side: failed/other share lineage
+    # (same lineitem scan), and `failed.l_orderkey == other.l_orderkey`
+    # would lean on Spark's self-join disambiguation (it resolves
+    # correctly but warns "trivially true equals predicate")
+    other = su.withColumnsRenamed(
+        {"l_suppkey": "o_suppkey", "l_orderkey": "o_orderkey"}
+    )
+    other_failed = failed.withColumnsRenamed(
+        {"l_suppkey": "o_suppkey", "l_orderkey": "o_orderkey"}
+    )
     sole = (
         failed.join(
             other,
-            (failed.l_orderkey == other.l_orderkey)
+            (F.col("l_orderkey") == F.col("o_orderkey"))
             & (F.col("l_suppkey") != F.col("o_suppkey")),
             "left_semi",
         )
         .join(
             other_failed,
-            (failed.l_orderkey == other_failed.l_orderkey)
+            (F.col("l_orderkey") == F.col("o_orderkey"))
             & (F.col("l_suppkey") != F.col("o_suppkey")),
             "left_anti",
         )
