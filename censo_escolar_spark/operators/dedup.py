@@ -656,6 +656,33 @@ def minhash_sketches(
     ).withColumnRenamed("id", id_col)
 
 
+def band_keys(
+    signatures: DataFrame,
+    id_col: str,
+    *,
+    bands: int = MINHASH_BANDS,
+    rows: int = MINHASH_ROWS,
+) -> DataFrame:
+    """Explode signatures into the LSH band-key index:
+    ``(id, band_idx, band_hash)`` — one row per (doc, band).
+
+    This IS the storable published-corpus dedup index: O(docs × bands)
+    rows of three longs, derivable from signatures alone (never text),
+    and probe-able by a plain equi-join on (band_idx, band_hash). At
+    100 TB the index is written once per increment and bucketed by band
+    hash so probes are co-located joins, not re-computations.
+    """
+    return signatures.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda j: F.xxhash64(j, F.slice(F.col("signature"), j * rows + 1, rows)),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+
+
 def minhash_candidates(
     signatures: DataFrame,
     id_col: str,
@@ -677,15 +704,7 @@ def minhash_candidates(
     """
     if materialize:
         signatures = signatures.localCheckpoint(eager=True)
-    banded = signatures.select(
-        F.col(id_col),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda j: F.xxhash64(j, F.slice(F.col("signature"), j * rows + 1, rows)),
-            )
-        ).alias("band_idx", "band_hash"),
-    )
+    banded = band_keys(signatures, id_col, bands=bands, rows=rows)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -997,46 +1016,136 @@ def incremental_dedup(
     (correctly) from re-running full-corpus dedup over
     published ∪ batch: increments never retroactively delete published
     docs.
+
+    This convenience form re-sketches the published TEXT on every call —
+    fine for one-shot backfills, wrong growth curve for repeated
+    increments. Production increments (streaming/dedup.py) store the
+    published side's sketches + band index once and call
+    ``incremental_dedup_indexed`` directly, so each increment's work is
+    O(batch), never O(corpus).
     """
-    tagged = new_docs.select(
-        F.col(id_col), F.col(text_col), F.lit(True).alias("__new")
-    ).unionByName(
-        published.select(
-            F.col(id_col), F.col(text_col), F.lit(False).alias("__new")
-        )
+    pub_sk = minhash_sketches(published, id_col, text_col, n=n).localCheckpoint(
+        eager=True
     )
-    # pairs are tiny (near-dup edges) but their lineage is the whole
-    # banding+verification pipeline; three consumers below (cross-side
-    # filter, within-batch edges, and every closure iteration) would
-    # re-run it without an eager materialization
-    pairs = minhash_pairs(
-        tagged, id_col, text_col, n=n, threshold=threshold
-    ).localCheckpoint(eager=True)
-    sides = tagged.select(F.col(id_col), "__new")
-    p = (
-        pairs.join(
-            sides.select(F.col(id_col).alias("id_a"), F.col("__new").alias("new_a")),
-            "id_a",
-        )
+    return incremental_dedup_indexed(
+        new_docs,
+        pub_sk,
+        id_col,
+        text_col,
+        n=n,
+        threshold=threshold,
+        max_iter=max_iter,
+    )
+
+
+def incremental_dedup_indexed(
+    new_docs: DataFrame,
+    published_sketches: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    new_sketches: DataFrame | None = None,
+    published_bands: DataFrame | None = None,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_iter: int = 20,
+) -> DataFrame:
+    """``incremental_dedup`` against a STORED signature index — the
+    published corpus contributes only its persisted sketches
+    ``(id, signature, sh_set)`` (and optionally the pre-exploded
+    ``band_keys`` index); its text is never re-read, so an increment
+    costs O(batch sketching + candidate joins), independent of corpus
+    size. Same output contract as ``incremental_dedup``.
+
+    - ``published_sketches``: (id_col, signature, sh_set) as produced by
+      ``minhash_sketches`` — the exact-Jaccard verification side.
+    - ``published_bands``: optional stored (id_col, band_idx, band_hash)
+      index (``band_keys`` layout); derived from the signatures when
+      absent (cheap — 64 longs/doc, no text).
+    - ``new_sketches``: optional pre-materialized batch sketches (the
+      streaming maintainer computes them once and reuses them for the
+      state append).
+    """
+    if new_sketches is None:
+        new_sketches = minhash_sketches(
+            new_docs, id_col, text_col, n=n
+        ).localCheckpoint(eager=True)
+    if published_bands is None:
+        published_bands = band_keys(published_sketches, id_col)
+    new_bands = band_keys(new_sketches, id_col)
+
+    # Cross-batch probe: batch band keys against the published index.
+    # Same hash family + banding as the union formulation, so candidates
+    # are identical; verification is exact hashed-shingle Jaccard.
+    cross = (
+        new_bands.alias("a")
         .join(
-            sides.select(F.col(id_col).alias("id_b"), F.col("__new").alias("new_b")),
-            "id_b",
+            published_bands.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash")),
         )
-    )
-    cross_hit = (
-        p.filter(F.col("new_a") != F.col("new_b"))
         .select(
-            F.when(F.col("new_a"), F.col("id_a")).otherwise(F.col("id_b")).alias(id_col)
+            F.col(f"a.{id_col}").alias("new_id"),
+            F.col(f"b.{id_col}").alias("pub_id"),
         )
         .distinct()
     )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    cross_hit = (
+        cross.join(
+            new_sketches.select(
+                F.col(id_col).alias("new_id"), F.col("sh_set").alias("sh_a")
+            ),
+            "new_id",
+        )
+        .join(
+            published_sketches.select(
+                F.col(id_col).alias("pub_id"), F.col("sh_set").alias("sh_b")
+            ),
+            "pub_id",
+        )
+        .filter(inter * F.lit(1.0) / union >= threshold)
+        .select(F.col("new_id").alias(id_col))
+        .distinct()
+        # tiny (ids with a published twin) but its lineage is the whole
+        # index probe + verification; survivors has several consumers
+        .localCheckpoint(eager=True)
+    )
     survivors = new_docs.join(cross_hit, id_col, "left_anti")
     surv_ids = survivors.select(id_col)
+    surv_bands = new_bands.join(surv_ids, id_col)
+    within_cands = (
+        surv_bands.alias("a")
+        .join(
+            surv_bands.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    # within-batch edges are tiny (near-dup pairs) but every closure
+    # iteration would re-run banding + verification without an eager cut
     within = (
-        p.filter(F.col("new_a") & F.col("new_b"))
+        within_cands.join(
+            new_sketches.select(
+                F.col(id_col).alias("id_a"), F.col("sh_set").alias("sh_a")
+            ),
+            "id_a",
+        )
+        .join(
+            new_sketches.select(
+                F.col(id_col).alias("id_b"), F.col("sh_set").alias("sh_b")
+            ),
+            "id_b",
+        )
+        .filter(inter * F.lit(1.0) / union >= threshold)
         .select("id_a", "id_b")
-        .join(surv_ids.select(F.col(id_col).alias("id_a")), "id_a")
-        .join(surv_ids.select(F.col(id_col).alias("id_b")), "id_b")
+        .localCheckpoint(eager=True)
     )
     labeled = clusters_from_pairs(survivors, within, id_col, max_iter=max_iter)
     return (

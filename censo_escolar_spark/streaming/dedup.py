@@ -9,18 +9,24 @@ deliberate divergence from full recompute: increments never
 retroactively delete published docs) are the operator's; this module
 only adds the micro-batch state discipline.
 
-Exactly-once follows the versioned-snapshot pattern of
-``streaming/scd2.py`` / ``streaming/merge.py``: published versions land
-in ``state_dir/version=<batch_id>``; a batch reads the latest version
-strictly below its own id and fully overwrites its own, so a retried
-micro-batch re-reads its original input and converges.
+State is the SIGNATURE INDEX, not text: the published side is stored as
+per-doc minhash sketches ``(id, signature, sh_set)`` plus the exploded
+band-key index ``(id, band_idx, band_hash)`` partitioned by a band-hash
+bucket. An increment probes the stored index with an equi-join
+(``operators/dedup.incremental_dedup_indexed``) — the published text is
+NEVER re-read, re-shingled, or re-hashed, so per-batch work is
+O(batch), independent of corpus size. Published text lives in a
+separate ``corpus`` component that the dedup path only appends to.
 
-Scale note: the snapshot stores (id, text) at fixture scale. At 100 TB
-the published side contributes SIGNATURES only (incremental_dedup's
-banding already treats it that way) — the state becomes the stored
-band-key index table, bucketed by band hash, probed like a
-partition-pruned join; text lives in the corpus sink, not the dedup
-state.
+Because published docs are never retroactively deleted, the state is
+APPEND-ONLY: each micro-batch writes exactly its own
+``batch=<batch_id>`` partition of every component (corpus / sketches /
+bands) and touches no other partition — O(batch) write amplification,
+the streaming analogue of the reference's O1 per-year idempotent
+increments (censo_escolar.py:39-60). Exactly-once still holds:
+Structured Streaming may re-run a micro-batch with the same batch id;
+the retry reads only partitions strictly below its own id and fully
+overwrites its own ``batch=<id>`` directories, so replays converge.
 """
 
 from __future__ import annotations
@@ -30,19 +36,42 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from censo_escolar_spark.operators.dedup import incremental_dedup
+from censo_escolar_spark.operators.dedup import (
+    band_keys,
+    incremental_dedup_indexed,
+    minhash_sketches,
+)
+
+#: Band-hash bucket count for the stored index layout. Fixture-sized
+#: here; at 100 TB this is thousands, sized so one bucket's band rows
+#: fit an executor, and the probe join is co-located on the bucket.
+N_BUCKETS = 8
 
 
-def _latest_version(state_dir: str, below: int) -> int | None:
-    if not os.path.isdir(state_dir):
-        return None
-    versions = [
-        int(d.split("=", 1)[1])
-        for d in os.listdir(state_dir)
-        if d.startswith("version=")
-    ]
-    versions = [v for v in versions if v < below]
-    return max(versions, default=None)
+def _component(state_dir: str, name: str) -> str:
+    return os.path.join(state_dir, name)
+
+
+def _read_component(
+    spark: SparkSession, root: str, schema: str, below: int
+) -> DataFrame:
+    """All committed ``batch=<id>`` partitions strictly below ``below``
+    (empty frame of ``schema`` if none). Reads the component ROOT with
+    ``batch`` as a partition column and prunes with a filter — listing
+    individual batch directories instead trips Spark's partition
+    discovery when a component (bands) nests further partition dirs.
+    The explicit schema makes empty-batch directories read as zero rows.
+    """
+    if not any(
+        d.startswith("batch=") for d in (os.listdir(root) if os.path.isdir(root) else [])
+    ):
+        return spark.createDataFrame([], schema)
+    return (
+        spark.read.schema(f"{schema}, batch int")
+        .parquet(root)
+        .filter(F.col("batch") < below)
+        .drop("batch")
+    )
 
 
 def read_published(
@@ -52,11 +81,10 @@ def read_published(
     schema: str = "doc_id bigint, text string",
     below: int | None = None,
 ) -> DataFrame:
-    """Latest published snapshot (empty frame of ``schema`` if none)."""
-    v = _latest_version(state_dir, below if below is not None else 1 << 62)
-    if v is None:
-        return spark.createDataFrame([], schema)
-    return spark.read.parquet(os.path.join(state_dir, f"version={v}"))
+    """The published corpus (id, text): union of every committed batch
+    partition of the ``corpus`` component (empty frame if none)."""
+    hi = below if below is not None else 1 << 62
+    return _read_component(spark, _component(state_dir, "corpus"), schema, hi)
 
 
 def apply_dedup_batch(
@@ -68,23 +96,57 @@ def apply_dedup_batch(
     text_col: str = "text",
     threshold: float = 0.5,
 ) -> None:
-    """The foreachBatch body (exposed for direct testing / backfills)."""
+    """The foreachBatch body (exposed for direct testing / backfills).
+
+    Reads the stored sketch + band index strictly below ``batch_id``,
+    labels the batch with ``incremental_dedup_indexed``, and appends the
+    kept docs' text / sketches / band keys as this batch's partitions.
+    """
     spark = batch_df.sparkSession
-    schema = f"{id_col} bigint, {text_col} string"
-    published = read_published(
-        spark, state_dir, schema=schema, below=batch_id
+    sketch_schema = (
+        f"{id_col} bigint, signature array<bigint>, sh_set array<bigint>"
     )
+    band_schema = f"{id_col} bigint, band_idx int, band_hash bigint, bucket int"
+    corpus_schema = f"{id_col} bigint, {text_col} string"
+
+    pub_sketches = _read_component(
+        spark, _component(state_dir, "sketches"), sketch_schema, batch_id
+    )
+    pub_bands = _read_component(
+        spark, _component(state_dir, "bands"), band_schema, batch_id
+    ).drop("bucket")
+
     batch = batch_df.select(id_col, text_col)
-    if batch.isEmpty():
-        new_state = published
-    else:
-        labeled = incremental_dedup(
-            batch, published, id_col, text_col, threshold=threshold
-        )
-        keep_ids = labeled.filter(F.col("keep")).select(id_col)
-        new_state = published.unionByName(batch.join(keep_ids, id_col))
-    out = os.path.join(state_dir, f"version={batch_id}")
-    new_state.write.mode("overwrite").parquet(out)
+    batch_sk = minhash_sketches(batch, id_col, text_col).localCheckpoint(eager=True)
+    labeled = incremental_dedup_indexed(
+        batch,
+        pub_sketches,
+        id_col,
+        text_col,
+        new_sketches=batch_sk,
+        published_bands=pub_bands,
+        threshold=threshold,
+    )
+    keep_ids = labeled.filter(F.col("keep")).select(id_col).localCheckpoint(eager=True)
+
+    part = f"batch={batch_id}"
+    kept_sk = batch_sk.join(keep_ids, id_col)
+    writes = [
+        (batch.join(keep_ids, id_col), "corpus", []),
+        (kept_sk, "sketches", []),
+        (
+            band_keys(kept_sk, id_col).withColumn(
+                "bucket", F.pmod(F.col("band_hash"), F.lit(N_BUCKETS)).cast("int")
+            ),
+            "bands",
+            ["bucket"],
+        ),
+    ]
+    for df, name, parts in writes:
+        w = df.write.mode("overwrite")
+        if parts:
+            w = w.partitionBy(*parts)
+        w.parquet(os.path.join(_component(state_dir, name), part))
 
 
 def maintain_deduped_corpus(

@@ -7,41 +7,29 @@ batch may carry several ops for one key) and applies it to the prior
 snapshot with ``operators/merge.merge_upsert`` — the single full-outer
 hash join MERGE plan.
 
-Exactly-once follows the versioned-snapshot discipline of
-``streaming/scd2.py``: state versions land in
-``state_dir/version=<batch_id>`` and a batch reads the LATEST version
-strictly below its own batch id. A retried micro-batch (same batch id)
-re-reads the same prior version and fully overwrites its own version
-directory, so replays converge to the identical snapshot instead of
-double-applying.
-
-Scale note: a version here is a full snapshot (fixture-friendly). At
-100 TB the snapshot is hash-bucketed by key; a batch rewrites only the
-buckets containing its keys plus a manifest — the merge plan itself is
-unchanged (and exchange-free over a bucketed base, see
-``operators/merge.py``).
+State lives in the bucketed versioned store (``streaming/bucketstate``):
+the snapshot is hash-bucketed by key, a batch reads only the buckets its
+keys touch (partition-pruned manifest resolution) and writes a version
+containing only those buckets' new contents — O(touched buckets) read
+and write amplification per micro-batch, never O(state). Exactly-once
+is unchanged: a retried micro-batch (same batch id) resolves the same
+prior per-bucket versions strictly below its own id and fully overwrites
+its own version directory, so replays converge. MERGE is per-key, so
+restricting the prior to touched buckets is lossless — keys in other
+buckets cannot be affected by this batch.
 """
 
 from __future__ import annotations
-
-import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from censo_escolar_spark.operators.merge import merge_upsert
-
-
-def _latest_version(state_dir: str, below: int) -> int | None:
-    if not os.path.isdir(state_dir):
-        return None
-    versions = [
-        int(d.split("=", 1)[1])
-        for d in os.listdir(state_dir)
-        if d.startswith("version=")
-    ]
-    versions = [v for v in versions if v < below]
-    return max(versions, default=None)
+from censo_escolar_spark.streaming.bucketstate import (
+    read_bucketed_state,
+    touched_buckets,
+    write_bucketed_version,
+)
 
 
 def read_merged_state(
@@ -52,10 +40,7 @@ def read_merged_state(
     below: int | None = None,
 ) -> DataFrame:
     """Latest committed snapshot (empty frame of ``schema`` if none)."""
-    v = _latest_version(state_dir, below if below is not None else 1 << 62)
-    if v is None:
-        return spark.createDataFrame([], schema)
-    return spark.read.parquet(os.path.join(state_dir, f"version={v}"))
+    return read_bucketed_state(spark, state_dir, schema=schema, below=below)
 
 
 def apply_merge_batch(
@@ -73,10 +58,10 @@ def apply_merge_batch(
     ``batch_df`` carries (key, op, seq, payload...); within the batch
     the row with the highest ``seq_col`` per key wins (ties break on
     op — a deterministic total order is the CDC contract), then the
-    one-image-per-key batch merges into the prior snapshot.
+    one-image-per-key batch merges into the prior contents of ONLY the
+    buckets the batch touches.
     """
     spark = batch_df.sparkSession
-    prior = read_merged_state(spark, state_dir, schema=schema, below=batch_id)
     w = Window.partitionBy(key_col).orderBy(
         F.desc(seq_col), F.desc(op_col)
     )
@@ -84,10 +69,17 @@ def apply_merge_batch(
         batch_df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn", seq_col)
+        # two consumers (bucket probe + merge) — cut the window lineage
+        .localCheckpoint(eager=True)
     )
-    new_state = merge_upsert(prior, last_image, key_col, op_col=op_col)
-    out = os.path.join(state_dir, f"version={batch_id}")
-    new_state.write.mode("overwrite").parquet(out)
+    touched = touched_buckets(last_image, key_col)
+    prior = read_bucketed_state(
+        spark, state_dir, schema=schema, below=batch_id, buckets=touched
+    )
+    new_buckets = merge_upsert(prior, last_image, key_col, op_col=op_col)
+    write_bucketed_version(
+        new_buckets, state_dir, batch_id, key_col=key_col, touched=touched
+    )
 
 
 def maintain_merged_table(

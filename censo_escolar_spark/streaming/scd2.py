@@ -6,29 +6,28 @@ Each ``foreachBatch`` invocation builds the batch's runs locally
 them into the prior snapshot (``stitch_runs``) — history is NEVER
 rescanned; the per-batch cost is O(batch + state-of-touched-keys).
 
-Exactly-once: state versions are written to
-``state_dir/version=<batch_id>`` and a batch reads the LATEST version
-strictly below its own batch id. Structured Streaming may re-run a
-micro-batch with the same batch id after a failure; the retry then
-reads the same prior version the first attempt read and fully
-overwrites its own version directory — a half-written attempt can
-never corrupt its input (same discipline as
+State lives in the bucketed versioned store (``streaming/bucketstate``):
+the dimension is hash-bucketed by key, a batch reads only the buckets
+its keys touch and writes a version containing only those buckets' new
+contents — O(touched buckets) amplification, never O(state). SCD2
+stitching is per-key, so the touched-bucket restriction is lossless;
+keys absent from the batch stay in their immutable prior versions.
+Exactly-once is the same versioning discipline: a retried micro-batch
+resolves the same prior per-bucket versions strictly below its own id
+and fully overwrites its own version directory (same discipline as
 ``windows.idempotent_parquet_sink``).
-
-Scale note: a version here is a full snapshot (fixture-friendly). At
-100 TB the snapshot is hash-bucketed by key and a batch rewrites only
-buckets containing its keys plus a manifest — the stitch plan is
-unchanged (it already touches only prior-open rows per key).
 """
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from censo_escolar_spark.operators.scd2 import scd2_intervals, stitch_runs
+from censo_escolar_spark.streaming.bucketstate import (
+    read_bucketed_state,
+    touched_buckets,
+    write_bucketed_version,
+)
 
 _STATE_SCHEMA = (
     "user_id bigint, run_id bigint, state string, valid_from timestamp,"
@@ -36,26 +35,11 @@ _STATE_SCHEMA = (
 )
 
 
-def _latest_version(state_dir: str, below: int) -> int | None:
-    if not os.path.isdir(state_dir):
-        return None
-    versions = [
-        int(d.split("=", 1)[1])
-        for d in os.listdir(state_dir)
-        if d.startswith("version=")
-    ]
-    versions = [v for v in versions if v < below]
-    return max(versions, default=None)
-
-
 def read_scd2_state(
     spark: SparkSession, state_dir: str, *, below: int | None = None
 ) -> DataFrame:
     """Latest committed snapshot (empty frame if none yet)."""
-    v = _latest_version(state_dir, below if below is not None else 1 << 62)
-    if v is None:
-        return spark.createDataFrame([], _STATE_SCHEMA)
-    return spark.read.parquet(os.path.join(state_dir, f"version={v}"))
+    return read_bucketed_state(spark, state_dir, schema=_STATE_SCHEMA, below=below)
 
 
 def apply_scd2_batch(
@@ -63,11 +47,16 @@ def apply_scd2_batch(
 ) -> None:
     """The foreachBatch body (exposed for direct testing / backfills)."""
     spark = batch_df.sparkSession
-    prior = read_scd2_state(spark, state_dir, below=batch_id)
-    batch_runs = scd2_intervals(batch_df)
-    new_state = stitch_runs(prior, batch_runs)
-    out = os.path.join(state_dir, f"version={batch_id}")
-    new_state.write.mode("overwrite").parquet(out)
+    # two consumers (bucket probe + stitch) — cut the window lineage
+    batch_runs = scd2_intervals(batch_df).localCheckpoint(eager=True)
+    touched = touched_buckets(batch_runs, "user_id")
+    prior = read_bucketed_state(
+        spark, state_dir, schema=_STATE_SCHEMA, below=batch_id, buckets=touched
+    )
+    new_buckets = stitch_runs(prior, batch_runs)
+    write_bucketed_version(
+        new_buckets, state_dir, batch_id, key_col="user_id", touched=touched
+    )
 
 
 def maintain_scd2(

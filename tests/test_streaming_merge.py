@@ -88,3 +88,46 @@ def test_maintain_merged_table_end_to_end(spark, tmp_path):
     assert _snapshot(spark, state) == {1: "a2", 5: "e"}
     # versions directory carries replay provenance
     assert any(d.startswith("version=") for d in os.listdir(state))
+
+
+def test_merge_rewrites_only_touched_buckets(spark, tmp_path):
+    """O(touched-buckets) write amplification: a batch updating ONE key
+    writes a version containing only that key's bucket, and every prior
+    version's files stay byte-identical (immutable)."""
+    from censo_escolar_spark.streaming.bucketstate import (
+        N_BUCKETS,
+        bucket_of,
+    )
+
+    state = str(tmp_path / "state")
+    # seed enough keys that several buckets are populated
+    seed = [(k, "I", 1, f"v{k}") for k in range(1, 21)]
+    apply_merge_batch(_batch(spark, seed), 0, state_dir=state, key_col="id",
+                      seq_col="seq", schema=STATE_SCHEMA)
+    v0_buckets = sorted(os.listdir(os.path.join(state, "version=0")))
+    assert sum(d.startswith("bucket=") for d in v0_buckets) > 1
+
+    def files(root):
+        out = {}
+        for dirpath, _, names in os.walk(root):
+            for n in names:
+                p = os.path.join(dirpath, n)
+                with open(p, "rb") as fh:
+                    out[os.path.relpath(p, root)] = fh.read()
+        return out
+
+    v0_before = files(os.path.join(state, "version=0"))
+    # update a single key -> exactly one touched bucket
+    apply_merge_batch(_batch(spark, [(7, "U", 1, "v7b")]), 1, state_dir=state,
+                      key_col="id", seq_col="seq", schema=STATE_SCHEMA)
+    b7 = spark.createDataFrame([(7,)], "id bigint").select(
+        bucket_of("id", n_buckets=N_BUCKETS).alias("b")
+    ).first()[0]
+    v1 = os.path.join(state, "version=1")
+    touched = [d for d in os.listdir(v1) if d.startswith("bucket=")]
+    assert touched == [f"bucket={b7}"]
+    # version 0 untouched: every file byte-identical
+    assert files(os.path.join(state, "version=0")) == v0_before
+    # and the merged view is correct: key 7 updated, all others intact
+    snap = _snapshot(spark, state)
+    assert snap[7] == "v7b" and snap[1] == "v1" and len(snap) == 20
