@@ -7,13 +7,16 @@ the bytes, and only the genuinely pixel-level work (decode, resize,
 feature extraction) crosses into Python — as Arrow-batched
 ``mapInPandas`` over bounded batches, never per-row UDFs.
 
-Decoders are pluggable because the real codec libraries (Pillow,
-ffmpeg, torchaudio, ...) are NOT in this environment: ``decode_media``
-with no decoder raises ``NotImplementedError`` (clearly-marked stub),
-while ``fake_decode`` is a deterministic stand-in (pixels derived from a
-splitmix64 stream seeded by the payload) that makes the Spark-side
-plumbing — schema, batch shape, partitioning, feature math — fully
-testable. Swapping in a real decoder changes ONE function.
+Decoders are pluggable. ``real_decode`` import-probes the preferred
+codec library per media family (Pillow, soundfile) and falls back to
+pure-stdlib decoders for the open formats — PNG via ``zlib``/``struct``
+(RFC 2083), WAV via the ``wave`` module — so the real path runs even in
+lib-less environments; only formats with no stdlib codec (JPEG without
+Pillow, video containers) raise ``NotImplementedError`` (clearly-marked
+stub). ``fake_decode`` is a deterministic stand-in (pixels derived from
+a splitmix64 stream seeded by the payload) that keeps the Spark-side
+plumbing — schema, batch shape, partitioning, feature math — SQL-oracle
+checkable. Swapping decoders changes ONE function argument.
 
 Scale notes:
 - payload columns are large: size shuffle partitions by bytes, not rows
@@ -112,21 +115,155 @@ def fake_decode(payload: bytes, fmt: str, *, h: int = 8, w: int = 8) -> np.ndarr
     return (vals % np.uint64(256)).astype(np.uint8).reshape(h, w)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_decode_stdlib(payload: bytes) -> np.ndarray:
+    """Pure-stdlib PNG decode (``zlib`` + ``struct`` — the format is
+    public: RFC 2083). Supports the mainstream profile: 8-bit depth,
+    color types 0/2/3/4/6, filters 0–4, no interlace. Grayscale
+    conversion uses Pillow's exact ITU-R 601-2 integer formula
+    ``(R*19595 + G*38470 + B*7471 + 0x8000) >> 16`` so the stdlib and
+    Pillow paths are bit-identical on the same payload."""
+    import struct
+    import zlib
+
+    if not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG payload (bad 8-byte signature)")
+    pos = len(_PNG_SIG)
+    idat: list[bytes] = []
+    plte: np.ndarray | None = None
+    ihdr = None
+    while pos + 8 <= len(payload):
+        (length,), ctype = struct.unpack(">I", payload[pos : pos + 4]), payload[
+            pos + 4 : pos + 8
+        ]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG without IHDR chunk")
+    w, h, depth, color, _comp, _filt, interlace = ihdr
+    if depth != 8 or interlace != 0:
+        raise NotImplementedError(
+            f"stdlib PNG decoder handles 8-bit non-interlaced only "
+            f"(got depth={depth}, interlace={interlace}); install Pillow"
+        )
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+    stride = w * channels
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline stream has the wrong length")
+    img = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    bpp = channels  # bytes per pixel at depth 8
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int32)
+        if f == 0:  # None
+            cur = line
+        elif f == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif f in (1, 3, 4):  # Sub / Average / Paeth need a left-scan
+            cur = np.empty(stride, dtype=np.int32)
+            for i in range(stride):
+                left = int(cur[i - bpp]) if i >= bpp else 0
+                up = int(prev[i])
+                if f == 1:
+                    pred = left
+                elif f == 3:
+                    pred = (left + up) >> 1
+                else:
+                    ul = int(prev[i - bpp]) if i >= bpp else 0
+                    p = left + up - ul
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = left if pa <= pb and pa <= pc else up if pb <= pc else ul
+                cur[i] = (line[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG filter type {f}")
+        prev = cur
+        img[y] = cur.astype(np.uint8)
+    px = img.reshape(h, w, channels)
+    if color == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE chunk")
+        px = plte[px[:, :, 0]]
+        channels = 3
+    if channels in (1, 2):  # gray / gray+alpha
+        return np.ascontiguousarray(px[:, :, 0])
+    r = px[..., 0].astype(np.uint32)
+    g = px[..., 1].astype(np.uint32)
+    b = px[..., 2].astype(np.uint32)
+    return ((r * 19595 + g * 38470 + b * 7471 + 0x8000) >> 16).astype(np.uint8)
+
+
+def _wav_decode_stdlib(payload: bytes) -> np.ndarray:
+    """Pure-stdlib WAV decode via the ``wave`` module: PCM 8/16-bit →
+    mono float64 in [-1, 1], matching soundfile's scaling (int16/32768,
+    (uint8-128)/128) so the stdlib and soundfile paths are bit-identical
+    on the same PCM payload."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload)) as wv:
+        nch = wv.getnchannels()
+        sw = wv.getsampwidth()
+        raw = wv.readframes(wv.getnframes())
+    if sw == 2:
+        samples = np.frombuffer(raw, "<i2").astype(np.float64) / 32768.0
+    elif sw == 1:
+        samples = (np.frombuffer(raw, np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise NotImplementedError(
+            f"stdlib WAV decoder handles 8/16-bit PCM only (got width {sw}); "
+            "install soundfile"
+        )
+    if nch > 1:  # downmix to mono
+        samples = samples.reshape(-1, nch).mean(axis=1)
+    return samples
+
+
+def _quantize_frames(samples: np.ndarray, *, frame: int = 64) -> np.ndarray:
+    """Shared audio→thumbnail contract: mono [-1, 1] samples quantized to
+    uint8 and framed into fixed ``frame``-wide rows. Trailing partial
+    frames are ALWAYS dropped; a clip shorter than one frame yields the
+    (1, 1) zero thumbnail (the same undecodable-floor as empty audio),
+    so the contract has no short-clip exception."""
+    q = np.clip((samples + 1.0) * 127.5, 0, 255).astype(np.uint8)
+    n = (len(q) // frame) * frame
+    if n == 0:
+        return np.zeros((1, 1), np.uint8)
+    return q[:n].reshape(-1, frame)
+
+
 def real_decode(payload: bytes, fmt: str) -> np.ndarray:
-    """Real codec decode, gated on an import-probe per media family:
-    images via Pillow (grayscale uint8 ``(h, w)``, the exact
-    ``fake_decode`` contract), audio via soundfile (mono samples
-    quantized to uint8 and framed into a 2-D array so the downstream
-    resize/feature plumbing is shared). When the library for the
-    sniffed format is absent — all of them in this container — raises
-    ``NotImplementedError``; pass ``decoder=fake_decode`` for the
-    deterministic oracle path (m02/m03's splitmix64 SQL replay)."""
+    """Real codec decode. Per media family, the preferred library is
+    import-probed (Pillow for images, soundfile for audio) with a
+    pure-stdlib fallback for the open formats — PNG via ``zlib`` +
+    ``struct``, WAV via the ``wave`` module — so the real-decode path
+    runs (and is golden-tested) even in lib-less environments. The two
+    paths are bit-identical on the same payload (same grayscale formula,
+    same PCM scaling). JPEG has no stdlib decoder: without Pillow it
+    raises ``NotImplementedError`` (clearly-marked stub), as does any
+    unwired format; ``decoder=fake_decode`` remains the deterministic
+    oracle path (m02/m03's splitmix64 SQL replay)."""
     if fmt in ("jpeg", "png"):
         try:
             from PIL import Image
         except ImportError as exc:
+            if fmt == "png":
+                return _png_decode_stdlib(payload)
             raise NotImplementedError(
-                f"decoding {fmt} requires Pillow, which is not installed; "
+                "decoding jpeg requires Pillow, which is not installed; "
                 "pass decoder=fake_decode for deterministic testing"
             ) from exc
         import io
@@ -136,22 +273,14 @@ def real_decode(payload: bytes, fmt: str) -> np.ndarray:
     if fmt == "wav":
         try:
             import soundfile as sf
-        except ImportError as exc:
-            raise NotImplementedError(
-                "decoding wav requires soundfile, which is not installed; "
-                "pass decoder=fake_decode for deterministic testing"
-            ) from exc
+        except ImportError:
+            return _quantize_frames(_wav_decode_stdlib(payload))
         import io
 
         samples, _rate = sf.read(io.BytesIO(payload), dtype="float64")
         if samples.ndim > 1:  # downmix to mono
             samples = samples.mean(axis=1)
-        q = np.clip((samples + 1.0) * 127.5, 0, 255).astype(np.uint8)
-        frame = 64  # fixed frame width; trailing partial frame dropped
-        n = (len(q) // frame) * frame
-        if n == 0:
-            return q.reshape(1, -1) if len(q) else np.zeros((1, 1), np.uint8)
-        return q[:n].reshape(-1, frame)
+        return _quantize_frames(samples)
     raise NotImplementedError(
         f"no decoder wired for format {fmt!r}; "
         "pass decoder=fake_decode for deterministic testing"
@@ -292,6 +421,117 @@ def sample_frames(
 
     return planned.mapInPandas(
         run, f"{id_col} long, frame_idx int, px_mean double, px_std double"
+    )
+
+
+#: 8-point DCT-II basis cos((2x+1)·u·π/16), scaled by 1e6 and rounded to
+#: a FIXED integer table — perceptual-hash coefficients become exact
+#: BIGINT sums, bit-identical across engines, partitionings, and BLAS
+#: builds (a float DCT would be fold-order-dependent and unhashable).
+import math as _math
+
+DCT8_SCALE = 1_000_000
+DCT8 = [
+    [round(_math.cos((2 * x + 1) * u * _math.pi / 16) * DCT8_SCALE) for x in range(8)]
+    for u in range(8)
+]
+
+
+def phash64(decoded: DataFrame, *, id_col: str = "id") -> DataFrame:
+    """Perceptual hash from decoded 8×8 grayscale thumbnails: the sign
+    bits of the 63 non-DC integer-scaled 2D DCT-II coefficients packed
+    into one BIGINT (bit u*8+v-1 set iff C(u,v) > 0) — the classic
+    pHash shape (DCT low-frequency signs survive resizing, recompression
+    and small edits; the DC term only encodes brightness and is
+    dropped). 63 bits keep the hash strictly positive, so no engine
+    needs wrapping arithmetic.
+
+    Plan shape: pixels explode to (id, i, px) — 64 narrow rows per image
+    — then two 64-row broadcast joins against the DCT basis fan out to
+    4096 integer terms per image, partial-aggregated into 64
+    coefficients and one packed hash. All JVM-side exact BIGINT
+    arithmetic (max |term| ≈ 1.6e16 ≪ 2^63): the only Python is the
+    decode itself. At 100 TB the 4096-term fan-out is trivia next to
+    decode cost and combines map-side.
+    """
+    spark = decoded.sparkSession
+    basis = [(u, x, DCT8[u][x]) for u in range(8) for x in range(8)]
+    tu = spark.createDataFrame(basis, "u int, x int, tu bigint")
+    tv = spark.createDataFrame(basis, "v int, y int, tv bigint")
+    px = (
+        decoded.select(F.col(id_col), F.posexplode("pixels").alias("i", "px"))
+        # ravel() is row-major over (h, w): i = y*8 + x
+        .withColumn("x", (F.col("i") % 8).cast("int"))
+        .withColumn("y", (F.col("i") / 8).cast("int"))
+    )
+    coef = (
+        px.join(F.broadcast(tu), "x")
+        .join(F.broadcast(tv), "y")
+        .groupBy(id_col, "u", "v")
+        .agg(F.sum(F.col("px") * F.col("tu") * F.col("tv")).alias("c"))
+    )
+    # F.shiftleft only takes a literal shift count — the per-row bit
+    # position needs the SQL form
+    bit_val = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(u * 8 + v - 1 AS INT))")
+    return (
+        coef.filter((F.col("u") != 0) | (F.col("v") != 0))
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                F.when(F.col("c") > 0, bit_val).otherwise(F.lit(0).cast("bigint"))
+            ).alias("phash")
+        )
+    )
+
+
+def phash_pairs(
+    hashes: DataFrame,
+    id_col: str,
+    *,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Near-duplicate image pairs from perceptual hashes: pigeonhole
+    band join (any pair within ``max_hamming`` agrees exactly on at
+    least one of ``n_bands`` 16-bit chunks — exact recall requires
+    ``max_hamming < n_bands``), then exact Hamming verification via
+    bit_count(xor). Same sub-quadratic candidate shape as SimHash
+    (operators/dedup.simhash_pairs_from_fingerprints) on a 64-bit key:
+    shuffle is O(images × bands), never all-pairs. ``hashes`` must be
+    cheap or materialized — the band self-join scans it twice."""
+    assert max_hamming < n_bands, "pigeonhole exactness requires max_hamming < n_bands"
+    banded = hashes.select(
+        F.col(id_col),
+        "phash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("phash"), 16 * b)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    .cast("int")
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
     )
 
 

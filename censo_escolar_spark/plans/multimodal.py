@@ -94,20 +94,19 @@ _SM64_MUL = (
     "((( ({a}) // 4294967296 * {m} % 4294967296) * 4294967296"
     " + ({a}) % 4294967296 * {m}) % 18446744073709551616)"
 )
-_M02_ORACLE = f"""
-WITH staged AS (
-  SELECT doc_id,
-    (CASE doc_id % 3 WHEN 0 THEN unhex('FFD8FF')
-                     WHEN 1 THEN unhex('89504E47')
-                     ELSE unhex('52494646') END
-     || encode(text)) AS payload
-  FROM documents
-),
+
+
+def _fake_pix_ctes(staged_sql: str, first_byte_sql: str) -> str:
+    """The splitmix64 fake-decode replay as a reusable CTE chain:
+    ``staged_sql`` must yield (doc_id, payload BLOB); ``first_byte_sql``
+    is the payload's first byte as SQL (a constant or CASE — DuckDB has
+    no cheap blob-byte indexer, and every staging plants a known magic).
+    Produces ``pix(doc_id, i, px)`` with i in 1..64."""
+    return f"""staged AS ({staged_sql}),
 sd AS (
   SELECT doc_id,
     xor(xor(CAST(octet_length(payload) AS UBIGINT) * 65536,
-            CAST(CASE doc_id % 3 WHEN 0 THEN 255 WHEN 1 THEN 137
-                 ELSE 82 END AS UBIGINT)),
+            CAST({first_byte_sql} AS UBIGINT)),
         CAST(CAST('0x' || substr(hex(payload), octet_length(payload)*2 - 1, 2)
              AS INT) * 256 AS UBIGINT)) AS seed
   FROM staged
@@ -128,7 +127,20 @@ z2 AS (SELECT doc_id, i,
   FROM x1),
 pix AS (
   SELECT doc_id, i, CAST(xor(z, z >> 31) % 256 AS BIGINT) AS px FROM z2
-),
+)"""
+
+
+_M02_STAGED = """
+  SELECT doc_id,
+    (CASE doc_id % 3 WHEN 0 THEN unhex('FFD8FF')
+                     WHEN 1 THEN unhex('89504E47')
+                     ELSE unhex('52494646') END
+     || encode(text)) AS payload
+  FROM documents
+"""
+_M02_FIRST_BYTE = "CASE doc_id % 3 WHEN 0 THEN 255 WHEN 1 THEN 137 ELSE 82 END"
+_M02_ORACLE = f"""
+WITH {_fake_pix_ctes(_M02_STAGED, _M02_FIRST_BYTE)},
 feat AS (
   SELECT doc_id,
     CAST(SUM(px) AS DOUBLE) / 64 AS px_mean,
@@ -595,3 +607,117 @@ def m08_multimodal_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         capacity=2048,
         stream_cols=["format"],
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# m09 — perceptual image hash (pHash): decoded 8×8 thumbnails → sign
+# bits of the 63 non-DC integer-scaled DCT-II coefficients packed into
+# one BIGINT. The oracle replays the splitmix64 pixel stream (m02's
+# chain) and the SAME fixed integer DCT basis in SQL — coefficients are
+# exact BIGINT sums, so the hash compares bit for bit. A float DCT
+# would be fold-order-dependent and unhashable (the s07 lesson).
+# ---------------------------------------------------------------------------
+_DCT_VALUES = ", ".join(
+    f"({u}, {x}, {t})" for u, row in enumerate(M.DCT8) for x, t in enumerate(row)
+)
+_M09_ORACLE = f"""
+WITH {_fake_pix_ctes(_M02_STAGED, _M02_FIRST_BYTE)},
+dct(u, x, t) AS (SELECT * FROM (VALUES {_DCT_VALUES})),
+coef AS (
+  SELECT p.doc_id, tu.u AS u, tv.u AS v, SUM(p.px * tu.t * tv.t) AS c
+  FROM pix p
+  JOIN dct tu ON tu.x = (p.i - 1) % 8
+  JOIN dct tv ON tv.x = (p.i - 1) // 8
+  GROUP BY 1, 2, 3
+)
+SELECT doc_id,
+  CAST(SUM(CASE WHEN c > 0
+                THEN (1::BIGINT << CAST(u * 8 + v - 1 AS INTEGER))
+                ELSE 0 END) AS BIGINT) AS phash
+FROM coef
+WHERE NOT (u = 0 AND v = 0)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@register("m09_perceptual_hash", oracle=_M09_ORACLE)
+def m09_perceptual_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image pHash over the staged corpus: Arrow decode (fake
+    decoder = the oracle-replayable path), then the exact-integer DCT
+    sign-bit pack (operators/multimodal.phash64) entirely JVM-side."""
+    staged = _staged_payloads(spark, sf_dir)
+    decoded = M.decode_media(staged, bytes_col="payload", decoder=M.fake_decode)
+    return (
+        M.phash64(decoded)
+        .select(F.col("id").alias("doc_id"), "phash")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# m10 — perceptual near-dup image pairs: pHash + pigeonhole Hamming-band
+# join (4×16-bit bands, exact recall for hamming ≤ 3), exact bit_count
+# verification. Payloads are staged into 40 deterministic duplicate
+# classes (doc_id % 40 → identical bytes) so the fixture has real
+# dup cliques; the avalanche fake decoder makes non-identical payloads
+# uncorrelated, so the expected pairs are exactly the classes — but the
+# oracle derives them the honest way: replay pixels → DCT hashes →
+# all-pairs bit_count(xor) ≤ 3 (DuckDB's quadratic join is fine at
+# oracle scale; the Spark side is the banded sub-quadratic plan).
+# ---------------------------------------------------------------------------
+_M10_STAGED = """
+  SELECT doc_id,
+    (unhex('89504E47') || encode(CAST(doc_id % 40 AS VARCHAR))) AS payload
+  FROM documents
+"""
+_M10_ORACLE = f"""
+WITH {_fake_pix_ctes(_M10_STAGED, "137")},
+dct(u, x, t) AS (SELECT * FROM (VALUES {_DCT_VALUES})),
+coef AS (
+  SELECT p.doc_id, tu.u AS u, tv.u AS v, SUM(p.px * tu.t * tv.t) AS c
+  FROM pix p
+  JOIN dct tu ON tu.x = (p.i - 1) % 8
+  JOIN dct tv ON tv.x = (p.i - 1) // 8
+  GROUP BY 1, 2, 3
+),
+ph AS MATERIALIZED (
+  SELECT doc_id,
+    CAST(SUM(CASE WHEN c > 0
+                  THEN (1::BIGINT << CAST(u * 8 + v - 1 AS INTEGER))
+                  ELSE 0 END) AS BIGINT) AS phash
+  FROM coef
+  WHERE NOT (u = 0 AND v = 0)
+  GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 3
+ORDER BY id_a, id_b
+"""
+
+
+@register("m10_phash_near_dup_pairs", oracle=_M10_ORACLE)
+def m10_phash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id",
+        F.concat(
+            F.unhex(F.lit("89504E47")),
+            F.encode((F.col("doc_id") % 40).cast("string"), "utf-8"),
+        ).alias("payload"),
+    )
+    decoded = M.decode_media(staged, bytes_col="payload", decoder=M.fake_decode)
+    # the band self-join scans the hashes twice; without an eager cut
+    # the Arrow decode + DCT pipeline would run once per scan
+    hashes = M.phash64(decoded).localCheckpoint(eager=True)
+    return (
+        M.phash_pairs(hashes, "id", max_hamming=3)
+        .select(
+            F.col("id_a").cast("bigint").alias("id_a"),
+            F.col("id_b").cast("bigint").alias("id_b"),
+            "hamming",
+        )
+        .orderBy("id_a", "id_b")
+    )

@@ -53,6 +53,10 @@ CASES = [
     "e18_time_weighted_avg",
     "e23_cusum_alerts",
     "s07_cluster_profile",
+    # round-6 additions: exact-integer DCT sign packs + Hamming-band
+    # pairs (Arrow decode feeding a two-scan self-join)
+    "m09_perceptual_hash",
+    "m10_phash_near_dup_pairs",
 ]
 
 

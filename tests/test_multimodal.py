@@ -41,9 +41,16 @@ def test_plan_frame_sample(spark):
     assert got[100] == [0, 25, 50, 75]
 
 
-def test_decode_stub_raises(spark, payloads):
-    decoded = M.decode_media(payloads, bytes_col="payload")  # default = stub
-    with pytest.raises(Exception, match="NotImplementedError|media decoding requires"):
+def test_decode_default_real_decoder_rejects_garbage(spark, payloads):
+    """The default decoder is the REAL path: truncated/garbage payloads
+    must fail the task with a clear codec error (never silently produce
+    pixels), and unwired formats keep the NotImplementedError stub
+    contract."""
+    decoded = M.decode_media(payloads, bytes_col="payload")  # default = real
+    with pytest.raises(
+        Exception,
+        match="NotImplementedError|not a PNG|not a WAVE|no decoder|requires Pillow",
+    ):
         decoded.collect()
 
 
@@ -162,74 +169,158 @@ def test_audio_frame_plan_custom_framing_counts(spark):
 
 
 # ---------------------------------------------------------------------------
-# Real-codec path (import-gated): these run only where Pillow/soundfile
-# exist. In this container both are absent, so the tests SKIP and the
-# deterministic fake_decode remains the oracle path — but the plumbing
-# (magic-byte dispatch, grayscale contract, mapInPandas batch shape) is
-# identical for both decoders, so a green run under real libs is a
-# drop-in upgrade, not a code change.
+# Real-codec path. PNG and WAV decode through pure-stdlib decoders
+# (zlib/struct, wave) whenever Pillow/soundfile are absent — so these
+# goldens run EVERYWHERE, including this lib-less container. The two
+# paths are bit-identical on the same payload (same grayscale formula,
+# same PCM scaling), so the goldens are environment-independent. Only
+# JPEG remains Pillow-gated (no stdlib JPEG codec exists).
 # ---------------------------------------------------------------------------
 
 
-def test_real_decode_without_libs_raises_cleanly():
-    """The import-probe must fail with NotImplementedError (the
-    documented stub contract), never a bare ImportError, so plans keep
-    their catchable error surface."""
+def _png_bytes(arr: np.ndarray, *, color_type: int = 0, filters=None) -> bytes:
+    """Minimal in-test PNG writer (zlib/struct), so goldens need no
+    external encoder. ``arr`` is (h, w) uint8 for gray (color 0) or
+    (h, w, 3) for RGB (color 2); ``filters`` optionally picks the PNG
+    filter type per scanline (applied correctly, to exercise unfilters)."""
+    import struct
+    import zlib
+
+    h, w = arr.shape[:2]
+    ch = 1 if arr.ndim == 2 else arr.shape[2]
+    flat = arr.reshape(h, w * ch).astype(np.int32)
+    filters = filters or [0] * h
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int32)
+    for y, f in enumerate(filters):
+        line = flat[y]
+        if f == 0:
+            enc = line
+        elif f == 1:  # Sub
+            left = np.concatenate([np.zeros(ch, np.int32), line[:-ch]])
+            enc = (line - left) & 0xFF
+        elif f == 2:  # Up
+            enc = (line - prev) & 0xFF
+        elif f == 3:  # Average
+            left = np.concatenate([np.zeros(ch, np.int32), line[:-ch]])
+            enc = (line - ((left + prev) >> 1)) & 0xFF
+        else:  # Paeth
+            enc = np.empty(w * ch, dtype=np.int32)
+            for i in range(w * ch):
+                a = int(line[i - ch]) if i >= ch else 0
+                b = int(prev[i])
+                c = int(prev[i - ch]) if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else b if pb <= pc else c
+                enc[i] = (line[i] - pred) & 0xFF
+        raw += bytes([f]) + enc.astype(np.uint8).tobytes()
+        prev = line
+
+    def chunk(t: bytes, d: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(d)) + t + d + struct.pack(">I", zlib.crc32(t + d))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _wav_bytes(samples_i16: np.ndarray, *, rate: int = 8000, channels: int = 1) -> bytes:
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(channels)
+        wv.setsampwidth(2)
+        wv.setframerate(rate)
+        wv.writeframes(samples_i16.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def test_real_decode_unwired_formats_raise_cleanly():
+    """Formats without a wired decoder must fail with NotImplementedError
+    (the documented stub contract), never a bare ImportError. Each
+    library is probed independently: jpeg is Pillow-gated, mp4 always
+    raises."""
     try:
         import PIL  # noqa: F401
-
-        pytest.skip("Pillow present: the raising path is not reachable")
     except ImportError:
-        pass
-    png_magic = b"\x89PNG\r\n\x1a\n" + b"\x00" * 16
-    with pytest.raises(NotImplementedError, match="Pillow"):
-        M.real_decode(png_magic, "png")
-    with pytest.raises(NotImplementedError, match="soundfile"):
-        M.real_decode(b"RIFF" + b"\x00" * 16, "wav")
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            M.real_decode(bytes.fromhex("FFD8FF") + b"\x00" * 16, "jpeg")
     with pytest.raises(NotImplementedError, match="no decoder"):
         M.real_decode(b"\x00" * 8, "mp4")
 
 
 def test_real_decode_png_golden():
-    pytest.importorskip("PIL")
-    import io
-
-    from PIL import Image
-
     # 2x3 grayscale gradient PNG -> decode must return the same pixels
     arr = np.array([[0, 128, 255], [32, 64, 96]], dtype=np.uint8)
-    buf = io.BytesIO()
-    Image.fromarray(arr, mode="L").save(buf, format="PNG")
-    out = M.real_decode(buf.getvalue(), "png")
+    out = M.real_decode(_png_bytes(arr), "png")
     assert out.dtype == np.uint8
     np.testing.assert_array_equal(out, arr)
 
 
+def test_real_decode_png_all_filters():
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 256, size=(5, 6), dtype=np.uint8)
+    out = M.real_decode(_png_bytes(arr, filters=[0, 1, 2, 3, 4]), "png")
+    np.testing.assert_array_equal(out, arr)
+
+
+def test_real_decode_png_rgb_grayscale_formula():
+    rgb = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [10, 20, 30]]], dtype=np.uint8
+    )
+    out = M.real_decode(_png_bytes(rgb, color_type=2, filters=[1, 4]), "png")
+    r, g, b = (rgb[..., i].astype(np.uint32) for i in range(3))
+    expect = ((r * 19595 + g * 38470 + b * 7471 + 0x8000) >> 16).astype(np.uint8)
+    np.testing.assert_array_equal(out, expect)  # Pillow's exact L formula
+
+
 def test_real_decode_wav_golden():
-    pytest.importorskip("soundfile")
-    import io
-
-    import soundfile as sf
-
-    # 128 mono samples at full scale -> one 64-wide frame of 255s then 0s
-    samples = np.concatenate([np.ones(64), -np.ones(64)])
-    buf = io.BytesIO()
-    sf.write(buf, samples, 8000, format="WAV", subtype="DOUBLE")
-    out = M.real_decode(buf.getvalue(), "wav")
+    # 128 mono samples: one full-scale frame then one floor frame.
+    # int16 32767 -> 32767/32768 -> floor((x+1)*127.5) = 254;
+    # int16 -32768 -> -1.0 -> 0. Same values under soundfile (PCM16
+    # reads as sample/32768 there too), so the golden is env-independent.
+    samples = np.concatenate(
+        [np.full(64, 32767, np.int64), np.full(64, -32768, np.int64)]
+    )
+    out = M.real_decode(_wav_bytes(samples), "wav")
     assert out.shape == (2, 64)
-    assert set(out[0].tolist()) == {255}
+    assert set(out[0].tolist()) == {254}
     assert set(out[1].tolist()) == {0}
 
 
+def test_real_decode_wav_partial_frames_always_drop():
+    # 100 samples -> one full 64-frame, 36-sample tail dropped
+    out = M.real_decode(_wav_bytes(np.zeros(100, np.int64)), "wav")
+    assert out.shape == (1, 64)
+    # shorter than one frame -> the (1, 1) zero thumbnail, no exception
+    short = M.real_decode(_wav_bytes(np.zeros(10, np.int64)), "wav")
+    np.testing.assert_array_equal(short, np.zeros((1, 1), np.uint8))
+
+
+def test_real_decode_wav_stereo_downmix():
+    left = np.full(64, 16384, np.int64)
+    right = np.full(64, -16384, np.int64)
+    inter = np.empty(128, np.int64)
+    inter[0::2], inter[1::2] = left, right
+    out = M.real_decode(_wav_bytes(inter, channels=2), "wav")
+    assert out.shape == (1, 64)
+    assert set(out[0].tolist()) == {127}  # mean(+0.5, -0.5) = 0 -> 127.5 -> 127
+
+
 def test_decode_media_with_real_decoder_end_to_end(spark):
-    pytest.importorskip("PIL")
-    import io
-
-    from PIL import Image
-
     arr = np.arange(64, dtype=np.uint8).reshape(8, 8)
-    buf = io.BytesIO()
-    Image.fromarray(arr, mode="L").save(buf, format="PNG")
-    df = spark.createDataFrame([(1, bytearray(buf.getvalue()))], "doc_id long, payload binary")
+    payload = _png_bytes(arr)
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "doc_id long, payload binary"
+    )
     rows = M.decode_media(df, decoder=M.real_decode).collect()
     assert rows[0].pixels == arr.ravel().astype(int).tolist()
