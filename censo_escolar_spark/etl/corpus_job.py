@@ -17,12 +17,13 @@ Stages (each a lazy DataFrame transformation until the single write):
 8. sink         — hive-partitioned snappy parquet by (split, lang)
                   with bounded file sizes + a job summary
 
-Scale notes: stages 2-6 are one fused projection pipeline (no
-intermediate materialization); the only shuffles are the dedup pair
-generation/closure and the final partitioned write. The audit runs on
-the CURATED frame before the sink, so a bad upstream batch can never
-publish (reference analogue: load happens only after transform
-succeeds, censo_escolar.py DAG ordering).
+Scale notes: stages 2-6 are one fused projection pipeline whose result
+is materialized ONCE (eager localCheckpoint) so the audit gate, the
+sink, and the summary never re-run curation; the only shuffles are the
+dedup pair generation/closure and the final partitioned write. The
+audit runs on the CURATED frame before the sink, so a bad upstream
+batch can never publish (reference analogue: load happens only after
+transform succeeds, censo_escolar.py DAG ordering).
 """
 
 from __future__ import annotations
@@ -116,7 +117,11 @@ def run_corpus_job(
     """
     cfg = config or CorpusJobConfig()
     df = spark.read.parquet(source) if isinstance(source, str) else source
-    curated = curate(df, cfg)
+    # ONE curation pass: the audit gate, the sink, and the split summary
+    # all read the eagerly-materialized result — without this the full
+    # clean→dedup→enrich pipeline re-runs per consumer (and at real
+    # scale the corpus is re-read between gate and publish)
+    curated = curate(df, cfg).localCheckpoint(eager=True)
     rep = audit(curated, cfg).collect()
     failures = [(r.check, r.violations) for r in rep if not r.ok]
     if failures:
@@ -128,14 +133,16 @@ def run_corpus_job(
         mode="overwrite",
         max_records_per_file=cfg.max_records_per_file,
     )
-    out = spark.read.parquet(out_dir)
     split_counts = {
         r["split"]: r["n"]
-        for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()
+        for r in curated.groupBy("split").agg(F.count("*").alias("n")).collect()
     }
+    # curated row count comes from the audit's own totals (row_checks
+    # reports total per check) — no extra counting pass
+    curated_rows = next(r.total for r in rep)
     return {
         "input_rows": df.count(),
-        "curated_rows": sum(split_counts.values()),
+        "curated_rows": curated_rows,
         "split_counts": split_counts,
         "audit": {r.check: r.violations for r in rep},
         "out_dir": out_dir,

@@ -1335,7 +1335,11 @@ def t17_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH c AS (
       SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 8
     ),
-    e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE embedding IS NOT NULL
+        AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+    ),
     scored AS (
       SELECT e.vec_id, e.label, c.cid,
         list_dot_product(e.v, c.cv)
@@ -1383,8 +1387,13 @@ def s07_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tried and is ~3× SLOWER end-to-end than the zip_with/aggregate
     # fold — Catalyst spends longer optimizing the 1600-node tree than
     # the interpreted fold spends evaluating. The fold stays.
-    base = emb.withColumn("__v", as_double_array("embedding")).withColumn(
-        "__nv", F.sqrt(dot(F.col("__v"), F.col("__v")))
+    base = (
+        emb.withColumn("__v", as_double_array("embedding"))
+        .withColumn("__nv", F.sqrt(dot(F.col("__v"), F.col("__v"))))
+        # zero-norm guard on BOTH engines (mirrors s20): a zero vector
+        # has no defined nearest centroid (NaN cosine) — excluded, not
+        # arbitrarily assigned
+        .filter(F.col("__nv") > 0)
     )
     if centroids:
         # array_max over (cos, -cid) structs == ORDER BY cos DESC, cid ASC
@@ -3932,3 +3941,59 @@ def s20_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "hamming", "cos", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# t34 — tokenizer fertility per language: tokens-per-word (fertility)
+# and bytes-per-token, the standard tokenizer-efficiency diagnostics for
+# multilingual data-mixture planning (a high-fertility language is
+# under-served by the tokenizer and its token share overstates its
+# content share — the correction t33's raw token shares need). All
+# exact BIGINT sums in one scan (bytes = octet_length of the UTF-8
+# text, words = whitespace tokens, tokens = the t05 BPE-ish
+# pre-tokenizer regex count), then single IEEE divisions — bit-exact
+# cross-engine, 6-row output shuffle.
+# ---------------------------------------------------------------------------
+@register(
+    "t34_tokenizer_fertility",
+    oracle=rf"""
+    SELECT lang,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(octet_length(encode(text))) AS BIGINT) AS n_bytes,
+      CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_words,
+      CAST(SUM(len(regexp_extract_all(text, '{T.BPE_PRETOKEN_RE}'))) AS BIGINT)
+        AS n_tokens,
+      CAST(CAST(SUM(len(regexp_extract_all(text, '{T.BPE_PRETOKEN_RE}'))) AS BIGINT)
+           AS DOUBLE)
+        / CAST(CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS DOUBLE)
+        AS fertility,
+      CAST(CAST(SUM(octet_length(encode(text))) AS BIGINT) AS DOUBLE)
+        / CAST(CAST(SUM(len(regexp_extract_all(text, '{T.BPE_PRETOKEN_RE}'))) AS BIGINT)
+               AS DOUBLE)
+        AS bytes_per_token
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def t34_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    agg = docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.octet_length("text").cast("bigint")).alias("n_bytes"),
+        F.sum(T.token_count("text").cast("bigint")).alias("n_words"),
+        F.sum(T.bpe_token_count("text").cast("bigint")).alias("n_tokens"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "n_bytes",
+        "n_words",
+        "n_tokens",
+        (F.col("n_tokens").cast("double") / F.col("n_words").cast("double")).alias(
+            "fertility"
+        ),
+        (F.col("n_bytes").cast("double") / F.col("n_tokens").cast("double")).alias(
+            "bytes_per_token"
+        ),
+    ).orderBy("lang")

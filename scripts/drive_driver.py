@@ -74,8 +74,12 @@ for name in Q:  # registration order, like the real driver
                     # query leaning on float luck rather than the
                     # engineered decimal/fold exactness conventions.
                     elif os.environ.get("DRIVER_SIM_EXACT") == "1":
-                        if not (av.fillna(0.0).to_numpy() == bv.fillna(0.0).to_numpy()).all():
-                            ok_vals = False; print(f"  {name}.{c}: max diff {(av-bv).abs().max()} (exact mode)")
+                        # bitwise via u8 view (after the null-mask check
+                        # above): catches -0.0 vs +0.0, which == cannot
+                        an = av.fillna(0.0).astype("float64").to_numpy()
+                        bn = bv.fillna(0.0).astype("float64").to_numpy()
+                        if not (an.view("u8") == bn.view("u8")).all():
+                            ok_vals = False; print(f"  {name}.{c}: max diff {(av-bv).abs().max()} (bitwise mode)")
                     elif not ((av.fillna(0) - bv.fillna(0)).abs().max() <= 1e-12 * (1+bv.abs().max())):
                         ok_vals = False; print(f"  {name}.{c}: max diff {(av-bv).abs().max()}")
                 else:

@@ -1,0 +1,118 @@
+"""Build the sf1 scale-probe dataset: 10 replicas of sf0.1 with
+key-consistent offsets, written to .scale/sf1 (git-ignored).
+
+The probe's purpose is empirical scaling ratios (SCALEBENCH.md): run
+bench.py at sf0.1 and at this sf1 and compare per-query wall time. A
+query whose time grows materially faster than the data is hiding a
+super-linear shape.
+
+Replication preserves the DISTRIBUTION, not just the row count:
+
+- All FK chains stay intact — every key column of replica k is offset
+  by k·OFFSET on both sides of each relationship (customer/orders,
+  orders/lineitem, part+supplier/lineitem, events.user_id).
+- region/nation are fixed dimensions (their keys appear as FK targets
+  with a fixed domain) — copied once, not replicated.
+- documents.text is deterministically WORD-PERMUTED per replica
+  (tokens sorted by xxhash-like mix of (token, k)): naive text
+  replication would give every doc a 10-clique of near-dups and turn
+  the pair-generating dedup queries quadratic BY CONSTRUCTION —
+  measuring that would probe the fixture, not the engine. Permutation
+  scrambles all shingles, so the near-dup structure per replica matches
+  the original corpus.
+- embeddings are circularly ROTATED by k·5 positions per replica:
+  norm-preserving but decorrelating, so the cosine-neighborhood
+  structure (not a 10× duplicate cloud) is what scales.
+
+Deterministic throughout (no RNG): replica k of any row is a pure
+function of the row and k.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SRC = "/root/testdata/sf0.1"
+DST = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale", "sf1")
+REPLICAS = 10
+OFFSET = 1_000_000_000
+
+#: table -> columns that carry a replica key offset
+KEYED = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+FIXED = ["region", "nation"]
+
+
+def _mix(h: np.ndarray) -> np.ndarray:
+    """splitmix64-style avalanche over uint64."""
+    h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return h ^ (h >> np.uint64(31))
+
+
+def _permute_text(text: str, k: int) -> str:
+    import zlib
+
+    toks = text.split(" ")
+    # crc32 (not Python hash(): that is PYTHONHASHSEED-salted) -> mix
+    hashes = np.array(
+        [zlib.crc32(f"{t}|{k}".encode()) for t in toks], dtype=np.uint64
+    )
+    order = np.argsort(_mix(hashes), kind="stable")
+    return " ".join(toks[i] for i in order)
+
+
+def main() -> None:
+    os.makedirs(DST, exist_ok=True)
+    for t in FIXED:
+        pq.write_table(pq.read_table(f"{SRC}/{t}.parquet"), f"{DST}/{t}.parquet")
+        print(t, "copied")
+    for t, keys in KEYED.items():
+        base = pq.read_table(f"{SRC}/{t}.parquet")
+        reps = []
+        for k in range(REPLICAS):
+            tbl = base
+            if k > 0:
+                for c in keys:
+                    idx = tbl.schema.get_field_index(c)
+                    shifted = pa.compute.add(tbl.column(c), k * OFFSET)
+                    tbl = tbl.set_column(idx, c, shifted)
+                if t == "documents":
+                    idx = tbl.schema.get_field_index("text")
+                    texts = [
+                        _permute_text(v.as_py(), k) for v in tbl.column("text")
+                    ]
+                    tbl = tbl.set_column(idx, "text", pa.array(texts, pa.string()))
+                if t == "embeddings":
+                    idx = tbl.schema.get_field_index("embedding")
+                    col = tbl.column("embedding").combine_chunks()
+                    rolled = [
+                        np.roll(np.asarray(v.as_py()), k * 5).tolist()
+                        if v.as_py() is not None
+                        else None
+                        for v in col
+                    ]
+                    tbl = tbl.set_column(
+                        idx, "embedding", pa.array(rolled, col.type)
+                    )
+            reps.append(tbl)
+        out = pa.concat_tables(reps)
+        pq.write_table(out, f"{DST}/{t}.parquet")
+        print(t, f"{base.num_rows} -> {out.num_rows}")
+
+
+if __name__ == "__main__":
+    sys.exit(main())
