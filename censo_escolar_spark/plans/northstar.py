@@ -3997,3 +3997,167 @@ def t34_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bytes_per_token"
         ),
     ).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# t35 — deterministic training shuffle + sharding: the last step of a
+# corpus pipeline before ingestion. Training order must be (a) globally
+# shuffled (no source/time locality), (b) a pure function of content
+# keys (reproducible runs, resumable from any shard), so the order key
+# is a 52-bit md5 hash of (doc_id, seed) — cross-engine exact via the
+# hex-prefix trick — and the global position comes from the two-phase
+# range ranking (operators/ranking.py: never a single-task window).
+# Shards are fixed 256-doc slices of the shuffled order.
+# ---------------------------------------------------------------------------
+@register(
+    "t35_training_shuffle",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, lang,
+        ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 13))::BIGINT
+          AS shuffle_key
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, lang, shuffle_key,
+        row_number() OVER (ORDER BY shuffle_key, doc_id) AS position
+      FROM h
+    )
+    SELECT doc_id, lang, shuffle_key,
+      CAST(position AS BIGINT) AS position,
+      CAST((position - 1) // 256 AS BIGINT) AS shard,
+      CAST((position - 1) % 256 AS BIGINT) AS pos_in_shard
+    FROM pos
+    ORDER BY position
+    """,
+)
+def t35_training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from censo_escolar_spark.operators.ranking import global_row_number
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":42"))), 1, 13
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("shuffle_key"),
+    )
+    ranked = global_row_number(
+        docs, [F.col("shuffle_key"), F.col("doc_id")], out_col="position"
+    )
+    return ranked.select(
+        "doc_id",
+        "lang",
+        "shuffle_key",
+        "position",
+        F.expr("(position - 1) div 256").cast("bigint").alias("shard"),
+        F.expr("(position - 1) % 256").cast("bigint").alias("pos_in_shard"),
+    ).orderBy("position")
+
+
+# ---------------------------------------------------------------------------
+# t36 — epoch sampling plan: t33's temperature boosts operationalized
+# into per-document multiplicities for one training epoch. A language
+# with boost b contributes floor(b) copies of every doc plus one more
+# for the deterministic hash-fraction of docs below frac(b) — exactly
+# b in expectation, reproducible (no RNG), and leakage-free (the coin
+# is the doc's own content key). boost is bit-identical cross-engine
+# (t33's quantized-sqrt construction), so floor/frac comparisons are
+# exact; the hash coin is the 52-bit md5 prefix as a dyadic fraction.
+# One scan + a 6-row broadcast join; multiplicities explode downstream
+# into the shuffle (t35), so the plan itself stays narrow.
+# ---------------------------------------------------------------------------
+@register(
+    "t36_epoch_plan",
+    oracle="""
+    WITH counts AS (
+      SELECT lang,
+        CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS n FROM counts),
+    s AS (
+      SELECT lang,
+        CAST(n_tokens AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+        CAST(round(sqrt(CAST(n_tokens AS DOUBLE) / CAST(n AS DOUBLE))
+                   * 1000000000000000.0) AS BIGINT) AS sq
+      FROM counts CROSS JOIN tot
+    ),
+    z AS (SELECT CAST(SUM(sq) AS BIGINT) AS zsum FROM s),
+    b AS (
+      SELECT lang,
+        CAST(sq AS DOUBLE) / CAST(zsum AS DOUBLE) / p AS boost
+      FROM s CROSS JOIN z
+    ),
+    coin AS (
+      SELECT d.doc_id, d.lang, b.boost,
+        ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':epoch0'), 1, 13))::BIGINT
+          AS h
+      FROM documents d JOIN b USING (lang)
+    )
+    SELECT doc_id, lang, boost,
+      CAST(floor(boost) +
+           CASE WHEN CAST(h AS DOUBLE)
+                     < (boost - floor(boost)) * 4503599627370496.0
+                THEN 1 ELSE 0 END AS BIGINT) AS multiplicity
+    FROM coin
+    ORDER BY doc_id
+    """,
+)
+def t36_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens")
+    )
+    tot = counts.agg(F.sum("n_tokens").cast("bigint").alias("n"))
+    p = F.col("n_tokens").cast("double") / F.col("n").cast("double")
+    s = counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        p.alias("p"),
+        F.round(F.sqrt(p) * F.lit(1e15)).cast("bigint").alias("sq"),
+    )
+    z = s.agg(F.sum("sq").cast("bigint").alias("zsum"))
+    boosts = (
+        s.crossJoin(F.broadcast(z))
+        .select(
+            "lang",
+            (F.col("sq").cast("double") / F.col("zsum").cast("double") / F.col("p"))
+            .alias("boost"),
+        )
+    )
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":epoch0"))),
+                1,
+                13,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+    )
+    frac = F.col("boost") - F.floor(F.col("boost"))
+    return (
+        docs.select("doc_id", "lang")
+        .join(F.broadcast(boosts), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "boost",
+            (
+                F.floor("boost")
+                + F.when(
+                    h.cast("double") < frac * F.lit(4503599627370496.0), F.lit(1)
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("multiplicity"),
+        )
+        .orderBy("doc_id")
+    )

@@ -31,7 +31,12 @@ _LOCAL_DEFAULTS: dict[str, str] = {
     # Broadcast dimension tables aggressively: every dim in the star schema
     # (region/nation/customer/supplier/part at dim scale) is far below this.
     "spark.sql.autoBroadcastJoinThreshold": "64m",
-    "spark.driver.memory": "8g",
+    # Local mode runs all 32 task slots inside ONE JVM: heap must be sized
+    # for the machine (128 GiB harness), not Spark's 1g default — 8g was
+    # enough at sf0.1 but OOM'd the sf1 scale probe (32 concurrent
+    # verification tasks × shingle-set buffers). Xmx reserves, it does not
+    # commit; override via SPARK_GRAFT_DRIVER_MEM.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
     "spark.ui.enabled": "false",
 }
 

@@ -129,3 +129,44 @@ def touched_buckets(
         .collect()
     )
     return sorted(r.b for r in rows)
+
+
+def compact_state(
+    spark: SparkSession,
+    state_dir: str,
+    *,
+    schema: str,
+    key_col: str,
+    upto: int,
+    n_buckets: int = N_BUCKETS,
+) -> None:
+    """Fold every bucket's latest contents at-or-below version ``upto``
+    into a single checkpoint version ``upto`` (all buckets present),
+    then delete the older version directories it supersedes.
+
+    This bounds the manifest's listing depth: without compaction the
+    per-bucket latest-version resolution walks every version ever
+    written. A maintainer calls this periodically (every K batches) —
+    the cost is one full-state rewrite amortized over K O(touched)
+    batches, the standard LSM checkpoint trade. Safe under the
+    single-writer discipline of the streaming maintainers (retries of
+    batch N never read at-or-above N, and compaction only replaces
+    versions strictly below the checkpoint it writes)."""
+    import shutil
+
+    # eager cut: the read includes version=<upto>'s own files, which the
+    # write below overwrites — a lazy plan would read what it deletes
+    state = read_bucketed_state(
+        spark, state_dir, schema=schema, below=upto + 1
+    ).localCheckpoint(eager=True)
+    write_bucketed_version(
+        state,
+        state_dir,
+        upto,
+        key_col=key_col,
+        touched=list(range(n_buckets)),
+        n_buckets=n_buckets,
+    )
+    for vd in os.listdir(state_dir):
+        if vd.startswith("version=") and int(vd.split("=", 1)[1]) < upto:
+            shutil.rmtree(os.path.join(state_dir, vd), ignore_errors=True)

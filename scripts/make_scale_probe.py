@@ -38,8 +38,14 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 SRC = "/root/testdata/sf0.1"
-DST = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale", "sf1")
-REPLICAS = 10
+_SCALE_ROOT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale"
+)
+# argv: [replicas] [dst_name] — default the 10x probe; `1 sf0.1s` builds
+# the SAME-LAYOUT 1x baseline so sf1/sf0.1 ratios compare data volume,
+# not file layout.
+REPLICAS = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+DST = os.path.join(_SCALE_ROOT, sys.argv[2] if len(sys.argv) > 2 else "sf1")
 OFFSET = 1_000_000_000
 
 #: table -> columns that carry a replica key offset
@@ -75,10 +81,35 @@ def _permute_text(text: str, k: int) -> str:
     return " ".join(toks[i] for i in order)
 
 
+N_FILES = 32
+
+
+def _write_split(tbl: pa.Table, dest: str) -> None:
+    """Write as a DIRECTORY of N_FILES parquet parts (small row groups).
+
+    A single-file single-row-group table scans as ONE Spark task no
+    matter the size — the known fixture artifact (SCALE.md). The probe
+    exists to measure scaling, so its layout must parallelize the way
+    real data does: `<table>.parquet/` directories read fine with
+    `spark.read.parquet` (and DuckDB via `<dir>/*.parquet` globs)."""
+    shutil_rm = __import__("shutil").rmtree
+    if os.path.isdir(dest):
+        shutil_rm(dest)
+    os.makedirs(dest)
+    n = tbl.num_rows
+    step = max(1, (n + N_FILES - 1) // N_FILES)
+    for i, off in enumerate(range(0, n, step)):
+        pq.write_table(
+            tbl.slice(off, step),
+            os.path.join(dest, f"part-{i:05d}.parquet"),
+            row_group_size=max(1024, step // 4),
+        )
+
+
 def main() -> None:
     os.makedirs(DST, exist_ok=True)
     for t in FIXED:
-        pq.write_table(pq.read_table(f"{SRC}/{t}.parquet"), f"{DST}/{t}.parquet")
+        _write_split(pq.read_table(f"{SRC}/{t}.parquet"), f"{DST}/{t}.parquet")
         print(t, "copied")
     for t, keys in KEYED.items():
         base = pq.read_table(f"{SRC}/{t}.parquet")
@@ -110,7 +141,7 @@ def main() -> None:
                     )
             reps.append(tbl)
         out = pa.concat_tables(reps)
-        pq.write_table(out, f"{DST}/{t}.parquet")
+        _write_split(out, f"{DST}/{t}.parquet")
         print(t, f"{base.num_rows} -> {out.num_rows}")
 
 

@@ -131,3 +131,31 @@ def test_merge_rewrites_only_touched_buckets(spark, tmp_path):
     # and the merged view is correct: key 7 updated, all others intact
     snap = _snapshot(spark, state)
     assert snap[7] == "v7b" and snap[1] == "v1" and len(snap) == 20
+
+
+def test_compact_state_folds_versions_and_preserves_state(spark, tmp_path):
+    """Compaction bounds manifest depth: folding at version K leaves one
+    checkpoint version with every bucket, deletes older versions, and
+    the readable state is unchanged; later batches keep applying."""
+    from censo_escolar_spark.streaming.bucketstate import compact_state
+
+    state = str(tmp_path / "state")
+    apply_merge_batch(
+        _batch(spark, [(k, "I", 1, f"v{k}") for k in range(1, 11)]),
+        0, state_dir=state, key_col="id", seq_col="seq", schema=STATE_SCHEMA,
+    )
+    apply_merge_batch(
+        _batch(spark, [(3, "U", 1, "v3b"), (11, "I", 1, "v11")]),
+        1, state_dir=state, key_col="id", seq_col="seq", schema=STATE_SCHEMA,
+    )
+    before = _snapshot(spark, state)
+    compact_state(spark, state, schema=STATE_SCHEMA, key_col="id", upto=1)
+    assert sorted(os.listdir(state)) == ["version=1"]
+    assert _snapshot(spark, state) == before
+    # maintenance continues on top of the checkpoint
+    apply_merge_batch(
+        _batch(spark, [(3, "D", 1, None)]),
+        2, state_dir=state, key_col="id", seq_col="seq", schema=STATE_SCHEMA,
+    )
+    after = _snapshot(spark, state)
+    assert 3 not in after and after[11] == "v11" and len(after) == 10
