@@ -13,13 +13,17 @@ Replication preserves the DISTRIBUTION, not just the row count:
   orders/lineitem, part+supplier/lineitem, events.user_id).
 - region/nation are fixed dimensions (their keys appear as FK targets
   with a fixed domain) — copied once, not replicated.
-- documents.text is deterministically WORD-PERMUTED per replica
-  (tokens sorted by xxhash-like mix of (token, k)): naive text
-  replication would give every doc a 10-clique of near-dups and turn
-  the pair-generating dedup queries quadratic BY CONSTRUCTION —
-  measuring that would probe the fixture, not the engine. Permutation
-  scrambles all shingles, so the near-dup structure per replica matches
-  the original corpus.
+- documents.text gets a per-replica TOKEN NAMESPACE (every token of
+  replica k > 0 is suffixed `~k`): naive replication would give every
+  doc a 10-clique of near-dups and turn the pair-generating dedup
+  queries quadratic BY CONSTRUCTION, while word-permutation (the first
+  attempt) is WORSE on a small synthetic vocabulary — random triples
+  from a tiny vocab collide massively (measured: max shingle doc-freq
+  13,410 and Σf² = 8.6e9 candidate pairs at 10×). Namespacing keeps
+  each replica's internal token/shingle structure EXACTLY the original
+  corpus's (planted near-dups included) and makes cross-replica
+  overlap zero, so shingle frequencies — and every pair-generating
+  term — scale precisely linearly with the data.
 - embeddings are circularly ROTATED by k·5 positions per replica:
   norm-preserving but decorrelating, so the cosine-neighborhood
   structure (not a 10× duplicate cloud) is what scales.
@@ -62,23 +66,16 @@ KEYED = {
 FIXED = ["region", "nation"]
 
 
-def _mix(h: np.ndarray) -> np.ndarray:
-    """splitmix64-style avalanche over uint64."""
-    h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-    h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-    return h ^ (h >> np.uint64(31))
+def _namespace_text(text: str, k: int) -> str:
+    """Suffix every non-empty token with ``~<letter>`` (k=1 -> ``~a``).
 
-
-def _permute_text(text: str, k: int) -> str:
-    import zlib
-
-    toks = text.split(" ")
-    # crc32 (not Python hash(): that is PYTHONHASHSEED-salted) -> mix
-    hashes = np.array(
-        [zlib.crc32(f"{t}|{k}".encode()) for t in toks], dtype=np.uint64
-    )
-    order = np.argsort(_mix(hashes), kind="stable")
-    return " ".join(toks[i] for i in order)
+    Letters only — a digit suffix would raise ``digit_ratio`` and flip
+    the corpus-curation ``quality_keep`` gate for replica docs, deflating
+    the 10x load the probe exists to measure. Empty tokens (space runs)
+    are left as-is so the token-emptiness structure matches the base.
+    """
+    suffix = "~" + chr(ord("a") + k - 1)
+    return " ".join(t + suffix if t else t for t in text.split(" "))
 
 
 N_FILES = 32
@@ -124,7 +121,7 @@ def main() -> None:
                 if t == "documents":
                     idx = tbl.schema.get_field_index("text")
                     texts = [
-                        _permute_text(v.as_py(), k) for v in tbl.column("text")
+                        _namespace_text(v.as_py(), k) for v in tbl.column("text")
                     ]
                     tbl = tbl.set_column(idx, "text", pa.array(texts, pa.string()))
                 if t == "embeddings":

@@ -41,7 +41,7 @@ def main() -> None:
         "Per-query wall time at 1× vs 10× data, same 32-file parquet\n"
         "layout for both sides (`scripts/make_scale_probe.py`: the 10×\n"
         "probe replicates sf0.1 with FK-consistent key offsets,\n"
-        "word-permuted document replicas, and rotated embedding\n"
+        "token-namespaced document replicas, and rotated embedding\n"
         "replicas, so dedup/ANN neighborhood structure scales honestly\n"
         "instead of degenerating into replica cliques). local[32],\n"
         "24 GiB heap, idle host, single run each — treat ±30% as noise;\n"
