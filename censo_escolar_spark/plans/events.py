@@ -2189,3 +2189,70 @@ def e35_late_event_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# e36 — streaming corpus-stats maintenance parity: the documents table
+# arrives as three micro-batches (doc_id % 3 — arbitrary arrival
+# slicing; the stats are order-independent sums), each folded into the
+# per-(lang, source) aggregate state through the streaming maintainer's
+# foreachBatch body (streaming/stats.py::apply_stats_batch — batch
+# pre-aggregation, then prior+partial addition over ONLY the touched
+# key-hash buckets of the versioned store). The oracle is the full
+# batch recompute: the parity claim is that additive maintenance over
+# any batch split reproduces the one-shot aggregate exactly — trivially
+# bit-exact because every maintained column is a BIGINT count (the
+# quality_keep predicate is t06's SQL restatement). Streaming upkeep
+# under the hash gate, third state shape (accumulate) after MERGE
+# (q72) and SCD2 (e33).
+# ---------------------------------------------------------------------------
+@register(
+    "e36_streaming_stats_parity",
+    oracle="""
+    WITH scored AS (
+      SELECT lang, source,
+        len(string_split(text, ' ')) AS n_tok,
+        length(text) AS n_ch,
+        (length(text) - (len(string_split(text, ' ')) - 1)) * 1.0
+          / len(string_split(text, ' ')) AS avg_len,
+        (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0
+          / length(text) AS dig_ratio
+      FROM documents
+    )
+    SELECT lang, source,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+      CAST(SUM(n_ch) AS BIGINT) AS n_chars,
+      CAST(SUM(CASE WHEN n_tok >= 10 AND dig_ratio <= 0.3 AND avg_len >= 2.0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM scored GROUP BY lang, source ORDER BY lang, source
+    """,
+)
+def e36_streaming_stats_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from censo_escolar_spark.streaming import detach_from_state
+    from censo_escolar_spark.streaming.stats import (
+        apply_stats_batch,
+        read_stats_state,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    state = tempfile.mkdtemp(prefix="e36_stats_state_")
+    try:
+        for bid in (1, 2, 3):
+            apply_stats_batch(
+                docs.filter(F.col("doc_id") % 3 == bid - 1),
+                bid,
+                state_dir=state,
+            )
+        out = (
+            read_stats_state(spark, state)
+            .select("lang", "source", "n_docs", "n_tokens", "n_chars", "n_kept")
+            .orderBy("lang", "source")
+        )
+        return detach_from_state(out, state)
+    finally:
+        import shutil
+
+        shutil.rmtree(state, ignore_errors=True)
