@@ -495,13 +495,23 @@ def phash_pairs(
     band join (any pair within ``max_hamming`` agrees exactly on at
     least one of ``n_bands`` 16-bit chunks — exact recall requires
     ``max_hamming < n_bands``), then exact Hamming verification via
-    bit_count(xor). Same sub-quadratic candidate shape as SimHash
-    (operators/dedup.simhash_pairs_from_fingerprints) on a 64-bit key:
-    shuffle is O(images × bands), never all-pairs. ``hashes`` must be
-    cheap or materialized — the band self-join scans it twice."""
+    bit_count(xor).
+
+    Two-level, like ``operators/fuzzy.fuzzy_self_pairs``: candidates
+    are generated over DISTINCT hash VALUES, then matched value pairs
+    expand back to record pairs through output-proportional hash
+    joins. Identical hashes (the dominant real-corpus case — exact
+    re-uploads form huge cliques) therefore cost one join fan-out
+    each, never a per-record band join: the record-level formulation
+    put every m-clique through all ``n_bands`` bands (m² · bands
+    candidate rows) and needed a record-pair ``distinct`` to collapse
+    them (measured 52× wall at the 10× scale probe, m10). Value-level
+    candidates are Σ per-(band, chunk) C(distinct values, 2) — never
+    worse, and the verification bit_count runs once per value pair.
+    Shuffle is O(distinct hashes × bands) + O(output)."""
     assert max_hamming < n_bands, "pigeonhole exactness requires max_hamming < n_bands"
-    banded = hashes.select(
-        F.col(id_col),
+    vals = hashes.select("phash").distinct()
+    banded = vals.select(
         "phash",
         F.posexplode(
             F.array(
@@ -516,23 +526,47 @@ def phash_pairs(
     )
     a = banded.alias("a")
     b = banded.alias("b")
-    return (
+    # each unordered VALUE pair once per shared band -> distinct over
+    # the (tiny) verified value-pair set, never over record pairs
+    vpairs = (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            & (F.col("a.phash") < F.col("b.phash")),
         )
         .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash")))
-            .cast("int")
-            .alias("hamming"),
+            F.col("a.phash").alias("__pha"),
+            F.col("b.phash").alias("__phb"),
         )
         .distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("__pha").bitwiseXOR(F.col("__phb"))).cast("int"),
+        )
         .filter(F.col("hamming") <= max_hamming)
     )
+    ra = hashes.select(F.col(id_col).alias("__ida"), F.col("phash").alias("__pha"))
+    rb = hashes.select(F.col(id_col).alias("__idb"), F.col("phash").alias("__phb"))
+    cross = (
+        vpairs.join(ra, "__pha")
+        .join(rb, "__phb")
+        .select(
+            F.least("__ida", "__idb").alias("id_a"),
+            F.greatest("__ida", "__idb").alias("id_b"),
+            "hamming",
+        )
+    )
+    same = (
+        ra.join(rb.withColumnRenamed("__phb", "__pha"), "__pha")
+        .filter(F.col("__ida") < F.col("__idb"))
+        .select(
+            F.col("__ida").alias("id_a"),
+            F.col("__idb").alias("id_b"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+    )
+    return cross.unionByName(same)
 
 
 def plan_shards(

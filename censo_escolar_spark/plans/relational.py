@@ -1761,9 +1761,14 @@ def q49_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from censo_escolar_spark.operators.fuzzy import fuzzy_self_pairs
 
     p = load_table(spark, sf_dir, "part")
-    return fuzzy_self_pairs(
+    pairs = fuzzy_self_pairs(
         p, "p_partkey", "p_name", block_cols=["p_brand"], max_distance=1
-    ).orderBy("id_a", "id_b")
+    )
+    # the trailing global sort exists for the deterministic gate; its
+    # range-partition sampling would evaluate the whole candidate+expand
+    # pipeline a second time without an eager cut (measured 59 s -> 17 s
+    # at the 10x probe, 11M output pairs)
+    return pairs.localCheckpoint(eager=True).orderBy("id_a", "id_b")
 
 
 # ---------------------------------------------------------------------------

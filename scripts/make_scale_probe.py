@@ -24,6 +24,14 @@ Replication preserves the DISTRIBUTION, not just the row count:
   corpus's (planted near-dups included) and makes cross-replica
   overlap zero, so shingle frequencies — and every pair-generating
   term — scale precisely linearly with the data.
+- part.p_name gets the same per-replica namespace suffix: q49's fuzzy
+  matcher is value-level (candidates over DISTINCT names), so verbatim
+  name replicas made every name a 10-record group and the distance-0
+  OUTPUT quadratic by construction (measured 23× at 10×). The suffix
+  shifts every name's length by the same 2 chars, so within-replica
+  length-band blocking structure is exactly the base catalog's.
+  p_brand stays fixed (TPC-H holds brand cardinality constant across
+  SF — blocks legitimately grow with the catalog).
 - embeddings are circularly ROTATED by k·5 positions per replica:
   norm-preserving but decorrelating, so the cosine-neighborhood
   structure (not a 10× duplicate cloud) is what scales.
@@ -124,6 +132,11 @@ def main() -> None:
                         _namespace_text(v.as_py(), k) for v in tbl.column("text")
                     ]
                     tbl = tbl.set_column(idx, "text", pa.array(texts, pa.string()))
+                if t == "part":
+                    idx = tbl.schema.get_field_index("p_name")
+                    suffix = "~" + chr(ord("a") + k - 1)
+                    names = [v.as_py() + suffix for v in tbl.column("p_name")]
+                    tbl = tbl.set_column(idx, "p_name", pa.array(names, pa.string()))
                 if t == "embeddings":
                     idx = tbl.schema.get_field_index("embedding")
                     col = tbl.column("embedding").combine_chunks()

@@ -53,6 +53,33 @@ def main() -> None:
         f"\nTotals: {total_b:.1f} s at 1× → {total_p:.1f} s at 10× "
         f"(**{total_p / total_b:.1f}× for 10× data**).\n"
     )
+    out.append(
+        "\n## Flag criterion and findings\n\n"
+        "A query is flagged when wall time grows MATERIALLY faster than\n"
+        "the data (ratio ≫ 10 for 10× rows); a sub-10 ratio is at-or-\n"
+        "below linear. Probe round findings (fixed in-round, re-measured\n"
+        "in this table):\n\n"
+        "- **m10** — the record-level Hamming band join put every staged\n"
+        "  dup clique through all 4 bands (candidates ∝ clique², ×4,\n"
+        "  then a record-pair distinct): 201 s. Rewritten two-level\n"
+        "  (bands over DISTINCT hash values + output-proportional\n"
+        "  expansion): 45 s. m10's OUTPUT is quadratic by construction\n"
+        "  (fixed 40 dup classes of growing size → ~100× pairs at 10×),\n"
+        "  so its residual ratio tracks output rows, not wasted work.\n"
+        "- **q49** — (brand, length-band) blocking is quadratic in block\n"
+        "  size under fixed brand cardinality: 36→50 s at 10×. Rewritten\n"
+        "  as lossless PassJoin segment filtering (candidates scale with\n"
+        "  true-match density): the operator runs in ~6.5 s at 10×; the\n"
+        "  residual time is the deterministic-gate global sort of the\n"
+        "  ~11M output pairs (eager-cut so the pipeline runs once).\n"
+        "- **d07/s03/s05** (hyperplane-LSH pair generation) are sub-10\n"
+        "  but super-√: within-bucket candidates grow with bucket\n"
+        "  occupancy under a FIXED bit count. The scale knob is\n"
+        "  documented in SCALE.md (bits ~ log n keeps occupancy flat);\n"
+        "  the probe keeps the graded parameterization.\n"
+        "- Everything else is at/below linear; sub-second rows are\n"
+        "  job-overhead-dominated.\n"
+    )
     out.append("\n| query | 1× sec | 10× sec | ratio |\n|---|---|---|---|\n")
     for ratio, k, b, p, r in rows:
         rs = "ERR" if r is None else f"{r:.1f}"
