@@ -173,6 +173,7 @@ BNL_OK = {
     "s15_knn_join",  # B×B packed-block pairs (blocks, never rows, replicate)
     "t31_vocab_drift",  # 1-row corpus-totals broadcast (q47/q65 pattern)
     "t33_mixture_reweighting",  # two 1-row totals broadcasts (q65 pattern)
+    "t36_epoch_plan",  # same two 1-row totals broadcasts as t33 (q65 pattern)
     "s19_random_projection_topk",  # bounded query set broadcast (s01 shape)
     "d20_cluster_size_histogram",  # 1-row corpus-total broadcast (q65 pattern)
     "s20_binary_hamming_topk",  # bounded query set broadcast (s01 shape)
