@@ -4161,3 +4161,144 @@ def t36_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# t37 — n-gram novelty rate per language: what fraction of the eval
+# split's DISTINCT verbatim 8-grams never occur in the train split —
+# the aggregate memorization-risk signal complementing d08's per-pair
+# contamination report (same deterministic doc_id % 10 split, same
+# 8-gram span definition). Shape: distinct (lang, shingle) on the eval
+# side, distinct shingle on the train side, one anti/left join on the
+# shingle string — the standard inverted-index shuffle (map-side
+# partial distinct); counts are exact BIGINTs with ONE final IEEE
+# division. Shingle STRINGS (not hashes) keep the oracle equality
+# definitional; at 100 TB swap in the 8-byte xxhash64 index
+# (operators/dedup.shingle_sets) for 2-3x less shuffle at the price of
+# a ~2^-64 collision.
+# ---------------------------------------------------------------------------
+@register(
+    "t37_ngram_novelty",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, lang, array_to_string(t[i:i+7], ' ') AS s
+      FROM toks, UNNEST(range(1, len(t)-6)) AS u(i)
+    ),
+    ev AS (SELECT DISTINCT lang, s FROM sh WHERE doc_id % 10 = 0),
+    tr AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 != 0)
+    SELECT ev.lang,
+      CAST(COUNT(*) AS BIGINT) AS n_eval_shingles,
+      CAST(SUM(CASE WHEN tr.s IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_novel,
+      CAST(SUM(CASE WHEN tr.s IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        / COUNT(*) AS novelty_rate
+    FROM ev LEFT JOIN tr ON ev.s = tr.s
+    GROUP BY ev.lang ORDER BY ev.lang
+    """,
+)
+def t37_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ev_sh = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select(
+            "lang",
+            F.explode(F.array_distinct(T.shingles("text", 8))).alias("shingle"),
+        )
+        .distinct()
+    )
+    tr_sh = (
+        docs.filter(F.col("doc_id") % 10 != 0)
+        .select(F.explode(F.array_distinct(T.shingles("text", 8))).alias("shingle"))
+        .distinct()
+    )
+    novel = ev_sh.join(tr_sh, "shingle", "left_anti")
+    totals = ev_sh.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_eval_shingles")
+    )
+    novels = novel.groupBy("lang").agg(F.count("*").cast("bigint").alias("n_novel"))
+    n_novel = F.coalesce(F.col("n_novel"), F.lit(0).cast("bigint"))
+    return (
+        totals.join(novels, "lang", "left")
+        .select(
+            "lang",
+            "n_eval_shingles",
+            n_novel.alias("n_novel"),
+            (n_novel.cast("double") / F.col("n_eval_shingles").cast("double")).alias(
+                "novelty_rate"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# d21 — dedup survivorship audit per language: the pre-publish report a
+# curation pipeline reads before committing a dedup pass — how many
+# docs, how many transitive near-dup clusters, how many canonical
+# survivors, and the character-volume saving, per language. Reuses
+# d06/d20's cluster labels (min-id canonical member); all counts and
+# char sums are exact BIGINTs off one rollup of labels ⋈ documents (a
+# cluster spanning languages is counted in each language it touches —
+# per-language attribution); savings_frac is ONE final IEEE division.
+# At scale this reads the stored cluster-label table — nothing rescans
+# text.
+# ---------------------------------------------------------------------------
+_D21_ORACLE = f"""
+WITH RECURSIVE {_SQL_JACCARD_CLOSURE},
+  labels AS (
+    SELECT d.doc_id,
+      CAST(COALESCE(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
+    FROM documents d LEFT JOIN comp c USING (doc_id)
+  ),
+  joined AS (
+    SELECT l.cluster_id, d.lang, d.n_chars,
+      l.doc_id = l.cluster_id AS keep
+    FROM labels l JOIN documents d USING (doc_id)
+  ),
+  agg AS (
+    SELECT lang,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+      CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors,
+      CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+      CAST(SUM(CASE WHEN keep THEN n_chars ELSE 0 END) AS BIGINT)
+        AS chars_surviving
+    FROM joined GROUP BY lang
+  )
+SELECT lang, n_docs, n_clusters, n_survivors, chars_total, chars_surviving,
+  CAST(chars_total - chars_surviving AS DOUBLE)
+    / CAST(chars_total AS DOUBLE) AS savings_frac
+FROM agg ORDER BY lang
+"""
+
+
+@register("d21_dedup_survivorship", oracle=_D21_ORACLE)
+def d21_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    labels = dedup.dedup_clusters(docs, "doc_id", "text", n=3, threshold=0.5)
+    full = labels.join(docs.select("doc_id", "lang", "n_chars"), "doc_id")
+    keep = F.col("doc_id") == F.col("cluster_id")
+    agg = full.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.countDistinct("cluster_id").cast("bigint").alias("n_clusters"),
+        F.sum(F.when(keep, 1).otherwise(0)).cast("bigint").alias("n_survivors"),
+        F.sum("n_chars").cast("bigint").alias("chars_total"),
+        F.sum(F.when(keep, F.col("n_chars")).otherwise(0))
+        .cast("bigint")
+        .alias("chars_surviving"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "n_clusters",
+        "n_survivors",
+        "chars_total",
+        "chars_surviving",
+        (
+            (F.col("chars_total") - F.col("chars_surviving")).cast("double")
+            / F.col("chars_total").cast("double")
+        ).alias("savings_frac"),
+    ).orderBy("lang")
