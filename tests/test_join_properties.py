@@ -11,6 +11,7 @@ from __future__ import annotations
 from datetime import datetime, timedelta
 
 import pandas as pd
+import pytest
 from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
@@ -95,7 +96,7 @@ _words = st.lists(
 @settings(max_examples=10, deadline=None)
 @given(words=_words)
 def test_fuzzy_blocking_is_lossless(spark, words):
-    """(length-band) blocking + levenshtein == naive quadratic filter."""
+    """PassJoin segment filtering + levenshtein == naive quadratic filter."""
     from censo_escolar_spark.operators.fuzzy import fuzzy_self_pairs
 
     df = spark.createDataFrame(
@@ -126,3 +127,64 @@ def test_fuzzy_blocking_is_lossless(spark, words):
         if lev(words[i], words[j]) <= 2
     )
     assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(words=_words)
+@pytest.mark.parametrize("k", [0, 1])
+def test_fuzzy_segment_filter_lossless_at_k01(spark, words, k):
+    """The production distances: k=1 (q49) and the degenerate exact-match
+    k=0 (whole-string segment, zero shift window). Same naive-quadratic
+    equivalence as the k=2 property above."""
+    from censo_escolar_spark.operators.fuzzy import fuzzy_self_pairs
+
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "id long, s string"
+    )
+    got = sorted(
+        (r.id_a, r.id_b, r.distance)
+        for r in fuzzy_self_pairs(df, "id", "s", max_distance=k).collect()
+    )
+
+    def lev(x, y):
+        m, n = len(x), len(y)
+        prev = list(range(n + 1))
+        for i in range(1, m + 1):
+            cur = [i] + [0] * n
+            for j in range(1, n + 1):
+                cur[j] = min(
+                    prev[j] + 1,
+                    cur[j - 1] + 1,
+                    prev[j - 1] + (x[i - 1] != y[j - 1]),
+                )
+            prev = cur
+        return prev[n]
+
+    want = sorted(
+        (i, j, lev(words[i], words[j]))
+        for i in range(len(words))
+        for j in range(i + 1, len(words))
+        if lev(words[i], words[j]) <= k
+    )
+    assert got == want
+
+
+def test_fuzzy_block_cols_scope_candidates(spark):
+    """Pairs never cross a block-key boundary, and within a block the
+    result matches the unblocked run on that block alone."""
+    from censo_escolar_spark.operators.fuzzy import fuzzy_self_pairs
+
+    rows = [
+        (0, "cat", "g1"), (1, "cut", "g1"), (2, "cat", "g2"),
+        (3, "cats", "g2"), (4, "dog", "g1"), (5, "dogs", "g2"),
+    ]
+    df = spark.createDataFrame(rows, "id long, s string, g string")
+    got = sorted(
+        (r.id_a, r.id_b, r.g, r.distance)
+        for r in fuzzy_self_pairs(
+            df, "id", "s", block_cols=["g"], max_distance=1
+        ).collect()
+    )
+    # g1: (cat, cut) d1; g2: (cat, cats) d1 — dog/dogs split across
+    # blocks must NOT pair
+    assert got == [(0, 1, "g1", 1), (2, 3, "g2", 1)]
