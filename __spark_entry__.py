@@ -35,8 +35,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # The driver's correctness sweep walks queries() in dict order and grades
 # only the first ~50 it has budget for (each CORRECTNESS_r0X is a
 # registration-order prefix).  As of round 5 the union of green rows
-# across CORRECTNESS_r01..r05 covers ALL 191 registered queries (zero
-# red, zero never-graded), so the sweep now ROTATES STALE EVIDENCE:
+# across CORRECTNESS_r01..r05 covers ALL 191 queries registered then
+# (zero red, zero never-graded); round 6 added 8 more (m09, m10,
+# t34-t37, e36, d21 — each bitwise-exact in the sim at sf0.01 AND
+# sf0.1), which grade first automatically (no artifact row -> tier 0).
+# Behind them the sweep ROTATES STALE EVIDENCE:
 # queries with no artifact row (new this round) grade first, then
 # greens ordered by the round of their LATEST green row, oldest first —
 # r1 evidence predates four rounds of refactors and re-greens before
