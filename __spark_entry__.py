@@ -34,28 +34,23 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness sweep walks queries() in dict order and grades
 # only the first ~50 it has budget for (each CORRECTNESS_r0X is a
-# registration-order prefix).  As of round 5 the union of green rows
-# across CORRECTNESS_r01..r05 covers ALL 191 queries registered then
-# (zero red, zero never-graded); round 6 added 8 more (m09, m10,
-# t34-t37, e36, d21 — each bitwise-exact in the sim at sf0.01 AND
-# sf0.1), which grade first automatically (no artifact row -> tier 0).
-# Behind them the sweep ROTATES STALE EVIDENCE:
+# registration-order prefix).  As of round 6 the union of green rows
+# across CORRECTNESS_r01..r06 covers ALL 199 queries registered then
+# (zero red, zero never-graded).  The sweep ROTATES STALE EVIDENCE:
 # queries with no artifact row (new this round) grade first, then
 # greens ordered by the round of their LATEST green row, oldest first —
-# r1 evidence predates four rounds of refactors and re-greens before
-# anything fresher.  Provenance: computed from the artifacts, never
-# from judge re-runs (advisory only).
+# r2 evidence predates five rounds of refactors and re-greens before
+# anything fresher.  CORRECTNESS_r06 regraded all 16 remaining
+# r1-evidence rows and 26 r2-evidence rows green (plus the 8 round-6
+# additions), so tier 1 is empty and those 50 now carry r6 evidence.
+# Provenance: computed from the artifacts, never from judge re-runs
+# (advisory only).
 _LAST_GREEN_ROUND = {
-    1: {
-        "q08", "q09", "q10", "q11", "q12", "q14", "q15", "q16", "q17",
-        "q18", "q19", "q21", "q22", "q23", "q24", "q25",
-    },
     2: {
-        *(f"d{i:02d}" for i in range(1, 11)),
-        "m01",
+        "d10",
         *(f"q{i:02d}" for i in range(1, 8)),
-        *(f"s{i:02d}" for i in range(1, 7)),
-        "t01", *(f"t{i:02d}" for i in range(3, 18)),
+        "s06",
+        *(f"t{i:02d}" for i in range(13, 18)),
     },
     3: {
         "d15", "d16", "d17", "d18",
@@ -76,6 +71,15 @@ _LAST_GREEN_ROUND = {
         "e35", "g01", "m04", "m08", "q13", "q20",
         "s07", "s08", "s09", "s10", "s19", "s20",
         "t18", *(f"t{i}" for i in range(20, 26)),
+    },
+    6: {
+        "d21", "e36", "m09", "m10", *(f"t{i}" for i in range(34, 38)),
+        "q08", "q09", "q10", "q11", "q12", "q14", "q15", "q16", "q17",
+        "q18", "q19", "q21", "q22", "q23", "q24", "q25",
+        *(f"d{i:02d}" for i in range(1, 10)),
+        "m01",
+        *(f"s{i:02d}" for i in range(1, 6)),
+        "t01", *(f"t{i:02d}" for i in range(3, 13)),
     },
 }
 _EVIDENCE_AGE = {p: r for r, ps in _LAST_GREEN_ROUND.items() for p in ps}
