@@ -137,9 +137,14 @@ def run_corpus_job(
         r["split"]: r["n"]
         for r in curated.groupBy("split").agg(F.count("*").alias("n")).collect()
     }
-    # curated row count comes from the audit's own totals (row_checks
-    # reports total per check) — no extra counting pass
-    curated_rows = next(r.total for r in rep)
+    # curated row count comes from the audit's own totals — pulled from a
+    # NAMED row-level check over the curated frame (its total is the
+    # curated row count by construction), never positionally: a report
+    # reorder or a future check with a different total basis must not
+    # silently corrupt the summary
+    curated_rows = next(
+        r.total for r in rep if r.check == f"{cfg.text_col}_min_tokens"
+    )
     return {
         "input_rows": df.count(),
         "curated_rows": curated_rows,

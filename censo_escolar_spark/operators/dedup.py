@@ -1049,6 +1049,8 @@ def incremental_dedup_indexed(
     n: int = 3,
     threshold: float = 0.5,
     max_iter: int = 20,
+    bands: int = MINHASH_BANDS,
+    rows: int = MINHASH_ROWS,
 ) -> DataFrame:
     """``incremental_dedup`` against a STORED signature index — the
     published corpus contributes only its persisted sketches
@@ -1065,14 +1067,32 @@ def incremental_dedup_indexed(
     - ``new_sketches``: optional pre-materialized batch sketches (the
       streaming maintainer computes them once and reuses them for the
       state append).
+    - ``bands``/``rows``: the banding layout, which must match the
+      layout the STORED sketches/index were built with — sketches built
+      with a non-default signature length would otherwise slice bands
+      inconsistently and silently lose candidates, so the provided
+      frames' signature length is validated (one-row bounded peek).
     """
+    for side, frame in (
+        ("published_sketches", published_sketches),
+        ("new_sketches", new_sketches),
+    ):
+        if frame is None:
+            continue
+        head = frame.select(F.size("signature").alias("k")).head(1)
+        if head and head[0].k != bands * rows:
+            raise ValueError(
+                f"{side} signature length {head[0].k} != bands*rows ="
+                f" {bands * rows}; pass the bands/rows the index was"
+                " built with"
+            )
     if new_sketches is None:
         new_sketches = minhash_sketches(
-            new_docs, id_col, text_col, n=n
+            new_docs, id_col, text_col, n=n, k=bands * rows
         ).localCheckpoint(eager=True)
     if published_bands is None:
-        published_bands = band_keys(published_sketches, id_col)
-    new_bands = band_keys(new_sketches, id_col)
+        published_bands = band_keys(published_sketches, id_col, bands=bands, rows=rows)
+    new_bands = band_keys(new_sketches, id_col, bands=bands, rows=rows)
 
     # Cross-batch probe: batch band keys against the published index.
     # Same hash family + banding as the union formulation, so candidates

@@ -27,29 +27,57 @@ increments (censo_escolar.py:39-60). Exactly-once still holds:
 Structured Streaming may re-run a micro-batch with the same batch id;
 the retry reads only partitions strictly below its own id and fully
 overwrites its own ``batch=<id>`` directories, so replays converge.
+
+Every ``compact_every`` batches the maintainer folds all committed
+``batch=`` partitions strictly below the current id into one partition
+per component (``compact_published``) so directory-listing depth stays
+bounded on a long-running crawl; the fold is contents-preserving (a
+retried batch reads the same published state) and crash-safe via the
+same two-phase marker commit as ``bucketstate.compact_state``. Control-
+plane I/O goes through the Hadoop FileSystem API, so the store runs on
+any Hadoop-supported filesystem, with the same object-store rename
+caveat as bucketstate.
 """
 
 from __future__ import annotations
 
-import os
+import posixpath
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from censo_escolar_spark.operators.dedup import (
+    MINHASH_BANDS,
+    MINHASH_ROWS,
     band_keys,
     incremental_dedup_indexed,
     minhash_sketches,
 )
+from censo_escolar_spark.streaming.bucketstate import hadoop_fs, list_children
 
 #: Band-hash bucket count for the stored index layout. Fixture-sized
 #: here; at 100 TB this is thousands, sized so one bucket's band rows
 #: fit an executor, and the probe join is co-located on the bucket.
 N_BUCKETS = 8
 
+#: Fold the ``batch=`` partition history every K micro-batches.
+COMPACT_EVERY = 16
+
+_COMPONENTS = ("corpus", "sketches", "bands")
+_COMPACT_TMP = "_compact_tmp_"
+_COMPACT_COMMIT = "_compact_commit_"
+
 
 def _component(state_dir: str, name: str) -> str:
-    return os.path.join(state_dir, name)
+    return posixpath.join(state_dir, name)
+
+
+def _schemas(id_col: str, text_col: str) -> dict[str, str]:
+    return {
+        "corpus": f"{id_col} bigint, {text_col} string",
+        "sketches": f"{id_col} bigint, signature array<bigint>, sh_set array<bigint>",
+        "bands": f"{id_col} bigint, band_idx int, band_hash bigint, bucket int",
+    }
 
 
 def _read_component(
@@ -62,8 +90,9 @@ def _read_component(
     discovery when a component (bands) nests further partition dirs.
     The explicit schema makes empty-batch directories read as zero rows.
     """
+    fs, jvm = hadoop_fs(spark, root)
     if not any(
-        d.startswith("batch=") for d in (os.listdir(root) if os.path.isdir(root) else [])
+        d.startswith("batch=") for d in list_children(fs, jvm, root)
     ):
         return spark.createDataFrame([], schema)
     return (
@@ -83,8 +112,86 @@ def read_published(
 ) -> DataFrame:
     """The published corpus (id, text): union of every committed batch
     partition of the ``corpus`` component (empty frame if none)."""
+    _recover_published(spark, state_dir)
     hi = below if below is not None else 1 << 62
     return _read_component(spark, _component(state_dir, "corpus"), schema, hi)
+
+
+def _finish_published_compaction(fs, jvm, state_dir: str, upto: int) -> None:
+    """Phase 2 (idempotent, also the crash-recovery path): per component,
+    delete superseded ``batch=`` dirs and rename the folded temp into
+    ``batch=<upto>``; drop the marker last."""
+
+    def jp(*parts):
+        return jvm.org.apache.hadoop.fs.Path(posixpath.join(*parts))
+
+    for comp in _COMPONENTS:
+        root = _component(state_dir, comp)
+        tmp = jp(root, f"{_COMPACT_TMP}{upto}")
+        if not fs.exists(tmp):
+            continue  # this component already swapped (or never existed)
+        for bd in list_children(fs, jvm, root):
+            if not bd.startswith("batch="):
+                continue
+            try:
+                b = int(bd.split("=", 1)[1])
+            except ValueError:
+                continue
+            if b <= upto:
+                fs.delete(jp(root, bd), True)
+        fs.rename(tmp, jp(root, f"batch={upto}"))
+    fs.delete(jp(state_dir, f"{_COMPACT_COMMIT}{upto}"), False)
+
+
+def _recover_published(spark: SparkSession, state_dir: str) -> None:
+    """Finish any compaction that crashed after its commit marker."""
+    fs, jvm = hadoop_fs(spark, state_dir)
+    for name in list_children(fs, jvm, state_dir):
+        if name.startswith(_COMPACT_COMMIT):
+            _finish_published_compaction(
+                fs, jvm, state_dir, int(name[len(_COMPACT_COMMIT):])
+            )
+
+
+def compact_published(
+    spark: SparkSession,
+    state_dir: str,
+    *,
+    upto: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Fold every committed ``batch=<id>`` partition at-or-below
+    ``upto`` of each component into a single ``batch=<upto>`` partition,
+    bounding listing depth for a long-running crawl. Contents-preserving
+    by construction (the fold is a plain union), so any read below any
+    point resolves the same state before and after.
+
+    Crash safety mirrors ``bucketstate.compact_state``: all components'
+    folded partitions are fully written to temp directories first, one
+    atomically-created marker commits the swap, and phase 2 (delete
+    superseded ``batch=`` dirs, rename temps into place, drop the
+    marker) is idempotent and finished by ``_recover_published`` on the
+    next state read after a crash."""
+    fs, jvm = hadoop_fs(spark, state_dir)
+    _recover_published(spark, state_dir)
+    if upto < 0:
+        return
+
+    def jp(*parts):
+        return jvm.org.apache.hadoop.fs.Path(posixpath.join(*parts))
+
+    for comp, schema in _schemas(id_col, text_col).items():
+        root = _component(state_dir, comp)
+        tmp = posixpath.join(root, f"{_COMPACT_TMP}{upto}")
+        fs.delete(jp(tmp), True)  # stale pre-marker attempt, if any
+        df = _read_component(spark, root, schema, upto + 1)
+        w = df.write.mode("overwrite")
+        if comp == "bands":
+            w = w.partitionBy("bucket")
+        w.parquet(tmp)
+    fs.create(jp(state_dir, f"{_COMPACT_COMMIT}{upto}"), False).close()
+    _finish_published_compaction(fs, jvm, state_dir, upto)
 
 
 def apply_dedup_batch(
@@ -95,29 +202,35 @@ def apply_dedup_batch(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.5,
+    bands: int = MINHASH_BANDS,
+    rows: int = MINHASH_ROWS,
+    compact_every: int | None = COMPACT_EVERY,
 ) -> None:
     """The foreachBatch body (exposed for direct testing / backfills).
 
     Reads the stored sketch + band index strictly below ``batch_id``,
     labels the batch with ``incremental_dedup_indexed``, and appends the
     kept docs' text / sketches / band keys as this batch's partitions.
+    ``bands``/``rows`` fix the banding layout of BOTH the stored index
+    and the fresh batch (validated against stored signature length in
+    ``incremental_dedup_indexed`` — a mismatched layout raises instead
+    of silently losing candidates).
     """
     spark = batch_df.sparkSession
-    sketch_schema = (
-        f"{id_col} bigint, signature array<bigint>, sh_set array<bigint>"
-    )
-    band_schema = f"{id_col} bigint, band_idx int, band_hash bigint, bucket int"
-    corpus_schema = f"{id_col} bigint, {text_col} string"
+    _recover_published(spark, state_dir)
+    schemas = _schemas(id_col, text_col)
 
     pub_sketches = _read_component(
-        spark, _component(state_dir, "sketches"), sketch_schema, batch_id
+        spark, _component(state_dir, "sketches"), schemas["sketches"], batch_id
     )
     pub_bands = _read_component(
-        spark, _component(state_dir, "bands"), band_schema, batch_id
+        spark, _component(state_dir, "bands"), schemas["bands"], batch_id
     ).drop("bucket")
 
     batch = batch_df.select(id_col, text_col)
-    batch_sk = minhash_sketches(batch, id_col, text_col).localCheckpoint(eager=True)
+    batch_sk = minhash_sketches(
+        batch, id_col, text_col, k=bands * rows
+    ).localCheckpoint(eager=True)
     labeled = incremental_dedup_indexed(
         batch,
         pub_sketches,
@@ -126,6 +239,8 @@ def apply_dedup_batch(
         new_sketches=batch_sk,
         published_bands=pub_bands,
         threshold=threshold,
+        bands=bands,
+        rows=rows,
     )
     keep_ids = labeled.filter(F.col("keep")).select(id_col).localCheckpoint(eager=True)
 
@@ -135,7 +250,7 @@ def apply_dedup_batch(
         (batch.join(keep_ids, id_col), "corpus", []),
         (kept_sk, "sketches", []),
         (
-            band_keys(kept_sk, id_col).withColumn(
+            band_keys(kept_sk, id_col, bands=bands, rows=rows).withColumn(
                 "bucket", F.pmod(F.col("band_hash"), F.lit(N_BUCKETS)).cast("int")
             ),
             "bands",
@@ -146,7 +261,11 @@ def apply_dedup_batch(
         w = df.write.mode("overwrite")
         if parts:
             w = w.partitionBy(*parts)
-        w.parquet(os.path.join(_component(state_dir, name), part))
+        w.parquet(posixpath.join(_component(state_dir, name), part))
+    if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+        compact_published(
+            spark, state_dir, upto=batch_id - 1, id_col=id_col, text_col=text_col
+        )
 
 
 def maintain_deduped_corpus(
@@ -157,6 +276,9 @@ def maintain_deduped_corpus(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.5,
+    bands: int = MINHASH_BANDS,
+    rows: int = MINHASH_ROWS,
+    compact_every: int | None = COMPACT_EVERY,
 ) -> None:
     """Drain everything currently available through the dedup maintainer
     (availableNow trigger — the test/backfill entry point; a production
@@ -170,6 +292,9 @@ def maintain_deduped_corpus(
                 id_col=id_col,
                 text_col=text_col,
                 threshold=threshold,
+                bands=bands,
+                rows=rows,
+                compact_every=compact_every,
             )
         )
         .option("checkpointLocation", checkpoint)

@@ -26,10 +26,16 @@ from pyspark.sql import functions as F
 
 from censo_escolar_spark.operators.merge import merge_upsert
 from censo_escolar_spark.streaming.bucketstate import (
+    compact_state,
     read_bucketed_state,
     touched_buckets,
     write_bucketed_version,
 )
+
+#: Fold state history into a checkpoint version every K micro-batches,
+#: so manifest listing depth is bounded without operator intervention.
+#: The trade: one full-state rewrite amortized over K O(touched) batches.
+COMPACT_EVERY = 16
 
 
 def read_merged_state(
@@ -52,6 +58,7 @@ def apply_merge_batch(
     seq_col: str,
     op_col: str = "op",
     schema: str,
+    compact_every: int | None = COMPACT_EVERY,
 ) -> None:
     """The foreachBatch body (exposed for direct testing / backfills).
 
@@ -60,6 +67,13 @@ def apply_merge_batch(
     op — a deterministic total order is the CDC contract), then the
     one-image-per-key batch merges into the prior contents of ONLY the
     buckets the batch touches.
+
+    Every ``compact_every`` batches the strictly-prior history (versions
+    ≤ batch_id − 1) is folded into one checkpoint version, so manifest
+    depth stays bounded on a long-running stream; a retried batch still
+    resolves the same prior state below its own id (the fold is
+    contents-preserving), and the fold itself is crash-safe
+    (``bucketstate.compact_state``'s two-phase commit).
     """
     spark = batch_df.sparkSession
     w = Window.partitionBy(key_col).orderBy(
@@ -80,6 +94,10 @@ def apply_merge_batch(
     write_bucketed_version(
         new_buckets, state_dir, batch_id, key_col=key_col, touched=touched
     )
+    if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+        compact_state(
+            spark, state_dir, schema=schema, key_col=key_col, upto=batch_id - 1
+        )
 
 
 def maintain_merged_table(
@@ -91,6 +109,7 @@ def maintain_merged_table(
     seq_col: str,
     op_col: str = "op",
     schema: str,
+    compact_every: int | None = COMPACT_EVERY,
 ) -> None:
     """Drain everything currently available through the MERGE maintainer
     (availableNow trigger — the test/backfill entry point; a production
@@ -105,6 +124,7 @@ def maintain_merged_table(
                 seq_col=seq_col,
                 op_col=op_col,
                 schema=schema,
+                compact_every=compact_every,
             )
         )
         .option("checkpointLocation", checkpoint)

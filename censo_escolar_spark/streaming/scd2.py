@@ -24,10 +24,15 @@ from pyspark.sql import DataFrame, SparkSession
 
 from censo_escolar_spark.operators.scd2 import scd2_intervals, stitch_runs
 from censo_escolar_spark.streaming.bucketstate import (
+    compact_state,
     read_bucketed_state,
     touched_buckets,
     write_bucketed_version,
 )
+
+#: Fold state history into a checkpoint version every K micro-batches
+#: (see streaming/merge.py — same bounded-manifest rationale).
+COMPACT_EVERY = 16
 
 _STATE_SCHEMA = (
     "user_id bigint, run_id bigint, state string, valid_from timestamp,"
@@ -43,7 +48,11 @@ def read_scd2_state(
 
 
 def apply_scd2_batch(
-    batch_df: DataFrame, batch_id: int, *, state_dir: str
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    state_dir: str,
+    compact_every: int | None = COMPACT_EVERY,
 ) -> None:
     """The foreachBatch body (exposed for direct testing / backfills)."""
     spark = batch_df.sparkSession
@@ -57,17 +66,31 @@ def apply_scd2_batch(
     write_bucketed_version(
         new_buckets, state_dir, batch_id, key_col="user_id", touched=touched
     )
+    if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+        compact_state(
+            spark,
+            state_dir,
+            schema=_STATE_SCHEMA,
+            key_col="user_id",
+            upto=batch_id - 1,
+        )
 
 
 def maintain_scd2(
-    events: DataFrame, *, state_dir: str, checkpoint: str
+    events: DataFrame,
+    *,
+    state_dir: str,
+    checkpoint: str,
+    compact_every: int | None = COMPACT_EVERY,
 ) -> None:
     """Drain everything currently available through the SCD2 maintainer
     (availableNow trigger — the test/backfill entry point; a production
     stream would run the same query continuously)."""
     q = (
         events.writeStream.foreachBatch(
-            lambda df, bid: apply_scd2_batch(df, bid, state_dir=state_dir)
+            lambda df, bid: apply_scd2_batch(
+                df, bid, state_dir=state_dir, compact_every=compact_every
+            )
         )
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)

@@ -35,10 +35,15 @@ from pyspark.sql import functions as F
 
 from censo_escolar_spark.functions import text as T
 from censo_escolar_spark.streaming.bucketstate import (
+    compact_state,
     read_bucketed_state,
     touched_buckets,
     write_bucketed_version,
 )
+
+#: Fold state history into a checkpoint version every K micro-batches
+#: (see streaming/merge.py — same bounded-manifest rationale).
+COMPACT_EVERY = 16
 
 #: grp is the bucket key (lang|source); lang/source kept as real columns.
 STATS_SCHEMA = (
@@ -66,7 +71,11 @@ def _partial(batch_df: DataFrame) -> DataFrame:
 
 
 def apply_stats_batch(
-    batch_df: DataFrame, batch_id: int, *, state_dir: str
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    state_dir: str,
+    compact_every: int | None = COMPACT_EVERY,
 ) -> None:
     """The foreachBatch body (exposed for direct testing / backfills)."""
     spark = batch_df.sparkSession
@@ -89,6 +98,14 @@ def apply_stats_batch(
     write_bucketed_version(
         merged, state_dir, batch_id, key_col="grp", touched=touched
     )
+    if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+        compact_state(
+            spark,
+            state_dir,
+            schema=STATS_SCHEMA,
+            key_col="grp",
+            upto=batch_id - 1,
+        )
 
 
 def read_stats_state(
@@ -101,14 +118,20 @@ def read_stats_state(
 
 
 def maintain_corpus_stats(
-    docs: DataFrame, *, state_dir: str, checkpoint: str
+    docs: DataFrame,
+    *,
+    state_dir: str,
+    checkpoint: str,
+    compact_every: int | None = COMPACT_EVERY,
 ) -> None:
     """Drain everything currently available through the stats maintainer
     (availableNow trigger — the test/backfill entry point; a production
     stream runs the same query continuously)."""
     q = (
         docs.writeStream.foreachBatch(
-            lambda df, bid: apply_stats_batch(df, bid, state_dir=state_dir)
+            lambda df, bid: apply_stats_batch(
+                df, bid, state_dir=state_dir, compact_every=compact_every
+            )
         )
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)

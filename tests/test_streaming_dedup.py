@@ -128,3 +128,92 @@ def test_dedup_state_append_only_batches(spark, tmp_path):
     apply_dedup_batch(_batch(spark, [(5, THIRD)]), 1, state_dir=state)
     assert snapshot("batch=0") == before
     assert _published_ids(spark, state) == [1, 3, 5]
+
+
+def test_compact_published_folds_batches_and_preserves_state(spark, tmp_path):
+    """compact_published folds every batch partition <= upto into one
+    batch=<upto> partition per component; the published corpus and the
+    probe index resolve identically, and later increments still dedup
+    against pre-compaction history."""
+    from censo_escolar_spark.streaming.dedup import compact_published
+
+    state = str(tmp_path / "state")
+    apply_dedup_batch(
+        _batch(spark, [(1, BASE), (2, VARIANT), (3, OTHER)]), 0, state_dir=state
+    )
+    apply_dedup_batch(_batch(spark, [(5, THIRD)]), 1, state_dir=state)
+    before = _published_ids(spark, state)
+    compact_published(spark, state, upto=1)
+    for comp in ("bands", "corpus", "sketches"):
+        dirs = [
+            d for d in os.listdir(os.path.join(state, comp))
+            if d.startswith("batch=")
+        ]
+        assert dirs == ["batch=1"]
+    assert _published_ids(spark, state) == before == [1, 3, 5]
+    # the folded INDEX still drops a near-dup of a batch-0 doc
+    apply_dedup_batch(_batch(spark, [(6, VARIANT)]), 2, state_dir=state)
+    assert _published_ids(spark, state) == [1, 3, 5]
+
+
+def test_compact_published_cadence_bounds_partition_depth(spark, tmp_path):
+    """With compact_every=4, a long run of increments keeps each
+    component's batch-partition count bounded (<= compact_every + 1)."""
+    texts = [BASE, OTHER, THIRD]
+    state = str(tmp_path / "state")
+    max_parts = 0
+    for bid in range(12):
+        doc = (100 + bid, f"{texts[bid % 3]} unique marker token{bid} extra")
+        apply_dedup_batch(
+            _batch(spark, [doc]), bid, state_dir=state, compact_every=4
+        )
+        for comp in ("bands", "corpus", "sketches"):
+            n = sum(
+                d.startswith("batch=")
+                for d in os.listdir(os.path.join(state, comp))
+            )
+            max_parts = max(max_parts, n)
+    assert max_parts <= 4 + 1
+    assert len(_published_ids(spark, state)) > 0
+
+
+def test_compact_published_crash_after_marker_recovers(spark, tmp_path):
+    """A crash after compact_published's commit marker (phase 2 not run)
+    is finished by the next state read — no window loses committed
+    batches."""
+    from censo_escolar_spark.streaming import dedup as SD
+
+    state = str(tmp_path / "state")
+    apply_dedup_batch(_batch(spark, [(1, BASE), (3, OTHER)]), 0, state_dir=state)
+    apply_dedup_batch(_batch(spark, [(5, THIRD)]), 1, state_dir=state)
+    before = _published_ids(spark, state)
+    # phase 1 by hand (exactly what compact_published does), then "crash"
+    # before phase 2: folded temps + commit marker, old batch dirs intact
+    for comp, schema in SD._schemas("doc_id", "text").items():
+        root = os.path.join(state, comp)
+        df = SD._read_component(spark, root, schema, 2)
+        w = df.write.mode("overwrite")
+        if comp == "bands":
+            w = w.partitionBy("bucket")
+        w.parquet(os.path.join(root, "_compact_tmp_1"))
+    open(os.path.join(state, "_compact_commit_1"), "w").close()
+    # the next state read recovers: swap finished, contents identical
+    assert _published_ids(spark, state) == before
+    assert not os.path.exists(os.path.join(state, "_compact_commit_1"))
+    for comp in ("bands", "corpus", "sketches"):
+        dirs = [
+            d for d in os.listdir(os.path.join(state, comp))
+            if d.startswith("batch=")
+        ]
+        assert dirs == ["batch=1"]
+    # and increments continue to dedup against the folded index
+    apply_dedup_batch(_batch(spark, [(7, VARIANT)]), 2, state_dir=state)
+    assert _published_ids(spark, state) == before == [1, 3, 5]
+
+    # a stale PRE-marker temp (no marker file) is invisible to reads and
+    # cleaned by the next real compaction attempt
+    os.makedirs(os.path.join(state, "corpus", "_compact_tmp_2", "junk"))
+    assert _published_ids(spark, state) == [1, 3, 5]
+    SD.compact_published(spark, state, upto=2)
+    assert _published_ids(spark, state) == [1, 3, 5]
+    assert not os.path.exists(os.path.join(state, "corpus", "_compact_tmp_2"))

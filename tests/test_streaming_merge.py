@@ -159,3 +159,93 @@ def test_compact_state_folds_versions_and_preserves_state(spark, tmp_path):
     )
     after = _snapshot(spark, state)
     assert 3 not in after and after[11] == "v11" and len(after) == 10
+
+
+def test_compaction_cadence_bounds_version_depth(spark, tmp_path):
+    """The maintainer invokes compaction on its own cadence: across ~50
+    micro-batches with compact_every=8 the version-directory count (the
+    manifest's listing depth — the state read cost) never exceeds
+    compact_every + 1, and the final snapshot equals the uncompacted
+    ground truth."""
+    state = str(tmp_path / "state")
+    expected = {}
+    max_dirs = 0
+    for bid in range(50):
+        key = bid % 13 + 1
+        val = f"v{key}b{bid}"
+        expected[key] = val
+        apply_merge_batch(
+            _batch(spark, [(key, "U", 1, val)]),  # 'U' upserts unmatched keys
+            bid, state_dir=state, key_col="id", seq_col="seq",
+            schema=STATE_SCHEMA, compact_every=8,
+        )
+        n_dirs = sum(d.startswith("version=") for d in os.listdir(state))
+        max_dirs = max(max_dirs, n_dirs)
+    assert max_dirs <= 8 + 1
+    # depth actually shrank at the checkpoints (compaction really ran)
+    assert sum(d.startswith("version=") for d in os.listdir(state)) <= 3
+    assert _snapshot(spark, state) == expected
+
+
+def test_compact_crash_before_marker_leaves_state_untouched(spark, tmp_path):
+    """Phase 1 (temp write) with no commit marker is invisible: reads
+    resolve the original versions, and the next compaction cleans the
+    stale temp and completes."""
+    from censo_escolar_spark.streaming.bucketstate import compact_state
+
+    state = str(tmp_path / "state")
+    apply_merge_batch(
+        _batch(spark, [(k, "I", 1, f"v{k}") for k in range(1, 9)]),
+        0, state_dir=state, key_col="id", seq_col="seq", schema=STATE_SCHEMA,
+    )
+    apply_merge_batch(
+        _batch(spark, [(3, "U", 1, "v3b")]),
+        1, state_dir=state, key_col="id", seq_col="seq", schema=STATE_SCHEMA,
+    )
+    before = _snapshot(spark, state)
+    # simulate a crash mid-phase-1: a half-written temp dir, NO marker
+    os.makedirs(os.path.join(state, "_compact_tmp_1", "bucket=0"))
+    assert _snapshot(spark, state) == before  # read ignores the temp
+    compact_state(spark, state, schema=STATE_SCHEMA, key_col="id", upto=1)
+    assert sorted(d for d in os.listdir(state)) == ["version=1"]
+    assert _snapshot(spark, state) == before
+
+
+def test_compact_crash_after_marker_is_recovered_on_read(spark, tmp_path):
+    """A crash after the commit marker (phase 2 not yet run) must NOT
+    lose committed bucket contents: the next state read finishes the
+    swap and resolves the folded state."""
+    from censo_escolar_spark.streaming.bucketstate import (
+        _write_version_dir,
+        N_BUCKETS,
+        read_bucketed_state,
+    )
+
+    state = str(tmp_path / "state")
+    apply_merge_batch(
+        _batch(spark, [(k, "I", 1, f"v{k}") for k in range(1, 9)]),
+        0, state_dir=state, key_col="id", seq_col="seq", schema=STATE_SCHEMA,
+    )
+    apply_merge_batch(
+        _batch(spark, [(3, "U", 1, "v3b"), (9, "I", 1, "v9")]),
+        1, state_dir=state, key_col="id", seq_col="seq", schema=STATE_SCHEMA,
+    )
+    before = _snapshot(spark, state)
+    # phase 1 by hand: fold the state into the temp dir + commit marker,
+    # then "crash" (skip phase 2) — old versions still on disk
+    folded = read_bucketed_state(spark, state, schema=STATE_SCHEMA, below=2)
+    _write_version_dir(
+        folded, os.path.join(state, "_compact_tmp_1"), key_col="id",
+        touched=list(range(N_BUCKETS)), n_buckets=N_BUCKETS,
+    )
+    open(os.path.join(state, "_compact_commit_1"), "w").close()
+    # the next read recovers: swap finished, state identical
+    assert _snapshot(spark, state) == before
+    assert sorted(os.listdir(state)) == ["version=1"]
+    # maintenance continues on the recovered checkpoint
+    apply_merge_batch(
+        _batch(spark, [(9, "D", 1, None)]),
+        2, state_dir=state, key_col="id", seq_col="seq", schema=STATE_SCHEMA,
+    )
+    after = _snapshot(spark, state)
+    assert 9 not in after and after[3] == "v3b" and len(after) == 8
