@@ -2256,3 +2256,109 @@ def e36_streaming_stats_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         import shutil
 
         shutil.rmtree(state, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# e37 — streaming session-window parity: the REAL Structured Streaming
+# sessionize pipeline (readStream file source sliced into 3 micro-
+# batches via maxFilesPerTrigger=1 → WATERMARKED session_window
+# aggregation → foreachBatch snapshot sink in complete mode) must
+# reproduce the one-shot batch sessionization exactly — the oracle is
+# e03's gaps-and-islands full recompute verbatim. The source files are
+# TIME-RANGE slices written sequentially (ascending modification times →
+# in-order arrival), so the watermark — which filters late input in
+# EVERY output mode — never drops a row, exactly like a healthy
+# production stream; complete mode keeps session state across batches,
+# so boundary-spanning sessions merge and the final snapshot is the
+# converged session set. Every aggregate is a count or an exact
+# per-event decimal sum, so the result is bit-identical to the batch
+# recompute. This gates the streaming module's session path the way
+# e36/q72/e33 gate the stats/MERGE/SCD2 maintainers.
+# ---------------------------------------------------------------------------
+@register(
+    "e37_streaming_sessions_parity",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+        CASE WHEN lag(ts) OVER w IS NULL
+               OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+             THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, value
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id,
+      MIN(ts) AS session_start,
+      MAX(ts) + INTERVAL '30 minutes' AS session_end,
+      COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM sess
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+)
+def e37_streaming_sessions_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import posixpath
+    import shutil
+    import tempfile
+
+    from censo_escolar_spark.streaming import detach_from_state
+    from censo_escolar_spark.streaming.windows import sessionize
+
+    # withWatermark requires TIMESTAMP (event time must be an instant);
+    # parquet loads ts as TIMESTAMP_NTZ — cast to LTZ for the stream and
+    # back to NTZ on output: both casts use the same session timezone,
+    # so the round trip is the identity on wall-clock values.
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    root = tempfile.mkdtemp(prefix="e37_sessions_")
+    src, ckpt, out = (posixpath.join(root, d) for d in ("src", "ckpt", "out"))
+    try:
+        # three time-range slices, written SEQUENTIALLY so the file
+        # source's oldest-first ordering replays them in event-time order
+        # (random slicing would make later batches fall below the
+        # watermark and be dropped as late — in any output mode)
+        b = e.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+        span = (b["hi"] - b["lo"]) / 3
+        cut1, cut2 = b["lo"] + span, b["lo"] + 2 * span
+        for lo, hi in ((None, cut1), (cut1, cut2), (cut2, None)):
+            s = e
+            if lo is not None:
+                s = s.filter(F.col("ts") >= F.lit(lo))
+            if hi is not None:
+                s = s.filter(F.col("ts") < F.lit(hi))
+            s.coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        sessions = sessionize(stream, gap="30 minutes", watermark="30 minutes")
+        q = (
+            sessions.writeStream.foreachBatch(
+                lambda bdf, bid: bdf.write.mode("overwrite").parquet(out)
+            )
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        res = (
+            spark.read.parquet(out)
+            .select(
+                "user_id",
+                F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+                F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+                "n_events",
+                "total_value",
+            )
+            .orderBy("user_id", "session_start")
+        )
+        return detach_from_state(res, root)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

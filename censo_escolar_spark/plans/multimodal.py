@@ -721,3 +721,88 @@ def m10_phash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# m11 — perceptual near-dup image CLUSTERS: m10's pair graph closed into
+# per-image cluster labels + a canonical keep flag (the d06/d07 shape,
+# reusing operators/dedup.clusters_from_pairs). This is the scale-safe
+# CONSUMER contract for image dedup: a 100-TB pipeline reads O(images)
+# labels, never the O(clique²) pair list — m10's pair output is
+# inherently quadratic in clique size by contract, so cluster labels are
+# what downstream keep/drop joins should consume. Same staged dup-class
+# fixture as m10; the oracle replays pixels → DCT hashes → hamming ≤ 3
+# pairs → recursive-CTE transitive closure (the d07 pattern).
+# ---------------------------------------------------------------------------
+_M11_ORACLE = f"""
+WITH RECURSIVE {_fake_pix_ctes(_M10_STAGED, "137")},
+dct(u, x, t) AS (SELECT * FROM (VALUES {_DCT_VALUES})),
+coef AS (
+  SELECT p.doc_id, tu.u AS u, tv.u AS v, SUM(p.px * tu.t * tv.t) AS c
+  FROM pix p
+  JOIN dct tu ON tu.x = (p.i - 1) % 8
+  JOIN dct tv ON tv.x = (p.i - 1) // 8
+  GROUP BY 1, 2, 3
+),
+ph AS MATERIALIZED (
+  SELECT doc_id,
+    CAST(SUM(CASE WHEN c > 0
+                  THEN (1::BIGINT << CAST(u * 8 + v - 1 AS INTEGER))
+                  ELSE 0 END) AS BIGINT) AS phash
+  FROM coef
+  WHERE NOT (u = 0 AND v = 0)
+  GROUP BY doc_id
+),
+pairs AS MATERIALIZED (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.phash, b.phash)) <= 3
+),
+edges AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+comp AS (
+  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+  FROM reach GROUP BY src
+)
+SELECT h.doc_id,
+  CAST(COALESCE(c.cluster_id, h.doc_id) AS BIGINT) AS cluster_id,
+  COALESCE(c.cluster_id, h.doc_id) = h.doc_id AS keep
+FROM ph h LEFT JOIN comp c USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+@register("m11_phash_dedup_clusters", oracle=_M11_ORACLE)
+def m11_phash_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from censo_escolar_spark.operators.dedup import clusters_from_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id",
+        F.concat(
+            F.unhex(F.lit("89504E47")),
+            F.encode((F.col("doc_id") % 40).cast("string"), "utf-8"),
+        ).alias("payload"),
+    )
+    decoded = M.decode_media(staged, bytes_col="payload", decoder=M.fake_decode)
+    # pair generation + closure + final left join all consume the hashes;
+    # one eager cut stops the Arrow decode + DCT pipeline re-running
+    hashes = M.phash64(decoded).localCheckpoint(eager=True)
+    pairs = M.phash_pairs(hashes, "id", max_hamming=3).select("id_a", "id_b")
+    labeled = clusters_from_pairs(hashes, pairs, "id")
+    return (
+        labeled.select(
+            F.col("id").cast("bigint").alias("doc_id"),
+            F.col("cluster_id").cast("bigint").alias("cluster_id"),
+            (F.col("id") == F.col("cluster_id")).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

@@ -63,19 +63,26 @@ def sessionize(
     watermark: str = "30 minutes",
     ts_col: str = "ts",
 ) -> DataFrame:
-    """Session windows per user (gap-based), watermarked.
+    """Session windows per user (gap-based), watermarked, with the exact
+    decimal value sum (e03's aggregate surface).
 
-    Batch-equivalent: plans/events.py::e03_user_sessions (oracle-checked).
+    Batch-equivalent: plans/events.py::e03_user_sessions (oracle-checked);
+    streaming parity is driver-gated by e37 (the real readStream →
+    session_window → foreachBatch pipeline against the same oracle).
     """
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(F.session_window(ts_col, gap).alias("w"), "user_id")
-        .agg(F.count("*").alias("n_events"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
         .select(
             "user_id",
             F.col("w.start").alias("session_start"),
             F.col("w.end").alias("session_end"),
             "n_events",
+            "total_value",
         )
     )
 
