@@ -206,6 +206,333 @@ def _png_decode_stdlib(payload: bytes) -> np.ndarray:
     return ((r * 19595 + g * 38470 + b * 7471 + 0x8000) >> 16).astype(np.uint8)
 
 
+#: islow IDCT fixed-point constants (Loeffler–Ligtenberg–Moshovitz as
+#: specified in the public IJG/libjpeg documentation; CONST_BITS = 13).
+_J_FIX = {
+    "0_298631336": 2446, "0_390180644": 3196, "0_541196100": 4433,
+    "0_765366865": 6270, "0_899976223": 7373, "1_175875602": 9633,
+    "1_501321110": 12299, "1_847759065": 15137, "1_961570560": 16069,
+    "2_053119869": 16819, "2_562915447": 20995, "3_072711026": 25172,
+}
+_J_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _jpeg_idct_islow(block: np.ndarray, qt: np.ndarray) -> np.ndarray:
+    """libjpeg's jpeg_idct_islow in integer numpy: bit-identical to the
+    reference fixed-point implementation (CONST_BITS 13, PASS1_BITS 2,
+    DESCALE = add-half-and-arithmetic-shift), so baseline decodes match
+    libjpeg/Pillow byte-for-byte. ``block`` is the dezigzagged 8x8
+    coefficient array; ``qt`` the matching natural-order quant table."""
+    F = _J_FIX
+    CB, P1 = 13, 2
+
+    def descale(x, n):
+        return (x + (1 << (n - 1))) >> n
+
+    def pass_(m, shift):
+        # operates column-wise on int64 matrix m (8 x 8), returns 8 x 8
+        i0, i1, i2, i3 = m[0], m[1], m[2], m[3]
+        i4, i5, i6, i7 = m[4], m[5], m[6], m[7]
+        z1 = (i2 + i6) * F["0_541196100"]
+        tmp2 = z1 - i6 * F["1_847759065"]
+        tmp3 = z1 + i2 * F["0_765366865"]
+        tmp0 = (i0 + i4) << CB
+        tmp1 = (i0 - i4) << CB
+        t10, t13 = tmp0 + tmp3, tmp0 - tmp3
+        t11, t12 = tmp1 + tmp2, tmp1 - tmp2
+        o0, o1, o2, o3 = i7, i5, i3, i1
+        z1 = o0 + o3
+        z2 = o1 + o2
+        z3 = o0 + o2
+        z4 = o1 + o3
+        z5 = (z3 + z4) * F["1_175875602"]
+        o0 = o0 * F["0_298631336"]
+        o1 = o1 * F["2_053119869"]
+        o2 = o2 * F["3_072711026"]
+        o3 = o3 * F["1_501321110"]
+        z1 = -z1 * F["0_899976223"]
+        z2 = -z2 * F["2_562915447"]
+        z3 = -z3 * F["1_961570560"] + z5
+        z4 = -z4 * F["0_390180644"] + z5
+        o0 += z1 + z3
+        o1 += z2 + z4
+        o2 += z2 + z3
+        o3 += z1 + z4
+        return np.stack(
+            [
+                descale(t10 + o3, shift), descale(t11 + o2, shift),
+                descale(t12 + o1, shift), descale(t13 + o0, shift),
+                descale(t13 - o0, shift), descale(t12 - o1, shift),
+                descale(t11 - o2, shift), descale(t10 - o3, shift),
+            ]
+        )
+
+    deq = (block.astype(np.int64) * qt.astype(np.int64))
+    cols = pass_(deq, CB - P1)  # pass 1: columns (input rows are coeffs)
+    rows = pass_(cols.T, CB + P1 + 3).T  # pass 2: rows
+    return np.clip(rows + 128, 0, 255).astype(np.uint8)
+
+
+class _JpegBits:
+    """MSB-first entropy bit reader with 0xFF00 byte-stuffing removal."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data, self.pos, self.bits, self.nbits = data, pos, 0, 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7 or nxt == 0xD9:
+                # restart/EOI marker reached: pad with 1s (spec behavior)
+                self.bits = (self.bits << 8) | 0xFF
+                self.nbits += 8
+                return
+            else:
+                raise ValueError(f"unexpected marker 0xFF{nxt:02X} in scan")
+        else:
+            self.pos += 1
+        self.bits = (self.bits << 8) | b
+        self.nbits += 8
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        out = (self.bits >> self.nbits) & ((1 << n) - 1)
+        self.bits &= (1 << self.nbits) - 1
+        return out
+
+    def align_to_marker(self) -> int:
+        """Drop pending bits, consume one RSTn marker, return its index."""
+        self.bits = self.nbits = 0
+        while self.data[self.pos] != 0xFF or self.data[self.pos + 1] == 0x00:
+            self.pos += 1
+        m = self.data[self.pos + 1]
+        self.pos += 2
+        return m
+
+
+def _jpeg_huff_decode(bits: _JpegBits, table: dict[tuple[int, int], int]) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | bits.read(1)
+        length += 1
+        v = table.get((length, code))
+        if v is not None:
+            return v
+    raise ValueError("invalid JPEG huffman code")
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+
+def _fancy_h2(row: np.ndarray, bias0: int = 1, bias1: int = 2, shift: int = 2) -> np.ndarray:
+    """libjpeg fancy (triangular) 2x horizontal upsample of one int row."""
+    n = len(row)
+    out = np.empty(2 * n, dtype=np.int64)
+    left = np.concatenate(([row[0]], row[:-1]))
+    right = np.concatenate((row[1:], [row[-1]]))
+    out[0::2] = (row * 3 + left + bias0) >> shift
+    out[1::2] = (row * 3 + right + bias1) >> shift
+    # edge columns: libjpeg emits (value * 4 + bias) >> shift — a direct
+    # copy at shift 2 (h2v1) and the documented h2v2 edge rounding
+    out[0] = (row[0] * 4 + bias0) >> shift
+    out[-1] = (row[-1] * 4 + bias1) >> shift
+    return out
+
+
+def _jpeg_upsample(plane: np.ndarray, hs: int, vs: int, w: int, h: int) -> np.ndarray:
+    """Upsample a component plane by (hs, vs) ∈ {1, 2}² with libjpeg's
+    fancy triangular filter (h2v1/h2v2), then crop to (h, w)."""
+    if (hs, vs) == (1, 1):
+        return plane[:h, :w]
+    p = plane.astype(np.int64)
+    if vs == 2:
+        up = np.empty((p.shape[0] * 2, p.shape[1]), dtype=np.int64)
+        above = np.vstack([p[:1], p[:-1]])
+        below = np.vstack([p[1:], p[-1:]])
+        # vertical triangle -> values scaled x4 carried into the
+        # horizontal pass (libjpeg h2v2: one combined >> 4 descale)
+        up[0::2] = p * 3 + above
+        up[1::2] = p * 3 + below
+        if hs == 2:
+            out = np.stack([_fancy_h2(r, 8, 7, 4) for r in up])
+        else:
+            out = (up + 2) >> 2
+    else:  # vs == 1, hs == 2
+        out = np.stack([_fancy_h2(r, 1, 2, 2) for r in p])
+    return np.clip(out[:h, :w], 0, 255)
+
+
+def _jpeg_decode_stdlib(payload: bytes) -> np.ndarray:
+    """Pure-stdlib baseline-JPEG decode (the format is public: ITU T.81).
+    Supports the mainstream baseline profile: SOF0, 8-bit, 1 or 3
+    components, 4:4:4 / 4:2:2 / 4:2:0 sampling, restart markers. The
+    pipeline is libjpeg-faithful at each stage — islow fixed-point IDCT,
+    fancy triangular chroma upsampling, fixed-point YCbCr→RGB, then
+    Pillow's ITU-R 601-2 integer luma — targeting byte parity with
+    Pillow's ``convert("L")`` (asserted for grayscale and 4:4:4 in the
+    Pillow-gated half of the golden tests). Progressive (SOF2),
+    arithmetic coding, and 12-bit precision raise NotImplementedError."""
+    import struct
+
+    if payload[:2] != b"\xFF\xD8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    qts: dict[int, np.ndarray] = {}
+    huffs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    frame = None
+    restart = 0
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        m = payload[pos + 1]
+        pos += 2
+        if m in (0x00, 0xFF):
+            raise ValueError(f"bad JPEG marker 0xFF{m:02X}")
+        if m in (0x01,) or 0xD0 <= m <= 0xD9:
+            continue
+        (seglen,) = struct.unpack(">H", payload[pos : pos + 2])
+        if seglen < 2:
+            raise ValueError("bad JPEG segment length")
+        seg = payload[pos + 2 : pos + seglen]
+        if m == 0xDB:  # DQT
+            s = 0
+            while s < len(seg):
+                pq, tq = seg[s] >> 4, seg[s] & 0xF
+                if pq == 0:
+                    vals = np.frombuffer(seg[s + 1 : s + 65], np.uint8)
+                    s += 65
+                else:
+                    vals = np.frombuffer(seg[s + 1 : s + 129], ">u2")
+                    s += 129
+                nat = np.zeros(64, np.int64)
+                nat[_J_ZIGZAG] = vals
+                qts[tq] = nat.reshape(8, 8)
+        elif m == 0xC4:  # DHT
+            s = 0
+            while s < len(seg):
+                tc, th = seg[s] >> 4, seg[s] & 0xF
+                counts = seg[s + 1 : s + 17]
+                s += 17
+                table: dict[tuple[int, int], int] = {}
+                code = 0
+                for length in range(1, 17):
+                    for _ in range(counts[length - 1]):
+                        table[(length, code)] = seg[s]
+                        code += 1
+                        s += 1
+                    code <<= 1
+                huffs[(tc, th)] = table
+        elif m == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
+            if prec != 8:
+                raise NotImplementedError("stdlib JPEG decoder is 8-bit only")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+            frame = (h, w, comps)
+        elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                   0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"stdlib JPEG decoder handles baseline SOF0 only (got "
+                f"SOF marker 0xFF{m:02X} — progressive/arithmetic/lossless); "
+                "install Pillow"
+            )
+        elif m == 0xDD:  # DRI
+            (restart,) = struct.unpack(">H", seg[:2])
+        elif m == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF0")
+            ns = seg[0]
+            sel = {}
+            for c in range(ns):
+                cs, tt = seg[1 + 2 * c : 3 + 2 * c]
+                sel[cs] = (tt >> 4, tt & 0xF)
+            pos += seglen
+            return _jpeg_decode_scan(
+                payload, pos, frame, sel, qts, huffs, restart
+            )
+        pos += seglen
+    raise ValueError("JPEG without SOS scan")
+
+
+def _jpeg_decode_scan(data, pos, frame, sel, qts, huffs, restart):
+    h, w, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    for c in comps:
+        if (hmax // c["h"], vmax // c["v"]) not in ((1, 1), (2, 1), (2, 2), (1, 2)):
+            raise NotImplementedError("unsupported JPEG sampling ratio")
+        c["plane"] = np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), np.uint8)
+        c["dc_t"], c["ac_t"] = sel[c["id"]]
+        c["pred"] = 0
+    bits = _JpegBits(data, pos)
+    n_mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and n_mcu and n_mcu % restart == 0:
+                m = bits.align_to_marker()
+                if not 0xD0 <= m <= 0xD7:
+                    raise ValueError("expected JPEG restart marker")
+                for c in comps:
+                    c["pred"] = 0
+            for c in comps:
+                dc_tab = huffs[(0, c["dc_t"])]
+                ac_tab = huffs[(1, c["ac_t"])]
+                qt = qts[c["tq"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        coef = np.zeros(64, np.int64)
+                        s = _jpeg_huff_decode(bits, dc_tab)
+                        diff = _jpeg_extend(bits.read(s), s) if s else 0
+                        c["pred"] += diff
+                        coef[0] = c["pred"]
+                        k = 1
+                        while k < 64:
+                            rs = _jpeg_huff_decode(bits, ac_tab)
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            coef[_J_ZIGZAG[k]] = _jpeg_extend(bits.read(s), s)
+                            k += 1
+                        blk = _jpeg_idct_islow(coef.reshape(8, 8), qt)
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        c["plane"][y0 : y0 + 8, x0 : x0 + 8] = blk
+            n_mcu += 1
+    if len(comps) == 1:
+        return comps[0]["plane"][:h, :w]
+    planes = [
+        _jpeg_upsample(c["plane"], hmax // c["h"], vmax // c["v"], w, h).astype(
+            np.int64
+        )
+        for c in comps
+    ]
+    y, cb, cr = planes[0], planes[1] - 128, planes[2] - 128
+    half = 1 << 15
+    r = np.clip(y + ((91881 * cr + half) >> 16), 0, 255)
+    b = np.clip(y + ((116130 * cb + half) >> 16), 0, 255)
+    g = np.clip(y + ((-22554 * cb - 46802 * cr + half) >> 16), 0, 255)
+    return ((r * 19595 + g * 38470 + b * 7471 + 0x8000) >> 16).astype(np.uint8)
+
+
 def _wav_decode_stdlib(payload: bytes) -> np.ndarray:
     """Pure-stdlib WAV decode via the ``wave`` module: PCM 8/16-bit →
     mono float64 in [-1, 1], matching soundfile's scaling (int16/32768,
@@ -248,24 +575,40 @@ def _quantize_frames(samples: np.ndarray, *, frame: int = 64) -> np.ndarray:
 def real_decode(payload: bytes, fmt: str) -> np.ndarray:
     """Real codec decode. Per media family, the preferred library is
     import-probed (Pillow for images, soundfile for audio) with a
-    pure-stdlib fallback for the open formats — PNG via ``zlib`` +
-    ``struct``, WAV via the ``wave`` module — so the real-decode path
-    runs (and is golden-tested) even in lib-less environments. The two
-    paths are bit-identical on the same payload (same grayscale formula,
-    same PCM scaling). JPEG has no stdlib decoder: without Pillow it
-    raises ``NotImplementedError`` (clearly-marked stub), as does any
-    unwired format; ``decoder=fake_decode`` remains the deterministic
-    oracle path (m02/m03's splitmix64 SQL replay)."""
+    pure-stdlib fallback for the open formats, so the real-decode path
+    runs (and is golden-tested) even in lib-less environments.
+    ``decoder=fake_decode`` remains the deterministic oracle path
+    (m02/m03's splitmix64 SQL replay).
+
+    Decode support matrix (stdlib fallback — what runs without any
+    media library installed):
+
+    ======  ==========================  ==================================
+    format  stdlib coverage             parity vs preferred lib
+    ======  ==========================  ==================================
+    png     8-bit, color types          bit-identical to Pillow (lossless
+            0/2/3/4/6, filters 0-4,     format + same ITU-R 601-2 integer
+            non-interlaced              luma)
+    jpeg    baseline SOF0, 8-bit,       libjpeg-faithful fixed-point
+            gray/YCbCr, 4:4:4/4:2:2/    pipeline (islow IDCT, fancy
+            4:2:0, restart markers      upsample, integer YCbCr+luma);
+                                        byte parity with Pillow asserted
+                                        for gray and 4:4:4 in the
+                                        Pillow-gated golden half
+    wav     8/16-bit PCM, any channel   bit-identical to soundfile (same
+            count (downmixed)           PCM scaling)
+    ======  ==========================  ==================================
+
+    Progressive JPEG (SOF2), arithmetic coding, 12-bit precision,
+    16-bit PNG, and float WAV raise ``NotImplementedError`` without the
+    preferred library, as does any unwired format."""
     if fmt in ("jpeg", "png"):
         try:
             from PIL import Image
-        except ImportError as exc:
+        except ImportError:
             if fmt == "png":
                 return _png_decode_stdlib(payload)
-            raise NotImplementedError(
-                "decoding jpeg requires Pillow, which is not installed; "
-                "pass decoder=fake_decode for deterministic testing"
-            ) from exc
+            return _jpeg_decode_stdlib(payload)
         import io
 
         with Image.open(io.BytesIO(payload)) as im:

@@ -1,0 +1,275 @@
+"""Golden tests for the pure-stdlib baseline JPEG decoder
+(operators/multimodal.py::_jpeg_decode_stdlib).
+
+Fixtures are hand-encoded baseline JPEGs (tiny canonical huffman
+tables, known quant tables), so expected pixel values are ANALYTIC:
+a DC-only block decodes through the islow IDCT to the flat value
+clip(128 + ((dc·q + 4) >> 3)) exactly, which pins the whole pipeline —
+marker parse, huffman decode, DC prediction, dequant, fixed-point
+IDCT, level shift. Where Pillow is importable the same payloads are
+additionally cross-checked byte-for-byte (if-guarded, never skipped).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from censo_escolar_spark.operators import multimodal as M
+
+# --- minimal baseline-JPEG encoder (test-only) -----------------------------
+
+_DC_COUNTS = [0, 0, 7, 1] + [0] * 12  # categories 0..7 (no all-ones code)
+_DC_SYMS = list(range(8))
+_AC_COUNTS = [0, 2, 2, 3] + [0] * 12
+#: EOB, (0,1), (0,2), (1,1), (2,1), (3,1), (8,1)
+_AC_SYMS = [0x00, 0x01, 0x02, 0x11, 0x21, 0x31, 0x81]
+
+
+def _canon(counts, syms):
+    out, code, i = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(counts[ln - 1]):
+            out[syms[i]] = (code, ln)
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf, self.acc, self.n = bytearray(), 0, 0
+
+    def write(self, value, nbits):
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.buf.append(self.acc)
+                if self.acc == 0xFF:
+                    self.buf.append(0x00)  # byte stuffing
+                self.acc = self.n = 0
+
+    def flush(self):
+        while self.n:
+            self.write(1, 1)  # pad with 1s (spec)
+        out = bytes(self.buf)
+        self.buf = bytearray()
+        return out
+
+
+def _seg(marker, body):
+    return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+
+def _dqt(q, tq=0):
+    return _seg(0xDB, bytes([tq]) + bytes([q] * 64))
+
+
+def _sof0(w, h, comps):
+    body = b"\x08" + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    body += bytes([len(comps)])
+    for cid, ch, cv, tq in comps:
+        body += bytes([cid, (ch << 4) | cv, tq])
+    return _seg(0xC0, body)
+
+
+def _dht(tc, th, counts, syms):
+    return _seg(0xC4, bytes([(tc << 4) | th]) + bytes(counts) + bytes(syms))
+
+
+def _sos(comps):
+    body = bytes([len(comps)])
+    for cid, dt, at in comps:
+        body += bytes([cid, (dt << 4) | at])
+    return _seg(0xDA, body + b"\x00\x3F\x00")
+
+
+_DCT = _canon(_DC_COUNTS, _DC_SYMS)
+_ACT = _canon(_AC_COUNTS, _AC_SYMS)
+
+
+def _enc_block(bw, diff, acs):
+    s = abs(diff).bit_length()
+    code, ln = _DCT[s]
+    bw.write(code, ln)
+    if s:
+        bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    run = 0
+    for k in range(1, 64):
+        v = acs.get(k, 0)
+        if v == 0:
+            run += 1
+            continue
+        s = abs(v).bit_length()
+        code, ln = _ACT[(run << 4) | s]
+        bw.write(code, ln)
+        bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    code, ln = _ACT[0x00]  # EOB (fixtures keep k <= 62)
+    bw.write(code, ln)
+
+
+_TABLES = _dht(0, 0, _DC_COUNTS, _DC_SYMS) + _dht(1, 0, _AC_COUNTS, _AC_SYMS)
+
+
+def _jpeg_gray(w, h, mcu_blocks, q=16, dri=0):
+    head = b"\xFF\xD8" + _dqt(q) + _sof0(w, h, [(1, 1, 1, 0)]) + _TABLES
+    if dri:
+        head += _seg(0xDD, dri.to_bytes(2, "big"))
+    ent, bw = b"", _BitWriter()
+    for i, (diff, acs) in enumerate(mcu_blocks):
+        if dri and i and i % dri == 0:
+            ent += bw.flush()
+            ent += bytes([0xFF, 0xD0 + ((i // dri - 1) % 8)])
+        _enc_block(bw, diff, acs)
+    ent += bw.flush()
+    return head + _sos([(1, 0, 0)]) + ent + b"\xFF\xD9"
+
+
+def _jpeg_color444(w, h, ycc_dcs, q=16):
+    """One-MCU-per-8x8 interleaved 3-component 4:4:4; ycc_dcs is a list
+    over MCUs of (y_diff, cb_diff, cr_diff), all DC-only."""
+    head = b"\xFF\xD8" + _dqt(q)
+    head += _sof0(w, h, [(1, 1, 1, 0), (2, 1, 1, 0), (3, 1, 1, 0)]) + _TABLES
+    bw = _BitWriter()
+    for dy, dcb, dcr in ycc_dcs:
+        _enc_block(bw, dy, {})
+        _enc_block(bw, dcb, {})
+        _enc_block(bw, dcr, {})
+    return head + _sos([(1, 0, 0), (2, 0, 0), (3, 0, 0)]) + bw.flush() + b"\xFF\xD9"
+
+
+def _flat(dc_cum, q):
+    return min(255, max(0, 128 + ((dc_cum * q + 4) >> 3)))
+
+
+def _pillow_L(payload):
+    """Pillow's decode of the same payload, or None when not installed."""
+    try:
+        from PIL import Image
+    except ImportError:
+        return None
+    import io
+
+    with Image.open(io.BytesIO(payload)) as im:
+        return np.asarray(im.convert("L"), dtype=np.uint8)
+
+
+# --- tests ------------------------------------------------------------------
+
+
+def test_jpeg_dc_only_flat_block():
+    for diff, q in ((4, 16), (-4, 16), (0, 16), (31, 3), (-20, 7)):
+        payload = _jpeg_gray(8, 8, [(diff, {})], q=q)
+        out = M.real_decode(payload, "jpeg")
+        assert out.shape == (8, 8) and out.dtype == np.uint8
+        np.testing.assert_array_equal(out, np.full((8, 8), _flat(diff, q)))
+        ref = _pillow_L(payload)
+        if ref is not None:
+            np.testing.assert_array_equal(out, ref)
+
+
+def test_jpeg_dc_prediction_accumulates():
+    # two MCUs: DC diffs 5 then -2 -> absolute DCs 5 and 3
+    payload = _jpeg_gray(16, 8, [(5, {}), (-2, {})], q=16)
+    out = M.real_decode(payload, "jpeg")
+    np.testing.assert_array_equal(out[:, :8], np.full((8, 8), _flat(5, 16)))
+    np.testing.assert_array_equal(out[:, 8:], np.full((8, 8), _flat(3, 16)))
+    ref = _pillow_L(payload)
+    if ref is not None:
+        np.testing.assert_array_equal(out, ref)
+
+
+def test_jpeg_restart_markers_reset_dc_prediction():
+    # DRI=1: the second MCU follows an RST0 marker, so its DC prediction
+    # resets — both blocks decode to the same flat value
+    payload = _jpeg_gray(16, 8, [(5, {}), (5, {})], q=16, dri=1)
+    out = M.real_decode(payload, "jpeg")
+    np.testing.assert_array_equal(out[:, :8], out[:, 8:])
+    np.testing.assert_array_equal(out[:, :8], np.full((8, 8), _flat(5, 16)))
+    ref = _pillow_L(payload)
+    if ref is not None:
+        np.testing.assert_array_equal(out, ref)
+
+
+def test_jpeg_ac_coefficient_close_to_float_idct():
+    # one AC coefficient: islow is a fixed-point approximation of the
+    # true inverse DCT — within 1 of the float reference everywhere
+    q = 4
+    for k, v in ((1, 1), (2, -1), (9, 1)):
+        payload = _jpeg_gray(8, 8, [(10, {k: v})], q=q)
+        out = M.real_decode(payload, "jpeg").astype(np.float64)
+        coef = np.zeros((8, 8))
+        coef[0, 0] = 10 * q
+        zz = M._J_ZIGZAG[k]
+        coef[zz // 8, zz % 8] = v * q
+        c = np.array([1 / np.sqrt(2)] + [1.0] * 7)
+        basis = np.cos((2 * np.arange(8)[:, None] + 1) * np.arange(8)[None, :] * np.pi / 16)
+        ref = 0.25 * (basis * c) @ coef @ (basis * c).T + 128
+        assert np.abs(out - np.clip(np.round(ref), 0, 255)).max() <= 1
+        pil = _pillow_L(payload)
+        if pil is not None:
+            np.testing.assert_array_equal(out.astype(np.uint8), pil)
+
+
+def test_jpeg_color_444_flat():
+    # flat Y/Cb/Cr planes -> expected luma from the same fixed-point
+    # YCbCr->RGB->L math, computed independently with plain ints
+    payload = _jpeg_color444(8, 8, [(6, 3, -5)], q=16)
+    out = M.real_decode(payload, "jpeg")
+    y, cb, cr = _flat(6, 16), _flat(3, 16), _flat(-5, 16)
+    half = 1 << 15
+    r = min(255, max(0, y + ((91881 * (cr - 128) + half) >> 16)))
+    b = min(255, max(0, y + ((116130 * (cb - 128) + half) >> 16)))
+    g = min(255, max(0, y + ((-22554 * (cb - 128) - 46802 * (cr - 128) + half) >> 16)))
+    expect = (r * 19595 + g * 38470 + b * 7471 + 0x8000) >> 16
+    np.testing.assert_array_equal(out, np.full((8, 8), expect))
+    ref = _pillow_L(payload)
+    if ref is not None:
+        np.testing.assert_array_equal(out, ref)
+
+
+def test_jpeg_420_flat_geometry():
+    # 16x16 4:2:0 (Y h2v2, chroma h1v1): MCU = 4 Y blocks + Cb + Cr.
+    # Flat planes stay flat through the triangular upsample, so the
+    # expected image is one flat luma value — this pins MCU geometry,
+    # multi-block interleave, and the upsampling path edges.
+    head = b"\xFF\xD8" + _dqt(16)
+    head += _sof0(16, 16, [(1, 2, 2, 0), (2, 1, 1, 0), (3, 1, 1, 0)]) + _TABLES
+    bw = _BitWriter()
+    for i, diff in enumerate((6, 0, 0, 0)):  # 4 Y blocks: first sets DC
+        _enc_block(bw, diff, {})
+    _enc_block(bw, 3, {})  # Cb
+    _enc_block(bw, -5, {})  # Cr
+    payload = head + _sos([(1, 0, 0), (2, 0, 0), (3, 0, 0)]) + bw.flush()
+    payload += b"\xFF\xD9"
+    out = M.real_decode(payload, "jpeg")
+    assert out.shape == (16, 16)
+    assert len(np.unique(out)) == 1  # flat everywhere (incl. edges)
+    ref = _pillow_L(payload)
+    if ref is not None:
+        np.testing.assert_array_equal(out, ref)
+
+
+def test_jpeg_progressive_raises_not_implemented():
+    # SOF2 instead of SOF0 -> explicit capability error naming Pillow
+    body = b"\x08" + (8).to_bytes(2, "big") + (8).to_bytes(2, "big")
+    body += bytes([1, 1, 0x11, 0])
+    sof2 = bytes([0xFF, 0xC2]) + (len(body) + 2).to_bytes(2, "big") + body
+    payload = b"\xFF\xD8" + _dqt(16) + sof2
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            M.real_decode(payload, "jpeg")
+
+
+def test_jpeg_truncated_and_garbage_raise_cleanly():
+    with pytest.raises(ValueError, match="not a JPEG"):
+        M._jpeg_decode_stdlib(b"\x00\x01\x02")
+    with pytest.raises(ValueError, match="bad JPEG"):
+        M._jpeg_decode_stdlib(b"\xFF\xD8\xFF\x00\x00\x00")
+    with pytest.raises(ValueError, match="without SOS"):
+        M._jpeg_decode_stdlib(b"\xFF\xD8" + _dqt(16) + b"\xFF\xD9")

@@ -49,7 +49,8 @@ def test_decode_default_real_decoder_rejects_garbage(spark, payloads):
     decoded = M.decode_media(payloads, bytes_col="payload")  # default = real
     with pytest.raises(
         Exception,
-        match="NotImplementedError|not a PNG|not a WAVE|no decoder|requires Pillow",
+        match="NotImplementedError|not a PNG|not a WAVE|no decoder"
+        "|bad JPEG|JPEG without|cannot identify",
     ):
         decoded.collect()
 
@@ -245,14 +246,14 @@ def _wav_bytes(samples_i16: np.ndarray, *, rate: int = 8000, channels: int = 1) 
 
 
 def test_real_decode_unwired_formats_raise_cleanly():
-    """Formats without a wired decoder must fail with NotImplementedError
-    (the documented stub contract), never a bare ImportError. Each
-    library is probed independently: jpeg is Pillow-gated, mp4 always
-    raises."""
+    """Unwired formats must fail with NotImplementedError (the documented
+    stub contract), never a bare ImportError; jpeg garbage now fails the
+    stdlib decoder's marker validation with a clear codec error, and a
+    PROGRESSIVE jpeg without Pillow names the missing capability."""
     try:
         import PIL  # noqa: F401
     except ImportError:
-        with pytest.raises(NotImplementedError, match="Pillow"):
+        with pytest.raises(ValueError, match="bad JPEG"):
             M.real_decode(bytes.fromhex("FFD8FF") + b"\x00" * 16, "jpeg")
     with pytest.raises(NotImplementedError, match="no decoder"):
         M.real_decode(b"\x00" * 8, "mp4")
