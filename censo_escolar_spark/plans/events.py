@@ -2323,6 +2323,13 @@ def e37_streaming_sessions_parity(spark: SparkSession, sf_dir: str) -> DataFrame
         # (random slicing would make later batches fall below the
         # watermark and be dropped as late — in any output mode)
         b = e.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+        if b["lo"] is None:  # empty stream: no sessions, schema-stable
+            return spark.createDataFrame(
+                [],
+                "user_id bigint, session_start timestamp_ntz,"
+                " session_end timestamp_ntz, n_events bigint,"
+                " total_value double",
+            )
         span = (b["hi"] - b["lo"]) / 3
         cut1, cut2 = b["lo"] + span, b["lo"] + 2 * span
         for lo, hi in ((None, cut1), (cut1, cut2), (cut2, None)):
