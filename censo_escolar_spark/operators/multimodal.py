@@ -827,6 +827,50 @@ def phash64(decoded: DataFrame, *, id_col: str = "id") -> DataFrame:
     )
 
 
+def _phash_value_pairs(
+    vals: DataFrame, *, max_hamming: int, n_bands: int
+) -> DataFrame:
+    """Verified (``__pha``, ``__phb``, ``hamming``) pairs between
+    DISTINCT hash values: pigeonhole 16-bit band self-join + exact
+    bit_count(xor) — the shared candidate core of ``phash_pairs`` and
+    ``phash_clusters``. Shuffle is O(distinct hashes × bands)."""
+    banded = vals.select(
+        "phash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("phash"), 16 * b)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    .cast("int")
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    # each unordered VALUE pair once per shared band -> distinct over
+    # the (tiny) verified value-pair set, never over record pairs
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.phash") < F.col("b.phash")),
+        )
+        .select(
+            F.col("a.phash").alias("__pha"),
+            F.col("b.phash").alias("__phb"),
+        )
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("__pha").bitwiseXOR(F.col("__phb"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def phash_pairs(
     hashes: DataFrame,
     id_col: str,
@@ -854,41 +898,7 @@ def phash_pairs(
     Shuffle is O(distinct hashes × bands) + O(output)."""
     assert max_hamming < n_bands, "pigeonhole exactness requires max_hamming < n_bands"
     vals = hashes.select("phash").distinct()
-    banded = vals.select(
-        "phash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned(F.col("phash"), 16 * b)
-                    .bitwiseAND(F.lit(0xFFFF))
-                    .cast("int")
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("band_idx", "band_val"),
-    )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    # each unordered VALUE pair once per shared band -> distinct over
-    # the (tiny) verified value-pair set, never over record pairs
-    vpairs = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.phash") < F.col("b.phash")),
-        )
-        .select(
-            F.col("a.phash").alias("__pha"),
-            F.col("b.phash").alias("__phb"),
-        )
-        .distinct()
-        .withColumn(
-            "hamming",
-            F.bit_count(F.col("__pha").bitwiseXOR(F.col("__phb"))).cast("int"),
-        )
-        .filter(F.col("hamming") <= max_hamming)
-    )
+    vpairs = _phash_value_pairs(vals, max_hamming=max_hamming, n_bands=n_bands)
     ra = hashes.select(F.col(id_col).alias("__ida"), F.col("phash").alias("__pha"))
     rb = hashes.select(F.col(id_col).alias("__idb"), F.col("phash").alias("__phb"))
     cross = (
@@ -910,6 +920,66 @@ def phash_pairs(
         )
     )
     return cross.unionByName(same)
+
+
+def phash_clusters(
+    hashes: DataFrame,
+    id_col: str,
+    *,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Per-image near-dup cluster label + canonical keep flag — the
+    scale-safe CONSUMER contract over the pHash pair graph (downstream
+    keep/drop joins read O(images) labels, never the O(clique²) pair
+    list ``phash_pairs`` is contractually bound to emit).
+
+    Identical hashes CONTRACT to one vertex before the closure: each
+    distinct hash is represented by its min record id, the component
+    computation runs on the VALUE graph (O(distinct hashes) nodes,
+    verified value pairs as edges), and record labels come back through
+    one hash-value join. Running the closure on record pairs instead is
+    output-quadratic in clique size — the 10× scale probe measured that
+    formulation at 63× wall; the contraction is exact (records sharing a
+    hash are pairwise Hamming-0, i.e. always one cluster, and component
+    min-rep = the transitive group's min record id since every record id
+    ≥ its hash's representative)."""
+    from censo_escolar_spark.operators.dedup import clusters_from_pairs
+
+    assert max_hamming < n_bands, "pigeonhole exactness requires max_hamming < n_bands"
+    # two consumers (value pairs + label rejoin) — cut the lineage once
+    reps = (
+        hashes.groupBy("phash")
+        .agg(F.min(id_col).alias("__rep"))
+        .localCheckpoint(eager=True)
+    )
+    vpairs = _phash_value_pairs(
+        reps.select("phash"), max_hamming=max_hamming, n_bands=n_bands
+    )
+    edges = (
+        vpairs.join(
+            reps.select(F.col("phash").alias("__pha"), F.col("__rep").alias("id_a")),
+            "__pha",
+        )
+        .join(
+            reps.select(F.col("phash").alias("__phb"), F.col("__rep").alias("id_b")),
+            "__phb",
+        )
+        .select("id_a", "id_b")
+    )
+    labels = clusters_from_pairs(
+        reps.select(F.col("__rep").alias(id_col)), edges, id_col, max_iter=max_iter
+    ).select(F.col(id_col).alias("__rep"), "cluster_id")
+    return (
+        hashes.join(reps, "phash")
+        .join(labels, "__rep")
+        .select(
+            F.col(id_col),
+            "cluster_id",
+            (F.col(id_col) == F.col("cluster_id")).alias("keep"),
+        )
+    )
 
 
 def plan_shards(

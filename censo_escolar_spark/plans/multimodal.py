@@ -782,8 +782,6 @@ ORDER BY doc_id
 
 @register("m11_phash_dedup_clusters", oracle=_M11_ORACLE)
 def m11_phash_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from censo_escolar_spark.operators.dedup import clusters_from_pairs
-
     docs = load_table(spark, sf_dir, "documents")
     staged = docs.select(
         "doc_id",
@@ -793,16 +791,18 @@ def m11_phash_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("payload"),
     )
     decoded = M.decode_media(staged, bytes_col="payload", decoder=M.fake_decode)
-    # pair generation + closure + final left join all consume the hashes;
-    # one eager cut stops the Arrow decode + DCT pipeline re-running
+    # value pairs + label rejoin both consume the hashes; one eager cut
+    # stops the Arrow decode + DCT pipeline re-running
     hashes = M.phash64(decoded).localCheckpoint(eager=True)
-    pairs = M.phash_pairs(hashes, "id", max_hamming=3).select("id_a", "id_b")
-    labeled = clusters_from_pairs(hashes, pairs, "id")
+    # closure runs on the CONTRACTED value graph (phash_clusters), never
+    # the record-pair graph — the record formulation was output-quadratic
+    # in clique size (63x at the 10x probe)
+    labeled = M.phash_clusters(hashes, "id", max_hamming=3)
     return (
         labeled.select(
             F.col("id").cast("bigint").alias("doc_id"),
             F.col("cluster_id").cast("bigint").alias("cluster_id"),
-            (F.col("id") == F.col("cluster_id")).alias("keep"),
+            "keep",
         )
         .orderBy("doc_id")
     )

