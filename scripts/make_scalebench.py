@@ -100,6 +100,28 @@ def main() -> None:
         "- Everything else is at/below linear; sub-second rows are\n"
         "  job-overhead-dominated.\n"
     )
+    out.append(
+        "\n## Bench methodology (round-over-round comparisons)\n\n"
+        "BENCH_r*.json artifacts are SINGLE runs on a shared host —\n"
+        "round 4's \"+5%\" and round 6's \"+19%\" artifact regressions\n"
+        "both dissolved under idle-host retiming. The committed\n"
+        "discipline: before reading any round-over-round delta, re-run\n"
+        "`bench.py` n=3 on an idle host (load < 2) and compare PER-QUERY\n"
+        "MEDIANS; only deltas that survive the medians are engine signal.\n\n"
+        "Round-7 idle n=3 at HEAD (202 queries, sf0.1, local[32]):\n"
+        "run totals 259.4 / 302.4 / 269.6 s, median-of-3 total 272.7 s.\n"
+        "Against BENCH_r06's artifact the common-query ratio is 0.878 —\n"
+        "i.e. the r6 artifact ran ~12% hot, confirming its +19%-vs-r5\n"
+        "total was host load, not plans. Against BENCH_r05 the idle\n"
+        "medians are +5.7% on common queries, concentrated ENTIRELY in\n"
+        "the round-6 engine rewrites: d19/q72/e33 (bucketed versioned\n"
+        "state: per-batch manifest + touched-bucket jobs, constant at\n"
+        "fixture scale, the price of O(touched) write amplification at\n"
+        "100 TB), c02 (single-pass curation materializes one checkpoint),\n"
+        "and d07/s05 (corpus-sizing count jobs for the occupancy autos).\n"
+        "Each is a deliberate, documented scale trade; no untouched\n"
+        "query moved above noise.\n"
+    )
     out.append("\n| query | 1× sec | 10× sec | ratio |\n|---|---|---|---|\n")
     for ratio, k, b, p, r in rows:
         rs = "ERR" if r is None else f"{r:.1f}"
