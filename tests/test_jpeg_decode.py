@@ -239,7 +239,7 @@ def test_jpeg_420_flat_geometry():
     head = b"\xFF\xD8" + _dqt(16)
     head += _sof0(16, 16, [(1, 2, 2, 0), (2, 1, 1, 0), (3, 1, 1, 0)]) + _TABLES
     bw = _BitWriter()
-    for i, diff in enumerate((6, 0, 0, 0)):  # 4 Y blocks: first sets DC
+    for diff in (6, 0, 0, 0):  # 4 Y blocks: first sets the DC prediction
         _enc_block(bw, diff, {})
     _enc_block(bw, 3, {})  # Cb
     _enc_block(bw, -5, {})  # Cr
