@@ -827,14 +827,10 @@ def phash64(decoded: DataFrame, *, id_col: str = "id") -> DataFrame:
     )
 
 
-def _phash_value_pairs(
-    vals: DataFrame, *, max_hamming: int, n_bands: int
-) -> DataFrame:
-    """Verified (``__pha``, ``__phb``, ``hamming``) pairs between
-    DISTINCT hash values: pigeonhole 16-bit band self-join + exact
-    bit_count(xor) — the shared candidate core of ``phash_pairs`` and
-    ``phash_clusters``. Shuffle is O(distinct hashes × bands)."""
-    banded = vals.select(
+def _phash_banded(vals: DataFrame, n_bands: int) -> DataFrame:
+    """(phash, band_idx, band_val) — each hash exploded into its 16-bit
+    pigeonhole band keys (the probe-side index rows)."""
+    return vals.select(
         "phash",
         F.posexplode(
             F.array(
@@ -847,6 +843,16 @@ def _phash_value_pairs(
             )
         ).alias("band_idx", "band_val"),
     )
+
+
+def _phash_value_pairs(
+    vals: DataFrame, *, max_hamming: int, n_bands: int
+) -> DataFrame:
+    """Verified (``__pha``, ``__phb``, ``hamming``) pairs between
+    DISTINCT hash values: pigeonhole 16-bit band self-join + exact
+    bit_count(xor) — the shared candidate core of ``phash_pairs`` and
+    ``phash_clusters``. Shuffle is O(distinct hashes × bands)."""
+    banded = _phash_banded(vals, n_bands)
     a = banded.alias("a")
     b = banded.alias("b")
     # each unordered VALUE pair once per shared band -> distinct over

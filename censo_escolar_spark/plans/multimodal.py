@@ -806,3 +806,163 @@ def m11_phash_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# m12 — streaming image-corpus dedup parity: the image-modality d19.
+# The staged dup-class images arrive as three micro-batches (doc_id % 3
+# — arbitrary arrival slicing), each pushed through the streaming
+# maintainer's foreachBatch body (streaming/imagededup.py): decode →
+# pHash ONCE, probe the STORED hash index at the value level, drop
+# near-dups of published images, cluster batch survivors on the
+# contracted value graph, publish cluster winners. The oracle replays
+# the same increments honestly: pixels → DCT hashes → hamming ≤ 3
+# record pairs → the 3-step unrolled drop-then-cluster (recursive-CTE
+# closures per batch, the d19 scaffolding). Drop-then-cluster is the
+# operator's documented semantics — increments never retroactively
+# delete published images.
+# ---------------------------------------------------------------------------
+_M12_ORACLE = f"""
+WITH RECURSIVE {_fake_pix_ctes(_M10_STAGED, "137")},
+dct(u, x, t) AS (SELECT * FROM (VALUES {_DCT_VALUES})),
+coef AS (
+  SELECT p.doc_id, tu.u AS u, tv.u AS v, SUM(p.px * tu.t * tv.t) AS c
+  FROM pix p
+  JOIN dct tu ON tu.x = (p.i - 1) % 8
+  JOIN dct tv ON tv.x = (p.i - 1) // 8
+  GROUP BY 1, 2, 3
+),
+ph AS MATERIALIZED (
+  SELECT doc_id,
+    CAST(SUM(CASE WHEN c > 0
+                  THEN (1::BIGINT << CAST(u * 8 + v - 1 AS INTEGER))
+                  ELSE 0 END) AS BIGINT) AS phash
+  FROM coef
+  WHERE NOT (u = 0 AND v = 0)
+  GROUP BY doc_id
+),
+pairs AS MATERIALIZED (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.phash, b.phash)) <= 3
+),
+e0 AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  WHERE id_a % 3 = 0 AND id_b % 3 = 0
+  UNION
+  SELECT id_b, id_a FROM pairs WHERE id_a % 3 = 0 AND id_b % 3 = 0
+),
+r0(src, dst) AS (
+  SELECT src, dst FROM e0
+  UNION
+  SELECT r.src, e.dst FROM r0 r JOIN e0 e ON r.dst = e.src
+),
+c0 AS MATERIALIZED (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cl FROM r0 GROUP BY src),
+k0 AS MATERIALIZED (
+  SELECT d.doc_id
+  FROM (SELECT doc_id FROM ph WHERE doc_id % 3 = 0) d
+  LEFT JOIN c0 USING (doc_id)
+  WHERE d.doc_id = COALESCE(c0.cl, d.doc_id)
+),
+hx1 AS MATERIALIZED (
+  SELECT DISTINCT CASE WHEN id_a % 3 = 1 THEN id_a ELSE id_b END AS doc_id
+  FROM pairs
+  WHERE (id_a % 3 = 1 AND id_b IN (SELECT doc_id FROM k0))
+     OR (id_b % 3 = 1 AND id_a IN (SELECT doc_id FROM k0))
+),
+s1 AS MATERIALIZED (
+  SELECT doc_id FROM ph
+  WHERE doc_id % 3 = 1 AND doc_id NOT IN (SELECT doc_id FROM hx1)
+),
+e1 AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  WHERE id_a IN (SELECT doc_id FROM s1) AND id_b IN (SELECT doc_id FROM s1)
+  UNION
+  SELECT id_b, id_a FROM pairs
+  WHERE id_a IN (SELECT doc_id FROM s1) AND id_b IN (SELECT doc_id FROM s1)
+),
+r1(src, dst) AS (
+  SELECT src, dst FROM e1
+  UNION
+  SELECT r.src, e.dst FROM r1 r JOIN e1 e ON r.dst = e.src
+),
+c1 AS MATERIALIZED (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cl FROM r1 GROUP BY src),
+k1 AS MATERIALIZED (
+  SELECT s1.doc_id FROM s1
+  LEFT JOIN c1 USING (doc_id)
+  WHERE s1.doc_id = COALESCE(c1.cl, s1.doc_id)
+),
+pub2 AS MATERIALIZED (SELECT doc_id FROM k0 UNION ALL SELECT doc_id FROM k1),
+hx2 AS MATERIALIZED (
+  SELECT DISTINCT CASE WHEN id_a % 3 = 2 THEN id_a ELSE id_b END AS doc_id
+  FROM pairs
+  WHERE (id_a % 3 = 2 AND id_b IN (SELECT doc_id FROM pub2))
+     OR (id_b % 3 = 2 AND id_a IN (SELECT doc_id FROM pub2))
+),
+s2 AS MATERIALIZED (
+  SELECT doc_id FROM ph
+  WHERE doc_id % 3 = 2 AND doc_id NOT IN (SELECT doc_id FROM hx2)
+),
+e2 AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  WHERE id_a IN (SELECT doc_id FROM s2) AND id_b IN (SELECT doc_id FROM s2)
+  UNION
+  SELECT id_b, id_a FROM pairs
+  WHERE id_a IN (SELECT doc_id FROM s2) AND id_b IN (SELECT doc_id FROM s2)
+),
+r2(src, dst) AS (
+  SELECT src, dst FROM e2
+  UNION
+  SELECT r.src, e.dst FROM r2 r JOIN e2 e ON r.dst = e.src
+),
+c2 AS MATERIALIZED (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cl FROM r2 GROUP BY src),
+k2 AS MATERIALIZED (
+  SELECT s2.doc_id FROM s2
+  LEFT JOIN c2 USING (doc_id)
+  WHERE s2.doc_id = COALESCE(c2.cl, s2.doc_id)
+)
+SELECT doc_id, CAST(doc_id % 3 + 1 AS INTEGER) AS batch
+FROM (
+  SELECT doc_id FROM k0
+  UNION ALL SELECT doc_id FROM k1
+  UNION ALL SELECT doc_id FROM k2
+)
+ORDER BY doc_id
+"""
+
+
+@register("m12_streaming_image_dedup_parity", oracle=_M12_ORACLE)
+def m12_streaming_image_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from censo_escolar_spark.streaming import detach_from_state
+    from censo_escolar_spark.streaming.imagededup import (
+        apply_image_dedup_batch,
+        read_published_hashes,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id",
+        F.concat(
+            F.unhex(F.lit("89504E47")),
+            F.encode((F.col("doc_id") % 40).cast("string"), "utf-8"),
+        ).alias("payload"),
+    )
+    state = tempfile.mkdtemp(prefix="m12_image_state_")
+    try:
+        for bid in (1, 2, 3):
+            apply_image_dedup_batch(
+                staged.filter(F.col("doc_id") % 3 == bid - 1),
+                bid,
+                state_dir=state,
+                decoder=M.fake_decode,
+            )
+        final = read_published_hashes(spark, state)
+        out = final.select(
+            "doc_id", (F.col("doc_id") % 3 + 1).cast("int").alias("batch")
+        ).orderBy("doc_id")
+        return detach_from_state(out, state)
+    finally:
+        shutil.rmtree(state, ignore_errors=True)

@@ -3382,6 +3382,39 @@ def s17_ivf_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# s21 — top-k against a PERSISTED IVF index: the stored form of the
+# "cell-bucketed table at 100 TB" claim s04 makes about its equi-join.
+# The corpus is written ONCE as a parquet table partitioned by the
+# coarse cell id (operators/similarity.write_ivf_index), and the probe
+# reads it back through a partition filter on the probed cells
+# (ivf_topk_indexed) — build-once/probe-many, the production ANN-index
+# lifecycle. Run exhaustively (nprobe = C) so the result equals brute
+# force and the s01 oracle hash-checks the whole write→prune→probe
+# path; partition pruning at nprobe < C is asserted against the plan in
+# tests/test_similarity_ivf.py.
+# ---------------------------------------------------------------------------
+@register("s21_ivf_indexed_topk", oracle=_S01_ORACLE)
+def s21_ivf_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from censo_escolar_spark.streaming import detach_from_state
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    centroids = similarity.train_centroids(emb, iters=1)
+    root = tempfile.mkdtemp(prefix="s21_ivf_index_")
+    try:
+        similarity.write_ivf_index(emb, root, centroids)
+        out = similarity.ivf_topk_indexed(
+            spark, root, queries, centroids, k=5, nprobe=None
+        ).orderBy("query_id", "rank")
+        return detach_from_state(out, root)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
 # t32 — metadata/content language confusion matrix: the declared `lang`
 # column vs the content-based lang_id prediction, with per-declared-
 # lang accuracy. The metadata-QC report every multilingual corpus runs

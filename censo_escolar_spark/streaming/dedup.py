@@ -117,7 +117,9 @@ def read_published(
     return _read_component(spark, _component(state_dir, "corpus"), schema, hi)
 
 
-def _finish_published_compaction(fs, jvm, state_dir: str, upto: int) -> None:
+def _finish_batch_compaction(
+    fs, jvm, state_dir: str, upto: int, components
+) -> None:
     """Phase 2 (idempotent, also the crash-recovery path): per component,
     delete superseded ``batch=`` dirs and rename the folded temp into
     ``batch=<upto>``; drop the marker last."""
@@ -125,7 +127,7 @@ def _finish_published_compaction(fs, jvm, state_dir: str, upto: int) -> None:
     def jp(*parts):
         return jvm.org.apache.hadoop.fs.Path(posixpath.join(*parts))
 
-    for comp in _COMPONENTS:
+    for comp in components:
         root = _component(state_dir, comp)
         tmp = jp(root, f"{_COMPACT_TMP}{upto}")
         if not fs.exists(tmp):
@@ -143,14 +145,68 @@ def _finish_published_compaction(fs, jvm, state_dir: str, upto: int) -> None:
     fs.delete(jp(state_dir, f"{_COMPACT_COMMIT}{upto}"), False)
 
 
-def _recover_published(spark: SparkSession, state_dir: str) -> None:
+def recover_batch_store(spark: SparkSession, state_dir: str, components) -> None:
     """Finish any compaction that crashed after its commit marker."""
     fs, jvm = hadoop_fs(spark, state_dir)
     for name in list_children(fs, jvm, state_dir):
         if name.startswith(_COMPACT_COMMIT):
-            _finish_published_compaction(
-                fs, jvm, state_dir, int(name[len(_COMPACT_COMMIT):])
+            _finish_batch_compaction(
+                fs, jvm, state_dir, int(name[len(_COMPACT_COMMIT):]), components
             )
+
+
+def compact_batch_store(
+    spark: SparkSession,
+    state_dir: str,
+    *,
+    upto: int,
+    layout: dict[str, tuple[str, list[str]]],
+) -> None:
+    """Fold every committed ``batch=<id>`` partition at-or-below
+    ``upto`` of each component into a single ``batch=<upto>`` partition,
+    bounding listing depth for a long-running stream. ``layout`` maps
+    component name -> (schema, sub-partition columns). Contents-
+    preserving by construction (the fold is a plain union), so any read
+    below any point resolves the same state before and after.
+
+    Crash safety mirrors ``bucketstate.compact_state``: all components'
+    folded partitions are fully written to temp directories first, one
+    atomically-created marker commits the swap, and phase 2 (delete
+    superseded ``batch=`` dirs, rename temps into place, drop the
+    marker) is idempotent and finished by ``recover_batch_store`` on the
+    next state read after a crash."""
+    fs, jvm = hadoop_fs(spark, state_dir)
+    recover_batch_store(spark, state_dir, list(layout))
+    if upto < 0:
+        return
+
+    def jp(*parts):
+        return jvm.org.apache.hadoop.fs.Path(posixpath.join(*parts))
+
+    for comp, (schema, parts) in layout.items():
+        root = _component(state_dir, comp)
+        tmp = posixpath.join(root, f"{_COMPACT_TMP}{upto}")
+        fs.delete(jp(tmp), True)  # stale pre-marker attempt, if any
+        df = _read_component(spark, root, schema, upto + 1)
+        w = df.write.mode("overwrite")
+        if parts:
+            w = w.partitionBy(*parts)
+        w.parquet(tmp)
+    fs.create(jp(state_dir, f"{_COMPACT_COMMIT}{upto}"), False).close()
+    _finish_batch_compaction(fs, jvm, state_dir, upto, list(layout))
+
+
+def _layout(id_col: str, text_col: str) -> dict[str, tuple[str, list[str]]]:
+    s = _schemas(id_col, text_col)
+    return {
+        "corpus": (s["corpus"], []),
+        "sketches": (s["sketches"], []),
+        "bands": (s["bands"], ["bucket"]),
+    }
+
+
+def _recover_published(spark: SparkSession, state_dir: str) -> None:
+    recover_batch_store(spark, state_dir, _COMPONENTS)
 
 
 def compact_published(
@@ -161,37 +217,11 @@ def compact_published(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> None:
-    """Fold every committed ``batch=<id>`` partition at-or-below
-    ``upto`` of each component into a single ``batch=<upto>`` partition,
-    bounding listing depth for a long-running crawl. Contents-preserving
-    by construction (the fold is a plain union), so any read below any
-    point resolves the same state before and after.
-
-    Crash safety mirrors ``bucketstate.compact_state``: all components'
-    folded partitions are fully written to temp directories first, one
-    atomically-created marker commits the swap, and phase 2 (delete
-    superseded ``batch=`` dirs, rename temps into place, drop the
-    marker) is idempotent and finished by ``_recover_published`` on the
-    next state read after a crash."""
-    fs, jvm = hadoop_fs(spark, state_dir)
-    _recover_published(spark, state_dir)
-    if upto < 0:
-        return
-
-    def jp(*parts):
-        return jvm.org.apache.hadoop.fs.Path(posixpath.join(*parts))
-
-    for comp, schema in _schemas(id_col, text_col).items():
-        root = _component(state_dir, comp)
-        tmp = posixpath.join(root, f"{_COMPACT_TMP}{upto}")
-        fs.delete(jp(tmp), True)  # stale pre-marker attempt, if any
-        df = _read_component(spark, root, schema, upto + 1)
-        w = df.write.mode("overwrite")
-        if comp == "bands":
-            w = w.partitionBy("bucket")
-        w.parquet(tmp)
-    fs.create(jp(state_dir, f"{_COMPACT_COMMIT}{upto}"), False).close()
-    _finish_published_compaction(fs, jvm, state_dir, upto)
+    """Fold the text-dedup store's components (corpus/sketches/bands) —
+    see ``compact_batch_store`` for the protocol."""
+    compact_batch_store(
+        spark, state_dir, upto=upto, layout=_layout(id_col, text_col)
+    )
 
 
 def apply_dedup_batch(

@@ -249,3 +249,37 @@ def test_sign_projection_shortlist_recall(spark, emb):
         recalls.append(len(top_full & shortlist) / 5)
     # chance is 50/n (= 0.1 at the 500-row fixture); measured ~0.5
     assert sum(recalls) / len(recalls) >= 0.3
+
+
+def test_ivf_indexed_topk_prunes_partitions_and_matches(spark, emb, tmp_path):
+    """The persisted IVF index (write_ivf_index / ivf_topk_indexed):
+    exhaustive probe equals brute force; a pruned probe's scan carries a
+    cell partition filter (the partition-pruning claim, checked against
+    the plan) and reads only the probed cells."""
+    import os
+
+    idx = str(tmp_path / "ivf_index")
+    centroids = S.train_centroids(emb, n_centroids=4, iters=1)
+    S.write_ivf_index(emb, idx, centroids)
+    # physical layout: one partition directory per cell
+    cells = sorted(d for d in os.listdir(idx) if d.startswith("cell="))
+    assert len(cells) >= 2
+
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = S.cosine_topk(emb, queries, k=5).orderBy("query_id", "rank").collect()
+    stored = (
+        S.ivf_topk_indexed(spark, idx, queries, centroids, k=5, nprobe=None)
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    assert [(r.query_id, r.neighbor_id, r.rank) for r in exact] == [
+        (r.query_id, r.neighbor_id, r.rank) for r in stored
+    ]
+
+    pruned = S.ivf_topk_indexed(spark, idx, queries, centroids, k=5, nprobe=1)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    # recall at nprobe=1/4 still finds a sane share of the true top-k
+    got = {(r.query_id, r.neighbor_id) for r in pruned.collect()}
+    truth = {(r.query_id, r.neighbor_id) for r in exact}
+    assert len(got & truth) / len(truth) >= 0.4

@@ -1,0 +1,96 @@
+"""Streaming image-corpus dedup (streaming/imagededup.py): micro-batches
+of images dedup against the published pHash index; exact re-uploads of
+published images drop, within-batch duplicate classes keep one winner;
+retries converge; compaction bounds partition depth. Near-hash (hamming
+1..3) drops are additionally hash-verified against the honest DuckDB
+oracle by the m12 registry query, where the fixtures contain real
+near-pairs."""
+
+from __future__ import annotations
+
+import os
+
+from censo_escolar_spark.operators.multimodal import fake_decode
+from censo_escolar_spark.streaming.imagededup import (
+    apply_image_dedup_batch,
+    maintain_image_corpus,
+    read_published_hashes,
+)
+
+# identical bytes -> identical pHash. fake_decode seeds from (length,
+# first byte, last byte) ONLY, so distinct test payloads must differ in
+# length or last byte to get distinct hashes.
+IMG_A = b"\x89PNG" + b"class-a-1"
+IMG_B = b"\x89PNG" + b"class-b-22"
+IMG_C = b"\x89PNG" + b"class-c-333"
+
+
+def _published_ids(spark, state):
+    return sorted(r.doc_id for r in read_published_hashes(spark, state).collect())
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, payload binary")
+
+
+def _apply(spark, rows, bid, state, **kw):
+    apply_image_dedup_batch(
+        _batch(spark, rows), bid, state_dir=state, decoder=fake_decode, **kw
+    )
+
+
+def test_image_dedup_batches(spark, tmp_path):
+    state = str(tmp_path / "state")
+    # batch 0: ids 1,2 share bytes (one class) -> min-id 1 wins; 3 unique
+    _apply(spark, [(1, IMG_A), (2, IMG_A), (3, IMG_B)], 0, state)
+    assert _published_ids(spark, state) == [1, 3]
+    # batch 1: id 4 re-uploads the PUBLISHED image A -> dropped; 5 is new
+    _apply(spark, [(4, IMG_A), (5, IMG_C)], 1, state)
+    assert _published_ids(spark, state) == [1, 3, 5]
+
+
+def test_image_dedup_retry_idempotent(spark, tmp_path):
+    state = str(tmp_path / "state")
+    _apply(spark, [(1, IMG_A)], 0, state)
+    rows = [(2, IMG_A), (3, IMG_B)]
+    _apply(spark, rows, 1, state)
+    first = _published_ids(spark, state)
+    # a retried micro-batch re-reads below its own id and overwrites its
+    # own batch partition -> identical outcome, no duplicates
+    _apply(spark, rows, 1, state)
+    assert _published_ids(spark, state) == first == [1, 3]
+
+
+def test_image_dedup_compaction_cadence(spark, tmp_path):
+    state = str(tmp_path / "state")
+    imgs = [IMG_A, IMG_B, IMG_C]
+    max_parts = 0
+    for bid in range(8):
+        payload = b"\x89PNG" + b"u" * (bid + 1) + str(bid).encode()
+        _apply(spark, [(100 + bid, payload)], bid, state, compact_every=3)
+        root = os.path.join(state, "hashes")
+        n = sum(d.startswith("batch=") for d in os.listdir(root))
+        max_parts = max(max_parts, n)
+    assert max_parts <= 3 + 1
+    assert len(_published_ids(spark, state)) == 8  # all unique: all kept
+    # the folded index still drops a re-upload of an early batch's image
+    _apply(spark, [(999, b"\x89PNG" + b"u" + b"0")], 8, state)
+    assert 999 not in _published_ids(spark, state)
+
+
+def test_maintain_image_corpus_end_to_end(spark, tmp_path):
+    src = str(tmp_path / "img_src")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    rows = [(1, IMG_A), (2, IMG_A), (3, IMG_B)]
+    spark.createDataFrame(rows, "doc_id bigint, payload binary").coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    imgs = spark.readStream.schema("doc_id bigint, payload binary").parquet(src)
+    maintain_image_corpus(
+        imgs, state_dir=state, checkpoint=ckpt, decoder=fake_decode
+    )
+    assert _published_ids(spark, state) == [1, 3]
+    assert any(
+        d.startswith("batch=") for d in os.listdir(os.path.join(state, "hashes"))
+    )
