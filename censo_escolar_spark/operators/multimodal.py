@@ -285,8 +285,12 @@ class _JpegBits:
         self.data, self.pos, self.bits, self.nbits = data, pos, 0, 0
 
     def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("truncated JPEG entropy stream")
         b = self.data[self.pos]
         if b == 0xFF:
+            if self.pos + 1 >= len(self.data):
+                raise ValueError("truncated JPEG entropy stream")
             nxt = self.data[self.pos + 1]
             if nxt == 0x00:
                 self.pos += 2
@@ -313,8 +317,12 @@ class _JpegBits:
     def align_to_marker(self) -> int:
         """Drop pending bits, consume one RSTn marker, return its index."""
         self.bits = self.nbits = 0
-        while self.data[self.pos] != 0xFF or self.data[self.pos + 1] == 0x00:
+        while self.pos + 1 < len(self.data) and (
+            self.data[self.pos] != 0xFF or self.data[self.pos + 1] == 0x00
+        ):
             self.pos += 1
+        if self.pos + 1 >= len(self.data):
+            raise ValueError("truncated JPEG entropy stream")
         m = self.data[self.pos + 1]
         self.pos += 2
         return m

@@ -273,3 +273,12 @@ def test_jpeg_truncated_and_garbage_raise_cleanly():
         M._jpeg_decode_stdlib(b"\xFF\xD8\xFF\x00\x00\x00")
     with pytest.raises(ValueError, match="without SOS"):
         M._jpeg_decode_stdlib(b"\xFF\xD8" + _dqt(16) + b"\xFF\xD9")
+
+
+def test_jpeg_truncated_entropy_stream_raises_cleanly():
+    # cut the scan mid-entropy: must surface a clear codec error, never
+    # an IndexError or a hang
+    full = _jpeg_gray(16, 8, [(5, {}), (7, {})], q=16)
+    truncated = full[: full.index(b"\xFF\xDA") + 10]  # SOS header, no data
+    with pytest.raises(ValueError, match="truncated JPEG"):
+        M._jpeg_decode_stdlib(truncated)
