@@ -282,3 +282,66 @@ def test_jpeg_truncated_entropy_stream_raises_cleanly():
     truncated = full[: full.index(b"\xFF\xDA") + 10]  # SOS header, no data
     with pytest.raises(ValueError, match="truncated JPEG"):
         M._jpeg_decode_stdlib(truncated)
+
+
+# --- property: decoder ≈ float IDCT on arbitrary encodable blocks ----------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+#: AC entries as (zero-run, value) pairs restricted to the runs/sizes the
+#: test huffman table can encode: size 2 (|v| in 2..3) only at run 0;
+#: nonzero runs {1,2,3,8} carry size-1 values only.
+_AC_ENTRY = st.one_of(
+    st.tuples(st.just(0), st.sampled_from([-3, -2, -1, 1, 2, 3])),
+    st.tuples(st.sampled_from([1, 2, 3, 8]), st.sampled_from([-1, 1])),
+)
+
+
+def _to_acs(entries):
+    acs, k = {}, 0
+    for gap, v in entries:
+        k += gap + 1
+        if k > 62:
+            break
+        acs[k] = v
+    return acs
+
+
+def _float_idct_block(dc, acs, q):
+    coef = np.zeros((8, 8))
+    coef[0, 0] = dc * q
+    for k, v in acs.items():
+        zz = M._J_ZIGZAG[k]
+        coef[zz // 8, zz % 8] = v * q
+    c = np.array([1 / np.sqrt(2)] + [1.0] * 7)
+    basis = np.cos(
+        (2 * np.arange(8)[:, None] + 1) * np.arange(8)[None, :] * np.pi / 16
+    )
+    return 0.25 * (basis * c) @ coef @ (basis * c).T + 128
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(-31, 31), st.lists(_AC_ENTRY, max_size=6)),
+        min_size=1,
+        max_size=4,
+    ),
+    st.integers(1, 31),
+)
+def test_jpeg_decode_matches_float_idct_property(blocks, q):
+    """Any encodable baseline scan decodes within 1 of the float inverse
+    DCT, block by block, with DC prediction accumulated — the islow
+    fixed-point approximation bound, upheld across random coefficient
+    patterns, multi-MCU geometry, and quant scales."""
+    mcus = [(diff, _to_acs(entries)) for diff, entries in blocks]
+    payload = _jpeg_gray(8 * len(mcus), 8, mcus, q=q)
+    out = M.real_decode(payload, "jpeg").astype(np.float64)
+    dc = 0
+    for i, (diff, acs) in enumerate(mcus):
+        dc += diff
+        ref = np.clip(np.round(_float_idct_block(dc, acs, q)), 0, 255)
+        assert np.abs(out[:, 8 * i : 8 * i + 8] - ref).max() <= 1
+    pil = _pillow_L(payload)
+    if pil is not None:
+        np.testing.assert_array_equal(out.astype(np.uint8), pil)

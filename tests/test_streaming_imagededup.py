@@ -94,3 +94,31 @@ def test_maintain_image_corpus_end_to_end(spark, tmp_path):
     assert any(
         d.startswith("batch=") for d in os.listdir(os.path.join(state, "hashes"))
     )
+
+
+def test_compaction_invariance_random_image_streams(spark, tmp_path):
+    """INVARIANCE: a random (seeded) stream of uploads and re-uploads
+    publishes the identical set whether or not the batch partitions are
+    folded along the way."""
+    import random
+
+    rng = random.Random(19970401)
+    plain = str(tmp_path / "plain")
+    compacted = str(tmp_path / "compacted")
+    seen = []
+    next_id = 1
+    for bid in range(8):
+        rows = []
+        for _ in range(rng.randint(1, 3)):
+            if seen and rng.random() < 0.4:
+                payload = rng.choice(seen)  # re-upload of an earlier image
+            else:
+                payload = b"\x89PNG" + b"p" * rng.randint(1, 12) + bytes(
+                    [rng.randint(48, 57)]
+                )
+                seen.append(payload)
+            rows.append((next_id, payload))
+            next_id += 1
+        for state, every in ((plain, None), (compacted, 3)):
+            _apply(spark, rows, bid, state, compact_every=every)
+        assert _published_ids(spark, plain) == _published_ids(spark, compacted)

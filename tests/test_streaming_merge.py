@@ -249,3 +249,33 @@ def test_compact_crash_after_marker_is_recovered_on_read(spark, tmp_path):
     )
     after = _snapshot(spark, state)
     assert 9 not in after and after[3] == "v3b" and len(after) == 8
+
+
+def test_compaction_invariance_random_cdc_sequences(spark, tmp_path):
+    """INVARIANCE: for a random (seeded) CDC batch sequence, maintaining
+    with an aggressive compaction cadence and with no compaction at all
+    must resolve the identical snapshot after EVERY batch — compaction
+    is contents-preserving by contract, not just at the happy path."""
+    import random
+
+    rng = random.Random(20260815)
+    plain = str(tmp_path / "plain")
+    compacted = str(tmp_path / "compacted")
+    for bid in range(14):
+        rows = []
+        for _ in range(rng.randint(1, 5)):
+            key = rng.randint(1, 9)
+            op = rng.choice(["U", "U", "I", "D"])
+            rows.append(
+                (key, op, rng.randint(1, 100), None if op == "D" else f"v{bid}k{key}")
+            )
+        for state, every in ((plain, None), (compacted, 4)):
+            apply_merge_batch(
+                _batch(spark, rows), bid, state_dir=state, key_col="id",
+                seq_col="seq", schema=STATE_SCHEMA, compact_every=every,
+            )
+        assert _snapshot(spark, plain) == _snapshot(spark, compacted)
+    # the compacted store really is shallower
+    n_plain = sum(d.startswith("version=") for d in os.listdir(plain))
+    n_comp = sum(d.startswith("version=") for d in os.listdir(compacted))
+    assert n_comp < n_plain
