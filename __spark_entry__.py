@@ -43,7 +43,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # anything fresher.  CORRECTNESS_r06 regraded all 16 remaining
 # r1-evidence rows and 26 r2-evidence rows green (plus the 8 round-6
 # additions), so tier 1 is empty and those 50 now carry r6 evidence.
-# Round 7 adds e37, m11, t38, s21, m12 (each bitwise-exact in the sim
+# Round 7 adds e37, m11, t38, s21, m12, q73 (each bitwise-exact in the sim
 # at sf0.01 AND sf0.1) — no artifact row yet, so they grade first;
 # behind them the window regrades the 14 remaining r2-evidence rows and
 # the oldest r3-evidence rows.  Provenance: computed from the

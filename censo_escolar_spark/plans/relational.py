@@ -3128,3 +3128,127 @@ def q72_streaming_merge_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         import shutil
 
         shutil.rmtree(state, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# q73 — streaming MERGE parity UNDER CADENCE COMPACTION: exactly q72's
+# CDC waves and final-state summary, but the maintainer folds the
+# strictly-prior version history into a checkpoint after EVERY batch
+# (compact_every=1 — maximum-aggression cadence, exercising the
+# crash-safe two-phase fold between every pair of batches). The oracle
+# is q72's declarative full recompute verbatim: the hash gate proves
+# compaction is contents-preserving inside the maintenance loop itself,
+# not just in unit tests. At 100 TB this is the long-running stream's
+# steady state — bounded manifest depth with unchanged MERGE semantics.
+# ---------------------------------------------------------------------------
+@register(
+    "q73_streaming_merge_compacted",
+    oracle="""
+    WITH based AS (
+      SELECT o_orderkey AS k, o_orderstatus AS st,
+        CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(19,3)) AS pr
+      FROM orders
+    ),
+    cdc AS (
+      SELECT k, 1 AS b, 1 AS seq, 'I' AS op, st, pr FROM based
+      UNION ALL
+      SELECT k, 2, 1, 'U', st,
+        CAST(CAST(pr AS DECIMAL(18,2)) * CAST('1.1' AS DECIMAL(3,1))
+             AS DECIMAL(19,3))
+      FROM based WHERE k % 5 = 2
+      UNION ALL
+      SELECT k, 2, 2, 'D', st, pr FROM based WHERE k % 11 = 0
+      UNION ALL
+      SELECT k, 3, 1, 'U', st,
+        CAST(CAST(pr AS DECIMAL(18,2)) * CAST('1.2' AS DECIMAL(2,1))
+             AS DECIMAL(19,3))
+      FROM based WHERE k % 7 = 3
+      UNION ALL
+      SELECT k, 3, 2, 'I', 'N', pr FROM based WHERE k % 33 = 0
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY k
+                  ORDER BY b DESC, seq DESC, op DESC) AS rn
+      FROM cdc
+    ),
+    final AS (SELECT k, st, pr FROM ranked WHERE rn = 1 AND op != 'D')
+    SELECT st AS o_orderstatus,
+      CAST(COUNT(*) AS BIGINT) AS n_orders,
+      CAST(SUM(pr) AS DOUBLE) AS total_price
+    FROM final GROUP BY st ORDER BY st
+    """,
+)
+def q73_streaming_merge_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from censo_escolar_spark.streaming import detach_from_state
+    from censo_escolar_spark.streaming.merge import (
+        apply_merge_batch,
+        read_merged_state,
+    )
+
+    schema = "o_orderkey bigint, o_orderstatus string, o_totalprice decimal(19,3)"
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").cast("decimal(19,3)")
+        .alias("o_totalprice"),
+    )
+    k = F.col("o_orderkey")
+    dec2 = F.col("o_totalprice").cast("decimal(18,2)")
+    b1 = o.withColumn("op", F.lit("I")).withColumn("seq", F.lit(1))
+    b2 = (
+        o.filter(k % 5 == 2)
+        .withColumn(
+            "o_totalprice",
+            (dec2 * F.lit("1.1").cast("decimal(3,1)")).cast("decimal(19,3)"),
+        )
+        .withColumn("op", F.lit("U"))
+        .withColumn("seq", F.lit(1))
+        .unionByName(
+            o.filter(k % 11 == 0)
+            .withColumn("op", F.lit("D"))
+            .withColumn("seq", F.lit(2))
+        )
+    )
+    b3 = (
+        o.filter(k % 7 == 3)
+        .withColumn(
+            "o_totalprice",
+            (dec2 * F.lit("1.2").cast("decimal(2,1)")).cast("decimal(19,3)"),
+        )
+        .withColumn("op", F.lit("U"))
+        .withColumn("seq", F.lit(1))
+        .unionByName(
+            o.filter(k % 33 == 0)
+            .withColumn("o_orderstatus", F.lit("N"))
+            .withColumn("op", F.lit("I"))
+            .withColumn("seq", F.lit(2))
+        )
+    )
+    state = tempfile.mkdtemp(prefix="q73_merge_state_")
+    try:
+        for bid, batch in ((1, b1), (2, b2), (3, b3)):
+            apply_merge_batch(
+                batch,
+                bid,
+                state_dir=state,
+                key_col="o_orderkey",
+                seq_col="seq",
+                schema=schema,
+                compact_every=1,  # fold prior history after EVERY batch
+            )
+        final = read_merged_state(spark, state, schema=schema)
+        summary = (
+            final.groupBy("o_orderstatus")
+            .agg(
+                F.count("*").cast("bigint").alias("n_orders"),
+                F.sum("o_totalprice").cast("double").alias("total_price"),
+            )
+            .orderBy("o_orderstatus")
+        )
+        return detach_from_state(summary, state)
+    finally:
+        import shutil
+
+        shutil.rmtree(state, ignore_errors=True)
