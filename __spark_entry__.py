@@ -43,25 +43,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # anything fresher.  CORRECTNESS_r06 regraded all 16 remaining
 # r1-evidence rows and 26 r2-evidence rows green (plus the 8 round-6
 # additions), so tier 1 is empty and those 50 now carry r6 evidence.
-# Round 7 adds e37, m11, t38, s21, m12, q73 (each bitwise-exact in the sim
-# at sf0.01 AND sf0.1) — no artifact row yet, so they grade first;
-# behind them the window regrades the 14 remaining r2-evidence rows and
-# the oldest r3-evidence rows.  Provenance: computed from the
-# artifacts, never from judge re-runs (advisory only).
+# CORRECTNESS_r07 graded a 50-row window all green (the 6 round-7
+# additions + the 14 remaining r2-evidence rows + the 30 oldest
+# r3-evidence rows), so tiers 1 and 2 are now empty and tier 3 holds
+# only q60/q61/q63–q71, s18, t32.  Round 8 adds new queries (no
+# artifact row yet, so they grade first); behind them the window
+# regrades the 13 remaining r3-evidence rows and the oldest r4-evidence
+# rows.  Provenance: computed from the artifacts, never from judge
+# re-runs (advisory only).
 _LAST_GREEN_ROUND = {
-    2: {
-        "d10",
-        *(f"q{i:02d}" for i in range(1, 8)),
-        "s06",
-        *(f"t{i:02d}" for i in range(13, 18)),
-    },
     3: {
-        "d15", "d16", "d17", "d18",
-        *(f"e{i}" for i in range(25, 33)),
-        "g02", "m05", "m06", "m07",
         "q60", "q61", *(f"q{i}" for i in range(63, 72)),
-        *(f"s{i}" for i in range(11, 19)),
-        "t02", *(f"t{i}" for i in range(26, 33)),
+        "s18", "t32",
     },
     4: {
         "d19", "e33", "m02", "m03",
@@ -83,6 +76,18 @@ _LAST_GREEN_ROUND = {
         "m01",
         *(f"s{i:02d}" for i in range(1, 6)),
         "t01", *(f"t{i:02d}" for i in range(3, 13)),
+    },
+    7: {
+        "d10", "d15", "d16", "d17", "d18",
+        *(f"e{i}" for i in range(25, 33)),
+        "e37", "g02", "m05", "m06", "m07", "m11", "m12",
+        *(f"q{i:02d}" for i in range(1, 8)),
+        "q73",
+        "s06", *(f"s{i}" for i in range(11, 18)),
+        "s21",
+        "t02", *(f"t{i:02d}" for i in range(13, 18)),
+        *(f"t{i}" for i in range(26, 32)),
+        "t38",
     },
 }
 _EVIDENCE_AGE = {p: r for r, ps in _LAST_GREEN_ROUND.items() for p in ps}

@@ -19,6 +19,45 @@ if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
 
 
+#: Budget for the FINAL stdout line: the r4 driver captured exactly 2000
+#: bytes of tail, so a 2000-char line + trailing newline pushed the
+#: opening "{" out of the window (BENCH_r04 parsed:null, tail was the
+#: full JSON minus its first byte). Keep a wide safety margin.
+HEADLINE_BUDGET = 1500
+
+
+def headline_line(
+    timings: dict[str, float], sf, *, budget: int = HEADLINE_BUDGET
+) -> str:
+    """The bench's LAST stdout line: compact JSON under ``budget`` bytes.
+
+    The driver parses only the tail of stdout, so this line must always
+    fit and always be valid JSON. When the full per-query dict would
+    blow the budget, it is trimmed to the slowest entries (the ones a
+    reader acts on) with ``queries_truncated_to_slowest`` recording the
+    cut; the headline metric/value/n_queries always cover ALL queries.
+    Contract unit-tested in tests/test_bench_headline.py at the current
+    registry size + synthetic growth."""
+    total = round(sum(t for t in timings.values() if t >= 0), 2)
+    headline = {
+        "metric": "total_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "queries": timings,
+    }
+    line = json.dumps(headline, separators=(",", ":"))
+    if len(line) > budget:
+        slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1]))
+        while len(line) > budget and slowest:
+            slowest.pop(next(reversed(slowest)))
+            headline["queries"] = slowest
+            headline["queries_truncated_to_slowest"] = len(slowest)
+            line = json.dumps(headline, separators=(",", ":"))
+    return line
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf_label = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
@@ -57,39 +96,14 @@ def main() -> None:
             timings[short] = -1.0
             print(f"bench error in {name}: {exc}", file=sys.stderr)
 
-    total = round(sum(t for t in timings.values() if t >= 0), 2)
     # The driver captures only the TAIL of stdout (~2.9 kB in r01-r03)
-    # and parses the last JSON line — a single line carrying all ~190
+    # and parses the last JSON line — a single line carrying all ~200
     # per-query timings exceeds the window, loses its "{"metric" prefix,
     # and lands as parsed:null. So: per-query detail first on its own
-    # line (archival; may truncate harmlessly), then a compact headline
-    # line LAST, its queries dict trimmed to the slowest entries so the
-    # final line stays well inside the capture window and always parses.
+    # line (archival; may truncate harmlessly), then the compact
+    # headline line LAST (see headline_line).
     print(json.dumps({"queries_full": timings}, separators=(",", ":")))
-    headline = {
-        "metric": "total_query_wall_sec",
-        "value": total,
-        "unit": "sec",
-        "sf": sf,
-        "n_queries": len(timings),
-        "queries": timings,
-    }
-    line = json.dumps(headline, separators=(",", ":"))
-    # Budget for the FINAL line: the r4 driver captured exactly 2000
-    # bytes of tail, so a 2000-char line + trailing newline pushed the
-    # opening "{" out of the window (BENCH_r04 parsed:null, tail was the
-    # full JSON minus its first byte). Keep a wide safety margin.
-    budget = 1500
-    if len(line) > budget:
-        slowest = dict(
-            sorted(timings.items(), key=lambda kv: -kv[1])
-        )
-        while len(line) > budget and slowest:
-            slowest.pop(next(reversed(slowest)))
-            headline["queries"] = slowest
-            headline["queries_truncated_to_slowest"] = len(slowest)
-            line = json.dumps(headline, separators=(",", ":"))
-    print(line)
+    print(headline_line(timings, sf))
 
 
 if __name__ == "__main__":

@@ -360,7 +360,11 @@ def _fancy_h2(row: np.ndarray, bias0: int = 1, bias1: int = 2, shift: int = 2) -
 
 def _jpeg_upsample(plane: np.ndarray, hs: int, vs: int, w: int, h: int) -> np.ndarray:
     """Upsample a component plane by (hs, vs) ∈ {1, 2}² with libjpeg's
-    fancy triangular filter (h2v1/h2v2), then crop to (h, w)."""
+    fancy triangular filter (h2v1/h2v2; the rare h1v2 / 4:4:0 ratio uses
+    libjpeg-turbo's fancy vertical filter — classic libjpeg replicates),
+    then crop to (h, w). The caller passes the plane already cropped to
+    its real sample size so edge triangles replicate the last REAL
+    sample, never encoder MCU padding."""
     if (hs, vs) == (1, 1):
         return plane[:h, :w]
     p = plane.astype(np.int64)
@@ -518,6 +522,11 @@ def _jpeg_decode_scan(data, pos, frame, sel, qts, huffs, restart):
                                     continue
                                 break  # EOB
                             k += r
+                            if k > 63:
+                                # corrupt stream: run-length past the last
+                                # AC coefficient must be a codec error,
+                                # never an IndexError (T.81 F.2.2.2)
+                                raise ValueError("invalid JPEG AC run length")
                             coef[_J_ZIGZAG[k]] = _jpeg_extend(bits.read(s), s)
                             k += 1
                         blk = _jpeg_idct_islow(coef.reshape(8, 8), qt)
@@ -527,12 +536,20 @@ def _jpeg_decode_scan(data, pos, frame, sel, qts, huffs, restart):
             n_mcu += 1
     if len(comps) == 1:
         return comps[0]["plane"][:h, :w]
-    planes = [
-        _jpeg_upsample(c["plane"], hmax // c["h"], vmax // c["v"], w, h).astype(
-            np.int64
+    # Crop each plane to its REAL sample size (ceil(w·h_i/hmax) ×
+    # ceil(h·v_i/vmax)) BEFORE upsampling, as libjpeg does (it upsamples
+    # only downsampled_width/height): edge pixels of images whose
+    # dimensions are not MCU multiples must replicate the last real
+    # sample, not pull neighbors from encoder padding blocks.
+    planes = []
+    for c in comps:
+        cw = -(-w * c["h"] // hmax)
+        ch = -(-h * c["v"] // vmax)
+        planes.append(
+            _jpeg_upsample(
+                c["plane"][:ch, :cw], hmax // c["h"], vmax // c["v"], w, h
+            ).astype(np.int64)
         )
-        for c in comps
-    ]
     y, cb, cr = planes[0], planes[1] - 128, planes[2] - 128
     half = 1 << 15
     r = np.clip(y + ((91881 * cr + half) >> 16), 0, 255)

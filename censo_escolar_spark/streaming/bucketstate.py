@@ -62,6 +62,28 @@ def _jpath(jvm, *parts: str):
     return jvm.org.apache.hadoop.fs.Path(posixpath.join(*parts))
 
 
+def checked_delete(fs, jpath, recursive: bool) -> None:
+    """Hadoop ``FileSystem.delete`` reports failure as a False RETURN,
+    not an exception (object-store emulation, lease/permission issues) —
+    but also returns False when the path simply doesn't exist, which is
+    the normal case on idempotent re-runs. Only a path that still exists
+    after a False return is a real failure."""
+    if not fs.delete(jpath, recursive) and fs.exists(jpath):
+        raise IOError(f"hadoop delete returned false: {jpath}")
+
+
+def checked_rename(fs, src, dst) -> None:
+    """Hadoop ``FileSystem.rename`` reports failure as a False return.
+    Compaction's phase-2 swap must NOT proceed past a failed rename: the
+    superseded versions are already deleted, so dropping the commit
+    marker after a silent rename failure would orphan the folded temp
+    (later treated as a stale pre-marker attempt and deleted) and lose
+    committed state with no recovery path. Raising here leaves the
+    marker in place so ``_recover`` retries phase 2."""
+    if not fs.rename(src, dst):
+        raise IOError(f"hadoop rename returned false: {src} -> {dst}")
+
+
 def list_children(fs, jvm, dir_path: str) -> list[str]:
     """Child names of ``dir_path`` ([] when it doesn't exist)."""
     p = _jpath(jvm, dir_path)
@@ -209,9 +231,9 @@ def _finish_compaction(fs, jvm, state_dir: str, upto: int) -> None:
         for vd in list_children(fs, jvm, state_dir):
             v = _version_of(vd)
             if v is not None and v <= upto:
-                fs.delete(_jpath(jvm, state_dir, vd), True)
-        fs.rename(tmp, _jpath(jvm, state_dir, f"version={upto}"))
-    fs.delete(_jpath(jvm, state_dir, f"{_COMPACT_COMMIT}{upto}"), False)
+                checked_delete(fs, _jpath(jvm, state_dir, vd), True)
+        checked_rename(fs, tmp, _jpath(jvm, state_dir, f"version={upto}"))
+    checked_delete(fs, _jpath(jvm, state_dir, f"{_COMPACT_COMMIT}{upto}"), False)
 
 
 def _recover(spark: SparkSession, state_dir: str) -> None:

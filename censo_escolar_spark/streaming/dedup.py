@@ -53,7 +53,12 @@ from censo_escolar_spark.operators.dedup import (
     incremental_dedup_indexed,
     minhash_sketches,
 )
-from censo_escolar_spark.streaming.bucketstate import hadoop_fs, list_children
+from censo_escolar_spark.streaming.bucketstate import (
+    checked_delete,
+    checked_rename,
+    hadoop_fs,
+    list_children,
+)
 
 #: Band-hash bucket count for the stored index layout. Fixture-sized
 #: here; at 100 TB this is thousands, sized so one bucket's band rows
@@ -140,9 +145,9 @@ def _finish_batch_compaction(
             except ValueError:
                 continue
             if b <= upto:
-                fs.delete(jp(root, bd), True)
-        fs.rename(tmp, jp(root, f"batch={upto}"))
-    fs.delete(jp(state_dir, f"{_COMPACT_COMMIT}{upto}"), False)
+                checked_delete(fs, jp(root, bd), True)
+        checked_rename(fs, tmp, jp(root, f"batch={upto}"))
+    checked_delete(fs, jp(state_dir, f"{_COMPACT_COMMIT}{upto}"), False)
 
 
 def recover_batch_store(spark: SparkSession, state_dir: str, components) -> None:

@@ -7,7 +7,9 @@ a DC-only block decodes through the islow IDCT to the flat value
 clip(128 + ((dc·q + 4) >> 3)) exactly, which pins the whole pipeline —
 marker parse, huffman decode, DC prediction, dequant, fixed-point
 IDCT, level shift. Where Pillow is importable the same payloads are
-additionally cross-checked byte-for-byte (if-guarded, never skipped).
+additionally cross-checked byte-for-byte; a sentinel test skips with a
+visible reason when Pillow is absent so that parity coverage is never
+silently reported as having run.
 """
 
 from __future__ import annotations
@@ -160,6 +162,22 @@ def _pillow_L(payload):
 # --- tests ------------------------------------------------------------------
 
 
+def test_jpeg_pillow_parity_coverage_is_visible():
+    """The byte-parity assertions above are if-guarded on Pillow being
+    importable. This sentinel makes that coverage VISIBLE: it skips with
+    a reason when Pillow is absent (so the suite never silently reports
+    full parity coverage that didn't run) and re-asserts parity on a
+    representative payload when Pillow is present."""
+    ref = _pillow_L(_jpeg_gray(16, 8, [(5, {}), (-2, {})], q=16))
+    if ref is None:
+        pytest.skip(
+            "Pillow not installed: the Pillow byte-parity half of the "
+            "JPEG golden suite did not execute (analytic assertions ran)"
+        )
+    out = M.real_decode(_jpeg_gray(16, 8, [(5, {}), (-2, {})], q=16), "jpeg")
+    np.testing.assert_array_equal(out, ref)
+
+
 def test_jpeg_dc_only_flat_block():
     for diff, q in ((4, 16), (-4, 16), (0, 16), (31, 3), (-20, 7)):
         payload = _jpeg_gray(8, 8, [(diff, {})], q=q)
@@ -282,6 +300,37 @@ def test_jpeg_truncated_entropy_stream_raises_cleanly():
     truncated = full[: full.index(b"\xFF\xDA") + 10]  # SOS header, no data
     with pytest.raises(ValueError, match="truncated JPEG"):
         M._jpeg_decode_stdlib(truncated)
+
+
+def test_jpeg_ac_run_past_block_end_raises_cleanly():
+    # corrupt stream: an AC run-length symbol near the end of the block
+    # pushes k past 63 — must be a clear codec error, never an
+    # IndexError into the zigzag table
+    head = b"\xFF\xD8" + _dqt(16) + _sof0(8, 8, [(1, 1, 1, 0)]) + _TABLES
+    bw = _BitWriter()
+    code, ln = _DCT[0]
+    bw.write(code, ln)  # DC diff 0
+    code, ln = _ACT[0x01]
+    bw.write(code, ln)
+    bw.write(1, 1)  # (0,1): k -> 2
+    for _ in range(7):  # seven (8,1) symbols: k = 2 + 9n, 7th lands at 64
+        code, ln = _ACT[0x81]
+        bw.write(code, ln)
+        bw.write(1, 1)
+    payload = head + _sos([(1, 0, 0)]) + bw.flush() + b"\xFF\xD9"
+    with pytest.raises(ValueError, match="AC run length"):
+        M._jpeg_decode_stdlib(payload)
+
+
+def test_jpeg_upsample_edges_use_last_real_sample_not_padding():
+    # the decoder crops each component plane to its real sample size
+    # before upsampling; feeding the padded plane instead would blend
+    # encoder MCU padding into the right-edge triangle
+    padded = np.array([[10, 20, 30, 99]], dtype=np.uint8)  # 99 = padding
+    out = M._jpeg_upsample(padded[:, :3], 2, 1, 6, 1)
+    assert out[0, -1] == 30  # libjpeg edge rule: replicate last REAL sample
+    contaminated = M._jpeg_upsample(padded, 2, 1, 6, 1)
+    assert contaminated[0, -1] != 30  # the bug the crop prevents
 
 
 # --- property: decoder ≈ float IDCT on arbitrary encodable blocks ----------

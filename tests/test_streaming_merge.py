@@ -279,3 +279,56 @@ def test_compaction_invariance_random_cdc_sequences(spark, tmp_path):
     n_plain = sum(d.startswith("version=") for d in os.listdir(plain))
     n_comp = sum(d.startswith("version=") for d in os.listdir(compacted))
     assert n_comp < n_plain
+
+
+class _FalseRenameFS:
+    """Wraps a Hadoop FileSystem; rename reports failure via its boolean
+    return (the object-store / lease-loss mode) instead of raising."""
+
+    def __init__(self, fs):
+        self._fs = fs
+
+    def rename(self, src, dst):
+        return False
+
+    def __getattr__(self, name):
+        return getattr(self._fs, name)
+
+
+def test_compact_failed_rename_keeps_marker_for_retry(spark, tmp_path):
+    """fs.rename returning false (not raising) mid-phase-2 must raise
+    and leave the commit marker + folded temp in place, so the next
+    state read retries phase 2 instead of discarding the snapshot."""
+    import pytest
+
+    from censo_escolar_spark.streaming.bucketstate import (
+        N_BUCKETS,
+        _finish_compaction,
+        _write_version_dir,
+        hadoop_fs,
+        read_bucketed_state,
+    )
+
+    state = str(tmp_path / "state")
+    apply_merge_batch(
+        _batch(spark, [(k, "I", 1, f"v{k}") for k in range(1, 9)]),
+        0, state_dir=state, key_col="id", seq_col="seq", schema=STATE_SCHEMA,
+    )
+    before = _snapshot(spark, state)
+    # phase 1 by hand: folded temp + commit marker
+    folded = read_bucketed_state(spark, state, schema=STATE_SCHEMA, below=1)
+    _write_version_dir(
+        folded, os.path.join(state, "_compact_tmp_0"), key_col="id",
+        touched=list(range(N_BUCKETS)), n_buckets=N_BUCKETS,
+    )
+    open(os.path.join(state, "_compact_commit_0"), "w").close()
+
+    fs, jvm = hadoop_fs(spark, state)
+    with pytest.raises(IOError):
+        _finish_compaction(_FalseRenameFS(fs), jvm, state, 0)
+    # marker and folded temp survive the failure -> phase 2 can retry
+    names = set(os.listdir(state))
+    assert "_compact_commit_0" in names and "_compact_tmp_0" in names
+    # the next read (real fs) finishes the swap; state identical
+    assert _snapshot(spark, state) == before
+    assert sorted(os.listdir(state)) == ["version=0"]
