@@ -644,6 +644,70 @@ def write_ivf_index(
     assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
 
 
+def probe_plan(
+    spark,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int | None = 4,
+) -> tuple[DataFrame | None, list[int]]:
+    """Driver-side probe-set computation for stored-index searches: per
+    query the ``nprobe`` nearest cells (stable argsort — deterministic
+    ties), returned as a broadcastable ``(q_id, q_v, cell)`` frame plus
+    the sorted UNION of probed cells (the partition-prune list). The
+    query set is collected — bounded by the s01 contract, like
+    pq.ivfpq_topk. ``(None, [])`` when there are no queries."""
+    queries = queries.filter(F.col(vec_col).isNotNull())
+    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    if nprobe is None:
+        nprobe = cn.shape[0]
+    nprobe = min(nprobe, cn.shape[0])
+    q_rows = queries.select(
+        F.col(id_col).alias("q_id"), as_double_array(vec_col).alias("q_v")
+    ).collect()
+    if not q_rows:
+        return None, []
+    q_mat = np.vstack([r.q_v for r in q_rows])
+    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    order = np.argsort(-(q_norm @ cn.T), axis=1, kind="stable")[:, :nprobe]
+    probes = spark.createDataFrame(
+        [
+            (int(r.q_id), [float(x) for x in r.q_v], int(c))
+            for r, cells in zip(q_rows, order)
+            for c in cells
+        ],
+        "q_id bigint, q_v array<double>, cell int",
+    )
+    return probes, sorted({int(c) for cells in order for c in cells})
+
+
+def topk_against_index(index: DataFrame, probes: DataFrame, *, k: int = 5) -> DataFrame:
+    """Score a (pruned) stored-index scan ``(id, v, cell)`` against the
+    broadcast probe set ``(q_id, q_v, cell)``: equi-join on the cell id,
+    exact fold-order cosines, top-k ranking window."""
+    scored = (
+        index.join(F.broadcast(probes), "cell")
+        .filter(F.col("q_id") != F.col("id"))
+        .withColumn("cos", cosine(F.col("q_v"), F.col("v")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("id").alias("neighbor_id"),
+            "cos",
+            "rank",
+        )
+    )
+
+
+_TOPK_SCHEMA = "query_id long, neighbor_id long, cos double, rank int"
+
+
 def ivf_topk_indexed(
     spark,
     index_path: str,
@@ -665,47 +729,13 @@ def ivf_topk_indexed(
     oracle-checkable; recall at ``nprobe < C`` is asserted in tests.
     The query set is collected (bounded by contract, like pq.ivfpq_topk);
     the corpus is only ever touched through the pruned scan."""
-    queries = queries.filter(F.col(vec_col).isNotNull())
-    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
-    if nprobe is None:
-        nprobe = cn.shape[0]
-    nprobe = min(nprobe, cn.shape[0])
-    q_rows = queries.select(
-        F.col(id_col).alias("q_id"), as_double_array(vec_col).alias("q_v")
-    ).collect()
-    if not q_rows:
-        return spark.createDataFrame(
-            [], "query_id long, neighbor_id long, cos double, rank int"
-        )
-    q_mat = np.vstack([r.q_v for r in q_rows])
-    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
-    order = np.argsort(-(q_norm @ cn.T), axis=1, kind="stable")[:, :nprobe]
-    probes = spark.createDataFrame(
-        [
-            (int(r.q_id), [float(x) for x in r.q_v], int(c))
-            for r, cells in zip(q_rows, order)
-            for c in cells
-        ],
-        "q_id bigint, q_v array<double>, cell int",
+    probes, needed = probe_plan(
+        spark, queries, centroids, id_col=id_col, vec_col=vec_col, nprobe=nprobe
     )
-    needed = sorted({int(c) for cells in order for c in cells})
+    if probes is None:
+        return spark.createDataFrame([], _TOPK_SCHEMA)
     index = spark.read.parquet(index_path).filter(F.col("cell").isin(needed))
-    scored = (
-        index.join(F.broadcast(probes), "cell")
-        .filter(F.col("q_id") != F.col("id"))
-        .withColumn("cos", cosine(F.col("q_v"), F.col("v")))
-    )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            F.col("q_id").alias("query_id"),
-            F.col("id").alias("neighbor_id"),
-            "cos",
-            "rank",
-        )
-    )
+    return topk_against_index(index, probes, k=k)
 
 
 def ivf_knn_join(

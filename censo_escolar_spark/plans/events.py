@@ -2369,3 +2369,169 @@ def e37_streaming_sessions_parity(spark: SparkSession, sf_dir: str) -> DataFrame
         return detach_from_state(res, root)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# e38 — streaming LATE-DATA DROP parity: the one watermark behavior a
+# real stream exercises daily that in-order parity rows (e37, d19, m12,
+# q72/q73, e33, e36) never fire. A deterministic subset of the oldest
+# third of the events table (event_id % 7 == 0) is HELD BACK and
+# re-injected with the third micro-batch, arriving behind the watermark;
+# the engine must provably DROP (some of) them, and the oracle models
+# the drop declaratively.
+#
+# Semantics pinned empirically against this Spark build (append-mode
+# windowed aggregation, file source, maxFilesPerTrigger=1,
+# availableNow; UTC session — epoch-aligned windows):
+#   wm_evict(N) = max event time over batches < N, minus delay (0 init);
+#   wm_late(N)  = wm_evict(N-1) — the front LAGS one extra batch for
+#     late-input filtering (SPARK-40925 split), so the third file's
+#     late filter is max(FIRST file) - delay;
+#   batch N DROPS input rows with window_end <= wm_late(N)
+#     (<= boundary verified: an end == wm_late row is dropped);
+#   end of batch N EMITS+EVICTS windows with window_end <= wm_evict(N);
+#   a trailing no-data batch emits what the final front passes.
+# With batches sliced at c1/c2 (span thirds) and delay = span/6, only
+# held rows can be late: wm_late(3) = max(batch-1 ts) - delay lands
+# INSIDE the held range [lo, c1), so the older held rows are dropped
+# and the newer ones survive and merge — the boundary itself is
+# exercised, not just "late => gone". (Emitted-at-end-of-batch-1 and
+# dropped-in-batch-2 use the SAME front, so a surviving held row can
+# never chase an already-emitted window.) The final emission front
+# (hi - delay) is modeled by the oracle's HAVING: append mode never
+# emits trailing open windows.
+# All cut/delay arithmetic is integer seconds on second-truncated
+# timestamps, identical expressions both sides, so the parity is exact.
+# tests/test_streaming.py additionally asserts dropped rows stay absent
+# across a mid-stream failure + checkpoint retry.
+# ---------------------------------------------------------------------------
+@register(
+    "e38_streaming_late_drop_parity",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, event_type, date_trunc('second', ts) AS ts,
+        CAST(value AS DECIMAL(18,2)) AS val
+      FROM events
+    ),
+    p AS (
+      SELECT
+        epoch_ms(min(ts)) // 1000 AS lo,
+        epoch_ms(max(ts)) // 1000 AS hi,
+        epoch_ms(min(ts)) // 1000
+          + (epoch_ms(max(ts)) // 1000 - epoch_ms(min(ts)) // 1000) // 3 AS c1,
+        epoch_ms(min(ts)) // 1000
+          + (2 * (epoch_ms(max(ts)) // 1000 - epoch_ms(min(ts)) // 1000)) // 3 AS c2,
+        (epoch_ms(max(ts)) // 1000 - epoch_ms(min(ts)) // 1000) // 6 AS dly
+      FROM e
+    ),
+    tagged AS (
+      SELECT e.event_type, e.val,
+        epoch_ms(e.ts) // 1000 AS tss,
+        (e.event_id % 7 = 0 AND epoch_ms(e.ts) // 1000 < p.c1) AS held,
+        p.c1, p.hi, p.dly
+      FROM e, p
+    ),
+    fronts AS (
+      SELECT
+        max(CASE WHEN NOT held AND tss < c1 THEN tss END) - any_value(dly)
+          AS wm_late3,
+        any_value(hi) - any_value(dly) AS fw
+      FROM tagged
+    ),
+    kept AS (
+      SELECT t.event_type, t.val, (t.tss // 3600) * 3600 AS ws
+      FROM tagged t, fronts f
+      WHERE NOT (t.held AND (t.tss // 3600) * 3600 + 3600 <= f.wm_late3)
+    )
+    SELECT make_timestamp(ws * 1000000) AS window_start,
+      event_type,
+      CAST(COUNT(*) AS BIGINT) AS n_events,
+      CAST(SUM(val) AS DOUBLE) AS total_value
+    FROM kept, fronts f
+    GROUP BY ws, event_type, f.fw
+    HAVING ws + 3600 <= f.fw
+    ORDER BY window_start, event_type
+    """,
+)
+def e38_streaming_late_drop_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import posixpath
+    import shutil
+    import tempfile
+
+    from censo_escolar_spark.streaming import detach_from_state
+
+    # second-truncated LTZ event time: integer-second watermark/cut
+    # arithmetic, no ms-truncation hazard at the drop/emit boundaries
+    # (Spark tracks the event-time front in milliseconds)
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.date_trunc("second", F.col("ts").cast("timestamp")).alias("ts"),
+        "value",
+    )
+    b = e.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+    out_schema = (
+        "window_start timestamp_ntz, event_type string,"
+        " n_events bigint, total_value double"
+    )
+    if b["lo"] is None:  # empty stream: no windows, schema-stable
+        return spark.createDataFrame([], out_schema)
+    lo_s = int(b["lo"].timestamp())
+    hi_s = int(b["hi"].timestamp())
+    span = hi_s - lo_s
+    c1 = lo_s + span // 3
+    c2 = lo_s + (2 * span) // 3
+    delay = span // 6
+    root = tempfile.mkdtemp(prefix="e38_latedrop_")
+    src, ckpt, out = (posixpath.join(root, d) for d in ("src", "ckpt", "out"))
+    try:
+        t = F.unix_timestamp("ts")
+        held = (F.col("event_id") % 7 == 0) & (t < c1)
+        slices = (
+            e.filter((t < c1) & ~held),  # batch 1: oldest third minus held
+            e.filter((t >= c1) & (t < c2)),  # batch 2: middle third
+            e.filter((t >= c2) | held),  # batch 3: newest third + LATE held
+        )
+        for s in slices:  # sequential writes -> ascending mtimes -> order
+            s.coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        agg = (
+            stream.withWatermark("ts", f"{delay} seconds")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.col("value").cast(DEC)).cast("double").alias(
+                    "total_value"
+                ),
+            )
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")  # the mode in which the watermark DROPS
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        res = (
+            spark.read.schema(
+                "w struct<start:timestamp,end:timestamp>,"
+                " event_type string, n_events bigint, total_value double"
+            )
+            .parquet(out)
+            .select(
+                F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+                "event_type",
+                "n_events",
+                "total_value",
+            )
+            .orderBy("window_start", "event_type")
+        )
+        return detach_from_state(res, root)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

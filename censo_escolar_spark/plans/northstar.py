@@ -3415,6 +3415,59 @@ def s21_ivf_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# s22 — INCREMENTALLY-maintained IVF index: s21's stored index given the
+# batch-store treatment (streaming/ivfindex.py). The corpus arrives as
+# three increments (vec_id % 3 — arbitrary arrival slicing); each is
+# assigned to the FROZEN coarse quantizer once and appended as its own
+# batch=<id>/cell=<c> partitions — O(batch) per increment, the text/
+# image-dedup append discipline applied to the ANN index — with the
+# crash-safe two-phase compaction forced INSIDE the loop
+# (compact_every=2, the q73 pattern: the fold is proven contents-
+# preserving mid-maintenance, not just at the happy path). The final
+# probe reads the committed union partition-pruned on the probed cells,
+# run exhaustively (nprobe = C) so the result must equal s01 brute
+# force over everything published. Pruning at nprobe < C and
+# batch-retry convergence are asserted in tests/test_similarity_ivf.py.
+# ---------------------------------------------------------------------------
+@register("s22_ivf_incremental_topk", oracle=_S01_ORACLE)
+def s22_ivf_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from censo_escolar_spark.streaming import detach_from_state
+    from censo_escolar_spark.streaming.ivfindex import (
+        apply_ivf_index_batch,
+        ivf_topk_incremental,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    # the realistic lifecycle: the quantizer is trained on the corpus
+    # that exists at index-build time (the first increment) and FROZEN;
+    # later increments assign to those cells. Exhaustive probe keeps
+    # the contract independent of where the cell boundaries fall.
+    centroids = similarity.train_centroids(
+        emb.filter(F.col("vec_id") % 3 == 0), iters=1
+    )
+    root = tempfile.mkdtemp(prefix="s22_ivf_state_")
+    try:
+        for bid in (1, 2, 3):
+            apply_ivf_index_batch(
+                emb.filter(F.col("vec_id") % 3 == bid - 1),
+                bid,
+                state_dir=root,
+                centroids=centroids,
+                compact_every=2,
+            )
+        out = ivf_topk_incremental(
+            spark, root, queries, centroids, k=5, nprobe=None
+        ).orderBy("query_id", "rank")
+        return detach_from_state(out, root)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
 # t32 — metadata/content language confusion matrix: the declared `lang`
 # column vs the content-based lang_id prediction, with per-declared-
 # lang accuracy. The metadata-QC report every multilingual corpus runs

@@ -1,0 +1,161 @@
+"""Incremental maintenance for the stored IVF index: the growing-corpus
+form of ``operators/similarity.write_ivf_index``.
+
+``write_ivf_index`` is build-once — a growing corpus would re-assign
+and re-write every vector per refresh. This maintainer instead gives
+the index the batch-store treatment proven by the image-dedup state
+(``streaming/imagededup.py``): each micro-batch of new vectors is
+assigned to its coarse cell ONCE and appended as exactly its own
+``index/batch=<id>/cell=<c>/`` partitions — O(batch) work and write
+amplification, independent of index size. A probe reads the UNION of
+committed batches, partition-PRUNED on both the probed cells and the
+batch horizon; every ``compact_every`` batches the history folds into
+one partition per cell via the crash-safe two-phase marker commit
+(``streaming/dedup.compact_batch_store``), bounding listing depth on a
+long-running ingest.
+
+The coarse quantizer is trained once and FROZEN (the standard stored-
+ANN-index contract: increments assign to the existing cells; re-train
+is an offline rebuild). Deterministic assignment makes retries converge:
+a re-run of batch N reads nothing of its own half-written output and
+fully overwrites its own ``batch=N`` partitions.
+
+Exactly-once, recovery, and compaction semantics are shared with (and
+tested through) the text/image maintainers; parity is driver-gated by
+s22 — three increments + in-loop compaction must equal s01 brute force.
+"""
+
+from __future__ import annotations
+
+import posixpath
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from censo_escolar_spark.functions.vectors import as_double_array
+from censo_escolar_spark.operators.similarity import (
+    ivf_assign,
+    probe_plan,
+    topk_against_index,
+    _TOPK_SCHEMA,
+)
+from censo_escolar_spark.streaming.dedup import (
+    _component,
+    _read_component,
+    compact_batch_store,
+    recover_batch_store,
+)
+
+#: Fold the ``batch=`` partition history every K micro-batches.
+COMPACT_EVERY = 16
+
+_INDEX_SCHEMA = "id bigint, v array<double>, cell int"
+#: one component, sub-partitioned by the coarse cell id so a probe of
+#: nprobe cells stays a partition-pruned scan inside every batch dir
+_LAYOUT = {"index": (_INDEX_SCHEMA, ["cell"])}
+
+
+def read_ivf_index_state(
+    spark: SparkSession, state_dir: str, *, below: int | None = None
+) -> DataFrame:
+    """The committed index ``(id, v, cell)``: union of every committed
+    batch partition strictly below ``below`` (all if None); finishes any
+    marker-committed compaction first."""
+    recover_batch_store(spark, state_dir, list(_LAYOUT))
+    hi = below if below is not None else 1 << 62
+    return _read_component(
+        spark, _component(state_dir, "index"), _INDEX_SCHEMA, hi
+    )
+
+
+def apply_ivf_index_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    state_dir: str,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    compact_every: int | None = COMPACT_EVERY,
+) -> None:
+    """The foreachBatch body (exposed for direct testing / backfills):
+    assign the batch's vectors to their frozen coarse cells — one GEMM
+    per Arrow batch, the only time these vectors are ever scored against
+    the quantizer — and append them as this batch's cell-partitioned
+    ``batch=<id>`` directory. Never reads prior batches: unlike the
+    dedup maintainers there is no probe step on ingest, so a batch costs
+    exactly its own assignment + write."""
+    spark = batch_df.sparkSession
+    recover_batch_store(spark, state_dir, list(_LAYOUT))
+    assigned = ivf_assign(batch_df, centroids, vec_col=vec_col).select(
+        F.col(id_col).alias("id"),
+        as_double_array(vec_col).alias("v"),
+        F.col("__centroid_id").alias("cell"),
+    )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        posixpath.join(_component(state_dir, "index"), f"batch={batch_id}")
+    )
+    if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+        compact_batch_store(spark, state_dir, upto=batch_id - 1, layout=_LAYOUT)
+
+
+def ivf_topk_incremental(
+    spark: SparkSession,
+    state_dir: str,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int | None = 4,
+    below: int | None = None,
+) -> DataFrame:
+    """IVF top-k against the INCREMENTALLY-maintained index: the same
+    probe plan + pruned-scan + cell equi-join as ``ivf_topk_indexed``,
+    reading the batch store instead of a one-shot index — the scan is
+    partition-pruned on the probed cells (and the ``below`` batch
+    horizon), never a full-index read. ``nprobe=None`` equals brute
+    force over everything published, which is what s22's oracle checks."""
+    probes, needed = probe_plan(
+        spark, queries, centroids, id_col=id_col, vec_col=vec_col, nprobe=nprobe
+    )
+    if probes is None:
+        return spark.createDataFrame([], _TOPK_SCHEMA)
+    index = read_ivf_index_state(spark, state_dir, below=below).filter(
+        F.col("cell").isin(needed)
+    )
+    return topk_against_index(index, probes, k=k)
+
+
+def maintain_ivf_index(
+    vectors: DataFrame,
+    *,
+    state_dir: str,
+    checkpoint: str,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    compact_every: int | None = COMPACT_EVERY,
+) -> None:
+    """Drain everything currently available through the index maintainer
+    (availableNow trigger — the test/backfill entry point; a production
+    embedding stream runs the same query continuously)."""
+    q = (
+        vectors.writeStream.foreachBatch(
+            lambda df, bid: apply_ivf_index_batch(
+                df,
+                bid,
+                state_dir=state_dir,
+                centroids=centroids,
+                id_col=id_col,
+                vec_col=vec_col,
+                compact_every=compact_every,
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

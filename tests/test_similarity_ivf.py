@@ -283,3 +283,73 @@ def test_ivf_indexed_topk_prunes_partitions_and_matches(spark, emb, tmp_path):
     got = {(r.query_id, r.neighbor_id) for r in pruned.collect()}
     truth = {(r.query_id, r.neighbor_id) for r in exact}
     assert len(got & truth) / len(truth) >= 0.4
+
+
+def test_ivf_incremental_index_matches_prunes_and_retries(spark, emb, tmp_path):
+    """The incrementally-maintained IVF index (streaming/ivfindex.py):
+    three appends + in-loop compaction hold exactly the corpus; the
+    exhaustive probe equals brute force; a pruned probe's scan carries a
+    cell partition filter; a retried batch converges to the same state."""
+    import os
+
+    from censo_escolar_spark.streaming.ivfindex import (
+        apply_ivf_index_batch,
+        ivf_topk_incremental,
+        read_ivf_index_state,
+    )
+
+    state = str(tmp_path / "ivf_state")
+    centroids = S.train_centroids(
+        emb.filter(F.col("vec_id") % 4 == 0), n_centroids=4, iters=1
+    )
+    for bid in (1, 2, 3, 4):
+        apply_ivf_index_batch(
+            emb.filter(F.col("vec_id") % 4 == bid - 1),
+            bid,
+            state_dir=state,
+            centroids=centroids,
+            compact_every=2,
+        )
+    # compaction at batches 2 and 4 folded strictly-prior history: the
+    # listing is {batch=3 (the fold of 1..3), batch=4}, not 4 dirs
+    batch_dirs = sorted(
+        d for d in os.listdir(os.path.join(state, "index"))
+        if d.startswith("batch=")
+    )
+    assert batch_dirs == ["batch=3", "batch=4"]
+    assert read_ivf_index_state(spark, state).count() == emb.count()
+
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = S.cosine_topk(emb, queries, k=5).orderBy("query_id", "rank").collect()
+    inc = (
+        ivf_topk_incremental(spark, state, queries, centroids, k=5, nprobe=None)
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    assert [(r.query_id, r.neighbor_id, r.rank) for r in exact] == [
+        (r.query_id, r.neighbor_id, r.rank) for r in inc
+    ]
+
+    pruned = ivf_topk_incremental(spark, state, queries, centroids, k=5, nprobe=1)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    got = {(r.query_id, r.neighbor_id) for r in pruned.collect()}
+    truth = {(r.query_id, r.neighbor_id) for r in exact}
+    assert len(got & truth) / len(truth) >= 0.4
+
+    # exactly-once: a replay of batch 4 overwrites its own partitions
+    # and resolves the identical index
+    before = sorted(
+        (r.id, r.cell) for r in read_ivf_index_state(spark, state).collect()
+    )
+    apply_ivf_index_batch(
+        emb.filter(F.col("vec_id") % 4 == 3),
+        4,
+        state_dir=state,
+        centroids=centroids,
+        compact_every=2,
+    )
+    after = sorted(
+        (r.id, r.cell) for r in read_ivf_index_state(spark, state).collect()
+    )
+    assert before == after

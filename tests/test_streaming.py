@@ -418,3 +418,79 @@ def test_stream_stream_interval_join_left_outer(spark, tmp_path):
     assert (1, _ts(9, 0), _ts(9, 2)) in got           # matched pair
     assert (2, _ts(9, 5), None) in got                # unmatched left emitted
     assert all(v is not None for (u, c, v) in got if u == 1)
+
+
+def test_late_drop_survives_failed_batch_retry(spark, tmp_path):
+    """A late row dropped by the watermark must STAY dropped when its
+    micro-batch fails mid-sink and is retried from the checkpoint with
+    the same batch id (Structured Streaming's at-least-once replay).
+    Uses the empirically-pinned fronts: the late filter for batch N is
+    the EVICTION front of batch N-1 (max event time over batches < N-1,
+    minus the delay), so the late row is planted in the THIRD file."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming import StreamingQueryException
+
+    src, ckpt, sink = (str(tmp_path / d) for d in ("src", "ckpt", "out"))
+    fail_flag = str(tmp_path / "fail_once")
+    # file 0: 10:05 'a' + 13:00 'z' -> front after batch 0 = 12:30
+    _write_batch(spark, src, [(_ts(10, 5), 1, "a", 1.0), (_ts(13, 0), 3, "z", 100.0)])
+    # file 1: on-time 13:30 'b' (batch 1's late front is still 0)
+    _write_batch(spark, src, [(_ts(13, 30), 5, "b", 5.0)])
+    # file 2: 10:07 'a' is behind batch 2's late front (12:30) -> DROPPED;
+    # 14:30 'c' advances the final front to 14:00
+    _write_batch(spark, src, [(_ts(10, 7), 4, "a", 50.0), (_ts(14, 30), 6, "c", 7.0)])
+
+    schema = spark.read.parquet(src).schema
+    open(fail_flag, "w").close()
+
+    def write_batch(bdf, bid):
+        # inject ONE failure on the batch that processes the late row
+        if bid == 2 and os.path.exists(fail_flag):
+            os.remove(fail_flag)
+            raise RuntimeError("injected sink failure before commit")
+        (
+            bdf.withColumn("__batch_id", F.lit(bid))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch_id")
+            .parquet(sink)
+        )
+
+    def run():
+        source = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)  # one file per micro-batch
+            .parquet(src)
+        )
+        stream = W.tumbling_counts(
+            source, window="1 hour", watermark="30 minutes"
+        )
+        q = (
+            stream.writeStream.foreachBatch(write_batch)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    with pytest.raises(StreamingQueryException):
+        run()  # batch 2 fails after the state update was planned
+    run()  # retry: batch 2 re-runs with the same id and converges
+
+    rows = spark.read.parquet(sink).collect()
+    emitted = {(r.window_start, r.event_type): r for r in rows}
+    # exactly-once despite the retry: no duplicate (window, type) rows
+    assert len(rows) == len(emitted)
+    # the closed 10:00 window was emitted once, WITHOUT the late row
+    key = (_ts(10, 0), "a")
+    assert emitted[key].n_events == 1
+    assert emitted[key].total_value == pytest.approx(1.0)
+    # the 13:00 windows closed at the final front (14:00) and emitted
+    assert emitted[(_ts(13, 0), "z")].n_events == 1
+    assert emitted[(_ts(13, 0), "b")].n_events == 1
+    # the 14:00 window is still open at stream end: never emitted
+    assert (_ts(14, 0), "c") not in emitted
+    assert len(emitted) == 3
