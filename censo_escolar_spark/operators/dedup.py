@@ -428,6 +428,48 @@ def clusters_from_pairs(
     )
 
 
+def label_conflict_pairs(
+    labels: DataFrame,
+    *,
+    id_col: str,
+    dup_col: str,
+    distinct_col: str,
+    pair_type: str,
+) -> DataFrame:
+    """Mine cross-signal CONFLICT pairs from two cluster-label columns
+    on the same records: within each ``dup_col`` cluster, pair the
+    cluster's ANCHOR — the member whose id equals the cluster label,
+    which exists because cluster labels are min-member ids
+    (clusters_from_pairs contract) — against one representative (min
+    id) of every ``distinct_col`` group that DISAGREES with the
+    anchor's. These are the hard training pairs: duplicated under one
+    signal (e.g. pHash image clusters), distinct under the other (e.g.
+    caption near-dup clusters), so a model must rely on the signal
+    that differs.
+
+    O(rows) by construction: one groupBy on the label pair plus one
+    equi-join on the anchor — one pair per disagreeing (dup, distinct)
+    group, never the within-cluster quadratic pair list (the m10/m11
+    lesson applied to pair MINING). At 100 TB both inputs are stored
+    label tables; the shuffle keys are the cluster labels."""
+    anchor = labels.filter(F.col(id_col) == F.col(dup_col)).select(
+        F.col(dup_col).alias("__dup"),
+        F.col(distinct_col).alias("__anchor_other"),
+    )
+    groups = labels.groupBy(
+        F.col(dup_col).alias("__dup"), F.col(distinct_col).alias("__other")
+    ).agg(F.min(id_col).alias("__candidate"))
+    return (
+        groups.join(anchor, "__dup")
+        .filter(F.col("__other") != F.col("__anchor_other"))
+        .select(
+            F.lit(pair_type).alias("pair_type"),
+            F.col("__dup").cast("bigint").alias("anchor_id"),
+            F.col("__candidate").cast("bigint").alias("candidate_id"),
+        )
+    )
+
+
 def dedup_clusters(
     df: DataFrame,
     id_col: str,

@@ -966,3 +966,109 @@ def m12_streaming_image_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFr
         return detach_from_state(out, state)
     finally:
         shutil.rmtree(state, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# m13 — cross-modal conflict pair mining: the retrieval step the
+# multimodal lane lacked. Join the image pHash-dup cluster labels (the
+# m11 pipeline) against the caption near-dup cluster labels (the d06
+# pipeline) and mine the HARD training pairs both ways:
+# image-duplicated-but-caption-distinct (same pHash cluster, different
+# caption clusters — the captions carry the signal) and
+# caption-duplicated-but-image-distinct (near-identical captions on
+# visually distinct images). Pure label algebra, O(rows): one groupBy
+# per direction on the (dup_cluster, other_cluster) pair + an anchor
+# join (operators/dedup.label_conflict_pairs) — one pair per
+# disagreeing group, never the within-cluster quadratic pair list. The
+# oracle replays BOTH label pipelines honestly (the d06 Jaccard closure
+# and the m11 pixels→DCT→hamming closure as scoped recursive
+# subqueries) and restates the mining as plain SQL label joins.
+# ---------------------------------------------------------------------------
+def _m13_oracle() -> str:
+    from censo_escolar_spark.plans.northstar import _D06_ORACLE
+
+    cap_labels = _D06_ORACLE.rsplit("ORDER BY", 1)[0]
+    img_labels = _M11_ORACLE.rsplit("ORDER BY", 1)[0]
+    return f"""
+    WITH cap AS (
+      SELECT doc_id, cluster_id AS cap_cluster FROM ({cap_labels})
+    ),
+    img AS (
+      SELECT doc_id, cluster_id AS img_cluster FROM ({img_labels})
+    ),
+    labels AS (
+      SELECT i.doc_id, i.img_cluster, c.cap_cluster
+      FROM img i JOIN cap c USING (doc_id)
+    ),
+    ia AS (
+      SELECT img_cluster, cap_cluster AS anchor_other
+      FROM labels WHERE doc_id = img_cluster
+    ),
+    ig AS (
+      SELECT img_cluster, cap_cluster, MIN(doc_id) AS candidate_id
+      FROM labels GROUP BY 1, 2
+    ),
+    ca AS (
+      SELECT cap_cluster, img_cluster AS anchor_other
+      FROM labels WHERE doc_id = cap_cluster
+    ),
+    cg AS (
+      SELECT cap_cluster, img_cluster, MIN(doc_id) AS candidate_id
+      FROM labels GROUP BY 1, 2
+    )
+    SELECT * FROM (
+      SELECT 'image_dup_caption_distinct' AS pair_type,
+        CAST(g.img_cluster AS BIGINT) AS anchor_id,
+        CAST(g.candidate_id AS BIGINT) AS candidate_id
+      FROM ig g JOIN ia a USING (img_cluster)
+      WHERE g.cap_cluster != a.anchor_other
+      UNION ALL
+      SELECT 'caption_dup_image_distinct' AS pair_type,
+        CAST(g.cap_cluster AS BIGINT) AS anchor_id,
+        CAST(g.candidate_id AS BIGINT) AS candidate_id
+      FROM cg g JOIN ca a USING (cap_cluster)
+      WHERE g.img_cluster != a.anchor_other
+    )
+    ORDER BY pair_type, anchor_id, candidate_id
+    """
+
+
+@register("m13_cross_modal_conflicts", oracle=_m13_oracle())
+def m13_cross_modal_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from censo_escolar_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id",
+        F.concat(
+            F.unhex(F.lit("89504E47")),
+            F.encode((F.col("doc_id") % 40).cast("string"), "utf-8"),
+        ).alias("payload"),
+    )
+    decoded = M.decode_media(staged, bytes_col="payload", decoder=M.fake_decode)
+    hashes = M.phash64(decoded).localCheckpoint(eager=True)
+    img = M.phash_clusters(hashes, "id", max_hamming=3).select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        F.col("cluster_id").cast("bigint").alias("img_cluster"),
+    )
+    cap = dedup.dedup_clusters(docs, "doc_id", "text", n=3, threshold=0.5).select(
+        "doc_id", F.col("cluster_id").alias("cap_cluster")
+    )
+    # both mining directions consume the joined labels; one eager cut
+    # stops the two label pipelines re-running per direction
+    labels = img.join(cap, "doc_id").localCheckpoint(eager=True)
+    a = dedup.label_conflict_pairs(
+        labels,
+        id_col="doc_id",
+        dup_col="img_cluster",
+        distinct_col="cap_cluster",
+        pair_type="image_dup_caption_distinct",
+    )
+    b = dedup.label_conflict_pairs(
+        labels,
+        id_col="doc_id",
+        dup_col="cap_cluster",
+        distinct_col="img_cluster",
+        pair_type="caption_dup_image_distinct",
+    )
+    return a.unionByName(b).orderBy("pair_type", "anchor_id", "candidate_id")

@@ -397,3 +397,43 @@ def test_incremental_dedup_empty_published(spark):
         for r in corpus_dedup(batch, "doc_id", "text").select("doc_id", "cluster_id", "keep").collect()
     }
     assert inc == full
+
+
+def test_label_conflict_pairs_semantics(spark):
+    """Anchor = the member whose id equals its dup-cluster label; one
+    pair per disagreeing (dup, distinct) group, min-id representative;
+    agreeing groups and singletons mine nothing."""
+    from censo_escolar_spark.operators.dedup import label_conflict_pairs
+
+    labels = spark.createDataFrame(
+        [
+            # dup cluster 1 = {1,2,3}: anchor 1 has other=10; ids 2 (10),
+            # 3 (20) -> one conflict pair (1, 3) for the 20-group
+            (1, 1, 10),
+            (2, 1, 10),
+            (3, 1, 20),
+            # singleton: nothing to mine
+            (4, 4, 30),
+            # dup cluster 5 = {5,6} all agreeing: nothing
+            (5, 5, 40),
+            (6, 5, 40),
+            # dup cluster 7 = {7,8,9} with three distinct others:
+            # pairs (7,8) and (7,9)
+            (7, 7, 50),
+            (8, 7, 60),
+            (9, 7, 70),
+        ],
+        "doc_id bigint, dup bigint, other bigint",
+    )
+    out = label_conflict_pairs(
+        labels,
+        id_col="doc_id",
+        dup_col="dup",
+        distinct_col="other",
+        pair_type="t",
+    ).orderBy("anchor_id", "candidate_id")
+    assert [(r.pair_type, r.anchor_id, r.candidate_id) for r in out.collect()] == [
+        ("t", 1, 3),
+        ("t", 7, 8),
+        ("t", 7, 9),
+    ]
