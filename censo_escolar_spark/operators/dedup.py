@@ -26,6 +26,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StructField, StructType
 
 from censo_escolar_spark.functions.hashing import splitmix64
 from censo_escolar_spark.functions.text import (
@@ -308,12 +309,22 @@ def containment_pairs(
     )
 
 
+#: Edge-count bound under which connected_components finishes with a
+#: driver-side union-find instead of the distributed label loop. The
+#: loop costs ~2 Spark jobs per round in fixed scheduler overhead,
+#: which dominates micro-batch maintainers (d19/m12) whose within-batch
+#: graphs are small by construction; 2^16 deduped edges collect as a
+#: couple of MB. Above the bound the distributed loop runs unchanged.
+SMALL_GRAPH_EDGES = 1 << 16
+
+
 def connected_components(
     edges: DataFrame,
     *,
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iter: int = 20,
+    small_graph_edges: int | None = SMALL_GRAPH_EDGES,
 ) -> DataFrame:
     """Connected components of an undirected pair graph → (node, component)
     where ``component`` is the minimum node id reachable from ``node``.
@@ -357,6 +368,43 @@ def connected_components(
         edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
     )
     sym = sym.distinct().localCheckpoint(eager=True)
+
+    # Small-graph fast path: the (possibly expensive) edge pipeline is
+    # materialized exactly once — the checkpoint above — so the count is
+    # a cheap cached-block job; when the deduped edge list is driver-
+    # sized, finish with a union-find instead of the distributed loop.
+    # Union-by-min keeps every root the component minimum, so the output
+    # contract (min reachable node id per node) is identical. Numeric
+    # node ids only, same as the decimal label-sum probe below.
+    if small_graph_edges and sym.count() <= small_graph_edges:
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]  # path halving
+                x = parent[x]
+            return x
+
+        for r in sym.collect():  # bounded by small_graph_edges
+            a, b = r.src, r.dst
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        node_type = sym.schema["src"].dataType
+        out_schema = StructType(
+            [
+                StructField("node", node_type),
+                StructField("component", node_type),
+            ]
+        )
+        return edges.sparkSession.createDataFrame(
+            [(n, find(n)) for n in parent], out_schema
+        )
+
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()
@@ -1080,6 +1128,25 @@ def incremental_dedup(
     )
 
 
+def validate_signature_layout(
+    frame: DataFrame, side: str, *, bands: int, rows: int
+) -> bool:
+    """Guard against probing a stored index with a mismatched banding
+    layout (mismatched slicing silently loses candidates): a one-row
+    bounded peek at the signature length. Raises on mismatch; returns
+    whether a row was actually checked (False on an empty frame —
+    nothing published yet — so callers caching a successful validation
+    don't cache a vacuous one)."""
+    head = frame.select(F.size("signature").alias("k")).head(1)
+    if head and head[0].k != bands * rows:
+        raise ValueError(
+            f"{side} signature length {head[0].k} != bands*rows ="
+            f" {bands * rows}; pass the bands/rows the index was"
+            " built with"
+        )
+    return bool(head)
+
+
 def incremental_dedup_indexed(
     new_docs: DataFrame,
     published_sketches: DataFrame,
@@ -1093,6 +1160,7 @@ def incremental_dedup_indexed(
     max_iter: int = 20,
     bands: int = MINHASH_BANDS,
     rows: int = MINHASH_ROWS,
+    validate: bool = True,
 ) -> DataFrame:
     """``incremental_dedup`` against a STORED signature index — the
     published corpus contributes only its persisted sketches
@@ -1113,21 +1181,20 @@ def incremental_dedup_indexed(
       layout the STORED sketches/index were built with — sketches built
       with a non-default signature length would otherwise slice bands
       inconsistently and silently lose candidates, so the provided
-      frames' signature length is validated (one-row bounded peek).
+      frames' signature length is validated (one-row bounded peek) —
+      ``validate=False`` skips the peeks for callers that validated the
+      store themselves (the streaming maintainer caches one successful
+      validation per store per process and builds its batch sketches
+      with the right k by construction).
     """
-    for side, frame in (
-        ("published_sketches", published_sketches),
-        ("new_sketches", new_sketches),
-    ):
-        if frame is None:
-            continue
-        head = frame.select(F.size("signature").alias("k")).head(1)
-        if head and head[0].k != bands * rows:
-            raise ValueError(
-                f"{side} signature length {head[0].k} != bands*rows ="
-                f" {bands * rows}; pass the bands/rows the index was"
-                " built with"
-            )
+    if validate:
+        for side, frame in (
+            ("published_sketches", published_sketches),
+            ("new_sketches", new_sketches),
+        ):
+            if frame is None:
+                continue
+            validate_signature_layout(frame, side, bands=bands, rows=rows)
     if new_sketches is None:
         new_sketches = minhash_sketches(
             new_docs, id_col, text_col, n=n, k=bands * rows

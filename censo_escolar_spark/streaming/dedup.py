@@ -68,6 +68,13 @@ N_BUCKETS = 8
 #: Fold the ``batch=`` partition history every K micro-batches.
 COMPACT_EVERY = 16
 
+#: Stores whose persisted signature layout was successfully validated
+#: in this process — (state_dir, bands, rows). One non-vacuous
+#: validation per store suffices (the layout of immutable committed
+#: partitions can't change under us); skipping the per-batch peek jobs
+#: matters on a maintainer whose cost is fixed overhead.
+_VALIDATED_STORES: set[tuple[str, int, int]] = set()
+
 _COMPONENTS = ("corpus", "sketches", "bands")
 _COMPACT_TMP = "_compact_tmp_"
 _COMPACT_COMMIT = "_compact_commit_"
@@ -266,6 +273,17 @@ def apply_dedup_batch(
     batch_sk = minhash_sketches(
         batch, id_col, text_col, k=bands * rows
     ).localCheckpoint(eager=True)
+    # validate the stored layout once per store per process (the batch
+    # side is built with k = bands*rows above, correct by construction);
+    # an empty store is a vacuous check and stays uncached
+    from censo_escolar_spark.operators.dedup import validate_signature_layout
+
+    store_key = (state_dir, bands, rows)
+    if store_key not in _VALIDATED_STORES:
+        if validate_signature_layout(
+            pub_sketches, "published_sketches", bands=bands, rows=rows
+        ):
+            _VALIDATED_STORES.add(store_key)
     labeled = incremental_dedup_indexed(
         batch,
         pub_sketches,
@@ -276,6 +294,7 @@ def apply_dedup_batch(
         threshold=threshold,
         bands=bands,
         rows=rows,
+        validate=False,
     )
     keep_ids = labeled.filter(F.col("keep")).select(id_col).localCheckpoint(eager=True)
 
@@ -292,11 +311,21 @@ def apply_dedup_batch(
             ["bucket"],
         ),
     ]
-    for df, name, parts in writes:
+    # the three component writes are independent (all derive from the
+    # two checkpointed frames) — submit them concurrently so the batch
+    # pays max(write) instead of sum(write); Spark's scheduler runs
+    # concurrent jobs from separate threads natively
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _write(item) -> None:
+        df, name, parts = item
         w = df.write.mode("overwrite")
         if parts:
             w = w.partitionBy(*parts)
         w.parquet(posixpath.join(_component(state_dir, name), part))
+
+    with ThreadPoolExecutor(max_workers=len(writes)) as pool:
+        list(pool.map(_write, writes))
     if compact_every and batch_id > 0 and batch_id % compact_every == 0:
         compact_published(
             spark, state_dir, upto=batch_id - 1, id_col=id_col, text_col=text_col

@@ -28,24 +28,38 @@ def test_multiple_components_and_min_label(spark):
 
 
 def test_max_iter_raises_instead_of_wrong_labels(spark):
-    # a 20-chain can't finish in one propagate+jump round; max_iter=1 must raise
+    # a 20-chain can't finish in one propagate+jump round; max_iter=1
+    # must raise (small_graph_edges=0 forces the distributed loop —
+    # the default driver union-find has no iteration bound to hit)
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(1, 21)], "id_a long, id_b long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(edges, max_iter=1)
+        connected_components(edges, max_iter=1, small_graph_edges=0)
 
 
 def test_long_path_converges_logarithmically(spark):
     # 1,000-node path graph: plain propagation needs ~999 rounds (the
     # adversarial worst case the pointer-jump step exists for); with
-    # path compression it must converge within 12 rounds.
+    # path compression the DISTRIBUTED loop must converge within 12
+    # rounds (forced past the small-graph fast path).
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(1, 1000)], "id_a long, id_b long"
     )
-    got = _labels(connected_components(edges, max_iter=12))
+    got = _labels(connected_components(edges, max_iter=12, small_graph_edges=0))
     assert set(got.values()) == {1}
     assert len(got) == 1000
+
+
+def test_fast_path_equals_distributed_loop(spark):
+    # the driver union-find fast path (default for graphs under the
+    # edge bound) must label identically to the distributed loop
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8), (9, 9), (4, 3)], "id_a long, id_b long"
+    )
+    fast = _labels(connected_components(edges))
+    dist = _labels(connected_components(edges, small_graph_edges=0))
+    assert fast == dist == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 8: 7, 9: 9}
 
 
 def test_dedup_clusters_singletons_keep_own_id(spark):
@@ -94,6 +108,10 @@ def _union_find(edges):
 def test_matches_union_find_on_arbitrary_graphs(spark, edges):
     df = spark.createDataFrame(edges, "id_a long, id_b long")
     got = _labels(connected_components(df, max_iter=30))
+    # the distributed loop must agree with the default fast path too
+    assert got == _labels(
+        connected_components(df, max_iter=30, small_graph_edges=0)
+    )
     want = _union_find(edges)
     # min-label propagation labels every component by its minimum node id;
     # union-find with min-root merging yields the same canonical labels
