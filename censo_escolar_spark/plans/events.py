@@ -2266,11 +2266,12 @@ def e36_streaming_stats_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # reproduce the one-shot batch sessionization exactly — the oracle is
 # e03's gaps-and-islands full recompute verbatim. The source files are
 # TIME-RANGE slices written sequentially (ascending modification times →
-# in-order arrival), so the watermark — which filters late input in
-# EVERY output mode — never drops a row, exactly like a healthy
-# production stream; complete mode keeps session state across batches,
-# so boundary-spanning sessions merge and the final snapshot is the
-# converged session set. Every aggregate is a count or an exact
+# in-order arrival), so no row is ever late, exactly like a healthy
+# production stream; complete mode keeps session state across batches
+# (and, pinned empirically in round 8, does NOT filter late input — the
+# drop semantics live in append/update mode and are oracle-gated by
+# e38), so boundary-spanning sessions merge and the final snapshot is
+# the converged session set. Every aggregate is a count or an exact
 # per-event decimal sum, so the result is bit-identical to the batch
 # recompute. This gates the streaming module's session path the way
 # e36/q72/e33 gate the stats/MERGE/SCD2 maintainers.

@@ -3468,6 +3468,84 @@ def s22_ivf_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# s23 — IVF index DELETIONS: the lifecycle step s22 lacks. Inserts
+# arrive as two increments, a delete batch tombstones vec_id % 5 == 0,
+# then a third increment re-covers some of those ids — and must stay
+# live, because a tombstone removes only rows inserted STRICTLY BEFORE
+# it (batch-ordered anti-join; the compaction fold physically reclaims
+# tombstoned rows and drops consumed tombstones, exercised in-loop at
+# batch 4 with compact_every=2). Final exhaustive probe ≡ brute force
+# over the LIVE set: all vectors except the %5==0 ids that were already
+# inserted when the delete was issued (%3 in (0,1)); queries stay the
+# full s01 query set (query vectors are inputs, not corpus members).
+# ---------------------------------------------------------------------------
+@register(
+    "s23_ivf_index_deletes",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    live AS (
+      SELECT * FROM e WHERE NOT (vec_id % 5 = 0 AND vec_id % 3 != 2)
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        list_dot_product(q.v, c.v) /
+          (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+      FROM e q JOIN live c ON q.vec_id != c.vec_id
+      WHERE q.vec_id < 8
+    )
+    SELECT query_id, neighbor_id, cos,
+      CAST(rnk AS INTEGER) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+      FROM scored
+    )
+    WHERE rnk <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def s23_ivf_index_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from censo_escolar_spark.streaming import detach_from_state
+    from censo_escolar_spark.streaming.ivfindex import (
+        apply_ivf_delete_batch,
+        apply_ivf_index_batch,
+        ivf_topk_incremental,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    centroids = similarity.train_centroids(
+        emb.filter(F.col("vec_id") % 3 == 0), iters=1
+    )
+    root = tempfile.mkdtemp(prefix="s23_ivf_state_")
+    try:
+        ins = dict(
+            state_dir=root, centroids=centroids, compact_every=2
+        )
+        apply_ivf_index_batch(emb.filter(F.col("vec_id") % 3 == 0), 1, **ins)
+        apply_ivf_index_batch(emb.filter(F.col("vec_id") % 3 == 1), 2, **ins)
+        # tombstone ALL %5==0 ids: a no-op for ids not yet inserted
+        # (%3==2), whose later insert must stay live
+        apply_ivf_delete_batch(
+            emb.filter(F.col("vec_id") % 5 == 0).select("vec_id"),
+            3,
+            state_dir=root,
+            compact_every=2,
+        )
+        # batch 4 triggers the in-loop fold (upto=3): tombstoned rows
+        # physically reclaimed, consumed tombstones dropped
+        apply_ivf_index_batch(emb.filter(F.col("vec_id") % 3 == 2), 4, **ins)
+        out = ivf_topk_incremental(
+            spark, root, queries, centroids, k=5, nprobe=None
+        ).orderBy("query_id", "rank")
+        return detach_from_state(out, root)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
 # t32 — metadata/content language confusion matrix: the declared `lang`
 # column vs the content-based lang_id prediction, with per-declared-
 # lang accuracy. The metadata-QC report every multilingual corpus runs

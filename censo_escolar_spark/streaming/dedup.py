@@ -93,7 +93,12 @@ def _schemas(id_col: str, text_col: str) -> dict[str, str]:
 
 
 def _read_component(
-    spark: SparkSession, root: str, schema: str, below: int
+    spark: SparkSession,
+    root: str,
+    schema: str,
+    below: int,
+    *,
+    keep_batch: bool = False,
 ) -> DataFrame:
     """All committed ``batch=<id>`` partitions strictly below ``below``
     (empty frame of ``schema`` if none). Reads the component ROOT with
@@ -101,18 +106,21 @@ def _read_component(
     individual batch directories instead trips Spark's partition
     discovery when a component (bands) nests further partition dirs.
     The explicit schema makes empty-batch directories read as zero rows.
+    ``keep_batch=True`` retains the batch column for readers whose
+    semantics are arrival-ordered (the IVF index's delete tombstones).
     """
     fs, jvm = hadoop_fs(spark, root)
     if not any(
         d.startswith("batch=") for d in list_children(fs, jvm, root)
     ):
-        return spark.createDataFrame([], schema)
-    return (
+        empty = spark.createDataFrame([], f"{schema}, batch int")
+        return empty if keep_batch else empty.drop("batch")
+    out = (
         spark.read.schema(f"{schema}, batch int")
         .parquet(root)
         .filter(F.col("batch") < below)
-        .drop("batch")
     )
+    return out if keep_batch else out.drop("batch")
 
 
 def read_published(
@@ -173,13 +181,24 @@ def compact_batch_store(
     *,
     upto: int,
     layout: dict[str, tuple[str, list[str]]],
+    fold=None,
 ) -> None:
     """Fold every committed ``batch=<id>`` partition at-or-below
     ``upto`` of each component into a single ``batch=<upto>`` partition,
     bounding listing depth for a long-running stream. ``layout`` maps
     component name -> (schema, sub-partition columns). Contents-
-    preserving by construction (the fold is a plain union), so any read
-    below any point resolves the same state before and after.
+    preserving by construction (the default fold is a plain union), so
+    any read below any point resolves the same state before and after.
+
+    ``fold`` (optional) maps {component: DataFrame} -> {component:
+    DataFrame} over the read history before the folded write — the LSM
+    merge hook. Fold inputs RETAIN the ``batch`` column (arrival order);
+    fold outputs must drop it (everything lands in ``batch=<upto>``). A
+    fold must preserve the store's LIVE VIEW (whatever its readers
+    resolve), not necessarily raw rows: the IVF index uses it to
+    physically drop tombstoned rows and the consumed tombstones together
+    (streaming/ivfindex.py::_fold_deletes), which leaves every probe
+    result unchanged.
 
     Crash safety mirrors ``bucketstate.compact_state``: all components'
     folded partitions are fully written to temp directories first, one
@@ -195,12 +214,22 @@ def compact_batch_store(
     def jp(*parts):
         return jvm.org.apache.hadoop.fs.Path(posixpath.join(*parts))
 
+    frames = {
+        comp: _read_component(
+            spark, _component(state_dir, comp), schema, upto + 1,
+            keep_batch=True,
+        )
+        for comp, (schema, _) in layout.items()
+    }
+    if fold is not None:
+        frames = fold(frames)  # contract: fold drops the batch column
+    else:
+        frames = {comp: df.drop("batch") for comp, df in frames.items()}
     for comp, (schema, parts) in layout.items():
         root = _component(state_dir, comp)
         tmp = posixpath.join(root, f"{_COMPACT_TMP}{upto}")
         fs.delete(jp(tmp), True)  # stale pre-marker attempt, if any
-        df = _read_component(spark, root, schema, upto + 1)
-        w = df.write.mode("overwrite")
+        w = frames[comp].write.mode("overwrite")
         if parts:
             w = w.partitionBy(*parts)
         w.parquet(tmp)

@@ -20,6 +20,14 @@ is an offline rebuild). Deterministic assignment makes retries converge:
 a re-run of batch N reads nothing of its own half-written output and
 fully overwrites its own ``batch=N`` partitions.
 
+Deletions are id TOMBSTONES appended as their own batches of a
+``deletes`` component — O(batch), no index partition rewritten. A
+tombstone removes only rows inserted strictly before it (batch-ordered
+anti-join), so a later re-insert of the same id is a new live row and
+the live view is independent of when compaction runs; the compaction
+fold physically reclaims tombstoned rows and drops the consumed
+tombstones (``_fold_deletes`` — the LSM merge).
+
 Exactly-once, recovery, and compaction semantics are shared with (and
 tested through) the text/image maintainers; parity is driver-gated by
 s22 — three increments + in-loop compaction must equal s01 brute force.
@@ -51,21 +59,63 @@ from censo_escolar_spark.streaming.dedup import (
 COMPACT_EVERY = 16
 
 _INDEX_SCHEMA = "id bigint, v array<double>, cell int"
-#: one component, sub-partitioned by the coarse cell id so a probe of
-#: nprobe cells stays a partition-pruned scan inside every batch dir
-_LAYOUT = {"index": (_INDEX_SCHEMA, ["cell"])}
+_DELETE_SCHEMA = "id bigint"
+#: vectors sub-partitioned by the coarse cell id so a probe of nprobe
+#: cells stays a partition-pruned scan inside every batch dir, plus an
+#: id-tombstone component for deletions
+_LAYOUT = {"index": (_INDEX_SCHEMA, ["cell"]), "deletes": (_DELETE_SCHEMA, [])}
+
+
+def _delete_cond(i: str, d: str):
+    """A tombstone removes only rows inserted STRICTLY BEFORE it
+    (arrival-ordered delete semantics): a later re-insert of the same id
+    is a new live row. The batch-column comparison makes the live view
+    independent of WHEN compaction runs — folded rows are rebatched to
+    ``upto``, which stays strictly below any surviving tombstone's
+    batch (a tombstone at D survives a fold only when upto < D)."""
+    return (F.col(f"{i}.id") == F.col(f"{d}.id")) & (
+        F.col(f"{i}.batch") < F.col(f"{d}.batch")
+    )
+
+
+def _fold_deletes(frames: dict[str, DataFrame]) -> dict[str, DataFrame]:
+    """Compaction fold (the LSM merge): physically drop tombstoned rows
+    and the consumed tombstones together. Live-view preserving: every
+    probe reads index MINUS arrival-ordered deletes, which is unchanged
+    by removing matched pairs — and every folded tombstone is fully
+    consumed (all index rows it could ever affect are in the fold)."""
+    live = (
+        frames["index"].alias("i")
+        .join(frames["deletes"].alias("d"), _delete_cond("i", "d"), "left_anti")
+        .drop("batch")
+    )
+    return {
+        "index": live,
+        "deletes": frames["deletes"].filter(F.lit(False)).drop("batch"),
+    }
 
 
 def read_ivf_index_state(
     spark: SparkSession, state_dir: str, *, below: int | None = None
 ) -> DataFrame:
-    """The committed index ``(id, v, cell)``: union of every committed
-    batch partition strictly below ``below`` (all if None); finishes any
+    """The committed LIVE index ``(id, v, cell)``: union of every
+    committed batch partition strictly below ``below`` (all if None),
+    minus the committed tombstones below the same horizon; finishes any
     marker-committed compaction first."""
     recover_batch_store(spark, state_dir, list(_LAYOUT))
     hi = below if below is not None else 1 << 62
-    return _read_component(
-        spark, _component(state_dir, "index"), _INDEX_SCHEMA, hi
+    index = _read_component(
+        spark, _component(state_dir, "index"), _INDEX_SCHEMA, hi,
+        keep_batch=True,
+    )
+    deletes = _read_component(
+        spark, _component(state_dir, "deletes"), _DELETE_SCHEMA, hi,
+        keep_batch=True,
+    )
+    return (
+        index.alias("i")
+        .join(deletes.alias("d"), _delete_cond("i", "d"), "left_anti")
+        .drop("batch")
     )
 
 
@@ -97,7 +147,38 @@ def apply_ivf_index_batch(
         posixpath.join(_component(state_dir, "index"), f"batch={batch_id}")
     )
     if compact_every and batch_id > 0 and batch_id % compact_every == 0:
-        compact_batch_store(spark, state_dir, upto=batch_id - 1, layout=_LAYOUT)
+        compact_batch_store(
+            spark, state_dir, upto=batch_id - 1, layout=_LAYOUT,
+            fold=_fold_deletes,
+        )
+
+
+def apply_ivf_delete_batch(
+    ids_df: DataFrame,
+    batch_id: int,
+    *,
+    state_dir: str,
+    id_col: str = "vec_id",
+    compact_every: int | None = COMPACT_EVERY,
+) -> None:
+    """Delete a batch of vector ids from the index: append the ids as
+    this batch's partition of the ``deletes`` component — O(batch), no
+    index partition is read or rewritten. Probes subtract committed
+    tombstones; the compaction fold physically removes tombstoned rows
+    (and the consumed tombstones, so a later re-insert of the same id is
+    a new row, not a suppressed one). Deleting an id that was never
+    inserted is a harmless no-op. Retry-idempotent like the insert path:
+    a re-run overwrites its own ``batch=<id>`` directory."""
+    spark = ids_df.sparkSession
+    recover_batch_store(spark, state_dir, list(_LAYOUT))
+    ids_df.select(F.col(id_col).cast("bigint").alias("id")).write.mode(
+        "overwrite"
+    ).parquet(posixpath.join(_component(state_dir, "deletes"), f"batch={batch_id}"))
+    if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+        compact_batch_store(
+            spark, state_dir, upto=batch_id - 1, layout=_LAYOUT,
+            fold=_fold_deletes,
+        )
 
 
 def ivf_topk_incremental(

@@ -353,3 +353,70 @@ def test_ivf_incremental_index_matches_prunes_and_retries(spark, emb, tmp_path):
         (r.id, r.cell) for r in read_ivf_index_state(spark, state).collect()
     )
     assert before == after
+
+
+def test_ivf_index_deletes_are_batch_ordered(spark, emb, tmp_path):
+    """Tombstones remove only rows inserted strictly before them: a
+    later re-insert of the same id stays live; the compaction fold
+    physically reclaims tombstoned rows and drops consumed tombstones;
+    a retried delete batch converges."""
+    import os
+
+    from censo_escolar_spark.streaming.ivfindex import (
+        apply_ivf_delete_batch,
+        apply_ivf_index_batch,
+        read_ivf_index_state,
+    )
+
+    state = str(tmp_path / "ivf_state")
+    centroids = S.train_centroids(emb, n_centroids=4, iters=1)
+    n = emb.count()
+    ids = lambda: {r.id for r in read_ivf_index_state(spark, state).collect()}
+
+    # batch 1: insert everything; batch 2: delete vec_id % 5 == 0
+    apply_ivf_index_batch(emb, 1, state_dir=state, centroids=centroids,
+                          compact_every=None)
+    apply_ivf_delete_batch(
+        emb.filter(F.col("vec_id") % 5 == 0).select("vec_id"), 2,
+        state_dir=state, compact_every=None,
+    )
+    live = ids()
+    assert live == {r.vec_id for r in emb.filter(F.col("vec_id") % 5 != 0)
+                    .select("vec_id").collect()}
+
+    # retried delete batch: same id, same result
+    apply_ivf_delete_batch(
+        emb.filter(F.col("vec_id") % 5 == 0).select("vec_id"), 2,
+        state_dir=state, compact_every=None,
+    )
+    assert ids() == live
+
+    # batch 3: RE-INSERT a deleted id -> live again (tombstone is older)
+    apply_ivf_index_batch(
+        emb.filter(F.col("vec_id") == 0), 3, state_dir=state,
+        centroids=centroids, compact_every=None,
+    )
+    assert ids() == live | {0}
+
+    # batch 4 with compact_every=4 folds upto=3: tombstoned rows
+    # physically gone, consumed tombstones dropped, live view unchanged
+    apply_ivf_index_batch(
+        emb.limit(0), 4, state_dir=state, centroids=centroids,
+        compact_every=4,
+    )
+    assert ids() == live | {0}
+    batch_dirs = sorted(
+        d for d in os.listdir(os.path.join(state, "index"))
+        if d.startswith("batch=")
+    )
+    assert batch_dirs == ["batch=3", "batch=4"]
+    # the folded index physically holds exactly the live rows
+    raw = spark.read.schema("id bigint, v array<double>, cell int, batch int").parquet(
+        os.path.join(state, "index")
+    )
+    assert {r.id for r in raw.collect()} == live | {0}
+    # all tombstones consumed by the fold
+    dels = spark.read.schema("id bigint, batch int").parquet(
+        os.path.join(state, "deletes")
+    )
+    assert dels.count() == 0
