@@ -2536,3 +2536,158 @@ def e38_streaming_late_drop_parity(spark: SparkSession, sf_dir: str) -> DataFram
         return detach_from_state(res, root)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# e39 — streaming late-drop parity in UPDATE mode: the other output
+# mode a real maintained dashboard runs (e38 gates append). Same
+# held-back arrival construction and the SAME empirically-pinned lagged
+# late front (update mode drops identically — verified: an
+# end == late-front row is dropped with numRowsDroppedByWatermark = 1)
+# — but update mode emits every CHANGED window per batch, including
+# still-open tail windows, so the final snapshot is the last emitted
+# row per window with NO emission-front cut: the oracle is e38's kept-
+# rows aggregation without the HAVING. The sink is the exactly-once
+# foreachBatch pattern (per-batch-id dynamic partition overwrite), and
+# the final state is max_by(batch) per window — cumulative aggregates
+# make that the full aggregation over kept rows.
+# ---------------------------------------------------------------------------
+@register(
+    "e39_streaming_update_mode_parity",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, event_type, date_trunc('second', ts) AS ts,
+        CAST(value AS DECIMAL(18,2)) AS val
+      FROM events
+    ),
+    p AS (
+      SELECT
+        epoch_ms(min(ts)) // 1000 AS lo,
+        epoch_ms(min(ts)) // 1000
+          + (epoch_ms(max(ts)) // 1000 - epoch_ms(min(ts)) // 1000) // 3 AS c1,
+        (epoch_ms(max(ts)) // 1000 - epoch_ms(min(ts)) // 1000) // 6 AS dly
+      FROM e
+    ),
+    tagged AS (
+      SELECT e.event_type, e.val,
+        epoch_ms(e.ts) // 1000 AS tss,
+        (e.event_id % 7 = 0 AND epoch_ms(e.ts) // 1000 < p.c1) AS held,
+        p.c1, p.dly
+      FROM e, p
+    ),
+    fronts AS (
+      SELECT
+        max(CASE WHEN NOT held AND tss < c1 THEN tss END) - any_value(dly)
+          AS wm_late3
+      FROM tagged
+    ),
+    kept AS (
+      SELECT t.event_type, t.val, (t.tss // 3600) * 3600 AS ws
+      FROM tagged t, fronts f
+      WHERE NOT (t.held AND (t.tss // 3600) * 3600 + 3600 <= f.wm_late3)
+    )
+    SELECT make_timestamp(ws * 1000000) AS window_start,
+      event_type,
+      CAST(COUNT(*) AS BIGINT) AS n_events,
+      CAST(SUM(val) AS DOUBLE) AS total_value
+    FROM kept
+    GROUP BY ws, event_type
+    ORDER BY window_start, event_type
+    """,
+)
+def e39_streaming_update_mode_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import posixpath
+    import shutil
+    import tempfile
+
+    from censo_escolar_spark.streaming import detach_from_state
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.date_trunc("second", F.col("ts").cast("timestamp")).alias("ts"),
+        "value",
+    )
+    b = e.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+    out_schema = (
+        "window_start timestamp_ntz, event_type string,"
+        " n_events bigint, total_value double"
+    )
+    if b["lo"] is None:
+        return spark.createDataFrame([], out_schema)
+    lo_s = int(b["lo"].timestamp())
+    hi_s = int(b["hi"].timestamp())
+    span = hi_s - lo_s
+    c1 = lo_s + span // 3
+    c2 = lo_s + (2 * span) // 3
+    delay = span // 6
+    root = tempfile.mkdtemp(prefix="e39_update_")
+    src, ckpt, out = (posixpath.join(root, d) for d in ("src", "ckpt", "out"))
+    try:
+        t = F.unix_timestamp("ts")
+        held = (F.col("event_id") % 7 == 0) & (t < c1)
+        slices = (
+            e.filter((t < c1) & ~held),
+            e.filter((t >= c1) & (t < c2)),
+            e.filter((t >= c2) | held),
+        )
+        for s in slices:
+            s.coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        agg = (
+            stream.withWatermark("ts", f"{delay} seconds")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.col("value").cast(DEC)).cast("double").alias(
+                    "total_value"
+                ),
+            )
+        )
+
+        def sink(bdf: DataFrame, bid: int) -> None:
+            (
+                bdf.withColumn("__batch_id", F.lit(bid))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("__batch_id")
+                .parquet(out)
+            )
+
+        q = (
+            agg.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = spark.read.schema(
+            "w struct<start:timestamp,end:timestamp>, event_type string,"
+            " n_events bigint, total_value double, __batch_id int"
+        ).parquet(out)
+        res = (
+            rows.groupBy(
+                F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+                "event_type",
+            )
+            .agg(
+                F.max_by(
+                    F.struct("n_events", "total_value"), F.col("__batch_id")
+                ).alias("s")
+            )
+            .select(
+                "window_start",
+                "event_type",
+                F.col("s.n_events").alias("n_events"),
+                F.col("s.total_value").alias("total_value"),
+            )
+            .orderBy("window_start", "event_type")
+        )
+        return detach_from_state(res, root)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
