@@ -2377,38 +2377,45 @@ def e37_streaming_sessions_parity(spark: SparkSession, sf_dir: str) -> DataFrame
 # real stream exercises daily that in-order parity rows (e37, d19, m12,
 # q72/q73, e33, e36) never fire. A deterministic subset of the oldest
 # third of the events table (event_id % 7 == 0) is HELD BACK and
-# re-injected with the third micro-batch, arriving behind the watermark;
-# the engine must provably DROP (some of) them, and the oracle models
-# the drop declaratively.
+# re-injected with the third micro-batch; the engine must provably DROP
+# (some of) them, and the oracle models the drop declaratively.
 #
-# Semantics pinned empirically against this Spark build (append-mode
-# windowed aggregation, file source, maxFilesPerTrigger=1,
-# availableNow; UTC session — epoch-aligned windows):
+# Semantics pinned empirically against this Spark build (streaming
+# windowed aggregation, file source, maxFilesPerTrigger=1, availableNow;
+# UTC session — epoch-aligned windows):
 #   wm_evict(N) = max event time over batches < N, minus delay (0 init);
 #   wm_late(N)  = wm_evict(N-1) — the front LAGS one extra batch for
 #     late-input filtering (SPARK-40925 split), so the third file's
 #     late filter is max(FIRST file) - delay;
 #   batch N DROPS input rows with window_end <= wm_late(N)
-#     (<= boundary verified: an end == wm_late row is dropped);
-#   end of batch N EMITS+EVICTS windows with window_end <= wm_evict(N);
-#   a trailing no-data batch emits what the final front passes.
+#     (<= boundary verified: an end == wm_late row is dropped — in both
+#     append and update mode);
+#   APPEND: end of batch N emits+evicts windows with window_end <=
+#     wm_evict(N); a trailing no-data batch emits what the final front
+#     passes. UPDATE: every changed window emits each batch, including
+#     still-open tail windows; state for passed windows is cleaned on
+#     the same front.
 # With batches sliced at c1/c2 (span thirds) and delay = span/6, only
 # held rows can be late: wm_late(3) = max(batch-1 ts) - delay lands
 # INSIDE the held range [lo, c1), so the older held rows are dropped
 # and the newer ones survive and merge — the boundary itself is
-# exercised, not just "late => gone". (Emitted-at-end-of-batch-1 and
-# dropped-in-batch-2 use the SAME front, so a surviving held row can
-# never chase an already-emitted window.) The final emission front
-# (hi - delay) is modeled by the oracle's HAVING: append mode never
-# emits trailing open windows.
-# All cut/delay arithmetic is integer seconds on second-truncated
-# timestamps, identical expressions both sides, so the parity is exact.
-# tests/test_streaming.py additionally asserts dropped rows stay absent
-# across a mid-stream failure + checkpoint retry.
+# exercised, not just "late => gone". (Emitted-at-end-of-batch-1 /
+# state-cleaned-at-batch-1 and dropped-in-batch-2 use the SAME front,
+# so a surviving held row can never chase a closed window in either
+# mode.) All cut/delay arithmetic is integer seconds on second-
+# truncated timestamps, identical expressions both sides, so the
+# parity is exact. e38 gates APPEND mode (emission front modeled by the
+# HAVING); e39 gates UPDATE mode (no emission cut — tail windows
+# included). tests/test_streaming.py additionally asserts dropped rows
+# stay absent across a mid-stream failure + checkpoint retry.
 # ---------------------------------------------------------------------------
-@register(
-    "e38_streaming_late_drop_parity",
-    oracle="""
+
+#: Shared e38/e39 oracle CTEs: second-truncated events, integer cuts,
+#: the held flag, the (NULL-safe) lagged late front, and the kept rows.
+#: COALESCE(front, 0): when the first slice carries no non-held rows
+#: the engine's watermark is still the epoch-0 initial value and drops
+#: nothing — the oracle must not let a NULL front filter every held row.
+_LATE_DROP_CTES = """
     WITH e AS (
       SELECT event_id, event_type, date_trunc('second', ts) AS ts,
         CAST(value AS DECIMAL(18,2)) AS val
@@ -2420,8 +2427,6 @@ def e37_streaming_sessions_parity(spark: SparkSession, sf_dir: str) -> DataFrame
         epoch_ms(max(ts)) // 1000 AS hi,
         epoch_ms(min(ts)) // 1000
           + (epoch_ms(max(ts)) // 1000 - epoch_ms(min(ts)) // 1000) // 3 AS c1,
-        epoch_ms(min(ts)) // 1000
-          + (2 * (epoch_ms(max(ts)) // 1000 - epoch_ms(min(ts)) // 1000)) // 3 AS c2,
         (epoch_ms(max(ts)) // 1000 - epoch_ms(min(ts)) // 1000) // 6 AS dly
       FROM e
     ),
@@ -2434,8 +2439,11 @@ def e37_streaming_sessions_parity(spark: SparkSession, sf_dir: str) -> DataFrame
     ),
     fronts AS (
       SELECT
-        max(CASE WHEN NOT held AND tss < c1 THEN tss END) - any_value(dly)
-          AS wm_late3,
+        COALESCE(
+          max(CASE WHEN NOT held AND tss < c1 THEN tss END)
+            - any_value(dly),
+          0
+        ) AS wm_late3,
         any_value(hi) - any_value(dly) AS fw
       FROM tagged
     ),
@@ -2444,6 +2452,68 @@ def e37_streaming_sessions_parity(spark: SparkSession, sf_dir: str) -> DataFrame
       FROM tagged t, fronts f
       WHERE NOT (t.held AND (t.tss // 3600) * 3600 + 3600 <= f.wm_late3)
     )
+"""
+
+_LATE_DROP_OUT_SCHEMA = (
+    "window_start timestamp_ntz, event_type string,"
+    " n_events bigint, total_value double"
+)
+
+
+def _late_drop_stream(spark: SparkSession, sf_dir: str, src: str):
+    """Shared e38/e39 arrival construction: write the three slices to
+    ``src`` sequentially (ascending mtimes -> in-order micro-batches,
+    the held-back subset re-injected with the third) and return the
+    watermarked 1-hour windowed aggregation over the file-source stream.
+    None when the events table is empty."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        # second-truncated LTZ event time: integer-second watermark/cut
+        # arithmetic, no ms-truncation hazard at the drop boundaries
+        # (Spark tracks the event-time front in milliseconds)
+        F.date_trunc("second", F.col("ts").cast("timestamp")).alias("ts"),
+        "value",
+    )
+    b = e.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+    if b["lo"] is None:
+        return None
+    lo_s = int(b["lo"].timestamp())
+    hi_s = int(b["hi"].timestamp())
+    span = hi_s - lo_s
+    c1 = lo_s + span // 3
+    c2 = lo_s + (2 * span) // 3
+    delay = span // 6
+    t = F.unix_timestamp("ts")
+    held = (F.col("event_id") % 7 == 0) & (t < c1)
+    slices = (
+        e.filter((t < c1) & ~held),  # batch 1: oldest third minus held
+        e.filter((t >= c1) & (t < c2)),  # batch 2: middle third
+        e.filter((t >= c2) | held),  # batch 3: newest third + LATE held
+    )
+    for s in slices:  # sequential writes -> ascending mtimes -> order
+        s.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    return (
+        stream.withWatermark("ts", f"{delay} seconds")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias(
+                "total_value"
+            ),
+        )
+    )
+
+
+@register(
+    "e38_streaming_late_drop_parity",
+    oracle=_LATE_DROP_CTES
+    + """
     SELECT make_timestamp(ws * 1000000) AS window_start,
       event_type,
       CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -2461,59 +2531,16 @@ def e38_streaming_late_drop_parity(spark: SparkSession, sf_dir: str) -> DataFram
 
     from censo_escolar_spark.streaming import detach_from_state
 
-    # second-truncated LTZ event time: integer-second watermark/cut
-    # arithmetic, no ms-truncation hazard at the drop/emit boundaries
-    # (Spark tracks the event-time front in milliseconds)
-    e = load_table(spark, sf_dir, "events").select(
-        "event_id",
-        "event_type",
-        F.date_trunc("second", F.col("ts").cast("timestamp")).alias("ts"),
-        "value",
-    )
-    b = e.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
-    out_schema = (
-        "window_start timestamp_ntz, event_type string,"
-        " n_events bigint, total_value double"
-    )
-    if b["lo"] is None:  # empty stream: no windows, schema-stable
-        return spark.createDataFrame([], out_schema)
-    lo_s = int(b["lo"].timestamp())
-    hi_s = int(b["hi"].timestamp())
-    span = hi_s - lo_s
-    c1 = lo_s + span // 3
-    c2 = lo_s + (2 * span) // 3
-    delay = span // 6
     root = tempfile.mkdtemp(prefix="e38_latedrop_")
     src, ckpt, out = (posixpath.join(root, d) for d in ("src", "ckpt", "out"))
     try:
-        t = F.unix_timestamp("ts")
-        held = (F.col("event_id") % 7 == 0) & (t < c1)
-        slices = (
-            e.filter((t < c1) & ~held),  # batch 1: oldest third minus held
-            e.filter((t >= c1) & (t < c2)),  # batch 2: middle third
-            e.filter((t >= c2) | held),  # batch 3: newest third + LATE held
-        )
-        for s in slices:  # sequential writes -> ascending mtimes -> order
-            s.coalesce(1).write.mode("append").parquet(src)
-        stream = (
-            spark.readStream.schema(spark.read.parquet(src).schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(src)
-        )
-        agg = (
-            stream.withWatermark("ts", f"{delay} seconds")
-            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-            .agg(
-                F.count("*").alias("n_events"),
-                F.sum(F.col("value").cast(DEC)).cast("double").alias(
-                    "total_value"
-                ),
-            )
-        )
+        agg = _late_drop_stream(spark, sf_dir, src)
+        if agg is None:  # empty stream: no windows, schema-stable
+            return spark.createDataFrame([], _LATE_DROP_OUT_SCHEMA)
         q = (
             agg.writeStream.format("parquet")
             .option("path", out)
-            .outputMode("append")  # the mode in which the watermark DROPS
+            .outputMode("append")  # emission gated on the eviction front
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
@@ -2539,53 +2566,19 @@ def e38_streaming_late_drop_parity(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 # ---------------------------------------------------------------------------
-# e39 — streaming late-drop parity in UPDATE mode: the other output
-# mode a real maintained dashboard runs (e38 gates append). Same
-# held-back arrival construction and the SAME empirically-pinned lagged
-# late front (update mode drops identically — verified: an
-# end == late-front row is dropped with numRowsDroppedByWatermark = 1)
-# — but update mode emits every CHANGED window per batch, including
-# still-open tail windows, so the final snapshot is the last emitted
-# row per window with NO emission-front cut: the oracle is e38's kept-
-# rows aggregation without the HAVING. The sink is the exactly-once
-# foreachBatch pattern (per-batch-id dynamic partition overwrite), and
-# the final state is max_by(batch) per window — cumulative aggregates
-# make that the full aggregation over kept rows.
+# e39 — the same held-back arrival construction in UPDATE mode (the
+# other output mode a real maintained dashboard runs): identical lagged
+# late front, but update mode emits every CHANGED window per batch —
+# including still-open tail windows — into the exactly-once foreachBatch
+# sink (per-batch-id dynamic partition overwrite). The final snapshot is
+# the last emitted row per window; cumulative aggregates make that the
+# full aggregation over kept rows, so the oracle is e38's without the
+# emission HAVING.
 # ---------------------------------------------------------------------------
 @register(
     "e39_streaming_update_mode_parity",
-    oracle="""
-    WITH e AS (
-      SELECT event_id, event_type, date_trunc('second', ts) AS ts,
-        CAST(value AS DECIMAL(18,2)) AS val
-      FROM events
-    ),
-    p AS (
-      SELECT
-        epoch_ms(min(ts)) // 1000 AS lo,
-        epoch_ms(min(ts)) // 1000
-          + (epoch_ms(max(ts)) // 1000 - epoch_ms(min(ts)) // 1000) // 3 AS c1,
-        (epoch_ms(max(ts)) // 1000 - epoch_ms(min(ts)) // 1000) // 6 AS dly
-      FROM e
-    ),
-    tagged AS (
-      SELECT e.event_type, e.val,
-        epoch_ms(e.ts) // 1000 AS tss,
-        (e.event_id % 7 = 0 AND epoch_ms(e.ts) // 1000 < p.c1) AS held,
-        p.c1, p.dly
-      FROM e, p
-    ),
-    fronts AS (
-      SELECT
-        max(CASE WHEN NOT held AND tss < c1 THEN tss END) - any_value(dly)
-          AS wm_late3
-      FROM tagged
-    ),
-    kept AS (
-      SELECT t.event_type, t.val, (t.tss // 3600) * 3600 AS ws
-      FROM tagged t, fronts f
-      WHERE NOT (t.held AND (t.tss // 3600) * 3600 + 3600 <= f.wm_late3)
-    )
+    oracle=_LATE_DROP_CTES
+    + """
     SELECT make_timestamp(ws * 1000000) AS window_start,
       event_type,
       CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -2602,52 +2595,12 @@ def e39_streaming_update_mode_parity(spark: SparkSession, sf_dir: str) -> DataFr
 
     from censo_escolar_spark.streaming import detach_from_state
 
-    e = load_table(spark, sf_dir, "events").select(
-        "event_id",
-        "event_type",
-        F.date_trunc("second", F.col("ts").cast("timestamp")).alias("ts"),
-        "value",
-    )
-    b = e.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
-    out_schema = (
-        "window_start timestamp_ntz, event_type string,"
-        " n_events bigint, total_value double"
-    )
-    if b["lo"] is None:
-        return spark.createDataFrame([], out_schema)
-    lo_s = int(b["lo"].timestamp())
-    hi_s = int(b["hi"].timestamp())
-    span = hi_s - lo_s
-    c1 = lo_s + span // 3
-    c2 = lo_s + (2 * span) // 3
-    delay = span // 6
     root = tempfile.mkdtemp(prefix="e39_update_")
     src, ckpt, out = (posixpath.join(root, d) for d in ("src", "ckpt", "out"))
     try:
-        t = F.unix_timestamp("ts")
-        held = (F.col("event_id") % 7 == 0) & (t < c1)
-        slices = (
-            e.filter((t < c1) & ~held),
-            e.filter((t >= c1) & (t < c2)),
-            e.filter((t >= c2) | held),
-        )
-        for s in slices:
-            s.coalesce(1).write.mode("append").parquet(src)
-        stream = (
-            spark.readStream.schema(spark.read.parquet(src).schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(src)
-        )
-        agg = (
-            stream.withWatermark("ts", f"{delay} seconds")
-            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-            .agg(
-                F.count("*").alias("n_events"),
-                F.sum(F.col("value").cast(DEC)).cast("double").alias(
-                    "total_value"
-                ),
-            )
-        )
+        agg = _late_drop_stream(spark, sf_dir, src)
+        if agg is None:
+            return spark.createDataFrame([], _LATE_DROP_OUT_SCHEMA)
 
         def sink(bdf: DataFrame, bid: int) -> None:
             (

@@ -987,6 +987,15 @@ def m12_streaming_image_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFr
 def _m13_oracle() -> str:
     from censo_escolar_spark.plans.northstar import _D06_ORACLE
 
+    # guard the textual surgery: the composition strips the donors'
+    # FINAL top-level ORDER BY, which is only safe while that clause is
+    # literally the last thing in each donor — fail at import time (not
+    # with silently-mangled SQL) if a donor's tail ever changes
+    for donor in (_D06_ORACLE, _M11_ORACLE):
+        assert donor.rstrip().endswith("ORDER BY doc_id"), (
+            "m13 oracle composition expects the donor oracle to end with"
+            " its top-level ORDER BY"
+        )
     cap_labels = _D06_ORACLE.rsplit("ORDER BY", 1)[0]
     img_labels = _M11_ORACLE.rsplit("ORDER BY", 1)[0]
     return f"""

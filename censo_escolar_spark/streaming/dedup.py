@@ -68,12 +68,14 @@ N_BUCKETS = 8
 #: Fold the ``batch=`` partition history every K micro-batches.
 COMPACT_EVERY = 16
 
-#: Stores whose persisted signature layout was successfully validated
-#: in this process — (state_dir, bands, rows). One non-vacuous
-#: validation per store suffices (the layout of immutable committed
-#: partitions can't change under us); skipping the per-batch peek jobs
-#: matters on a maintainer whose cost is fixed overhead.
-_VALIDATED_STORES: set[tuple[str, int, int]] = set()
+#: Root-level marker naming the store's signature layout
+#: (``_signature_k_<bands*rows>``). Written once when a store first
+#: validates; later batches check layout with one driver-side listing
+#: (already performed by recovery) instead of a per-batch peek JOB —
+#: and a deleted-and-rebuilt store loses its marker with the rest of
+#: its state, so the check can never go stale (unlike an in-process
+#: cache).
+_SIGNATURE_MARKER = "_signature_k_"
 
 _COMPONENTS = ("corpus", "sketches", "bands")
 _COMPACT_TMP = "_compact_tmp_"
@@ -302,17 +304,35 @@ def apply_dedup_batch(
     batch_sk = minhash_sketches(
         batch, id_col, text_col, k=bands * rows
     ).localCheckpoint(eager=True)
-    # validate the stored layout once per store per process (the batch
-    # side is built with k = bands*rows above, correct by construction);
-    # an empty store is a vacuous check and stays uncached
+    # validate the stored layout against the store's root marker (one
+    # driver-side listing; the batch side is built with k = bands*rows
+    # above, correct by construction). A marker-less store — first
+    # bootstrap or legacy — falls back to the one-row peek, and the
+    # marker is only written after a NON-VACUOUS peek passes.
     from censo_escolar_spark.operators.dedup import validate_signature_layout
 
-    store_key = (state_dir, bands, rows)
-    if store_key not in _VALIDATED_STORES:
-        if validate_signature_layout(
-            pub_sketches, "published_sketches", bands=bands, rows=rows
-        ):
-            _VALIDATED_STORES.add(store_key)
+    k = bands * rows
+    fs, jvm = hadoop_fs(spark, state_dir)
+    markers = [
+        c
+        for c in list_children(fs, jvm, state_dir)
+        if c.startswith(_SIGNATURE_MARKER)
+    ]
+    if markers:
+        stored = {int(c[len(_SIGNATURE_MARKER):]) for c in markers}
+        if stored != {k}:
+            raise ValueError(
+                f"store {state_dir} was built with signature length"
+                f" {sorted(stored)}, not bands*rows = {k}; pass the"
+                " bands/rows the index was built with"
+            )
+    elif validate_signature_layout(
+        pub_sketches, "published_sketches", bands=bands, rows=rows
+    ):
+        jpath = jvm.org.apache.hadoop.fs.Path(
+            posixpath.join(state_dir, f"{_SIGNATURE_MARKER}{k}")
+        )
+        fs.create(jpath, True).close()
     labeled = incremental_dedup_indexed(
         batch,
         pub_sketches,

@@ -49,14 +49,13 @@ from censo_escolar_spark.operators.similarity import (
     _TOPK_SCHEMA,
 )
 from censo_escolar_spark.streaming.dedup import (
+    COMPACT_EVERY,  # the shared batch-store compaction cadence
     _component,
     _read_component,
     compact_batch_store,
     recover_batch_store,
 )
 
-#: Fold the ``batch=`` partition history every K micro-batches.
-COMPACT_EVERY = 16
 
 _INDEX_SCHEMA = "id bigint, v array<double>, cell int"
 _DELETE_SCHEMA = "id bigint"
@@ -139,7 +138,11 @@ def apply_ivf_index_batch(
     spark = batch_df.sparkSession
     recover_batch_store(spark, state_dir, list(_LAYOUT))
     assigned = ivf_assign(batch_df, centroids, vec_col=vec_col).select(
-        F.col(id_col).alias("id"),
+        # cast: every reader forces the fixed "id bigint" schema, so an
+        # int32 id column must widen at WRITE time (the delete path
+        # casts identically — mixed widths would crash the probe's
+        # vectorized parquet read)
+        F.col(id_col).cast("bigint").alias("id"),
         as_double_array(vec_col).alias("v"),
         F.col("__centroid_id").alias("cell"),
     )
