@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from censo_escolar_spark.functions import text as T
-from censo_escolar_spark.operators import dedup, similarity
+from censo_escolar_spark.operators import dedup, retrieval, similarity
 from censo_escolar_spark.plans.registry import register
 from censo_escolar_spark.sources.readers import load_table
 
@@ -4557,3 +4557,437 @@ def t38_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "oov_rate"
         ),
     ).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# t39 — BM25 ranked retrieval over an inverted index: the lexical half
+# of a retrieval-based curation stack (contamination lookup, hard-
+# negative mining, hybrid dedup).  Query docs are doc_id < 4 (the s01
+# anchor convention); each queries with its 8 rarest distinct terms
+# (df ASC, term ASC — a deterministic cut).  Scoring is Okapi BM25 with
+# the RATIONAL idf (no log — t13's bit-reproducibility trick); the one
+# cross-row float sum is quantized to BIGINT first (t33's trick) so
+# partial-agg order can't move the hash, and ranking sorts on the
+# scaled integer.  Plan shape: corpus stats = two exact-count
+# aggregates; candidates = posting-list equi-join against a ≤32-row
+# broadcast probe set; top-k = one window over per-query candidates.
+# At 100 TB the posting lists are term-partitioned and each shard emits
+# its local top-k — no all-pairs stage anywhere.
+# ---------------------------------------------------------------------------
+_T39_ORACLE = f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS tot_tokens FROM tok),
+qterms AS (
+  SELECT qid, term, df FROM (
+    SELECT qt.doc_id AS qid, qt.term, d.df,
+      ROW_NUMBER() OVER (PARTITION BY qt.doc_id ORDER BY d.df ASC, qt.term ASC) AS r
+    FROM (SELECT DISTINCT doc_id, term FROM tf WHERE doc_id < 4) qt
+    JOIN dfreq d USING (term)
+  ) WHERE r <= 8
+),
+consts AS (
+  SELECT CAST(n.n_docs AS DOUBLE) AS nd,
+    CAST(tot.tot_tokens AS DOUBLE) / CAST(n.n_docs AS DOUBLE) AS avgdl
+  FROM n CROSS JOIN tot
+),
+scored AS (
+  SELECT q.qid AS query_id, t.doc_id,
+    CAST(round(
+      (((c.nd - CAST(q.df AS DOUBLE) + 0.5) / (CAST(q.df AS DOUBLE) + 0.5))
+        * (CAST(t.tf AS DOUBLE) * {retrieval.BM25_K1_PLUS_1!r}))
+      / (CAST(t.tf AS DOUBLE)
+         + ({retrieval.BM25_K1!r} * ({retrieval.BM25_ONE_MINUS_B!r}
+            + ({retrieval.BM25_B!r} * (CAST(l.dl AS DOUBLE) / c.avgdl)))))
+      * {retrieval.BM25_SCALE!r}) AS BIGINT) AS qscaled
+  FROM qterms q
+  JOIN tf t ON q.term = t.term AND t.doc_id != q.qid
+  JOIN dl l ON t.doc_id = l.doc_id
+  CROSS JOIN consts c
+),
+agg AS (
+  SELECT query_id, doc_id, CAST(SUM(qscaled) AS BIGINT) AS score_scaled,
+    CAST(COUNT(*) AS INTEGER) AS n_terms
+  FROM scored GROUP BY query_id, doc_id
+)
+SELECT query_id, CAST(r AS INTEGER) AS rank, doc_id, n_terms, score_scaled,
+  CAST(score_scaled AS DOUBLE) / {retrieval.BM25_SCALE!r} AS score
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY score_scaled DESC, doc_id) AS r
+  FROM agg
+)
+WHERE r <= 5
+ORDER BY query_id, rank
+"""
+
+
+@register("t39_bm25_topk", oracle=_T39_ORACLE)
+def t39_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tf, dl, dfreq = retrieval.corpus_stats(docs, "doc_id", "text")
+    qterms = retrieval.rarest_query_terms(tf, dfreq, range(4), n_terms=8)
+    return retrieval.bm25_topk(
+        docs, qterms, k=5, stats=(tf, dl, dfreq)
+    ).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# s24 — hybrid retrieval with reciprocal-rank fusion (Cormack et al.,
+# SIGIR 2009): fuse the lexical BM25 top-20 (t39's inverted-index path)
+# with the dense cosine top-20 (s01's baseline) per query; rrf(d) =
+# Σ 1/(60 + rank).  Queries are doc_id/vec_id < 4 (the two test tables
+# share the 0..N-1 id namespace).  Determinism: both input rankings are
+# bit-reproducible (BM25 sorts on a scaled BIGINT; cosine on the
+# fold-order dot both engines share), the fusion adds exactly TWO
+# per-row scalars in fixed order (never a cross-row float agg), and
+# ties break by doc_id.  Scale: inputs are per-query top-k lists, so
+# fusion is an O(k)-rows-per-query outer join — the retrieval stages
+# carry all the data weight (t39/s01 shapes).
+# ---------------------------------------------------------------------------
+_S24_ORACLE = f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS tot_tokens FROM tok),
+qterms AS (
+  SELECT qid, term, df FROM (
+    SELECT qt.doc_id AS qid, qt.term, d.df,
+      ROW_NUMBER() OVER (PARTITION BY qt.doc_id ORDER BY d.df ASC, qt.term ASC) AS r
+    FROM (SELECT DISTINCT doc_id, term FROM tf WHERE doc_id < 4) qt
+    JOIN dfreq d USING (term)
+  ) WHERE r <= 8
+),
+consts AS (
+  SELECT CAST(n.n_docs AS DOUBLE) AS nd,
+    CAST(tot.tot_tokens AS DOUBLE) / CAST(n.n_docs AS DOUBLE) AS avgdl
+  FROM n CROSS JOIN tot
+),
+scored AS (
+  SELECT q.qid AS query_id, t.doc_id,
+    CAST(round(
+      (((c.nd - CAST(q.df AS DOUBLE) + 0.5) / (CAST(q.df AS DOUBLE) + 0.5))
+        * (CAST(t.tf AS DOUBLE) * {retrieval.BM25_K1_PLUS_1!r}))
+      / (CAST(t.tf AS DOUBLE)
+         + ({retrieval.BM25_K1!r} * ({retrieval.BM25_ONE_MINUS_B!r}
+            + ({retrieval.BM25_B!r} * (CAST(l.dl AS DOUBLE) / c.avgdl)))))
+      * {retrieval.BM25_SCALE!r}) AS BIGINT) AS qscaled
+  FROM qterms q
+  JOIN tf t ON q.term = t.term AND t.doc_id != q.qid
+  JOIN dl l ON t.doc_id = l.doc_id
+  CROSS JOIN consts c
+),
+agg AS (
+  SELECT query_id, doc_id, CAST(SUM(qscaled) AS BIGINT) AS score_scaled
+  FROM scored GROUP BY query_id, doc_id
+),
+lex AS (
+  SELECT query_id, doc_id, CAST(r AS INTEGER) AS rank_a FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY score_scaled DESC, doc_id) AS r
+    FROM agg
+  ) WHERE r <= 20
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+dscored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+    list_dot_product(q.v, c.v) /
+      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+  FROM e q JOIN e c ON q.vec_id != c.vec_id
+  WHERE q.vec_id < 4
+),
+dense AS (
+  SELECT query_id, doc_id, CAST(r AS INTEGER) AS rank_b FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cos DESC, doc_id) AS r
+    FROM dscored
+  ) WHERE r <= 20
+),
+fused AS (
+  SELECT COALESCE(l.query_id, d.query_id) AS query_id,
+    COALESCE(l.doc_id, d.doc_id) AS doc_id,
+    l.rank_a, d.rank_b,
+    (CASE WHEN l.rank_a IS NOT NULL
+          THEN 1.0 / (60.0 + CAST(l.rank_a AS DOUBLE)) ELSE 0.0 END)
+    + (CASE WHEN d.rank_b IS NOT NULL
+            THEN 1.0 / (60.0 + CAST(d.rank_b AS DOUBLE)) ELSE 0.0 END) AS rrf
+  FROM lex l
+  FULL OUTER JOIN dense d ON l.query_id = d.query_id AND l.doc_id = d.doc_id
+)
+SELECT query_id, CAST(r AS INTEGER) AS rank, doc_id,
+  CAST(rank_a AS INTEGER) AS rank_lex, CAST(rank_b AS INTEGER) AS rank_dense,
+  rrf
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS r
+  FROM fused
+)
+WHERE r <= 5
+ORDER BY query_id, rank
+"""
+
+
+@register("s24_hybrid_rrf", oracle=_S24_ORACLE)
+def s24_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    tf, dl, dfreq = retrieval.corpus_stats(docs, "doc_id", "text")
+    qterms = retrieval.rarest_query_terms(tf, dfreq, range(4), n_terms=8)
+    lex = retrieval.bm25_topk(docs, qterms, k=20, stats=(tf, dl, dfreq)).select(
+        "query_id", "doc_id", "rank"
+    )
+    dense = similarity.cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 4), k=20
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    return retrieval.rrf_fuse(lex, dense, k=5).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# s25 — late-interaction (ColBERT-style) maxsim rerank: each embedding
+# is treated as 4 contiguous 16-dim token-block sub-vectors;
+# maxsim(q,d) = Σ_j max_i cos(q_j, d_i).  The quadratic token-
+# interaction matrix is evaluated ONLY on an ANN candidate set (the
+# s01 brute-cosine top-64 per query) — the real late-interaction
+# serving shape: ANN prune, bounded rerank.  Determinism: every block
+# cosine is the fold-order dot (bit-identical to list_dot_product),
+# max is order-free, and the outer sum is a FIXED 4-term left-to-right
+# chain per row — no cross-row float aggregation.  Scale: rerank cost
+# is 16 codegen folds × (n_queries × 64) rows regardless of corpus
+# size; the candidate stage carries the data weight (s01/s21 shapes).
+# ---------------------------------------------------------------------------
+def _s25_oracle(dim: int = 64, n_blocks: int = 4, n_cand: int = 64, k: int = 5) -> str:
+    bs = dim // n_blocks
+
+    def blk(side: str, j: int) -> str:
+        return f"{side}.v[{j * bs + 1}:{j * bs + bs}]"
+
+    def cos(j: int, i: int) -> str:
+        q, c = blk("q", j), blk("c", i)
+        return (
+            f"list_dot_product({q}, {c}) / "
+            f"(sqrt(list_dot_product({q}, {q})) * sqrt(list_dot_product({c}, {c})))"
+        )
+
+    per_qblock = [
+        "GREATEST(" + ", ".join(cos(j, i) for i in range(n_blocks)) + ")"
+        for j in range(n_blocks)
+    ]
+    score = " + ".join(per_qblock)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+dscored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+    list_dot_product(q.v, c.v) /
+      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+  FROM e q JOIN e c ON q.vec_id != c.vec_id
+  WHERE q.vec_id < 4
+),
+cand AS (
+  SELECT query_id, doc_id FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cos DESC, doc_id) AS r
+    FROM dscored
+  ) WHERE r <= {n_cand}
+),
+rerank AS (
+  SELECT t.query_id, t.doc_id, {score} AS maxsim
+  FROM cand t
+  JOIN e q ON t.query_id = q.vec_id
+  JOIN e c ON t.doc_id = c.vec_id
+)
+SELECT query_id, CAST(r AS INTEGER) AS rank, doc_id, maxsim
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY maxsim DESC, doc_id) AS r
+  FROM rerank
+)
+WHERE r <= {k}
+ORDER BY query_id, rank
+"""
+
+
+@register("s25_maxsim_rerank", oracle=_s25_oracle())
+def s25_maxsim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cand = similarity.cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 4), k=64
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"))
+    return retrieval.maxsim_rerank(
+        cand, emb, dim=64, n_blocks=4, k=5
+    ).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# d22 — right-to-be-forgotten in the streaming dedup corpus: d19's
+# ingest pipeline (batches 1 and 2) followed by a DELETE batch
+# tombstoning every doc_id % 7 == 0 (published or not — never-published
+# ids are no-ops), then a third ingest whose near-dup suppression runs
+# against the post-delete LIVE index — a new near-dup of a forgotten
+# doc must PUBLISH (the forgotten doc can no longer influence
+# retention), and a batch-4 doc whose id was tombstoned at batch 3 is
+# LIVE (arrival-ordered tombstones only remove rows published strictly
+# before them).  compact_every=2 puts one fold BEFORE the delete
+# (plain union) and one AFTER it (upto=3: tombstoned text/sketch/band
+# rows physically reclaimed, consumed tombstones dropped) — so the
+# parity also proves the LSM reclaim preserves the live view.  Oracle:
+# d19's per-batch declarative replay with the published set minus the
+# delete set driving batch-4 suppression.
+# ---------------------------------------------------------------------------
+_D22_ORACLE = f"""
+WITH RECURSIVE {_SQL_SHINGLES},
+  sz AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+  inter AS MATERIALIZED (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  ),
+  pairs AS MATERIALIZED (
+    SELECT id_a, id_b FROM inter
+    JOIN sz sa ON sa.doc_id = id_a
+    JOIN sz sb ON sb.doc_id = id_b
+    WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
+  ),
+  e0 AS MATERIALIZED (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    WHERE id_a % 3 = 0 AND id_b % 3 = 0
+    UNION
+    SELECT id_b, id_a FROM pairs WHERE id_a % 3 = 0 AND id_b % 3 = 0
+  ),
+  r0(src, dst) AS (
+    SELECT src, dst FROM e0
+    UNION
+    SELECT r.src, e.dst FROM r0 r JOIN e0 e ON r.dst = e.src
+  ),
+  c0 AS MATERIALIZED (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cl FROM r0 GROUP BY src),
+  k0 AS MATERIALIZED (
+    SELECT d.doc_id
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 0) d
+    LEFT JOIN c0 USING (doc_id)
+    WHERE d.doc_id = COALESCE(c0.cl, d.doc_id)
+  ),
+  x1 AS MATERIALIZED (
+    SELECT DISTINCT CASE WHEN id_a % 3 = 1 THEN id_a ELSE id_b END AS doc_id
+    FROM pairs
+    WHERE (id_a % 3 = 1 AND id_b IN (SELECT doc_id FROM k0))
+       OR (id_b % 3 = 1 AND id_a IN (SELECT doc_id FROM k0))
+  ),
+  s1 AS MATERIALIZED (
+    SELECT doc_id FROM documents
+    WHERE doc_id % 3 = 1 AND doc_id NOT IN (SELECT doc_id FROM x1)
+  ),
+  e1 AS MATERIALIZED (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    WHERE id_a IN (SELECT doc_id FROM s1) AND id_b IN (SELECT doc_id FROM s1)
+    UNION
+    SELECT id_b, id_a FROM pairs
+    WHERE id_a IN (SELECT doc_id FROM s1) AND id_b IN (SELECT doc_id FROM s1)
+  ),
+  r1(src, dst) AS (
+    SELECT src, dst FROM e1
+    UNION
+    SELECT r.src, e.dst FROM r1 r JOIN e1 e ON r.dst = e.src
+  ),
+  c1 AS MATERIALIZED (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cl FROM r1 GROUP BY src),
+  k1 AS MATERIALIZED (
+    SELECT s1.doc_id FROM s1
+    LEFT JOIN c1 USING (doc_id)
+    WHERE s1.doc_id = COALESCE(c1.cl, s1.doc_id)
+  ),
+  del0 AS MATERIALIZED (SELECT doc_id FROM documents WHERE doc_id % 7 = 0),
+  pub2 AS MATERIALIZED (
+    SELECT doc_id FROM (
+      SELECT doc_id FROM k0 UNION ALL SELECT doc_id FROM k1
+    )
+    WHERE doc_id NOT IN (SELECT doc_id FROM del0)
+  ),
+  x2 AS MATERIALIZED (
+    SELECT DISTINCT CASE WHEN id_a % 3 = 2 THEN id_a ELSE id_b END AS doc_id
+    FROM pairs
+    WHERE (id_a % 3 = 2 AND id_b IN (SELECT doc_id FROM pub2))
+       OR (id_b % 3 = 2 AND id_a IN (SELECT doc_id FROM pub2))
+  ),
+  s2 AS MATERIALIZED (
+    SELECT doc_id FROM documents
+    WHERE doc_id % 3 = 2 AND doc_id NOT IN (SELECT doc_id FROM x2)
+  ),
+  e2 AS MATERIALIZED (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    WHERE id_a IN (SELECT doc_id FROM s2) AND id_b IN (SELECT doc_id FROM s2)
+    UNION
+    SELECT id_b, id_a FROM pairs
+    WHERE id_a IN (SELECT doc_id FROM s2) AND id_b IN (SELECT doc_id FROM s2)
+  ),
+  r2(src, dst) AS (
+    SELECT src, dst FROM e2
+    UNION
+    SELECT r.src, e.dst FROM r2 r JOIN e2 e ON r.dst = e.src
+  ),
+  c2 AS MATERIALIZED (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cl FROM r2 GROUP BY src),
+  k2 AS MATERIALIZED (
+    SELECT s2.doc_id FROM s2
+    LEFT JOIN c2 USING (doc_id)
+    WHERE s2.doc_id = COALESCE(c2.cl, s2.doc_id)
+  )
+SELECT doc_id,
+  CAST(CASE WHEN doc_id % 3 = 0 THEN 1 WHEN doc_id % 3 = 1 THEN 2 ELSE 4 END
+       AS INTEGER) AS batch
+FROM (
+  SELECT doc_id FROM pub2
+  UNION ALL SELECT doc_id FROM k2
+)
+ORDER BY doc_id
+"""
+
+
+@register("d22_corpus_forget", oracle=_D22_ORACLE)
+def d22_corpus_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from censo_escolar_spark.streaming import detach_from_state
+    from censo_escolar_spark.streaming.dedup import (
+        apply_corpus_delete_batch,
+        apply_dedup_batch,
+        read_published,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    state = tempfile.mkdtemp(prefix="d22_dedup_state_")
+    try:
+        for bid, m in ((1, 0), (2, 1)):
+            apply_dedup_batch(
+                docs.filter(F.col("doc_id") % 3 == m).select("doc_id", "text"),
+                bid,
+                state_dir=state,
+                threshold=0.5,
+                compact_every=2,
+            )
+        apply_corpus_delete_batch(
+            docs.filter(F.col("doc_id") % 7 == 0).select("doc_id"),
+            3,
+            state_dir=state,
+            compact_every=2,
+        )
+        apply_dedup_batch(
+            docs.filter(F.col("doc_id") % 3 == 2).select("doc_id", "text"),
+            4,
+            state_dir=state,
+            threshold=0.5,
+            compact_every=2,
+        )
+        final = read_published(spark, state)
+        out = final.select(
+            "doc_id",
+            F.when(F.col("doc_id") % 3 == 0, 1)
+            .when(F.col("doc_id") % 3 == 1, 2)
+            .otherwise(4)
+            .cast("int")
+            .alias("batch"),
+        ).orderBy("doc_id")
+        return detach_from_state(out, state)
+    finally:
+        shutil.rmtree(state, ignore_errors=True)

@@ -18,8 +18,8 @@ NEVER re-read, re-shingled, or re-hashed, so per-batch work is
 O(batch), independent of corpus size. Published text lives in a
 separate ``corpus`` component that the dedup path only appends to.
 
-Because published docs are never retroactively deleted, the state is
-APPEND-ONLY: each micro-batch writes exactly its own
+Because the DEDUP path never retroactively deletes published docs, the
+state is APPEND-ONLY: each micro-batch writes exactly its own
 ``batch=<batch_id>`` partition of every component (corpus / sketches /
 bands) and touches no other partition — O(batch) write amplification,
 the streaming analogue of the reference's O1 per-year idempotent
@@ -31,9 +31,16 @@ overwrites its own ``batch=<id>`` directories, so replays converge.
 Every ``compact_every`` batches the maintainer folds all committed
 ``batch=`` partitions strictly below the current id into one partition
 per component (``compact_published``) so directory-listing depth stays
-bounded on a long-running crawl; the fold is contents-preserving (a
+bounded on a long-running crawl; the fold is live-view-preserving (a
 retried batch reads the same published state) and crash-safe via the
-same two-phase marker commit as ``bucketstate.compact_state``. Control-
+same two-phase marker commit as ``bucketstate.compact_state``.
+
+The one NON-append operation is the right-to-be-forgotten path
+(``apply_corpus_delete_batch``): id tombstones append as their own
+``deletes`` batches (still O(batch) writes); readers and the ingest
+probe subtract them with the arrival-ordered anti-join shared with the
+IVF index (streaming/ivfindex.py), and the compaction fold physically
+reclaims tombstoned text/sketch/band rows from the files. Control-
 plane I/O goes through the Hadoop FileSystem API, so the store runs on
 any Hadoop-supported filesystem, with the same object-store rename
 caveat as bucketstate.
@@ -77,7 +84,7 @@ COMPACT_EVERY = 16
 #: cache).
 _SIGNATURE_MARKER = "_signature_k_"
 
-_COMPONENTS = ("corpus", "sketches", "bands")
+_COMPONENTS = ("corpus", "sketches", "bands", "deletes")
 _COMPACT_TMP = "_compact_tmp_"
 _COMPACT_COMMIT = "_compact_commit_"
 
@@ -91,6 +98,7 @@ def _schemas(id_col: str, text_col: str) -> dict[str, str]:
         "corpus": f"{id_col} bigint, {text_col} string",
         "sketches": f"{id_col} bigint, signature array<bigint>, sh_set array<bigint>",
         "bands": f"{id_col} bigint, band_idx int, band_hash bigint, bucket int",
+        "deletes": f"{id_col} bigint",
     }
 
 
@@ -125,6 +133,35 @@ def _read_component(
     return out if keep_batch else out.drop("batch")
 
 
+def _tombstones(
+    spark: SparkSession, state_dir: str, id_col: str, below: int
+) -> DataFrame | None:
+    """Committed delete tombstones ``(id, batch)`` strictly below
+    ``below`` — or None when the store has no deletes component at all,
+    so the (common) delete-free store keeps its exact pre-delete read
+    plans and cost."""
+    root = _component(state_dir, "deletes")
+    fs, jvm = hadoop_fs(spark, root)
+    if not any(d.startswith("batch=") for d in list_children(fs, jvm, root)):
+        return None
+    return _read_component(
+        spark, root, f"{id_col} bigint", below, keep_batch=True
+    )
+
+
+def _subtract_deleted(live: DataFrame, tombs: DataFrame, id_col: str) -> DataFrame:
+    """``live`` (…, batch) minus arrival-ordered tombstones: a tombstone
+    removes only rows published STRICTLY BEFORE it (the s23 semantics —
+    a later re-ingest of the same id is a new live row, and the live
+    view is independent of when compaction runs, because folded rows are
+    rebatched to ``upto`` which stays strictly below any surviving
+    tombstone's batch)."""
+    cond = (F.col(f"l.{id_col}") == F.col(f"d.{id_col}")) & (
+        F.col("l.batch") < F.col("d.batch")
+    )
+    return live.alias("l").join(tombs.alias("d"), cond, "left_anti")
+
+
 def read_published(
     spark: SparkSession,
     state_dir: str,
@@ -132,11 +169,21 @@ def read_published(
     schema: str = "doc_id bigint, text string",
     below: int | None = None,
 ) -> DataFrame:
-    """The published corpus (id, text): union of every committed batch
-    partition of the ``corpus`` component (empty frame if none)."""
+    """The published LIVE corpus (id, text): union of every committed
+    batch partition of the ``corpus`` component (empty frame if none),
+    minus committed right-to-be-forgotten tombstones below the same
+    horizon (apply_corpus_delete_batch)."""
     _recover_published(spark, state_dir)
     hi = below if below is not None else 1 << 62
-    return _read_component(spark, _component(state_dir, "corpus"), schema, hi)
+    id_col = schema.split(",", 1)[0].split()[0]
+    tombs = _tombstones(spark, state_dir, id_col, hi)
+    corpus = _read_component(
+        spark, _component(state_dir, "corpus"), schema, hi,
+        keep_batch=tombs is not None,
+    )
+    if tombs is None:
+        return corpus
+    return _subtract_deleted(corpus, tombs, id_col).drop("batch")
 
 
 def _finish_batch_compaction(
@@ -245,7 +292,29 @@ def _layout(id_col: str, text_col: str) -> dict[str, tuple[str, list[str]]]:
         "corpus": (s["corpus"], []),
         "sketches": (s["sketches"], []),
         "bands": (s["bands"], ["bucket"]),
+        "deletes": (s["deletes"], []),
     }
+
+
+def _fold_corpus_deletes(
+    frames: dict[str, DataFrame], id_col: str
+) -> dict[str, DataFrame]:
+    """Compaction fold (the LSM merge, ivfindex._fold_deletes's text
+    twin): physically reclaim tombstoned rows from every component and
+    drop the consumed tombstones — a forgotten document's text, sketch,
+    and band keys leave the store's FILES, not just its live view.
+    Live-view preserving: readers resolve component MINUS arrival-
+    ordered deletes, which removing matched pairs doesn't change; every
+    folded tombstone is fully consumed (all rows it could ever affect
+    are in the fold). With no tombstones this degenerates to the plain
+    contents-preserving union."""
+    tombs = frames["deletes"]
+    out = {
+        comp: _subtract_deleted(frames[comp], tombs, id_col).drop("batch")
+        for comp in ("corpus", "sketches", "bands")
+    }
+    out["deletes"] = tombs.filter(F.lit(False)).drop("batch")
+    return out
 
 
 def _recover_published(spark: SparkSession, state_dir: str) -> None:
@@ -260,10 +329,15 @@ def compact_published(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> None:
-    """Fold the text-dedup store's components (corpus/sketches/bands) —
-    see ``compact_batch_store`` for the protocol."""
+    """Fold the text-dedup store's components (corpus/sketches/bands/
+    deletes) — see ``compact_batch_store`` for the protocol; the fold
+    physically reclaims tombstoned rows (``_fold_corpus_deletes``)."""
     compact_batch_store(
-        spark, state_dir, upto=upto, layout=_layout(id_col, text_col)
+        spark,
+        state_dir,
+        upto=upto,
+        layout=_layout(id_col, text_col),
+        fold=lambda frames: _fold_corpus_deletes(frames, id_col),
     )
 
 
@@ -293,12 +367,20 @@ def apply_dedup_batch(
     _recover_published(spark, state_dir)
     schemas = _schemas(id_col, text_col)
 
+    # probe the LIVE index: a forgotten (tombstoned) document must stop
+    # suppressing future near-dups the moment its delete batch commits
+    tombs = _tombstones(spark, state_dir, id_col, batch_id)
     pub_sketches = _read_component(
-        spark, _component(state_dir, "sketches"), schemas["sketches"], batch_id
+        spark, _component(state_dir, "sketches"), schemas["sketches"], batch_id,
+        keep_batch=tombs is not None,
     )
     pub_bands = _read_component(
-        spark, _component(state_dir, "bands"), schemas["bands"], batch_id
+        spark, _component(state_dir, "bands"), schemas["bands"], batch_id,
+        keep_batch=tombs is not None,
     ).drop("bucket")
+    if tombs is not None:
+        pub_sketches = _subtract_deleted(pub_sketches, tombs, id_col).drop("batch")
+        pub_bands = _subtract_deleted(pub_bands, tombs, id_col).drop("batch")
 
     batch = batch_df.select(id_col, text_col)
     batch_sk = minhash_sketches(
@@ -375,6 +457,47 @@ def apply_dedup_batch(
 
     with ThreadPoolExecutor(max_workers=len(writes)) as pool:
         list(pool.map(_write, writes))
+    if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+        compact_published(
+            spark, state_dir, upto=batch_id - 1, id_col=id_col, text_col=text_col
+        )
+
+
+def apply_corpus_delete_batch(
+    ids_df: DataFrame,
+    batch_id: int,
+    *,
+    state_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    compact_every: int | None = COMPACT_EVERY,
+) -> None:
+    """Right-to-be-forgotten: delete a batch of document ids from the
+    published corpus AND its signature index.
+
+    The ids append as this batch's partition of the ``deletes``
+    component — O(batch), no published partition is read or rewritten.
+    Effects, all via the arrival-ordered tombstone semantics shared with
+    the IVF index (streaming/ivfindex.py):
+
+    - ``read_published`` no longer returns the docs;
+    - later ingest batches no longer dedup against them (a new near-dup
+      of a forgotten doc PUBLISHES — the forgotten doc can't keep
+      influencing retention);
+    - the cadence compaction fold physically reclaims the text, sketch,
+      and band rows from the store's files (``_fold_corpus_deletes``),
+      which is what makes this an actual forget, not a view filter;
+    - a re-ingest of the same id AFTER the delete is a new live row
+      (tombstones only remove rows published strictly before them);
+    - deleting a never-published id is a harmless no-op.
+
+    Retry-idempotent like the ingest path: a re-run fully overwrites its
+    own ``batch=<id>`` directory and reads nothing newer."""
+    spark = ids_df.sparkSession
+    _recover_published(spark, state_dir)
+    ids_df.select(F.col(id_col).cast("bigint").alias(id_col)).write.mode(
+        "overwrite"
+    ).parquet(posixpath.join(_component(state_dir, "deletes"), f"batch={batch_id}"))
     if compact_every and batch_id > 0 and batch_id % compact_every == 0:
         compact_published(
             spark, state_dir, upto=batch_id - 1, id_col=id_col, text_col=text_col

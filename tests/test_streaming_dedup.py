@@ -217,3 +217,90 @@ def test_compact_published_crash_after_marker_recovers(spark, tmp_path):
     SD.compact_published(spark, state, upto=2)
     assert _published_ids(spark, state) == [1, 3, 5]
     assert not os.path.exists(os.path.join(state, "corpus", "_compact_tmp_2"))
+
+
+# ---------------------------------------------------------------------------
+# Right-to-be-forgotten (apply_corpus_delete_batch)
+# ---------------------------------------------------------------------------
+
+
+def test_forget_removes_doc_and_stops_suppressing(spark, tmp_path):
+    from censo_escolar_spark.streaming.dedup import apply_corpus_delete_batch
+
+    state = str(tmp_path / "state")
+    apply_dedup_batch(_batch(spark, [(1, BASE), (3, OTHER)]), 0, state_dir=state)
+    # near-dup of published doc 1 -> suppressed
+    apply_dedup_batch(_batch(spark, [(4, VARIANT)]), 1, state_dir=state)
+    assert _published_ids(spark, state) == [1, 3]
+    # forget doc 1
+    apply_corpus_delete_batch(
+        _batch(spark, [(1, "")]).select("doc_id"), 2, state_dir=state
+    )
+    assert _published_ids(spark, state) == [3]
+    # a NEW near-dup of the forgotten doc now publishes
+    apply_dedup_batch(_batch(spark, [(5, VARIANT)]), 3, state_dir=state)
+    assert _published_ids(spark, state) == [3, 5]
+
+
+def test_forget_reingest_after_delete_is_live(spark, tmp_path):
+    from censo_escolar_spark.streaming.dedup import apply_corpus_delete_batch
+
+    state = str(tmp_path / "state")
+    apply_dedup_batch(_batch(spark, [(1, BASE)]), 0, state_dir=state)
+    apply_corpus_delete_batch(
+        _batch(spark, [(1, "")]).select("doc_id"), 1, state_dir=state
+    )
+    assert _published_ids(spark, state) == []
+    # re-ingest the same id after the delete: new live row
+    apply_dedup_batch(_batch(spark, [(1, BASE)]), 2, state_dir=state)
+    assert _published_ids(spark, state) == [1]
+
+
+def test_forget_never_published_id_is_noop(spark, tmp_path):
+    from censo_escolar_spark.streaming.dedup import apply_corpus_delete_batch
+
+    state = str(tmp_path / "state")
+    apply_dedup_batch(_batch(spark, [(1, BASE)]), 0, state_dir=state)
+    apply_corpus_delete_batch(
+        _batch(spark, [(99, "")]).select("doc_id"), 1, state_dir=state
+    )
+    assert _published_ids(spark, state) == [1]
+
+
+def test_forget_compaction_physically_reclaims(spark, tmp_path):
+    """After the fold, the tombstoned doc's rows are gone from the
+    store's FILES (not just filtered at read time), and the consumed
+    tombstone is dropped."""
+    from censo_escolar_spark.streaming.dedup import (
+        apply_corpus_delete_batch,
+        compact_published,
+    )
+
+    state = str(tmp_path / "state")
+    apply_dedup_batch(_batch(spark, [(1, BASE), (3, OTHER)]), 0, state_dir=state)
+    apply_corpus_delete_batch(
+        _batch(spark, [(1, "")]).select("doc_id"), 1, state_dir=state
+    )
+    compact_published(spark, state, upto=1)
+    assert _published_ids(spark, state) == [3]
+    # raw file contents (no tombstone filtering): doc 1 reclaimed
+    raw_corpus = spark.read.parquet(os.path.join(state, "corpus"))
+    assert sorted(r.doc_id for r in raw_corpus.collect()) == [3]
+    raw_sketches = spark.read.parquet(os.path.join(state, "sketches"))
+    assert [r.doc_id for r in raw_sketches.collect()] == [3]
+    raw_bands = spark.read.parquet(os.path.join(state, "bands"))
+    assert set(r.doc_id for r in raw_bands.collect()) == {3}
+    deletes = spark.read.parquet(os.path.join(state, "deletes"))
+    assert deletes.count() == 0
+
+
+def test_forget_delete_retry_idempotent(spark, tmp_path):
+    from censo_escolar_spark.streaming.dedup import apply_corpus_delete_batch
+
+    state = str(tmp_path / "state")
+    apply_dedup_batch(_batch(spark, [(1, BASE), (3, OTHER)]), 0, state_dir=state)
+    dels = _batch(spark, [(1, "")]).select("doc_id")
+    apply_corpus_delete_batch(dels, 1, state_dir=state)
+    first = _published_ids(spark, state)
+    apply_corpus_delete_batch(dels, 1, state_dir=state)
+    assert _published_ids(spark, state) == first == [3]
