@@ -2644,3 +2644,139 @@ def e39_streaming_update_mode_parity(spark: SparkSession, sf_dir: str) -> DataFr
         return detach_from_state(res, root)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# e40 — restart-from-checkpoint parity: the recovery behavior every
+# production stream exercises on deploys and crashes, and the one the
+# in-order (e37, d19) and late-drop (e38/e39) rows never fire — a
+# COLD RESTART.  Phase A runs the update-mode windowed aggregation over
+# the first two time slices and terminates; phase B writes the third
+# slice and starts a BRAND-NEW streaming query over the SAME
+# checkpoint.  Recovery must restore both the OFFSET LOG (the new query
+# processes only the new file — a re-read of files 1–2 would
+# double-count every spanning window, because the restored state
+# already holds their rows) and the STATE STORE (losing it would
+# undercount spanning windows).  The final snapshot (last emitted row
+# per window across both query incarnations, the e39 fold) must equal
+# the one-shot recompute; arrival stays in-order so the watermark never
+# drops a row and the parity isolates recovery itself.  Batch-id
+# continuity and new-file-only input are additionally asserted in
+# tests/test_streaming.py.
+# ---------------------------------------------------------------------------
+@register(
+    "e40_streaming_restart_parity",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, date_trunc('second', ts) AS ts,
+        CAST(value AS DECIMAL(18,2)) AS val
+      FROM events
+    )
+    SELECT
+      make_timestamp(((epoch_ms(ts) // 1000) // 3600) * 3600 * 1000000)
+        AS window_start,
+      event_type,
+      CAST(COUNT(*) AS BIGINT) AS n_events,
+      CAST(SUM(val) AS DOUBLE) AS total_value
+    FROM e
+    GROUP BY 1, 2
+    ORDER BY window_start, event_type
+    """,
+)
+def e40_streaming_restart_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import posixpath
+    import shutil
+    import tempfile
+
+    from censo_escolar_spark.streaming import detach_from_state
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("second", F.col("ts").cast("timestamp")).alias("ts"),
+        "value",
+    )
+    b = e.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+    if b["lo"] is None:
+        return spark.createDataFrame([], _LATE_DROP_OUT_SCHEMA)
+    lo_s, hi_s = int(b["lo"].timestamp()), int(b["hi"].timestamp())
+    span = hi_s - lo_s
+    c1, c2 = lo_s + span // 3, lo_s + (2 * span) // 3
+    delay = span // 6
+    t = F.unix_timestamp("ts")
+
+    root = tempfile.mkdtemp(prefix="e40_restart_")
+    src, ckpt, out = (posixpath.join(root, d) for d in ("src", "ckpt", "out"))
+    try:
+
+        def run_incarnation() -> None:
+            """One streaming-query incarnation over whatever is newly
+            available in ``src``, recovering offsets + state from the
+            shared checkpoint."""
+            stream = (
+                spark.readStream.schema(spark.read.parquet(src).schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            agg = (
+                stream.withWatermark("ts", f"{delay} seconds")
+                .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+                .agg(
+                    F.count("*").alias("n_events"),
+                    F.sum(F.col("value").cast(DEC)).cast("double").alias(
+                        "total_value"
+                    ),
+                )
+            )
+
+            def sink(bdf: DataFrame, bid: int) -> None:
+                (
+                    bdf.withColumn("__batch_id", F.lit(bid))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("__batch_id")
+                    .parquet(out)
+                )
+
+            q = (
+                agg.writeStream.foreachBatch(sink)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        # phase A: first two in-order slices, first query incarnation
+        for f in (e.filter(t < c1), e.filter((t >= c1) & (t < c2))):
+            f.coalesce(1).write.mode("append").parquet(src)
+        run_incarnation()
+        # phase B: third slice arrives AFTER the first incarnation died;
+        # a brand-new query recovers offsets + window state and resumes
+        e.filter(t >= c2).coalesce(1).write.mode("append").parquet(src)
+        run_incarnation()
+
+        rows = spark.read.schema(
+            "w struct<start:timestamp,end:timestamp>, event_type string,"
+            " n_events bigint, total_value double, __batch_id int"
+        ).parquet(out)
+        res = (
+            rows.groupBy(
+                F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+                "event_type",
+            )
+            .agg(
+                F.max_by(
+                    F.struct("n_events", "total_value"), F.col("__batch_id")
+                ).alias("s")
+            )
+            .select(
+                "window_start",
+                "event_type",
+                F.col("s.n_events").alias("n_events"),
+                F.col("s.total_value").alias("total_value"),
+            )
+            .orderBy("window_start", "event_type")
+        )
+        return detach_from_state(res, root)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

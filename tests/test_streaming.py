@@ -494,3 +494,78 @@ def test_late_drop_survives_failed_batch_retry(spark, tmp_path):
     # the 14:00 window is still open at stream end: never emitted
     assert (_ts(14, 0), "c") not in emitted
     assert len(emitted) == 3
+
+
+def test_restart_resumes_offsets_and_state(spark, tmp_path):
+    """A brand-new query over the same checkpoint continues the batch-id
+    sequence, processes ONLY files that arrived after the first
+    incarnation died, and restores window state (spanning windows keep
+    their earlier rows) — the e40 contract, auditable here via a
+    recording sink."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = datetime(2024, 1, 1, 10, 0, 0)
+
+    def rows(*specs):
+        return [(datetime(2024, 1, 1, h, m, 0), u, "c", 1.0) for h, m, u in specs]
+
+    audit: list[tuple[int, dict]] = []
+
+    def incarnation() -> None:
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+            .agg(F.count("*").alias("n"))
+        )
+
+        def sink(bdf, bid: int) -> None:
+            audit.append(
+                (
+                    bid,
+                    {
+                        (r["w"]["start"], r["user_id"]): r["n"]
+                        for r in bdf.collect()
+                    },
+                )
+            )
+
+        q = (
+            agg.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # phase A: two files -> batches 0 and 1
+    _write_batch(spark, src, rows((10, 0, 1), (10, 10, 1)))
+    _write_batch(spark, src, rows((10, 20, 1), (11, 0, 2)))
+    incarnation()
+    phase_a_bids = [bid for bid, _ in audit]
+    assert phase_a_bids[:2] == [0, 1]
+    # the 10:00 window saw 2 rows in batch 0, then 3 cumulative in batch 1
+    assert audit[0][1][(t0, 1)] == 2
+    assert audit[1][1][(t0, 1)] == 3
+
+    # phase B: one more file AFTER the first incarnation terminated
+    n_before = len(audit)
+    _write_batch(spark, src, rows((10, 40, 1), (11, 30, 2)))
+    incarnation()
+    data_batches = [
+        (bid, seen) for bid, seen in audit[n_before:] if seen
+    ]
+    assert data_batches, "restarted query processed no data"
+    # batch ids CONTINUE (offsets recovered, files 1-2 not reprocessed)
+    assert min(bid for bid, _ in data_batches) >= 2
+    # window state RESTORED: the 10:00 window's update reflects all 4
+    # rows (3 from the dead incarnation's state + 1 new), not 1
+    final_10 = data_batches[-1][1].get((t0, 1))
+    assert final_10 == 4
