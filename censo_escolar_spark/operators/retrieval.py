@@ -124,6 +124,12 @@ def bm25_topk(
         F.sum(T.token_count(text_col)).cast("bigint").alias("tot_tokens"),
     ).first()
     n_docs = int(counts["n_docs"])
+    if n_docs == 0:  # empty corpus: no candidates, schema-stable
+        return docs.sparkSession.createDataFrame(
+            [],
+            "query_id bigint, rank int, doc_id bigint, n_terms int,"
+            " score_scaled bigint, score double",
+        )
     # One exact-integer division each engine performs on the same
     # operands (the oracle recomputes it from the same counts).
     avgdl = float(counts["tot_tokens"]) / float(n_docs)

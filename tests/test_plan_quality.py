@@ -177,6 +177,8 @@ BNL_OK = {
     "s19_random_projection_topk",  # bounded query set broadcast (s01 shape)
     "d20_cluster_size_histogram",  # 1-row corpus-total broadcast (q65 pattern)
     "s20_binary_hamming_topk",  # bounded query set broadcast (s01 shape)
+    "s24_hybrid_rrf",  # dense half is cosine_topk's bounded query broadcast (s01 shape)
+    "s25_maxsim_rerank",  # candidate stage is cosine_topk's bounded query broadcast (s01 shape)
 }
 
 
