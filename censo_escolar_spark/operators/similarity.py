@@ -628,6 +628,7 @@ def write_ivf_index(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    meta_cols: tuple[str, ...] = (),
 ) -> None:
     """Persist the corpus as a STORED IVF index: one parquet table
     partitioned by the coarse cell id (``cell=<c>/part-*.parquet``),
@@ -635,10 +636,16 @@ def write_ivf_index(
     inverted lists are physical partitions, so a probe of ``nprobe``
     cells is a partition-pruned scan (asserted against the plan in
     tests), not a filter over the full corpus, and the index is built
-    once then shared by every query batch."""
+    once then shared by every query batch.
+
+    ``meta_cols`` carries metadata columns (e.g. a label / language /
+    tenant) into the stored rows, enabling filtered probes whose
+    predicate pushes down to the same pruned scan
+    (``ivf_topk_indexed_filtered``)."""
     assigned = ivf_assign(df, centroids, vec_col=vec_col).select(
         F.col(id_col).alias("id"),
         as_double_array(vec_col).alias("v"),
+        *[F.col(c) for c in meta_cols],
         F.col("__centroid_id").alias("cell"),
     )
     assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
@@ -736,6 +743,75 @@ def ivf_topk_indexed(
         return spark.createDataFrame([], _TOPK_SCHEMA)
     index = spark.read.parquet(index_path).filter(F.col("cell").isin(needed))
     return topk_against_index(index, probes, k=k)
+
+
+def ivf_topk_indexed_filtered(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    match_col: str = "label",
+    k: int = 5,
+    nprobe: int | None = 4,
+) -> DataFrame:
+    """Metadata-filtered ANN over the STORED index (the s09 predicate
+    composed with the s21 storage): each query retrieves top-k only
+    among indexed vectors sharing its ``match_col`` value.
+
+    The metadata predicate is applied BEFORE any distance math, at the
+    scan: the index read is partition-pruned to the probed cells AND
+    row-group-filtered on the (bounded, s01-contract) query set's match
+    values — both reach the parquet source as PartitionFilters /
+    PushedFilters (asserted in tests) — then the per-query restriction
+    completes through the (cell, match) equi-join. At 100 TB this is
+    the standard filtered-retrieval layout: high-cardinality metadata
+    stays a pushed row-group filter; a tenant-grade column would be a
+    second partition level of the same store.  ``nprobe = None`` equals
+    the filtered brute force (the s09 oracle)."""
+    probes, needed = probe_plan(
+        spark, queries, centroids, id_col=id_col, vec_col=vec_col, nprobe=nprobe
+    )
+    if probes is None:
+        return spark.createDataFrame(
+            [],
+            f"query_id long, neighbor_id long, {match_col} int,"
+            " cos double, rank int",
+        )
+    qmeta = queries.select(
+        F.col(id_col).alias("q_id"), F.col(match_col).alias("__qm")
+    )
+    pr = (
+        probes.join(F.broadcast(qmeta), "q_id")
+        .withColumnRenamed("cell", "p_cell")
+    )
+    vals = [r["__qm"] for r in qmeta.select("__qm").distinct().collect()]
+    index = (
+        spark.read.parquet(index_path)
+        .filter(F.col("cell").isin(needed))
+        .filter(F.col(match_col).isin(vals))
+        .withColumnRenamed(match_col, "__m")
+    )
+    scored = index.join(
+        F.broadcast(pr),
+        (F.col("cell") == F.col("p_cell"))
+        & (F.col("__m") == F.col("__qm"))
+        & (F.col("id") != F.col("q_id")),
+    ).withColumn("cos", cosine(F.col("q_v"), F.col("v")))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("id").alias("neighbor_id"),
+            F.col("__m").alias(match_col),
+            "cos",
+            "rank",
+        )
+    )
 
 
 def ivf_knn_join(

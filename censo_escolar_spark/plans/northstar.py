@@ -1810,9 +1810,7 @@ def c02_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # math). Same broadcast + per-query window shape as s01 with the label
 # equi-condition folded into the join.
 # ---------------------------------------------------------------------------
-@register(
-    "s09_filtered_topk",
-    oracle="""
+_S09_ORACLE = """
     WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
     scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label,
@@ -1828,8 +1826,10 @@ def c02_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     WHERE rnk <= 5
     ORDER BY query_id, rank
-    """,
-)
+    """
+
+
+@register("s09_filtered_topk", oracle=_S09_ORACLE)
 def s09_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 8).select(
@@ -4991,3 +4991,36 @@ def d22_corpus_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
         return detach_from_state(out, state)
     finally:
         shutil.rmtree(state, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# s26 — metadata-filtered ANN on the PERSISTED index: s09's predicate
+# (top-k among same-label vectors) composed with s21's storage.  The
+# stored rows carry the label (write_ivf_index meta_cols); the probe is
+# partition-pruned on the probed cells AND row-group-filtered on the
+# query set's label values — both predicates reach the parquet source
+# (asserted in tests/test_similarity_ivf.py) — then the per-query
+# restriction completes through the (cell, label) equi-join.  Run at
+# nprobe = C (exhaustive) so the result equals the filtered brute
+# force and the s09 oracle hash-checks it; filtered recall at
+# nprobe < C is asserted in tests.
+# ---------------------------------------------------------------------------
+@register("s26_ivf_filtered_topk", oracle=_S09_ORACLE)
+def s26_ivf_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from censo_escolar_spark.streaming import detach_from_state
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    centroids = similarity.train_centroids(emb, iters=1)
+    root = tempfile.mkdtemp(prefix="s26_ivf_index_")
+    try:
+        similarity.write_ivf_index(emb, root, centroids, meta_cols=("label",))
+        out = similarity.ivf_topk_indexed_filtered(
+            spark, root, queries, centroids, match_col="label", k=5, nprobe=None
+        ).orderBy("query_id", "rank")
+        return detach_from_state(out, root)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

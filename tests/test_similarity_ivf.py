@@ -420,3 +420,67 @@ def test_ivf_index_deletes_are_batch_ordered(spark, emb, tmp_path):
         os.path.join(state, "deletes")
     )
     assert dels.count() == 0
+
+
+def test_ivf_filtered_topk_pushes_predicate_and_matches(spark, emb, tmp_path):
+    """Metadata-filtered stored-index probe (ivf_topk_indexed_filtered):
+    exhaustive probe equals the filtered brute force (s09 semantics);
+    the pruned probe's scan carries BOTH the cell partition filter and
+    the label row-group filter, and recall within the label slice stays
+    sane at nprobe < C."""
+    idx = str(tmp_path / "ivf_index_meta")
+    centroids = S.train_centroids(emb, n_centroids=4, iters=1)
+    S.write_ivf_index(emb, idx, centroids, meta_cols=("label",))
+
+    queries = emb.filter(F.col("vec_id") < 8)
+    # filtered brute force: candidates restricted to the query's label
+    q = queries.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        S.as_double_array("embedding").alias("q_v"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("label").alias("c_label"),
+        S.as_double_array("embedding").alias("c_v"),
+    )
+    from pyspark.sql import Window
+
+    from censo_escolar_spark.functions.vectors import cosine
+
+    scored = c.join(
+        F.broadcast(q),
+        (F.col("q_id") != F.col("c_id")) & (F.col("q_label") == F.col("c_label")),
+    ).withColumn("cos", cosine(F.col("q_v"), F.col("c_v")))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("c_id"))
+    exact = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("q_id", "c_id", "rank")
+        .orderBy("q_id", "rank")
+        .collect()
+    )
+
+    stored = (
+        S.ivf_topk_indexed_filtered(
+            spark, idx, queries, centroids, match_col="label", k=5, nprobe=None
+        )
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    assert [(r.q_id, r.c_id, r.rank) for r in exact] == [
+        (r.query_id, r.neighbor_id, r.rank) for r in stored
+    ]
+    # every neighbor really carries the query's label
+    qlabels = {r.vec_id: r.label for r in queries.select("vec_id", "label").collect()}
+    assert all(r.label == qlabels[r.query_id] for r in stored)
+
+    pruned = S.ivf_topk_indexed_filtered(
+        spark, idx, queries, centroids, match_col="label", k=5, nprobe=1
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    assert "PushedFilters" in plan and "label" in plan.split("PushedFilters", 1)[1][:200]
+    got = {(r.query_id, r.neighbor_id) for r in pruned.collect()}
+    truth = {(r.q_id, r.c_id) for r in exact}
+    assert len(got & truth) / len(truth) >= 0.4
