@@ -96,6 +96,50 @@ def rarest_query_terms(
     )
 
 
+def bm25_rank(
+    cand: DataFrame, *, n_docs: int, avgdl: float, k: int = 5
+) -> DataFrame:
+    """Score + rank BM25 candidates ``(qid, doc_id, tf, df, dl)``.
+
+    The shared back half of corpus-scan BM25 (bm25_topk) and the
+    stored-index probe (streaming/lexindex.py): per-term rational-idf
+    scores quantized to BIGINT, the order-free integer sum, and the
+    scaled-integer ranking window — identical expression shapes to the
+    t39 oracle SQL."""
+    dfd = F.col("df").cast("double")
+    tfd = F.col("tf").cast("double")
+    dld = F.col("dl").cast("double")
+    idf = (F.lit(float(n_docs)) - dfd + F.lit(0.5)) / (dfd + F.lit(0.5))
+    norm = F.lit(BM25_ONE_MINUS_B) + (F.lit(BM25_B) * (dld / F.lit(avgdl)))
+    sterm = (idf * (tfd * F.lit(BM25_K1_PLUS_1))) / (
+        tfd + (F.lit(BM25_K1) * norm)
+    )
+    scored = cand.select(
+        F.col("qid").alias("query_id"),
+        "doc_id",
+        F.round(sterm * F.lit(BM25_SCALE)).cast("bigint").alias("qscaled"),
+    )
+    agg = scored.groupBy("query_id", "doc_id").agg(
+        F.sum("qscaled").cast("bigint").alias("score_scaled"),
+        F.count("*").cast("int").alias("n_terms"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_scaled"), F.asc("doc_id")
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            "doc_id",
+            "n_terms",
+            "score_scaled",
+            (F.col("score_scaled").cast("double") / F.lit(BM25_SCALE)).alias("score"),
+        )
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     query_terms: DataFrame,
@@ -134,15 +178,6 @@ def bm25_topk(
     # operands (the oracle recomputes it from the same counts).
     avgdl = float(counts["tot_tokens"]) / float(n_docs)
 
-    dfd = F.col("df").cast("double")
-    tfd = F.col("tf").cast("double")
-    dld = F.col("dl").cast("double")
-    idf = (F.lit(float(n_docs)) - dfd + F.lit(0.5)) / (dfd + F.lit(0.5))
-    norm = F.lit(BM25_ONE_MINUS_B) + (F.lit(BM25_B) * (dld / F.lit(avgdl)))
-    sterm = (idf * (tfd * F.lit(BM25_K1_PLUS_1))) / (
-        tfd + (F.lit(BM25_K1) * norm)
-    )
-
     # query_terms is usually derived from tf (rarest_query_terms), so
     # alias both sides to keep the self-join column references
     # unambiguous.
@@ -164,30 +199,7 @@ def bm25_topk(
         )
         .join(dl, "doc_id")
     )
-    scored = cand.select(
-        F.col("qid").alias("query_id"),
-        "doc_id",
-        F.round(sterm * F.lit(BM25_SCALE)).cast("bigint").alias("qscaled"),
-    )
-    agg = scored.groupBy("query_id", "doc_id").agg(
-        F.sum("qscaled").cast("bigint").alias("score_scaled"),
-        F.count("*").cast("int").alias("n_terms"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("score_scaled"), F.asc("doc_id")
-    )
-    return (
-        agg.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            F.col("rank").cast("int").alias("rank"),
-            "doc_id",
-            "n_terms",
-            "score_scaled",
-            (F.col("score_scaled").cast("double") / F.lit(BM25_SCALE)).alias("score"),
-        )
-    )
+    return bm25_rank(cand, n_docs=n_docs, avgdl=avgdl, k=k)
 
 
 # Reciprocal-rank-fusion constant (Cormack et al., SIGIR 2009).

@@ -5024,3 +5024,49 @@ def s26_ivf_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         return detach_from_state(out, root)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# t40 — incrementally-maintained BM25 index: t39's retrieval against a
+# STORED lexical index built by three disjoint document increments
+# (streaming/lexindex.py — bucketed posting lists, additive df
+# contributions, per-batch totals; compact_every=2 puts one LSM fold
+# inside the loop, which re-aggregates termstats/totals).  Query terms
+# are selected from the INDEX's summed term stats (identical to t39's
+# corpus df because increments are disjoint and cover the corpus); the
+# probe's posting scan is partition-pruned to the ≤32 query terms'
+# buckets.  Final top-k ≡ the one-shot t39 — same oracle SQL.
+# ---------------------------------------------------------------------------
+@register("t40_bm25_incremental_index", oracle=_T39_ORACLE)
+def t40_bm25_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from censo_escolar_spark.streaming import detach_from_state
+    from censo_escolar_spark.streaming.lexindex import (
+        apply_lex_index_batch,
+        bm25_topk_indexed,
+        lex_index_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    state = tempfile.mkdtemp(prefix="t40_lex_state_")
+    try:
+        for bid, m in ((1, 0), (2, 1), (3, 2)):
+            apply_lex_index_batch(
+                docs.filter(F.col("doc_id") % 3 == m).select("doc_id", "text"),
+                bid,
+                state_dir=state,
+                compact_every=2,
+            )
+        termstats, _ = lex_index_stats(spark, state)
+        qtf, _, _ = retrieval.corpus_stats(
+            docs.filter(F.col("doc_id") < 4), "doc_id", "text"
+        )
+        qterms = retrieval.rarest_query_terms(qtf, termstats, range(4), n_terms=8)
+        out = bm25_topk_indexed(spark, state, qterms, k=5).orderBy(
+            "query_id", "rank"
+        )
+        return detach_from_state(out, state)
+    finally:
+        shutil.rmtree(state, ignore_errors=True)

@@ -1,0 +1,225 @@
+"""Incrementally-maintained BM25 index: the stored-lexical-index form
+of ``operators/retrieval.bm25_topk`` (t39), given the same batch-store
+treatment as the IVF index (streaming/ivfindex.py) and the dedup
+signature store (streaming/dedup.py).
+
+One-shot BM25 re-derives posting lists from the corpus per query
+batch; a growing corpus would re-tokenize everything per refresh.
+This maintainer appends each micro-batch's postings ONCE:
+
+- ``postings`` ``(doc_id, term, tf, bucket)`` — the inverted lists,
+  physically partitioned by a term-hash bucket so a probe of ≤32 query
+  terms is a partition-PRUNED scan (the bucket list is computed from
+  the bounded query-term set driver-side), never a full-index read.
+- ``doclens`` ``(doc_id, dl)`` — document lengths.
+- ``termstats`` ``(term, df, bucket)`` — per-batch document-frequency
+  contributions, additive across batches because batches carry
+  DISJOINT documents; the probe sums the (vocabulary-sized) slice it
+  prunes to.
+- ``totals`` — one ``(n_docs, tot_tokens)`` row per batch, summed at
+  probe time for N and avgdl.
+
+Per batch the work is O(batch) tokenization + 4 partition writes —
+independent of index size.  Every ``compact_every`` batches the
+history folds through the crash-safe two-phase marker commit shared
+with the other maintainers; the fold's LSM merge re-aggregates
+``termstats`` (sum df per term) and ``totals`` (one row) so the folded
+store answers probes bit-identically (exact integer sums are
+order-free).
+
+Parity is driver-gated by t40: three disjoint increments + an in-loop
+fold must equal the one-shot t39 result (same oracle SQL).
+"""
+
+from __future__ import annotations
+
+import posixpath
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from censo_escolar_spark.operators.retrieval import bm25_rank, corpus_stats
+from censo_escolar_spark.streaming.dedup import (
+    COMPACT_EVERY,
+    N_BUCKETS,
+    _component,
+    _read_component,
+    compact_batch_store,
+    recover_batch_store,
+)
+
+_LAYOUT = {
+    "postings": ("doc_id bigint, term string, tf bigint, bucket int", ["bucket"]),
+    "doclens": ("doc_id bigint, dl bigint", []),
+    "termstats": ("term string, df bigint, bucket int", ["bucket"]),
+    "totals": ("n_docs bigint, tot_tokens bigint", []),
+}
+
+
+def _bucket(col) -> Column:
+    """Stable term-hash bucket (xxhash64 — fixed seed 42, so the probe
+    can recompute a term's bucket in any session)."""
+    return F.pmod(F.xxhash64(col), F.lit(N_BUCKETS)).cast("int")
+
+
+def _fold_lex(frames: dict[str, DataFrame]) -> dict[str, DataFrame]:
+    """Compaction fold: postings/doclens union as-is; termstats
+    re-aggregates per-term df contributions; totals folds to one row —
+    all exact integer sums, so probes over the folded store are
+    bit-identical to probes over the batch history."""
+    return {
+        "postings": frames["postings"].drop("batch"),
+        "doclens": frames["doclens"].drop("batch"),
+        "termstats": frames["termstats"]
+        .groupBy("term", "bucket")
+        .agg(F.sum("df").cast("bigint").alias("df"))
+        .select("term", "df", "bucket"),
+        "totals": frames["totals"].agg(
+            F.coalesce(F.sum("n_docs"), F.lit(0)).cast("bigint").alias("n_docs"),
+            F.coalesce(F.sum("tot_tokens"), F.lit(0))
+            .cast("bigint")
+            .alias("tot_tokens"),
+        ),
+    }
+
+
+def apply_lex_index_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    state_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    compact_every: int | None = COMPACT_EVERY,
+) -> None:
+    """The foreachBatch body (exposed for direct testing / backfills):
+    tokenize THIS batch's documents once and append its posting lists,
+    doc lengths, df contributions, and totals as ``batch=<id>``
+    partitions.  Never reads prior batches (documents are assumed
+    batch-disjoint — the maintainer's contract, like the IVF index's
+    insert path).  Retry-idempotent: a re-run fully overwrites its own
+    ``batch=<id>`` directories."""
+    spark = batch_df.sparkSession
+    recover_batch_store(spark, state_dir, list(_LAYOUT))
+    tf, dl, dfreq = corpus_stats(batch_df, id_col, text_col)
+    tf = tf.localCheckpoint(eager=True)  # one tokenization, three consumers
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
+    writes = {
+        "postings": tf.withColumn("bucket", _bucket(F.col("term"))),
+        "doclens": dl,
+        "termstats": dfreq.withColumn("bucket", _bucket(F.col("term"))),
+        "totals": dl.agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias("tot_tokens"),
+        ),
+    }
+    for comp, df in writes.items():
+        _, parts = _LAYOUT[comp]
+        w = df.write.mode("overwrite")
+        if parts:
+            w = w.partitionBy(*parts)
+        w.parquet(
+            posixpath.join(_component(state_dir, comp), f"batch={batch_id}")
+        )
+    if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+        compact_batch_store(
+            spark, state_dir, upto=batch_id - 1, layout=_LAYOUT, fold=_fold_lex
+        )
+
+
+def _read(spark: SparkSession, state_dir: str, comp: str, below: int) -> DataFrame:
+    return _read_component(
+        spark, _component(state_dir, comp), _LAYOUT[comp][0], below
+    )
+
+
+def lex_index_stats(
+    spark: SparkSession, state_dir: str, *, below: int | None = None
+):
+    """(termstats, totals-row) of the committed index: the summed df per
+    term and the summed (n_docs, tot_tokens).  termstats is the
+    vocabulary-sized component — fine to aggregate for query-term
+    selection; the postings themselves are only ever read pruned."""
+    recover_batch_store(spark, state_dir, list(_LAYOUT))
+    hi = below if below is not None else 1 << 62
+    termstats = (
+        _read(spark, state_dir, "termstats", hi)
+        .groupBy("term")
+        .agg(F.sum("df").cast("bigint").alias("df"))
+    )
+    totals = (
+        _read(spark, state_dir, "totals", hi)
+        .agg(
+            F.coalesce(F.sum("n_docs"), F.lit(0)).cast("bigint").alias("n_docs"),
+            F.coalesce(F.sum("tot_tokens"), F.lit(0))
+            .cast("bigint")
+            .alias("tot_tokens"),
+        )
+        .first()
+    )
+    return termstats, totals
+
+
+def bm25_topk_indexed(
+    spark: SparkSession,
+    state_dir: str,
+    query_terms: DataFrame,
+    *,
+    k: int = 5,
+    below: int | None = None,
+) -> DataFrame:
+    """BM25 top-k against the INCREMENTALLY-maintained index.
+
+    ``query_terms``: (qid, term, df) — the bounded broadcast probe set
+    (≤32 rows by the t39 contract).  The posting-list scan is
+    partition-PRUNED to the query terms' buckets (computed driver-side
+    from the collected term list — bounded by contract), the candidate
+    join and scoring are t39's, and the result is bit-identical to the
+    one-shot bm25_topk over the union of all ingested batches."""
+    recover_batch_store(spark, state_dir, list(_LAYOUT))
+    hi = below if below is not None else 1 << 62
+    _, totals = lex_index_stats(spark, state_dir, below=below)
+    n_docs = int(totals["n_docs"])
+    if n_docs == 0:
+        return spark.createDataFrame(
+            [],
+            "query_id bigint, rank int, doc_id bigint, n_terms int,"
+            " score_scaled bigint, score double",
+        )
+    avgdl = float(totals["tot_tokens"]) / float(n_docs)
+
+    terms = [r["term"] for r in query_terms.select("term").distinct().collect()]
+    buckets = sorted(
+        {
+            r["b"]
+            for r in spark.createDataFrame(
+                [(t,) for t in terms], "term string"
+            )
+            .select(_bucket(F.col("term")).alias("b"))
+            .collect()
+        }
+    )
+    postings = _read(spark, state_dir, "postings", hi).filter(
+        F.col("bucket").isin(buckets)
+    )
+    doclens = _read(spark, state_dir, "doclens", hi)
+    p = postings.alias("p")
+    q = query_terms.alias("q")
+    cand = (
+        p.join(
+            F.broadcast(q),
+            on=[
+                F.col("p.term") == F.col("q.term"),
+                F.col("p.doc_id") != F.col("q.qid"),
+            ],
+        )
+        .select(
+            F.col("q.qid").alias("qid"),
+            F.col("p.doc_id").alias("doc_id"),
+            F.col("p.tf").alias("tf"),
+            F.col("q.df").alias("df"),
+        )
+        .join(doclens, "doc_id")
+    )
+    return bm25_rank(cand, n_docs=n_docs, avgdl=avgdl, k=k)

@@ -1,0 +1,129 @@
+"""Incrementally-maintained BM25 index (streaming/lexindex.py):
+incremental == one-shot, bucket-pruned probes, retry idempotence, and
+fold invariance (the t40 contract at unit scale)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from censo_escolar_spark.operators import retrieval
+from censo_escolar_spark.streaming.lexindex import (
+    apply_lex_index_batch,
+    bm25_topk_indexed,
+    compact_batch_store,
+    lex_index_stats,
+    _LAYOUT,
+    _fold_lex,
+)
+
+DOCS = [
+    (0, "apple banana apple"),
+    (1, "banana cherry"),
+    (2, "apple cherry cherry durian"),
+    (3, "durian durian durian"),
+    (4, "banana durian apple cherry"),
+    (5, "elderberry fig grape"),
+]
+
+
+def _docs(spark, rows=DOCS):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def _ingest(spark, state, *, compact_every=None):
+    docs = _docs(spark)
+    for bid, m in ((1, 0), (2, 1), (3, 2)):
+        apply_lex_index_batch(
+            docs.filter(F.col("doc_id") % 3 == m),
+            bid,
+            state_dir=state,
+            compact_every=compact_every,
+        )
+    return docs
+
+
+def _probe(spark, state, docs, qids=(0,)):
+    termstats, _ = lex_index_stats(spark, state)
+    qtf, _, _ = retrieval.corpus_stats(
+        docs.filter(F.col("doc_id").isin(list(qids))), "doc_id", "text"
+    )
+    qterms = retrieval.rarest_query_terms(qtf, termstats, qids, n_terms=8)
+    return bm25_topk_indexed(spark, state, qterms, k=5)
+
+
+def test_incremental_equals_one_shot(spark, tmp_path):
+    state = str(tmp_path / "lex")
+    docs = _ingest(spark, state)
+    tf, dl, dfreq = retrieval.corpus_stats(docs, "doc_id", "text")
+    qterms = retrieval.rarest_query_terms(tf, dfreq, [0], n_terms=8)
+    one_shot = retrieval.bm25_topk(docs, qterms, k=5, stats=(tf, dl, dfreq))
+    got = _probe(spark, state, docs)
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted(
+        [(r["query_id"], r["rank"], r["doc_id"], r["score_scaled"]) for r in got.collect()],
+        key=lambda t: t[:2],
+    ) == sorted(
+        [
+            (r["query_id"], r["rank"], r["doc_id"], r["score_scaled"])
+            for r in one_shot.collect()
+        ],
+        key=lambda t: t[:2],
+    )
+
+
+def test_probe_scan_is_bucket_pruned(spark, tmp_path):
+    state = str(tmp_path / "lex")
+    docs = _ingest(spark, state)
+    plan = (
+        _probe(spark, state, docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "bucket" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_fold_preserves_probe_results(spark, tmp_path):
+    state = str(tmp_path / "lex")
+    docs = _ingest(spark, state)
+    before = _probe(spark, state, docs).collect()
+    compact_batch_store(spark, state, upto=3, layout=_LAYOUT, fold=_fold_lex)
+    after = _probe(spark, state, docs).collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted(map(tuple, before), key=lambda t: t[:2]) == sorted(
+        map(tuple, after), key=lambda t: t[:2]
+    )
+    # folded store answers from ONE batch partition per component
+    import os
+
+    for comp in _LAYOUT:
+        dirs = [
+            d
+            for d in os.listdir(os.path.join(state, comp))
+            if d.startswith("batch=")
+        ]
+        assert dirs == ["batch=3"], (comp, dirs)
+
+
+def test_ingest_retry_idempotent(spark, tmp_path):
+    state = str(tmp_path / "lex")
+    docs = _ingest(spark, state)
+    first = _probe(spark, state, docs).collect()
+    # re-run batch 3 (same id): fully overwrites its own partitions
+    apply_lex_index_batch(
+        docs.filter(F.col("doc_id") % 3 == 2), 3, state_dir=state
+    )
+    again = _probe(spark, state, docs).collect()
+    assert sorted(map(tuple, first)) == sorted(map(tuple, again))
+
+
+def test_empty_index_probe_is_schema_stable(spark, tmp_path):
+    state = str(tmp_path / "lex_empty")
+    apply_lex_index_batch(_docs(spark, []), 1, state_dir=state)
+    qterms = spark.createDataFrame(
+        [(0, "apple", 1)], "qid bigint, term string, df bigint"
+    )
+    out = bm25_topk_indexed(spark, state, qterms, k=5)
+    assert out.count() == 0
+    assert dict(out.dtypes)["score_scaled"] == "bigint"
