@@ -2780,3 +2780,178 @@ def e40_streaming_restart_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         return detach_from_state(res, root)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# e41 — stream-stream JOIN late-drop parity: the remaining stateful-
+# operator family with no oracle row.  Left = even event_ids, right =
+# odd; inner join on user_id within ±span/100 of event time, both
+# sides watermarked (delay = span/6, the e38 sizing).  A deterministic
+# subset of the oldest-third LEFT rows (event_id % 7 == 0) is held back
+# and re-injected with the third file; the right side stays in-order.
+#
+# Semantics pinned empirically against this Spark build (two file
+# sources, maxFilesPerTrigger=1, availableNow):
+#   - the late-input filter uses e38's LAGGED front: batch N drops
+#     input rows with ts <= wm_evict(N-1) = min over sources of
+#     (max event time over batches < N-1) - delay (<= boundary
+#     verified: a row AT the front is dropped; one second above joins);
+#   - state eviction CANNOT drop a partner a kept row needs: the
+#     cleanup cut at the end of batch N-1 is that same front minus the
+#     join upper bound, and a kept left row's interval only reaches
+#     ts - upper > front - upper — verified by joining a kept late row
+#     against a right row two eviction fronts old.
+# So the inner-join parity is exactly "interval join over rows that
+# survive the late filter", which the oracle models declaratively with
+# the lagged front (NULL-safe like e38).  Output is the per-event-type
+# pair aggregate (exact decimal sums, one final double cast).
+# tests/test_streaming.py::test_join_late_filter_front_and_state pins
+# the boundary triplet and the old-partner join in isolation.
+# ---------------------------------------------------------------------------
+@register(
+    "e41_streaming_join_late_drop",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, event_type,
+        epoch_ms(date_trunc('second', ts)) // 1000 AS tss,
+        CAST(value AS DECIMAL(18,2)) AS val
+      FROM events
+    ),
+    p AS (
+      SELECT lo, hi, lo + (hi - lo) // 3 AS c1, lo + (2*(hi - lo)) // 3 AS c2,
+        (hi - lo) // 6 AS dly, (hi - lo) // 100 AS up
+      FROM (SELECT min(tss) AS lo, max(tss) AS hi FROM e)
+    ),
+    lft AS (
+      SELECT e.*, (e.event_id % 7 = 0 AND e.tss < p.c1) AS held, p.c1, p.dly, p.up
+      FROM e, p WHERE e.event_id % 2 = 0
+    ),
+    rgt AS (SELECT e.* FROM e WHERE e.event_id % 2 = 1),
+    front AS (
+      SELECT COALESCE(
+        LEAST(
+          (SELECT max(CASE WHEN NOT held AND tss < c1 THEN tss END) FROM lft),
+          (SELECT max(CASE WHEN r.tss < p.c1 THEN r.tss END) FROM rgt r, p)
+        ) - (SELECT dly FROM p),
+        0) AS wm_late3
+    ),
+    kept_l AS (
+      SELECT l.* FROM lft l, front f
+      WHERE NOT (l.held AND l.tss <= f.wm_late3)
+    )
+    SELECT l.event_type,
+      CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      CAST(SUM(l.val) AS DOUBLE) AS sum_left,
+      CAST(SUM(r.val) AS DOUBLE) AS sum_right
+    FROM kept_l l
+    JOIN rgt r ON l.user_id = r.user_id
+      AND r.tss >= l.tss - l.up AND r.tss <= l.tss + l.up
+    GROUP BY l.event_type
+    ORDER BY l.event_type
+    """,
+)
+def e41_streaming_join_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import posixpath
+    import shutil
+    import tempfile
+
+    from censo_escolar_spark.streaming import detach_from_state
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_trunc("second", F.col("ts").cast("timestamp")).alias("ts"),
+        "value",
+    )
+    b = e.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+    if b["lo"] is None:
+        return spark.createDataFrame(
+            [],
+            "event_type string, n_pairs bigint, sum_left double,"
+            " sum_right double",
+        )
+    lo_s, hi_s = int(b["lo"].timestamp()), int(b["hi"].timestamp())
+    span = hi_s - lo_s
+    c1, c2 = lo_s + span // 3, lo_s + (2 * span) // 3
+    delay, up = span // 6, span // 100
+    t = F.unix_timestamp("ts")
+
+    left = e.filter(F.col("event_id") % 2 == 0)
+    right = e.filter(F.col("event_id") % 2 == 1)
+    held = (F.col("event_id") % 7 == 0) & (t < c1)
+
+    root = tempfile.mkdtemp(prefix="e41_join_")
+    lsrc, rsrc, ckpt, out = (
+        posixpath.join(root, d) for d in ("lsrc", "rsrc", "ckpt", "out")
+    )
+    try:
+        lslices = (
+            left.filter((t < c1) & ~held),
+            left.filter((t >= c1) & (t < c2)),
+            left.filter((t >= c2) | held),  # held rows re-injected LATE
+        )
+        rslices = (
+            right.filter(t < c1),
+            right.filter((t >= c1) & (t < c2)),
+            right.filter(t >= c2),
+        )
+        for s in lslices:
+            s.coalesce(1).write.mode("append").parquet(lsrc)
+        for s in rslices:
+            s.coalesce(1).write.mode("append").parquet(rsrc)
+
+        schema = spark.read.parquet(lsrc).schema
+        l_stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(lsrc)
+            .select(
+                F.col("ts").alias("l_ts"),
+                F.col("user_id").alias("l_uid"),
+                F.col("event_type").alias("l_type"),
+                F.col("value").alias("l_val"),
+            )
+            .withWatermark("l_ts", f"{delay} seconds")
+        )
+        r_stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(rsrc)
+            .select(
+                F.col("ts").alias("r_ts"),
+                F.col("user_id").alias("r_uid"),
+                F.col("value").alias("r_val"),
+            )
+            .withWatermark("r_ts", f"{delay} seconds")
+        )
+        joined = l_stream.join(
+            r_stream,
+            (F.col("l_uid") == F.col("r_uid"))
+            & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"interval {up} seconds"))
+            & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"interval {up} seconds")),
+            "inner",
+        ).select("l_type", "l_val", "r_val")
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        res = (
+            spark.read.schema("l_type string, l_val double, r_val double")
+            .parquet(out)
+            .groupBy(F.col("l_type").alias("event_type"))
+            .agg(
+                F.count("*").cast("bigint").alias("n_pairs"),
+                F.sum(F.col("l_val").cast(DEC)).cast("double").alias("sum_left"),
+                F.sum(F.col("r_val").cast(DEC)).cast("double").alias("sum_right"),
+            )
+            .orderBy("event_type")
+        )
+        return detach_from_state(res, root)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -569,3 +569,83 @@ def test_restart_resumes_offsets_and_state(spark, tmp_path):
     # rows (3 from the dead incarnation's state + 1 new), not 1
     final_10 = data_batches[-1][1].get((t0, 1))
     assert final_10 == 4
+
+
+def test_join_late_filter_front_and_state(spark, tmp_path):
+    """Pins the stream-stream inner-join semantics e41's oracle models:
+    (1) the late-input filter uses the LAGGED front (batch N drops
+    ts <= min-over-sources max event time of batches < N-1, minus
+    delay; the <= boundary is exact), and (2) state eviction never
+    removes a partner a kept row needs — a kept late row still joins a
+    right row from two eviction fronts ago."""
+    from datetime import timedelta
+
+    from pyspark.sql import functions as F
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(m, s=0):
+        return t0 + timedelta(minutes=m, seconds=s)
+
+    lsrc, rsrc = str(tmp_path / "L"), str(tmp_path / "R")
+    ckpt = str(tmp_path / "ck")
+    sch = "ts timestamp, uid bigint, tag string"
+
+    def w(path, rows):
+        spark.createDataFrame(rows, sch).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+
+    # watermark 10m; join r.ts in [l.ts - 5m, l.ts + 5m] on uid
+    w(lsrc, [(ts(0), 99, "l1")])
+    w(rsrc, [(ts(0), 99, "r1"), (ts(50, 30), 21, "rOld5030"),
+             (ts(47, 0), 22, "rOld4700"), (ts(52, 0), 23, "rOld5200")])
+    # batch 2 advances both sides to 60:00 -> post-b2 front = 50:00
+    w(lsrc, [(ts(60), 98, "l2")]); w(rsrc, [(ts(60), 98, "r2")])
+    # batch 3 advances to 65:00 -> post-b3 front = 55:00
+    w(lsrc, [(ts(65), 97, "l3")]); w(rsrc, [(ts(65), 97, "r3")])
+    # batch 4 probes: the lagged front must be 50:00 (post-b2), the <=
+    # boundary exact, and rOld4700 (two cleanup fronts old) joinable
+    w(lsrc, [(ts(49, 59), 21, "lA"), (ts(50, 0), 21, "lB"),
+             (ts(50, 1), 21, "lC"), (ts(54, 59), 23, "lD"),
+             (ts(51, 0), 22, "lG")])
+    w(rsrc, [(ts(66), 96, "r4")])
+
+    def stream(path, pre):
+        s = (
+            spark.readStream.schema(sch)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+        )
+        for a, b in (("ts", f"{pre}_ts"), ("uid", f"{pre}_uid"), ("tag", f"{pre}_tag")):
+            s = s.withColumnRenamed(a, b)
+        return s.withWatermark(f"{pre}_ts", "10 minutes")
+
+    joined = stream(lsrc, "l").join(
+        stream(rsrc, "r"),
+        (F.col("l_uid") == F.col("r_uid"))
+        & (F.col("r_ts") >= F.col("l_ts") - F.expr("interval 5 minutes"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr("interval 5 minutes")),
+        "inner",
+    )
+    got: list[tuple[str, str]] = []
+    q = (
+        joined.writeStream.foreachBatch(
+            lambda bdf, bid: got.extend(
+                (r.l_tag, r.r_tag) for r in bdf.collect()
+            )
+        )
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    pairs = set(got)
+    assert ("lA", "rOld5030") not in pairs  # 49:59 < front -> dropped
+    assert ("lB", "rOld5030") not in pairs  # 50:00 == front -> dropped (<=)
+    assert ("lC", "rOld5030") in pairs      # 50:01 > front -> joins
+    assert ("lD", "rOld5200") in pairs      # well above the front
+    # kept late row joins a partner two cleanup fronts old: state
+    # eviction lags exactly enough that no kept row loses its partner
+    assert ("lG", "rOld4700") in pairs
