@@ -288,6 +288,47 @@ def ivfpq_topk(
     """
     from censo_escolar_spark.operators.similarity import ivf_assign
 
+    setup = _ivfpq_probe_setup(
+        corpus.sparkSession, queries, centroids, codebooks,
+        id_col=id_col, vec_col=vec_col, nprobe=nprobe,
+    )
+    if setup is None:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cos double, rank int"
+        )
+    probes, tables, _ = setup
+    coded = pq_encode(
+        ivf_assign(corpus, centroids, vec_col=vec_col),
+        codebooks,
+        id_col=id_col,
+        vec_col=vec_col,
+    ).select(
+        F.col(id_col).alias("c_id"),
+        F.col("__centroid_id").alias("cell"),
+        "pq_code",
+    )
+    return _ivfpq_adc_rerank(
+        coded, probes, tables, codebooks.shape[0],
+        queries=queries, vectors=corpus,
+        id_col=id_col, vec_col=vec_col, rerank=rerank, k=k,
+    )
+
+
+def _ivfpq_probe_setup(
+    spark,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    *,
+    id_col: str,
+    vec_col: str,
+    nprobe: int | None,
+):
+    """Driver-side IVF-PQ probe setup (bounded query set by the s01
+    contract): the (q_id, qi, cell) probe-pair frame, the per-query ADC
+    lookup tables, and the sorted union of probed cells (the
+    partition-prune list for stored-codes readers). None when the query
+    set is empty."""
     queries = queries.filter(F.col(vec_col).isNotNull())
     m, kk, dsub = codebooks.shape
     books = codebooks
@@ -299,9 +340,7 @@ def ivfpq_topk(
         F.col(id_col).alias("q_id"), as_double_array(vec_col).alias("q_v")
     ).collect()
     if not q_rows:
-        return corpus.sparkSession.createDataFrame(
-            [], "query_id long, neighbor_id long, cos double, rank int"
-        )
+        return None
     q_ids = np.array([r.q_id for r in q_rows])
     q_mat = _normalized(np.vstack([r.q_v for r in q_rows]))
     tables = np.stack(
@@ -311,28 +350,37 @@ def ivfpq_topk(
     probe_lists = np.argsort(-(q_mat @ cn.T), axis=1, kind="stable")[
         :, : min(nprobe, cn.shape[0])
     ]
-
     # (qi, cell) probe pairs — nq × nprobe rows, a driver-side constant
-    spark = corpus.sparkSession
     probes = spark.createDataFrame(
         [
             (int(q_ids[qi]), int(qi), int(cell))
             for qi in range(len(q_ids))
             for cell in probe_lists[qi]
         ],
-        "q_id long, qi int, __centroid_id int",
+        "q_id long, qi int, cell int",
     )
+    needed = sorted({int(c) for cells in probe_lists for c in cells})
+    return probes, tables, needed
 
-    coded = pq_encode(
-        ivf_assign(corpus, centroids, vec_col=vec_col),
-        codebooks,
-        id_col=id_col,
-        vec_col=vec_col,
-    ).select(
-        F.col(id_col).alias("c_id"), "__centroid_id", "pq_code"
-    )
 
-    cand = coded.join(F.broadcast(probes), "__centroid_id").filter(
+def _ivfpq_adc_rerank(
+    coded: DataFrame,
+    probes: DataFrame,
+    tables: np.ndarray,
+    m: int,
+    *,
+    queries: DataFrame,
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    rerank: int,
+    k: int,
+) -> DataFrame:
+    """The shared back half of IVF-PQ search: ADC-score the probed
+    codes ``(c_id, cell, pq_code)``, pool the per-query top-``rerank``
+    two-phase, and re-rank the pool with exact fold-order cosines from
+    ``vectors``."""
+    cand = coded.join(F.broadcast(probes), "cell").filter(
         F.col("q_id") != F.col("c_id")
     )
 
@@ -368,10 +416,10 @@ def ivfpq_topk(
         .filter(F.col("r") <= rerank)
         .select("q_id", "c_id")
     )
-    qv = queries.select(
+    qv = queries.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("q_id"), as_double_array(vec_col).alias("q_v")
     )
-    cv = corpus.filter(F.col(vec_col).isNotNull()).select(
+    cv = vectors.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("c_id"), as_double_array(vec_col).alias("c_v")
     )
     exact = (
@@ -389,4 +437,78 @@ def ivfpq_topk(
             "cos",
             F.col("rank").cast("int").alias("rank"),
         )
+    )
+
+
+def write_ivfpq_index(
+    df: DataFrame,
+    path: str,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the corpus as a STORED IVF-PQ index: one parquet table of
+    ``(id, pq_code)`` rows partitioned by the coarse cell — the codes
+    are the ONLY thing a probe scan reads (m bytes/vector instead of
+    dim floats, the PQ memory story made physical), and the probe of
+    ``nprobe`` cells is a partition-pruned scan like the raw stored
+    index (similarity.write_ivf_index). The float vectors stay in their
+    source table; the exact re-rank joins them by id for the bounded
+    top-``rerank`` pool only."""
+    from censo_escolar_spark.operators.similarity import ivf_assign
+
+    coded = pq_encode(
+        ivf_assign(df, centroids, vec_col=vec_col),
+        codebooks,
+        id_col=id_col,
+        vec_col=vec_col,
+    ).select(
+        F.col(id_col).cast("bigint").alias("id"),
+        "pq_code",
+        F.col("__centroid_id").alias("cell"),
+    )
+    coded.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+
+def ivfpq_topk_indexed(
+    spark,
+    index_path: str,
+    vectors: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int | None = 4,
+    rerank: int = 50,
+) -> DataFrame:
+    """IVF-PQ top-k against the STORED codes index written by
+    ``write_ivfpq_index``: the codes scan is partition-PRUNED to the
+    probed cells (a PartitionFilters predicate at the parquet source —
+    asserted in tests), ADC-scored, pooled, and exactly re-ranked
+    against ``vectors``. ``nprobe = None`` + ``rerank >= |corpus|``
+    equals brute force (the oracle configuration, s13's contract)."""
+    setup = _ivfpq_probe_setup(
+        spark, queries, centroids, codebooks,
+        id_col=id_col, vec_col=vec_col, nprobe=nprobe,
+    )
+    if setup is None:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cos double, rank int"
+        )
+    probes, tables, needed = setup
+    coded = (
+        spark.read.schema("id bigint, pq_code array<int>, cell int")
+        .parquet(index_path)
+        .filter(F.col("cell").isin(needed))
+        .select(F.col("id").alias("c_id"), "cell", "pq_code")
+    )
+    return _ivfpq_adc_rerank(
+        coded, probes, tables, codebooks.shape[0],
+        queries=queries, vectors=vectors,
+        id_col=id_col, vec_col=vec_col, rerank=rerank, k=k,
     )

@@ -5070,3 +5070,38 @@ def t40_bm25_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         return detach_from_state(out, state)
     finally:
         shutil.rmtree(state, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# s27 — PERSISTED IVF-PQ index: the compressed member of the stored-
+# index family (s21 raw / s22 incremental / s23 deletes / s26
+# filtered).  The index table holds only (id, pq_code) partitioned by
+# coarse cell — m bytes per vector — so the probe scan reads codes,
+# never floats; the bounded top-rerank pool joins the embeddings table
+# for the exact fold-order re-rank.  Run at nprobe = C and rerank ≥
+# corpus so the pipeline equals brute force and the s01 oracle
+# hash-checks it (s13's contract); pruning + recall at realistic
+# (nprobe, rerank) are asserted in tests/test_pq.py.
+# ---------------------------------------------------------------------------
+@register("s27_ivfpq_indexed_topk", oracle=_S01_ORACLE)
+def s27_ivfpq_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from censo_escolar_spark.operators import pq
+    from censo_escolar_spark.streaming import detach_from_state
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    centroids = similarity.train_centroids(emb, iters=1)
+    books = pq.train_pq_codebooks(emb, m=4, k=16, iters=1)
+    root = tempfile.mkdtemp(prefix="s27_ivfpq_index_")
+    try:
+        pq.write_ivfpq_index(emb, root, centroids, books)
+        out = pq.ivfpq_topk_indexed(
+            spark, root, emb, queries, centroids, books,
+            k=5, nprobe=None, rerank=1_000_000,
+        ).orderBy("query_id", "rank")
+        return detach_from_state(out, root)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -123,3 +123,50 @@ def test_ivfpq_empty_queries(spark, emb):
         emb, emb.filter(F.col("vec_id") < 0), centroids, books, k=3
     )
     assert out.count() == 0
+
+
+def test_ivfpq_indexed_prunes_and_matches(spark, emb, tmp_path):
+    """The persisted IVF-PQ codes index (write_ivfpq_index /
+    ivfpq_topk_indexed): exhaustive probe + full rerank equals the
+    in-memory ivfpq_topk (and hence brute force); the stored table
+    holds codes only; a pruned probe's scan carries the cell partition
+    filter and keeps sane recall."""
+    import os
+
+    idx = str(tmp_path / "ivfpq_index")
+    centroids = similarity.train_centroids(emb, n_centroids=4, iters=1)
+    books = pq.train_pq_codebooks(emb, m=4, k=16, iters=1)
+    pq.write_ivfpq_index(emb, idx, centroids, books)
+    cells = sorted(d for d in os.listdir(idx) if d.startswith("cell="))
+    assert len(cells) >= 2
+    # stored rows are (id, pq_code) only — no float vectors in the index
+    stored_cols = set(
+        spark.read.parquet(idx).columns
+    )
+    assert stored_cols == {"id", "pq_code", "cell"}
+
+    queries = emb.filter(F.col("vec_id") < 8)
+    mem = (
+        pq.ivfpq_topk(emb, queries, centroids, books, k=5, nprobe=None,
+                      rerank=1_000_000)
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    stored = (
+        pq.ivfpq_topk_indexed(spark, idx, emb, queries, centroids, books,
+                              k=5, nprobe=None, rerank=1_000_000)
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    assert [(r.query_id, r.neighbor_id, r.rank) for r in mem] == [
+        (r.query_id, r.neighbor_id, r.rank) for r in stored
+    ]
+
+    pruned = pq.ivfpq_topk_indexed(
+        spark, idx, emb, queries, centroids, books, k=5, nprobe=1, rerank=50
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    got = {(r.query_id, r.neighbor_id) for r in pruned.collect()}
+    truth = {(r.query_id, r.neighbor_id) for r in mem}
+    assert len(got & truth) / len(truth) >= 0.4
