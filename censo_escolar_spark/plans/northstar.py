@@ -5105,3 +5105,128 @@ def s27_ivfpq_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         return detach_from_state(out, root)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# t41 — BM25 index deletions: t40's maintained lexical index with a
+# right-to-be-forgotten batch in the middle (the s23/d22 tombstone
+# discipline applied to posting lists).  Batches: ingest %3==0, ingest
+# %3==1, DELETE all doc_id %7==0 (no-op for not-yet-indexed ids),
+# ingest %3==2 — so a %7==0 ∧ %3==2 doc arrives AFTER its tombstone
+# and stays live (batch-ordered semantics), while indexed %7==0 docs
+# leave the live view; compact_every=2 puts one fold before and one
+# after the delete (the post-delete fold physically reclaims and
+# REBUILDS termstats/totals from survivors).  The probe recomputes df
+# for the query docs' candidate terms from the LIVE pruned postings
+# (stored termstats still count tombstoned docs) and N/avgdl from the
+# live doclens.  Oracle: one-shot BM25 (t39's SQL) over the live set
+# NOT (doc_id%7=0 AND doc_id%3<>2), with query-doc tokenization over
+# the unfiltered table (queries are inputs, not corpus members) and
+# rarest-term selection against the live df.
+# ---------------------------------------------------------------------------
+_T41_ORACLE = f"""
+WITH live AS (
+  SELECT doc_id, text FROM documents
+  WHERE NOT (doc_id % 7 = 0 AND doc_id % 3 != 2)
+),
+tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM live),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM live),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS tot_tokens FROM tok),
+qtok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents WHERE doc_id < 4
+),
+qterms AS (
+  SELECT qid, term, df FROM (
+    SELECT qt.doc_id AS qid, qt.term, d.df,
+      ROW_NUMBER() OVER (PARTITION BY qt.doc_id ORDER BY d.df ASC, qt.term ASC) AS r
+    FROM (SELECT DISTINCT doc_id, term FROM qtok) qt
+    JOIN dfreq d USING (term)
+  ) WHERE r <= 8
+),
+consts AS (
+  SELECT CAST(n.n_docs AS DOUBLE) AS nd,
+    CAST(tot.tot_tokens AS DOUBLE) / CAST(n.n_docs AS DOUBLE) AS avgdl
+  FROM n CROSS JOIN tot
+),
+scored AS (
+  SELECT q.qid AS query_id, t.doc_id,
+    CAST(round(
+      (((c.nd - CAST(q.df AS DOUBLE) + 0.5) / (CAST(q.df AS DOUBLE) + 0.5))
+        * (CAST(t.tf AS DOUBLE) * {retrieval.BM25_K1_PLUS_1!r}))
+      / (CAST(t.tf AS DOUBLE)
+         + ({retrieval.BM25_K1!r} * ({retrieval.BM25_ONE_MINUS_B!r}
+            + ({retrieval.BM25_B!r} * (CAST(l.dl AS DOUBLE) / c.avgdl)))))
+      * {retrieval.BM25_SCALE!r}) AS BIGINT) AS qscaled
+  FROM qterms q
+  JOIN tf t ON q.term = t.term AND t.doc_id != q.qid
+  JOIN dl l ON t.doc_id = l.doc_id
+  CROSS JOIN consts c
+),
+agg AS (
+  SELECT query_id, doc_id, CAST(SUM(qscaled) AS BIGINT) AS score_scaled,
+    CAST(COUNT(*) AS INTEGER) AS n_terms
+  FROM scored GROUP BY query_id, doc_id
+)
+SELECT query_id, CAST(r AS INTEGER) AS rank, doc_id, n_terms, score_scaled,
+  CAST(score_scaled AS DOUBLE) / {retrieval.BM25_SCALE!r} AS score
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY score_scaled DESC, doc_id) AS r
+  FROM agg
+)
+WHERE r <= 5
+ORDER BY query_id, rank
+"""
+
+
+@register("t41_bm25_index_deletes", oracle=_T41_ORACLE)
+def t41_bm25_index_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from censo_escolar_spark.streaming import detach_from_state
+    from censo_escolar_spark.streaming.lexindex import (
+        apply_lex_delete_batch,
+        apply_lex_index_batch,
+        bm25_topk_indexed,
+        live_term_df,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    state = tempfile.mkdtemp(prefix="t41_lex_state_")
+    try:
+        for bid, m in ((1, 0), (2, 1)):
+            apply_lex_index_batch(
+                docs.filter(F.col("doc_id") % 3 == m).select("doc_id", "text"),
+                bid,
+                state_dir=state,
+                compact_every=2,
+            )
+        apply_lex_delete_batch(
+            docs.filter(F.col("doc_id") % 7 == 0).select("doc_id"),
+            3,
+            state_dir=state,
+            compact_every=2,
+        )
+        apply_lex_index_batch(
+            docs.filter(F.col("doc_id") % 3 == 2).select("doc_id", "text"),
+            4,
+            state_dir=state,
+            compact_every=2,
+        )
+        qtf, _, _ = retrieval.corpus_stats(
+            docs.filter(F.col("doc_id") < 4), "doc_id", "text"
+        )
+        cand_terms = [r["term"] for r in qtf.select("term").distinct().collect()]
+        live_df = live_term_df(spark, state, cand_terms)
+        qterms = retrieval.rarest_query_terms(qtf, live_df, range(4), n_terms=8)
+        out = bm25_topk_indexed(spark, state, qterms, k=5).orderBy(
+            "query_id", "rank"
+        )
+        return detach_from_state(out, state)
+    finally:
+        shutil.rmtree(state, ignore_errors=True)

@@ -27,8 +27,17 @@ with the other maintainers; the fold's LSM merge re-aggregates
 store answers probes bit-identically (exact integer sums are
 order-free).
 
-Parity is driver-gated by t40: three disjoint increments + an in-loop
-fold must equal the one-shot t39 result (same oracle SQL).
+Deletions are id TOMBSTONES (``apply_lex_delete_batch`` — the s23/d22
+discipline): probes subtract tombstoned postings/doclens with the
+arrival-ordered anti-join, N/avgdl recompute from the live doclens, df
+for query terms recomputes from the live pruned postings
+(``live_term_df``), and the (always delete-aware) compaction fold
+physically reclaims tombstoned rows and rebuilds termstats/totals.
+
+Parity is driver-gated by t40 (three disjoint increments + an in-loop
+fold ≡ the one-shot t39, same oracle SQL) and t41 (increments + a
+delete batch + a post-delete increment ≡ one-shot BM25 over the live
+corpus).
 """
 
 from __future__ import annotations
@@ -62,25 +71,12 @@ def _bucket(col) -> Column:
     return F.pmod(F.xxhash64(col), F.lit(N_BUCKETS)).cast("int")
 
 
-def _fold_lex(frames: dict[str, DataFrame]) -> dict[str, DataFrame]:
-    """Compaction fold: postings/doclens union as-is; termstats
-    re-aggregates per-term df contributions; totals folds to one row —
-    all exact integer sums, so probes over the folded store are
-    bit-identical to probes over the batch history."""
-    return {
-        "postings": frames["postings"].drop("batch"),
-        "doclens": frames["doclens"].drop("batch"),
-        "termstats": frames["termstats"]
-        .groupBy("term", "bucket")
-        .agg(F.sum("df").cast("bigint").alias("df"))
-        .select("term", "df", "bucket"),
-        "totals": frames["totals"].agg(
-            F.coalesce(F.sum("n_docs"), F.lit(0)).cast("bigint").alias("n_docs"),
-            F.coalesce(F.sum("tot_tokens"), F.lit(0))
-            .cast("bigint")
-            .alias("tot_tokens"),
-        ),
-    }
+# The lexical store is ALWAYS compacted with the delete-aware fold
+# (_fold_lex_deletes below): a delete-blind fold would rebatch postings
+# to `upto` past their tombstones' batch ids and resurrect them. With
+# no tombstones the delete-aware fold degenerates to the plain
+# contents-preserving merge (termstats rebuilt from postings equals the
+# summed per-batch contributions — both count documents per term).
 
 
 def apply_lex_index_batch(
@@ -100,7 +96,7 @@ def apply_lex_index_batch(
     insert path).  Retry-idempotent: a re-run fully overwrites its own
     ``batch=<id>`` directories."""
     spark = batch_df.sparkSession
-    recover_batch_store(spark, state_dir, list(_LAYOUT))
+    recover_batch_store(spark, state_dir, list(_DEL_LAYOUT))
     tf, dl, dfreq = corpus_stats(batch_df, id_col, text_col)
     tf = tf.localCheckpoint(eager=True)  # one tokenization, three consumers
     dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
@@ -123,9 +119,7 @@ def apply_lex_index_batch(
             posixpath.join(_component(state_dir, comp), f"batch={batch_id}")
         )
     if compact_every and batch_id > 0 and batch_id % compact_every == 0:
-        compact_batch_store(
-            spark, state_dir, upto=batch_id - 1, layout=_LAYOUT, fold=_fold_lex
-        )
+        compact_lex_store(spark, state_dir, upto=batch_id - 1)
 
 
 def _read(spark: SparkSession, state_dir: str, comp: str, below: int) -> DataFrame:
@@ -141,7 +135,7 @@ def lex_index_stats(
     term and the summed (n_docs, tot_tokens).  termstats is the
     vocabulary-sized component — fine to aggregate for query-term
     selection; the postings themselves are only ever read pruned."""
-    recover_batch_store(spark, state_dir, list(_LAYOUT))
+    recover_batch_store(spark, state_dir, list(_DEL_LAYOUT))
     hi = below if below is not None else 1 << 62
     termstats = (
         _read(spark, state_dir, "termstats", hi)
@@ -176,10 +170,23 @@ def bm25_topk_indexed(
     partition-PRUNED to the query terms' buckets (computed driver-side
     from the collected term list — bounded by contract), the candidate
     join and scoring are t39's, and the result is bit-identical to the
-    one-shot bm25_topk over the union of all ingested batches."""
-    recover_batch_store(spark, state_dir, list(_LAYOUT))
+    one-shot bm25_topk over the union of all ingested batches (minus
+    any tombstoned documents — deletes switch N/avgdl to exact live
+    recomputes from the doclens component, still one bounded agg)."""
+    recover_batch_store(spark, state_dir, list(_DEL_LAYOUT))
     hi = below if below is not None else 1 << 62
-    _, totals = lex_index_stats(spark, state_dir, below=below)
+    postings_live, doclens_live, has_deletes = _live_components(
+        spark, state_dir, hi
+    )
+    if has_deletes:
+        # stored totals still count tombstoned docs; recompute from the
+        # LIVE doclens (one agg over the per-doc component, not postings)
+        totals = doclens_live.agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias("tot_tokens"),
+        ).first()
+    else:
+        _, totals = lex_index_stats(spark, state_dir, below=below)
     n_docs = int(totals["n_docs"])
     if n_docs == 0:
         return spark.createDataFrame(
@@ -200,10 +207,8 @@ def bm25_topk_indexed(
             .collect()
         }
     )
-    postings = _read(spark, state_dir, "postings", hi).filter(
-        F.col("bucket").isin(buckets)
-    )
-    doclens = _read(spark, state_dir, "doclens", hi)
+    postings = postings_live.filter(F.col("bucket").isin(buckets))
+    doclens = doclens_live
     p = postings.alias("p")
     q = query_terms.alias("q")
     cand = (
@@ -223,3 +228,136 @@ def bm25_topk_indexed(
         .join(doclens, "doc_id")
     )
     return bm25_rank(cand, n_docs=n_docs, avgdl=avgdl, k=k)
+
+
+def apply_lex_delete_batch(
+    ids_df: DataFrame,
+    batch_id: int,
+    *,
+    state_dir: str,
+    id_col: str = "doc_id",
+    compact_every: int | None = COMPACT_EVERY,
+) -> None:
+    """Delete a batch of document ids from the BM25 index: the ids
+    append as this batch's partition of a ``deletes`` component —
+    O(batch), no posting partition read or rewritten (the s23/d22
+    tombstone discipline).  Probes subtract tombstoned postings and
+    doc lengths with the arrival-ordered anti-join and recompute df /
+    totals from the LIVE rows (see bm25_topk_indexed); the compaction
+    fold physically reclaims tombstoned rows.  Deleting a never-indexed
+    id is a harmless no-op; a re-ingest after the delete is live."""
+    spark = ids_df.sparkSession
+    recover_batch_store(spark, state_dir, list(_DEL_LAYOUT))
+    ids_df.select(F.col(id_col).cast("bigint").alias("doc_id")).write.mode(
+        "overwrite"
+    ).parquet(posixpath.join(_component(state_dir, "deletes"), f"batch={batch_id}"))
+    if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+        compact_lex_store(spark, state_dir, upto=batch_id - 1)
+
+
+_DEL_LAYOUT = dict(_LAYOUT, deletes=("doc_id bigint", []))
+
+
+def _delete_cond(l: str, d: str):
+    """Arrival-ordered tombstone semantics shared with the IVF index:
+    a tombstone removes only rows indexed strictly before it."""
+    return (F.col(f"{l}.doc_id") == F.col(f"{d}.doc_id")) & (
+        F.col(f"{l}.batch") < F.col(f"{d}.batch")
+    )
+
+
+def _subtract(live: DataFrame, tombs: DataFrame) -> DataFrame:
+    return live.alias("l").join(tombs.alias("d"), _delete_cond("l", "d"), "left_anti")
+
+
+def _fold_lex_deletes(frames: dict[str, DataFrame]) -> dict[str, DataFrame]:
+    """LSM merge with deletions: reclaim tombstoned postings/doclens,
+    REBUILD termstats and totals from the surviving doclens/postings
+    (df contributions of reclaimed docs must leave the stats), and drop
+    the consumed tombstones."""
+    tombs = frames["deletes"]
+    postings = _subtract(frames["postings"], tombs).drop("batch")
+    doclens = _subtract(frames["doclens"], tombs).drop("batch")
+    return {
+        "postings": postings,
+        "doclens": doclens,
+        "termstats": postings.groupBy("term", "bucket")
+        .agg(F.count("*").cast("bigint").alias("df"))
+        .select("term", "df", "bucket"),
+        "totals": doclens.agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias("tot_tokens"),
+        ),
+        "deletes": tombs.filter(F.lit(False)).drop("batch"),
+    }
+
+
+def compact_lex_store(spark: SparkSession, state_dir: str, *, upto: int) -> None:
+    """Fold the lexical index's components (postings/doclens/termstats/
+    totals/deletes) with the delete-aware LSM merge."""
+    compact_batch_store(
+        spark, state_dir, upto=upto, layout=_DEL_LAYOUT, fold=_fold_lex_deletes
+    )
+
+
+def _live_components(
+    spark: SparkSession, state_dir: str, hi: int
+) -> tuple[DataFrame, DataFrame, bool]:
+    """(live postings, live doclens, had_tombstones) below ``hi`` —
+    tombstone anti-joins applied only when a deletes component exists,
+    so delete-free stores keep their exact pre-delete plans."""
+    from censo_escolar_spark.streaming.dedup import hadoop_fs, list_children
+
+    droot = _component(state_dir, "deletes")
+    fs, jvm = hadoop_fs(spark, droot)
+    has = any(d.startswith("batch=") for d in list_children(fs, jvm, droot))
+    postings = _read_component(
+        spark, _component(state_dir, "postings"), _LAYOUT["postings"][0], hi,
+        keep_batch=has,
+    )
+    doclens = _read_component(
+        spark, _component(state_dir, "doclens"), _LAYOUT["doclens"][0], hi,
+        keep_batch=has,
+    )
+    if not has:
+        return postings, doclens, False
+    tombs = _read_component(spark, droot, "doc_id bigint", hi, keep_batch=True)
+    return (
+        _subtract(postings, tombs).drop("batch"),
+        _subtract(doclens, tombs).drop("batch"),
+        True,
+    )
+
+
+def live_term_df(
+    spark: SparkSession,
+    state_dir: str,
+    terms: list[str],
+    *,
+    below: int | None = None,
+) -> DataFrame:
+    """LIVE document frequency ``(term, df)`` for a bounded candidate
+    term list (a few query documents' vocabularies — ≤ hundreds of
+    strings by contract): count live postings rows per term over the
+    scan pruned to the candidates' buckets.  After deletions the stored
+    ``termstats`` still count tombstoned documents; this recomputes df
+    from the live posting lists, which is exact and costs only the
+    pruned buckets."""
+    recover_batch_store(spark, state_dir, list(_DEL_LAYOUT))
+    hi = below if below is not None else 1 << 62
+    postings, _, _ = _live_components(spark, state_dir, hi)
+    buckets = sorted(
+        {
+            r["b"]
+            for r in spark.createDataFrame(
+                [(t,) for t in terms], "term string"
+            )
+            .select(_bucket(F.col("term")).alias("b"))
+            .collect()
+        }
+    )
+    return (
+        postings.filter(F.col("bucket").isin(buckets))
+        .groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("df"))
+    )

@@ -10,10 +10,9 @@ from censo_escolar_spark.operators import retrieval
 from censo_escolar_spark.streaming.lexindex import (
     apply_lex_index_batch,
     bm25_topk_indexed,
-    compact_batch_store,
+    compact_lex_store,
     lex_index_stats,
     _LAYOUT,
-    _fold_lex,
 )
 
 DOCS = [
@@ -88,7 +87,7 @@ def test_fold_preserves_probe_results(spark, tmp_path):
     state = str(tmp_path / "lex")
     docs = _ingest(spark, state)
     before = _probe(spark, state, docs).collect()
-    compact_batch_store(spark, state, upto=3, layout=_LAYOUT, fold=_fold_lex)
+    compact_lex_store(spark, state, upto=3)
     after = _probe(spark, state, docs).collect()
     key = lambda r: (r["query_id"], r["rank"])
     assert sorted(map(tuple, before), key=lambda t: t[:2]) == sorted(
@@ -127,3 +126,96 @@ def test_empty_index_probe_is_schema_stable(spark, tmp_path):
     out = bm25_topk_indexed(spark, state, qterms, k=5)
     assert out.count() == 0
     assert dict(out.dtypes)["score_scaled"] == "bigint"
+
+
+def test_deletes_leave_live_view_and_reingest_is_live(spark, tmp_path):
+    from censo_escolar_spark.streaming.lexindex import apply_lex_delete_batch
+
+    state = str(tmp_path / "lex")
+    docs = _ingest(spark, state)  # batches 1..3
+    before = {r["doc_id"] for r in _probe(spark, state, docs).collect()}
+    assert before  # doc 0's rarest terms hit other docs
+    # forget doc 2 (appears in results for query doc 0 via "apple")
+    apply_lex_delete_batch(
+        spark.createDataFrame([(2,)], "doc_id bigint"), 4, state_dir=state
+    )
+    after = {r["doc_id"] for r in _probe(spark, state, docs).collect()}
+    assert 2 not in after
+    # re-ingest the same doc AFTER the tombstone: new live row
+    apply_lex_index_batch(
+        docs.filter(F.col("doc_id") == 2), 5, state_dir=state
+    )
+    again = {r["doc_id"] for r in _probe(spark, state, docs).collect()}
+    assert 2 in again
+
+
+def test_delete_updates_df_and_totals(spark, tmp_path):
+    """Scoring after a delete uses LIVE df / N / avgdl, equal to the
+    one-shot BM25 over the surviving docs."""
+    from censo_escolar_spark.streaming.lexindex import (
+        apply_lex_delete_batch,
+        live_term_df,
+    )
+
+    state = str(tmp_path / "lex")
+    docs = _ingest(spark, state)
+    apply_lex_delete_batch(
+        spark.createDataFrame([(2,), (3,)], "doc_id bigint"), 4, state_dir=state
+    )
+    live_docs = docs.filter(~F.col("doc_id").isin([2, 3]))
+    tf, dl, dfreq = retrieval.corpus_stats(live_docs, "doc_id", "text")
+    qterms_ref = retrieval.rarest_query_terms(tf, dfreq, [0], n_terms=8)
+    one_shot = retrieval.bm25_topk(live_docs, qterms_ref, k=5, stats=(tf, dl, dfreq))
+
+    qtf, _, _ = retrieval.corpus_stats(
+        docs.filter(F.col("doc_id") == 0), "doc_id", "text"
+    )
+    cand = [r["term"] for r in qtf.select("term").distinct().collect()]
+    ldf = live_term_df(spark, state, cand)
+    qterms = retrieval.rarest_query_terms(qtf, ldf, [0], n_terms=8)
+    got = bm25_topk_indexed(spark, state, qterms, k=5)
+    assert sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["score_scaled"])
+        for r in got.collect()
+    ) == sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["score_scaled"])
+        for r in one_shot.collect()
+    )
+
+
+def test_delete_fold_physically_reclaims(spark, tmp_path):
+    import os
+
+    from censo_escolar_spark.streaming.lexindex import (
+        apply_lex_delete_batch,
+    )
+
+    state = str(tmp_path / "lex")
+    docs = _ingest(spark, state)
+    apply_lex_delete_batch(
+        spark.createDataFrame([(0,)], "doc_id bigint"), 4, state_dir=state
+    )
+    compact_lex_store(spark, state, upto=4)
+    raw = spark.read.parquet(os.path.join(state, "postings"))
+    assert 0 not in {r["doc_id"] for r in raw.collect()}
+    raw_dl = spark.read.parquet(os.path.join(state, "doclens"))
+    assert 0 not in {r["doc_id"] for r in raw_dl.collect()}
+    assert spark.read.parquet(os.path.join(state, "deletes")).count() == 0
+    # rebuilt termstats match live postings exactly
+    ts = spark.read.parquet(os.path.join(state, "termstats"))
+    live_df = raw.groupBy("term").count()
+    got = {(r["term"], r["df"]) for r in ts.collect()}
+    want = {(r["term"], r["count"]) for r in live_df.collect()}
+    assert got == want
+
+
+def test_delete_retry_idempotent(spark, tmp_path):
+    from censo_escolar_spark.streaming.lexindex import apply_lex_delete_batch
+
+    state = str(tmp_path / "lex")
+    docs = _ingest(spark, state)
+    dels = spark.createDataFrame([(1,)], "doc_id bigint")
+    apply_lex_delete_batch(dels, 4, state_dir=state)
+    first = sorted(map(tuple, _probe(spark, state, docs).collect()))
+    apply_lex_delete_batch(dels, 4, state_dir=state)
+    assert sorted(map(tuple, _probe(spark, state, docs).collect())) == first
