@@ -134,7 +134,13 @@ def lex_index_stats(
     """(termstats, totals-row) of the committed index: the summed df per
     term and the summed (n_docs, tot_tokens).  termstats is the
     vocabulary-sized component — fine to aggregate for query-term
-    selection; the postings themselves are only ever read pruned."""
+    selection; the postings themselves are only ever read pruned.
+
+    CONTRACT: between a delete batch and the next compaction these
+    stored stats still count tombstoned documents — the no-deletes
+    fast path.  Delete-aware callers must use ``live_term_df`` (df)
+    and ``bm25_topk_indexed``'s live-totals branch (N/avgdl), which
+    recompute from live rows; after a fold the two agree again."""
     recover_batch_store(spark, state_dir, list(_DEL_LAYOUT))
     hi = below if below is not None else 1 << 62
     termstats = (

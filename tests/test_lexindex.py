@@ -219,3 +219,71 @@ def test_delete_retry_idempotent(spark, tmp_path):
     first = sorted(map(tuple, _probe(spark, state, docs).collect()))
     apply_lex_delete_batch(dels, 4, state_dir=state)
     assert sorted(map(tuple, _probe(spark, state, docs).collect())) == first
+
+
+def test_lex_compaction_crash_after_marker_recovers(spark, tmp_path):
+    """A crash after the lexical store's compaction commit marker
+    (phase 2 unrun) is finished by the next probe/maintenance call —
+    the same two-phase discipline as the dedup store, exercised
+    through this store's 5-component delete-aware layout."""
+    import os
+
+    from censo_escolar_spark.streaming.lexindex import (
+        _DEL_LAYOUT,
+        _fold_lex_deletes,
+        _read_component,
+        _component,
+        apply_lex_delete_batch,
+    )
+
+    from censo_escolar_spark.streaming.lexindex import live_term_df
+
+    state = str(tmp_path / "lex")
+    docs = _ingest(spark, state)  # batches 1..3
+    apply_lex_delete_batch(
+        spark.createDataFrame([(1,)], "doc_id bigint"), 4, state_dir=state
+    )
+
+    def live_probe():
+        # the delete-aware probe (t41's contract): stored termstats
+        # deliberately over-count between a delete and the next fold,
+        # so df must come from the live pruned postings
+        qtf, _, _ = retrieval.corpus_stats(
+            docs.filter(F.col("doc_id") == 0), "doc_id", "text"
+        )
+        cand = [r["term"] for r in qtf.select("term").distinct().collect()]
+        qterms = retrieval.rarest_query_terms(
+            qtf, live_term_df(spark, state, cand), [0], n_terms=8
+        )
+        return bm25_topk_indexed(spark, state, qterms, k=5)
+
+    before = sorted(map(tuple, live_probe().collect()))
+    # phase 1 by hand (exactly what compact_lex_store does), then
+    # "crash" before phase 2: folded temps + marker, old dirs intact
+    frames = {
+        comp: _read_component(
+            spark, _component(state, comp), schema, 5, keep_batch=True
+        )
+        for comp, (schema, _) in _DEL_LAYOUT.items()
+    }
+    folded = _fold_lex_deletes(frames)
+    for comp, (schema, parts) in _DEL_LAYOUT.items():
+        w = folded[comp].write.mode("overwrite")
+        if parts:
+            w = w.partitionBy(*parts)
+        w.parquet(os.path.join(state, comp, "_compact_tmp_4"))
+    open(os.path.join(state, "_compact_commit_4"), "w").close()
+    # next probe recovers phase 2: identical results, marker gone,
+    # one batch dir per component, tombstoned doc reclaimed
+    after = sorted(map(tuple, live_probe().collect()))
+    assert after == before
+    assert not os.path.exists(os.path.join(state, "_compact_commit_4"))
+    for comp in _DEL_LAYOUT:
+        dirs = [
+            d
+            for d in os.listdir(os.path.join(state, comp))
+            if d.startswith("batch=")
+        ]
+        assert dirs == ["batch=4"], (comp, dirs)
+    raw = spark.read.parquet(os.path.join(state, "postings"))
+    assert 1 not in {r["doc_id"] for r in raw.collect()}
