@@ -47,7 +47,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # additions + the 14 remaining r2-evidence rows + the 30 oldest
 # r3-evidence rows), so tiers 1 and 2 are now empty and tier 3 holds
 # only q60/q61/q63–q71, s18, t32.  Round 8 adds e38, e39, s22, s23,
-# m13, t39, s24, s25, d22, e40, s26, t40, e41, s27, t41 (each
+# m13, t39, s24, s25, d22, e40, s26, t40, e41, s27, t41, e42 (each
 # bitwise-exact in the sim at
 # sf0.01 AND sf0.1) — no artifact row yet, so they grade first; behind them the
 # window regrades the 13 remaining r3-evidence rows and the oldest

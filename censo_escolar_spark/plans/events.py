@@ -2955,3 +2955,175 @@ def e41_streaming_join_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         return detach_from_state(res, root)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# e42 — stream-stream LEFT OUTER interval-join parity: the enrichment
+# shape (every left event, right columns NULL when no partner) whose
+# streaming-only subtlety is WHEN an unmatched row may emit — only
+# once the watermark proves no partner can still arrive.  Same
+# two-source layout as e41 but fully in-order (no held rows: e41 gates
+# the late filter; this row gates OUTER EMISSION).  Pinned empirically
+# (file sources, maxFilesPerTrigger=1, availableNow): by end-of-stream
+# the emitted null rows are exactly the unmatched left rows with
+# l_ts + upper < fw, where fw = min over sources of (max event time)
+# minus delay — STRICT < (an interval ending exactly ON the front does
+# NOT emit; verified at ±1 s), and rows above the front stay in state,
+# unemitted.  Matched pairs emit regardless (inner semantics).  The
+# oracle models the final emitted set declaratively: all interval-join
+# pairs plus NOT-EXISTS unmatched rows under the strict front cut.
+# ---------------------------------------------------------------------------
+@register(
+    "e42_streaming_outer_join_parity",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, event_type,
+        epoch_ms(date_trunc('second', ts)) // 1000 AS tss,
+        CAST(value AS DECIMAL(18,2)) AS val
+      FROM events
+    ),
+    p AS (
+      SELECT (hi - lo) // 6 AS dly, (hi - lo) // 100 AS up
+      FROM (SELECT min(tss) AS lo, max(tss) AS hi FROM e)
+    ),
+    lft AS (
+      SELECT e.*, p.dly, p.up FROM e, p WHERE e.event_id % 2 = 0
+    ),
+    rgt AS (SELECT e.* FROM e WHERE e.event_id % 2 = 1),
+    fw AS (
+      SELECT LEAST((SELECT max(tss) FROM lft), (SELECT max(tss) FROM rgt))
+        - (SELECT dly FROM p) AS fw
+    ),
+    pairs AS (
+      SELECT l.event_type, l.val AS lval, r.val AS rval
+      FROM lft l JOIN rgt r ON l.user_id = r.user_id
+        AND r.tss >= l.tss - l.up AND r.tss <= l.tss + l.up
+    ),
+    unmatched AS (
+      SELECT l.event_type, l.val AS lval,
+        CAST(NULL AS DECIMAL(18,2)) AS rval
+      FROM lft l, fw
+      WHERE l.tss + l.up < fw.fw
+        AND NOT EXISTS (
+          SELECT 1 FROM rgt r
+          WHERE r.user_id = l.user_id
+            AND r.tss >= l.tss - l.up AND r.tss <= l.tss + l.up
+        )
+    ),
+    allrows AS (
+      SELECT * FROM pairs UNION ALL SELECT * FROM unmatched
+    )
+    SELECT event_type,
+      CAST(COUNT(*) AS BIGINT) AS n_rows,
+      CAST(COUNT(rval) AS BIGINT) AS n_matched,
+      CAST(SUM(lval) AS DOUBLE) AS sum_left,
+      CAST(COALESCE(SUM(rval), CAST(0 AS DECIMAL(18,2))) AS DOUBLE)
+        AS sum_right
+    FROM allrows
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def e42_streaming_outer_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import posixpath
+    import shutil
+    import tempfile
+
+    from censo_escolar_spark.streaming import detach_from_state
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_trunc("second", F.col("ts").cast("timestamp")).alias("ts"),
+        "value",
+    )
+    b = e.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+    if b["lo"] is None:
+        return spark.createDataFrame(
+            [],
+            "event_type string, n_rows bigint, n_matched bigint,"
+            " sum_left double, sum_right double",
+        )
+    lo_s, hi_s = int(b["lo"].timestamp()), int(b["hi"].timestamp())
+    span = hi_s - lo_s
+    c1, c2 = lo_s + span // 3, lo_s + (2 * span) // 3
+    delay, up = span // 6, span // 100
+    t = F.unix_timestamp("ts")
+    left = e.filter(F.col("event_id") % 2 == 0)
+    right = e.filter(F.col("event_id") % 2 == 1)
+
+    root = tempfile.mkdtemp(prefix="e42_outer_")
+    lsrc, rsrc, ckpt, out = (
+        posixpath.join(root, d) for d in ("lsrc", "rsrc", "ckpt", "out")
+    )
+    try:
+        for side, src in ((left, lsrc), (right, rsrc)):
+            for lo_f, hi_f in ((None, c1), (c1, c2), (c2, None)):
+                s = side
+                if lo_f is not None:
+                    s = s.filter(t >= lo_f)
+                if hi_f is not None:
+                    s = s.filter(t < hi_f)
+                s.coalesce(1).write.mode("append").parquet(src)
+
+        schema = spark.read.parquet(lsrc).schema
+        l_stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(lsrc)
+            .select(
+                F.col("ts").alias("l_ts"),
+                F.col("user_id").alias("l_uid"),
+                F.col("event_type").alias("l_type"),
+                F.col("value").alias("l_val"),
+            )
+            .withWatermark("l_ts", f"{delay} seconds")
+        )
+        r_stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(rsrc)
+            .select(
+                F.col("ts").alias("r_ts"),
+                F.col("user_id").alias("r_uid"),
+                F.col("value").alias("r_val"),
+            )
+            .withWatermark("r_ts", f"{delay} seconds")
+        )
+        joined = l_stream.join(
+            r_stream,
+            (F.col("l_uid") == F.col("r_uid"))
+            & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"interval {up} seconds"))
+            & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"interval {up} seconds")),
+            "leftOuter",
+        ).select("l_type", "l_val", "r_val")
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        res = (
+            spark.read.schema("l_type string, l_val double, r_val double")
+            .parquet(out)
+            .groupBy(F.col("l_type").alias("event_type"))
+            .agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.count("r_val").cast("bigint").alias("n_matched"),
+                F.sum(F.col("l_val").cast(DEC)).cast("double").alias("sum_left"),
+                F.coalesce(
+                    F.sum(F.col("r_val").cast(DEC)),
+                    F.lit("0").cast(DEC),
+                )
+                .cast("double")
+                .alias("sum_right"),
+            )
+            .orderBy("event_type")
+        )
+        return detach_from_state(res, root)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
