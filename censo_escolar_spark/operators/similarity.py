@@ -775,9 +775,13 @@ def ivf_topk_indexed_filtered(
         spark, queries, centroids, id_col=id_col, vec_col=vec_col, nprobe=nprobe
     )
     if probes is None:
+        # schema-stable empty frame: the match column keeps the STORED
+        # index's type (hardcoding e.g. int would diverge from the
+        # non-empty path for string/tenant metadata)
+        mtype = spark.read.parquet(index_path).schema[match_col].dataType.simpleString()
         return spark.createDataFrame(
             [],
-            f"query_id long, neighbor_id long, {match_col} int,"
+            f"query_id long, neighbor_id long, {match_col} {mtype},"
             " cos double, rank int",
         )
     qmeta = queries.select(

@@ -2828,12 +2828,18 @@ def e40_streaming_restart_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     rgt AS (SELECT e.* FROM e WHERE e.event_id % 2 = 1),
     front AS (
-      SELECT COALESCE(
-        LEAST(
-          (SELECT max(CASE WHEN NOT held AND tss < c1 THEN tss END) FROM lft),
-          (SELECT max(CASE WHEN r.tss < p.c1 THEN r.tss END) FROM rgt r, p)
-        ) - (SELECT dly FROM p),
-        0) AS wm_late3
+      -- NULL-safe per SIDE, not just both-NULL: DuckDB's LEAST ignores
+      -- a single NULL argument, but Spark's global watermark is the MIN
+      -- over sources and an empty first file leaves that source's
+      -- watermark at epoch 0 — so EITHER side lacking first-file rows
+      -- means the engine drops nothing
+      SELECT CASE WHEN lmax IS NULL OR rmax IS NULL THEN 0
+                  ELSE LEAST(lmax, rmax) - (SELECT dly FROM p) END AS wm_late3
+      FROM (
+        SELECT
+          (SELECT max(CASE WHEN NOT held AND tss < c1 THEN tss END) FROM lft) AS lmax,
+          (SELECT max(CASE WHEN r.tss < p.c1 THEN r.tss END) FROM rgt r, p) AS rmax
+      )
     ),
     kept_l AS (
       SELECT l.* FROM lft l, front f

@@ -144,9 +144,16 @@ def _tombstones(
     fs, jvm = hadoop_fs(spark, root)
     if not any(d.startswith("batch=") for d in list_children(fs, jvm, root)):
         return None
-    return _read_component(
+    tombs = _read_component(
         spark, root, f"{id_col} bigint", below, keep_batch=True
     )
+    # a fold CONSUMES tombstones but leaves an empty batch=<upto> dir;
+    # without this (tiny — the component holds only ids) emptiness
+    # probe, one historical delete would pin every future read to the
+    # anti-join slow path forever
+    if tombs.isEmpty():
+        return None
+    return tombs
 
 
 def _subtract_deleted(live: DataFrame, tombs: DataFrame, id_col: str) -> DataFrame:

@@ -79,6 +79,20 @@ def _bucket(col) -> Column:
 # summed per-batch contributions — both count documents per term).
 
 
+
+def _buckets_for(spark: SparkSession, terms: list[str]) -> list[int]:
+    """Partition-prune list for a bounded term list: each term's stored
+    bucket, recomputed with the same hash the writers used."""
+    return sorted(
+        {
+            r["b"]
+            for r in spark.createDataFrame([(t,) for t in terms], "term string")
+            .select(_bucket(F.col("term")).alias("b"))
+            .collect()
+        }
+    )
+
+
 def apply_lex_index_batch(
     batch_df: DataFrame,
     batch_id: int,
@@ -97,9 +111,19 @@ def apply_lex_index_batch(
     ``batch=<id>`` directories."""
     spark = batch_df.sparkSession
     recover_batch_store(spark, state_dir, list(_DEL_LAYOUT))
-    tf, dl, dfreq = corpus_stats(batch_df, id_col, text_col)
+    tf, _, _ = corpus_stats(batch_df, id_col, text_col)
     tf = tf.localCheckpoint(eager=True)  # one tokenization, three consumers
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
+    # doclens carries a row for EVERY batch document (dl NULL for
+    # NULL-text rows, which explode to no tf rows): N counts all docs
+    # and tot_tokens skips NULLs, exactly like the one-shot bm25_topk's
+    # count(*)/sum(token_count) — a tf-derived doclens would undercount
+    # N on NULL-text docs and break the t40/t41 parity contract.
+    from censo_escolar_spark.functions import text as T
+
+    dl = batch_df.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        T.token_count(text_col).cast("bigint").alias("dl"),
+    )
     dfreq = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
     writes = {
         "postings": tf.withColumn("bucket", _bucket(F.col("term"))),
@@ -203,16 +227,7 @@ def bm25_topk_indexed(
     avgdl = float(totals["tot_tokens"]) / float(n_docs)
 
     terms = [r["term"] for r in query_terms.select("term").distinct().collect()]
-    buckets = sorted(
-        {
-            r["b"]
-            for r in spark.createDataFrame(
-                [(t,) for t in terms], "term string"
-            )
-            .select(_bucket(F.col("term")).alias("b"))
-            .collect()
-        }
-    )
+    buckets = _buckets_for(spark, terms)
     postings = postings_live.filter(F.col("bucket").isin(buckets))
     doclens = doclens_live
     p = postings.alias("p")
@@ -264,16 +279,13 @@ def apply_lex_delete_batch(
 _DEL_LAYOUT = dict(_LAYOUT, deletes=("doc_id bigint", []))
 
 
-def _delete_cond(l: str, d: str):
-    """Arrival-ordered tombstone semantics shared with the IVF index:
-    a tombstone removes only rows indexed strictly before it."""
-    return (F.col(f"{l}.doc_id") == F.col(f"{d}.doc_id")) & (
-        F.col(f"{l}.batch") < F.col(f"{d}.batch")
-    )
-
-
 def _subtract(live: DataFrame, tombs: DataFrame) -> DataFrame:
-    return live.alias("l").join(tombs.alias("d"), _delete_cond("l", "d"), "left_anti")
+    """Arrival-ordered tombstone subtraction — the ONE shared
+    implementation (streaming/dedup._subtract_deleted), so a future
+    boundary fix can't silently diverge between the stores."""
+    from censo_escolar_spark.streaming.dedup import _subtract_deleted
+
+    return _subtract_deleted(live, tombs, "doc_id")
 
 
 def _fold_lex_deletes(frames: dict[str, DataFrame]) -> dict[str, DataFrame]:
@@ -317,6 +329,11 @@ def _live_components(
     droot = _component(state_dir, "deletes")
     fs, jvm = hadoop_fs(spark, droot)
     has = any(d.startswith("batch=") for d in list_children(fs, jvm, droot))
+    if has:
+        tombs = _read_component(spark, droot, "doc_id bigint", hi, keep_batch=True)
+        # a fold consumes tombstones but leaves an empty batch dir —
+        # probe (tiny, ids only) so the store regains its fast path
+        has = not tombs.isEmpty()
     postings = _read_component(
         spark, _component(state_dir, "postings"), _LAYOUT["postings"][0], hi,
         keep_batch=has,
@@ -327,7 +344,6 @@ def _live_components(
     )
     if not has:
         return postings, doclens, False
-    tombs = _read_component(spark, droot, "doc_id bigint", hi, keep_batch=True)
     return (
         _subtract(postings, tombs).drop("batch"),
         _subtract(doclens, tombs).drop("batch"),
@@ -352,16 +368,7 @@ def live_term_df(
     recover_batch_store(spark, state_dir, list(_DEL_LAYOUT))
     hi = below if below is not None else 1 << 62
     postings, _, _ = _live_components(spark, state_dir, hi)
-    buckets = sorted(
-        {
-            r["b"]
-            for r in spark.createDataFrame(
-                [(t,) for t in terms], "term string"
-            )
-            .select(_bucket(F.col("term")).alias("b"))
-            .collect()
-        }
-    )
+    buckets = _buckets_for(spark, terms)
     return (
         postings.filter(F.col("bucket").isin(buckets))
         .groupBy("term")

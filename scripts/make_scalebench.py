@@ -131,8 +131,8 @@ def main() -> None:
         "and d07/s05 (corpus-sizing count jobs for the occupancy autos).\n"
         "Each is a deliberate, documented scale trade; no untouched\n"
         "query moved above noise.\n\n"
-        "Round 8 regenerated this table at round-8 HEAD (single run per\n"
-        "layout, idle host) after 16 new queries landed with same-commit\n"
+        "Round 8 regenerated this table at round-8 HEAD (min of two runs\n"
+        "per layout, idle host) after 16 new queries landed with same-commit\n"
         "provisional rows; the round-over-round signal for BENCH_r08 is\n"
         "read against these idle numbers, not the shared-host artifact.\n"
     )
