@@ -291,8 +291,17 @@ def maxsim_rerank(
         raise ValueError(f"dim {dim} not divisible by n_blocks {n_blocks}")
     bs = dim // n_blocks
 
-    qv = vectors.select(
-        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("q_v")
+    # Only the candidate list's query ids are broadcast-eligible: the
+    # ANN contract bounds them, while `vectors` is the full corpus.
+    # Semi-join qv down to that bounded set BEFORE broadcasting —
+    # broadcasting the unrestricted projection would ship the whole
+    # vector table to every executor at scale.
+    qids = candidates.select("query_id").distinct()
+    qv = (
+        vectors.select(
+            F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("q_v")
+        )
+        .join(F.broadcast(qids), "query_id", "left_semi")
     )
     dv = vectors.select(
         F.col(id_col).alias("doc_id"), as_double_array(vec_col).alias("d_v")

@@ -775,10 +775,19 @@ def ivf_topk_indexed_filtered(
         spark, queries, centroids, id_col=id_col, vec_col=vec_col, nprobe=nprobe
     )
     if probes is None:
-        # schema-stable empty frame: the match column keeps the STORED
-        # index's type (hardcoding e.g. int would diverge from the
-        # non-empty path for string/tenant metadata)
-        mtype = spark.read.parquet(index_path).schema[match_col].dataType.simpleString()
+        # schema-stable empty frame: the match column keeps the query
+        # frame's type (same type as the stored index by the operator's
+        # contract; hardcoding e.g. int would diverge for string/tenant
+        # metadata). The query frame always carries the column, while an
+        # empty corpus leaves the store footerless — reading it here
+        # would raise UNABLE_TO_INFER_SCHEMA.
+        if match_col in queries.columns:
+            mtype = queries.schema[match_col].dataType.simpleString()
+        else:
+            mtype = (
+                spark.read.parquet(index_path).schema[match_col]
+                .dataType.simpleString()
+            )
         return spark.createDataFrame(
             [],
             f"query_id long, neighbor_id long, {match_col} {mtype},"
