@@ -2306,56 +2306,73 @@ def e37_streaming_sessions_parity(spark: SparkSession, sf_dir: str) -> DataFrame
     import shutil
     import tempfile
 
-    from censo_escolar_spark.streaming import detach_from_state
+    from censo_escolar_spark.streaming import (
+        deploy_slices,
+        detach_from_state,
+        shared_slices,
+        slice_dir,
+        state_shuffle,
+    )
     from censo_escolar_spark.streaming.windows import sessionize
 
-    # withWatermark requires TIMESTAMP (event time must be an instant);
-    # parquet loads ts as TIMESTAMP_NTZ — cast to LTZ for the stream and
-    # back to NTZ on output: both casts use the same session timezone,
-    # so the round trip is the identity on wall-clock values.
-    e = load_table(spark, sf_dir, "events").withColumn(
-        "ts", F.col("ts").cast("timestamp")
-    )
-    root = tempfile.mkdtemp(prefix="e37_sessions_")
-    src, ckpt, out = (posixpath.join(root, d) for d in ("src", "ckpt", "out"))
-    try:
-        # three time-range slices, written SEQUENTIALLY so the file
-        # source's oldest-first ordering replays them in event-time order
-        # (random slicing would make later batches fall below the
-        # watermark and be dropped as late — in any output mode)
+    # three time-range slices, replayed IN EVENT-TIME ORDER so the file
+    # source never drops a row as late (random slicing would make later
+    # batches fall below the watermark — in any output mode). Unlike the
+    # thirds caches, sessions keep the RAW (non-truncated) timestamps:
+    # session boundaries are sub-second-sensitive.
+    def build(root: str):
+        # withWatermark requires TIMESTAMP (event time must be an
+        # instant); parquet loads ts as TIMESTAMP_NTZ — cast to LTZ for
+        # the stream and back to NTZ on output: both casts use the same
+        # session timezone, so the round trip is the identity on
+        # wall-clock values.
+        e = load_table(spark, sf_dir, "events").withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
         b = e.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
-        if b["lo"] is None:  # empty stream: no sessions, schema-stable
-            return spark.createDataFrame(
-                [],
-                "user_id bigint, session_start timestamp_ntz,"
-                " session_end timestamp_ntz, n_events bigint,"
-                " total_value double",
-            )
+        if b["lo"] is None:
+            return "EMPTY"
         span = (b["hi"] - b["lo"]) / 3
         cut1, cut2 = b["lo"] + span, b["lo"] + 2 * span
-        for lo, hi in ((None, cut1), (cut1, cut2), (cut2, None)):
+        cuts = ((None, cut1), (cut1, cut2), (cut2, None))
+        for i, (lo, hi) in enumerate(cuts):
             s = e
             if lo is not None:
                 s = s.filter(F.col("ts") >= F.lit(lo))
             if hi is not None:
                 s = s.filter(F.col("ts") < F.lit(hi))
-            s.coalesce(1).write.mode("append").parquet(src)
+            s.coalesce(1).write.parquet(slice_dir(root, i))
+        return "OK"
+
+    cache, meta = shared_slices("sessions_raw3", sf_dir, build)
+    if meta == "EMPTY":  # empty stream: no sessions, schema-stable
+        return spark.createDataFrame(
+            [],
+            "user_id bigint, session_start timestamp_ntz,"
+            " session_end timestamp_ntz, n_events bigint,"
+            " total_value double",
+        )
+    root = tempfile.mkdtemp(prefix="e37_sessions_")
+    src, ckpt, out = (posixpath.join(root, d) for d in ("src", "ckpt", "out"))
+    try:
+        deploy_slices(cache, src)
         stream = (
             spark.readStream.schema(spark.read.parquet(src).schema)
             .option("maxFilesPerTrigger", 1)
             .parquet(src)
         )
         sessions = sessionize(stream, gap="30 minutes", watermark="30 minutes")
-        q = (
-            sessions.writeStream.foreachBatch(
-                lambda bdf, bid: bdf.write.mode("overwrite").parquet(out)
+        with state_shuffle(spark):
+            q = (
+                sessions.writeStream.foreachBatch(
+                    lambda bdf, bid: bdf.write.mode("overwrite").parquet(out)
+                )
+                .outputMode("complete")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
             )
-            .outputMode("complete")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+            q.awaitTermination()
         res = (
             spark.read.parquet(out)
             .select(
@@ -2460,39 +2477,59 @@ _LATE_DROP_OUT_SCHEMA = (
 )
 
 
+def _late_drop_slices(spark: SparkSession, sf_dir: str):
+    """Build-once (per process, per sf_dir) held-back arrival slices
+    shared by e38/e39: three time-range thirds of ``events``, with every
+    7th event of the oldest third HELD and re-injected with the newest
+    (arriving after the watermark passed its window). Returns the
+    ``shared_slices`` cache root and the watermark delay seconds (or
+    ``"EMPTY"`` for an empty events table)."""
+    from censo_escolar_spark.streaming import shared_slices, slice_dir
+
+    def build(root: str):
+        e = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            "event_type",
+            # second-truncated LTZ event time: integer-second
+            # watermark/cut arithmetic, no ms-truncation hazard at the
+            # drop boundaries (Spark tracks the event-time front in ms)
+            F.date_trunc("second", F.col("ts").cast("timestamp")).alias("ts"),
+            "value",
+        )
+        b = e.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+        if b["lo"] is None:
+            return "EMPTY"
+        lo_s = int(b["lo"].timestamp())
+        hi_s = int(b["hi"].timestamp())
+        span = hi_s - lo_s
+        c1 = lo_s + span // 3
+        c2 = lo_s + (2 * span) // 3
+        t = F.unix_timestamp("ts")
+        held = (F.col("event_id") % 7 == 0) & (t < c1)
+        slices = (
+            e.filter((t < c1) & ~held),  # batch 1: oldest third minus held
+            e.filter((t >= c1) & (t < c2)),  # batch 2: middle third
+            e.filter((t >= c2) | held),  # batch 3: newest third + LATE held
+        )
+        for i, s in enumerate(slices):
+            s.coalesce(1).write.parquet(slice_dir(root, i))
+        return span // 6
+
+    return shared_slices("latedrop", sf_dir, build)
+
+
 def _late_drop_stream(spark: SparkSession, sf_dir: str, src: str):
-    """Shared e38/e39 arrival construction: write the three slices to
-    ``src`` sequentially (ascending mtimes -> in-order micro-batches,
-    the held-back subset re-injected with the third) and return the
-    watermarked 1-hour windowed aggregation over the file-source stream.
-    None when the events table is empty."""
-    e = load_table(spark, sf_dir, "events").select(
-        "event_id",
-        "event_type",
-        # second-truncated LTZ event time: integer-second watermark/cut
-        # arithmetic, no ms-truncation hazard at the drop boundaries
-        # (Spark tracks the event-time front in milliseconds)
-        F.date_trunc("second", F.col("ts").cast("timestamp")).alias("ts"),
-        "value",
-    )
-    b = e.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
-    if b["lo"] is None:
+    """Shared e38/e39 arrival construction: deploy the cached slices to
+    ``src`` with pinned strictly-increasing mtimes (in-order
+    micro-batches, the held-back subset re-injected with the third) and
+    return the watermarked 1-hour windowed aggregation over the
+    file-source stream. None when the events table is empty."""
+    from censo_escolar_spark.streaming import deploy_slices
+
+    root, delay = _late_drop_slices(spark, sf_dir)
+    if delay == "EMPTY":
         return None
-    lo_s = int(b["lo"].timestamp())
-    hi_s = int(b["hi"].timestamp())
-    span = hi_s - lo_s
-    c1 = lo_s + span // 3
-    c2 = lo_s + (2 * span) // 3
-    delay = span // 6
-    t = F.unix_timestamp("ts")
-    held = (F.col("event_id") % 7 == 0) & (t < c1)
-    slices = (
-        e.filter((t < c1) & ~held),  # batch 1: oldest third minus held
-        e.filter((t >= c1) & (t < c2)),  # batch 2: middle third
-        e.filter((t >= c2) | held),  # batch 3: newest third + LATE held
-    )
-    for s in slices:  # sequential writes -> ascending mtimes -> order
-        s.coalesce(1).write.mode("append").parquet(src)
+    deploy_slices(root, src)
     stream = (
         spark.readStream.schema(spark.read.parquet(src).schema)
         .option("maxFilesPerTrigger", 1)
@@ -2508,6 +2545,115 @@ def _late_drop_stream(spark: SparkSession, sf_dir: str, src: str):
             ),
         )
     )
+
+
+def _events_thirds_projection(spark: SparkSession, sf_dir: str):
+    """Common projection for the two-source / restart parity rows:
+    second-truncated LTZ event time plus every column any of them
+    filters or aggregates on (the join rows split by event_id parity
+    POST-readStream, so the slices carry both sides)."""
+    return load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_trunc("second", F.col("ts").cast("timestamp")).alias("ts"),
+        "value",
+    )
+
+
+def _thirds_slices(spark: SparkSession, sf_dir: str, key: str, held_pred):
+    """Shared builder for the time-range-thirds arrival constructions:
+    ``held_pred(event_id_col, t_col, c1)`` selects rows of the oldest
+    third to HOLD and re-inject with the newest slice (None for fully
+    in-order arrival). meta = (delay, upper) watermark/interval seconds
+    derived from the event-time span, or "EMPTY"."""
+    from censo_escolar_spark.streaming import shared_slices, slice_dir
+
+    def build(root: str):
+        e = _events_thirds_projection(spark, sf_dir)
+        b = e.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+        if b["lo"] is None:
+            return "EMPTY"
+        lo_s, hi_s = int(b["lo"].timestamp()), int(b["hi"].timestamp())
+        span = hi_s - lo_s
+        c1, c2 = lo_s + span // 3, lo_s + (2 * span) // 3
+        t = F.unix_timestamp("ts")
+        held = F.lit(False) if held_pred is None else held_pred(
+            F.col("event_id"), t, c1
+        )
+        slices = (
+            e.filter((t < c1) & ~held),
+            e.filter((t >= c1) & (t < c2)),
+            e.filter((t >= c2) | held),
+        )
+        for i, s in enumerate(slices):
+            s.coalesce(1).write.parquet(slice_dir(root, i))
+        return (span // 6, span // 100)
+
+    return shared_slices(key, sf_dir, build)
+
+
+def _inorder_slices(spark: SparkSession, sf_dir: str):
+    """Fully in-order thirds — shared by e40 (phased restart arrival)
+    and e42 (outer-join emission, both sides in order)."""
+    return _thirds_slices(spark, sf_dir, "inorder3", None)
+
+
+def _join_held_slices(spark: SparkSession, sf_dir: str):
+    """e41's arrival: every 7th LEFT-side (even event_id) row of the
+    oldest third arrives late, with the newest slice; the right side
+    stays in order."""
+    return _thirds_slices(
+        spark,
+        sf_dir,
+        "join_held3",
+        lambda eid, t, c1: (eid % 2 == 0) & (eid % 7 == 0) & (t < c1),
+    )
+
+
+def _two_source_interval_join(
+    spark: SparkSession, src: str, delay: int, up: int, how: str
+) -> DataFrame:
+    """The e41/e42 streaming plan: two watermarked streams — even
+    event_ids as the left, odd as the right — read off the SAME pinned
+    slice directory (each file source lists the same files in the same
+    mtime order, so per-side batch contents match the former two-dir
+    layout exactly), interval-joined on user_id within ±``up`` seconds."""
+    schema = spark.read.parquet(src).schema
+    base = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    l_stream = (
+        base.filter(F.col("event_id") % 2 == 0)
+        .select(
+            F.col("ts").alias("l_ts"),
+            F.col("user_id").alias("l_uid"),
+            F.col("event_type").alias("l_type"),
+            F.col("value").alias("l_val"),
+        )
+        .withWatermark("l_ts", f"{delay} seconds")
+    )
+    r_stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .filter(F.col("event_id") % 2 == 1)
+        .select(
+            F.col("ts").alias("r_ts"),
+            F.col("user_id").alias("r_uid"),
+            F.col("value").alias("r_val"),
+        )
+        .withWatermark("r_ts", f"{delay} seconds")
+    )
+    return l_stream.join(
+        r_stream,
+        (F.col("l_uid") == F.col("r_uid"))
+        & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"interval {up} seconds"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"interval {up} seconds")),
+        how,
+    ).select("l_type", "l_val", "r_val")
 
 
 @register(
@@ -2529,7 +2675,7 @@ def e38_streaming_late_drop_parity(spark: SparkSession, sf_dir: str) -> DataFram
     import shutil
     import tempfile
 
-    from censo_escolar_spark.streaming import detach_from_state
+    from censo_escolar_spark.streaming import detach_from_state, state_shuffle
 
     root = tempfile.mkdtemp(prefix="e38_latedrop_")
     src, ckpt, out = (posixpath.join(root, d) for d in ("src", "ckpt", "out"))
@@ -2537,15 +2683,17 @@ def e38_streaming_late_drop_parity(spark: SparkSession, sf_dir: str) -> DataFram
         agg = _late_drop_stream(spark, sf_dir, src)
         if agg is None:  # empty stream: no windows, schema-stable
             return spark.createDataFrame([], _LATE_DROP_OUT_SCHEMA)
-        q = (
-            agg.writeStream.format("parquet")
-            .option("path", out)
-            .outputMode("append")  # emission gated on the eviction front
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with state_shuffle(spark):
+            q = (
+                agg.writeStream.format("parquet")
+                .option("path", out)
+                # emission gated on the eviction front
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         res = (
             spark.read.schema(
                 "w struct<start:timestamp,end:timestamp>,"
@@ -2593,7 +2741,7 @@ def e39_streaming_update_mode_parity(spark: SparkSession, sf_dir: str) -> DataFr
     import shutil
     import tempfile
 
-    from censo_escolar_spark.streaming import detach_from_state
+    from censo_escolar_spark.streaming import detach_from_state, state_shuffle
 
     root = tempfile.mkdtemp(prefix="e39_update_")
     src, ckpt, out = (posixpath.join(root, d) for d in ("src", "ckpt", "out"))
@@ -2611,14 +2759,15 @@ def e39_streaming_update_mode_parity(spark: SparkSession, sf_dir: str) -> DataFr
                 .parquet(out)
             )
 
-        q = (
-            agg.writeStream.foreachBatch(sink)
-            .outputMode("update")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with state_shuffle(spark):
+            q = (
+                agg.writeStream.foreachBatch(sink)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         rows = spark.read.schema(
             "w struct<start:timestamp,end:timestamp>, event_type string,"
             " n_events bigint, total_value double, __batch_id int"
@@ -2688,21 +2837,16 @@ def e40_streaming_restart_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from censo_escolar_spark.streaming import detach_from_state
-
-    e = load_table(spark, sf_dir, "events").select(
-        "event_type",
-        F.date_trunc("second", F.col("ts").cast("timestamp")).alias("ts"),
-        "value",
+    from censo_escolar_spark.streaming import (
+        deploy_slices,
+        detach_from_state,
+        state_shuffle,
     )
-    b = e.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
-    if b["lo"] is None:
+
+    cache, meta = _inorder_slices(spark, sf_dir)
+    if meta == "EMPTY":
         return spark.createDataFrame([], _LATE_DROP_OUT_SCHEMA)
-    lo_s, hi_s = int(b["lo"].timestamp()), int(b["hi"].timestamp())
-    span = hi_s - lo_s
-    c1, c2 = lo_s + span // 3, lo_s + (2 * span) // 3
-    delay = span // 6
-    t = F.unix_timestamp("ts")
+    delay, _up = meta
 
     root = tempfile.mkdtemp(prefix="e40_restart_")
     src, ckpt, out = (posixpath.join(root, d) for d in ("src", "ckpt", "out"))
@@ -2737,22 +2881,25 @@ def e40_streaming_restart_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .parquet(out)
                 )
 
-            q = (
-                agg.writeStream.foreachBatch(sink)
-                .outputMode("update")
-                .option("checkpointLocation", ckpt)
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
+            # state_shuffle wraps BOTH incarnations: the partition
+            # count is frozen into the checkpoint at first start, and
+            # recovery must see the same value.
+            with state_shuffle(spark):
+                q = (
+                    agg.writeStream.foreachBatch(sink)
+                    .outputMode("update")
+                    .option("checkpointLocation", ckpt)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
 
         # phase A: first two in-order slices, first query incarnation
-        for f in (e.filter(t < c1), e.filter((t >= c1) & (t < c2))):
-            f.coalesce(1).write.mode("append").parquet(src)
+        deploy_slices(cache, src, which=(0, 1))
         run_incarnation()
         # phase B: third slice arrives AFTER the first incarnation died;
         # a brand-new query recovers offsets + window state and resumes
-        e.filter(t >= c2).coalesce(1).write.mode("append").parquet(src)
+        deploy_slices(cache, src, which=(2,))
         run_incarnation()
 
         rows = spark.read.schema(
@@ -2861,92 +3008,36 @@ def e41_streaming_join_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from censo_escolar_spark.streaming import detach_from_state
-
-    e = load_table(spark, sf_dir, "events").select(
-        "event_id",
-        "user_id",
-        "event_type",
-        F.date_trunc("second", F.col("ts").cast("timestamp")).alias("ts"),
-        "value",
+    from censo_escolar_spark.streaming import (
+        deploy_slices,
+        detach_from_state,
+        state_shuffle,
     )
-    b = e.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
-    if b["lo"] is None:
+
+    cache, meta = _join_held_slices(spark, sf_dir)
+    if meta == "EMPTY":
         return spark.createDataFrame(
             [],
             "event_type string, n_pairs bigint, sum_left double,"
             " sum_right double",
         )
-    lo_s, hi_s = int(b["lo"].timestamp()), int(b["hi"].timestamp())
-    span = hi_s - lo_s
-    c1, c2 = lo_s + span // 3, lo_s + (2 * span) // 3
-    delay, up = span // 6, span // 100
-    t = F.unix_timestamp("ts")
-
-    left = e.filter(F.col("event_id") % 2 == 0)
-    right = e.filter(F.col("event_id") % 2 == 1)
-    held = (F.col("event_id") % 7 == 0) & (t < c1)
+    delay, up = meta
 
     root = tempfile.mkdtemp(prefix="e41_join_")
-    lsrc, rsrc, ckpt, out = (
-        posixpath.join(root, d) for d in ("lsrc", "rsrc", "ckpt", "out")
-    )
+    src, ckpt, out = (posixpath.join(root, d) for d in ("src", "ckpt", "out"))
     try:
-        lslices = (
-            left.filter((t < c1) & ~held),
-            left.filter((t >= c1) & (t < c2)),
-            left.filter((t >= c2) | held),  # held rows re-injected LATE
-        )
-        rslices = (
-            right.filter(t < c1),
-            right.filter((t >= c1) & (t < c2)),
-            right.filter(t >= c2),
-        )
-        for s in lslices:
-            s.coalesce(1).write.mode("append").parquet(lsrc)
-        for s in rslices:
-            s.coalesce(1).write.mode("append").parquet(rsrc)
-
-        schema = spark.read.parquet(lsrc).schema
-        l_stream = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(lsrc)
-            .select(
-                F.col("ts").alias("l_ts"),
-                F.col("user_id").alias("l_uid"),
-                F.col("event_type").alias("l_type"),
-                F.col("value").alias("l_val"),
+        deploy_slices(cache, src)
+        joined = _two_source_interval_join(spark, src, delay, up, "inner")
+        with state_shuffle(spark):
+            q = (
+                joined.writeStream.format("parquet")
+                .option("path", out)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
             )
-            .withWatermark("l_ts", f"{delay} seconds")
-        )
-        r_stream = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(rsrc)
-            .select(
-                F.col("ts").alias("r_ts"),
-                F.col("user_id").alias("r_uid"),
-                F.col("value").alias("r_val"),
-            )
-            .withWatermark("r_ts", f"{delay} seconds")
-        )
-        joined = l_stream.join(
-            r_stream,
-            (F.col("l_uid") == F.col("r_uid"))
-            & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"interval {up} seconds"))
-            & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"interval {up} seconds")),
-            "inner",
-        ).select("l_type", "l_val", "r_val")
-        q = (
-            joined.writeStream.format("parquet")
-            .option("path", out)
-            .outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+            q.awaitTermination()
         res = (
             spark.read.schema("l_type string, l_val double, r_val double")
             .parquet(out)
@@ -3035,84 +3126,36 @@ def e42_streaming_outer_join_parity(spark: SparkSession, sf_dir: str) -> DataFra
     import shutil
     import tempfile
 
-    from censo_escolar_spark.streaming import detach_from_state
-
-    e = load_table(spark, sf_dir, "events").select(
-        "event_id",
-        "user_id",
-        "event_type",
-        F.date_trunc("second", F.col("ts").cast("timestamp")).alias("ts"),
-        "value",
+    from censo_escolar_spark.streaming import (
+        deploy_slices,
+        detach_from_state,
+        state_shuffle,
     )
-    b = e.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
-    if b["lo"] is None:
+
+    cache, meta = _inorder_slices(spark, sf_dir)
+    if meta == "EMPTY":
         return spark.createDataFrame(
             [],
             "event_type string, n_rows bigint, n_matched bigint,"
             " sum_left double, sum_right double",
         )
-    lo_s, hi_s = int(b["lo"].timestamp()), int(b["hi"].timestamp())
-    span = hi_s - lo_s
-    c1, c2 = lo_s + span // 3, lo_s + (2 * span) // 3
-    delay, up = span // 6, span // 100
-    t = F.unix_timestamp("ts")
-    left = e.filter(F.col("event_id") % 2 == 0)
-    right = e.filter(F.col("event_id") % 2 == 1)
+    delay, up = meta
 
     root = tempfile.mkdtemp(prefix="e42_outer_")
-    lsrc, rsrc, ckpt, out = (
-        posixpath.join(root, d) for d in ("lsrc", "rsrc", "ckpt", "out")
-    )
+    src, ckpt, out = (posixpath.join(root, d) for d in ("src", "ckpt", "out"))
     try:
-        for side, src in ((left, lsrc), (right, rsrc)):
-            for lo_f, hi_f in ((None, c1), (c1, c2), (c2, None)):
-                s = side
-                if lo_f is not None:
-                    s = s.filter(t >= lo_f)
-                if hi_f is not None:
-                    s = s.filter(t < hi_f)
-                s.coalesce(1).write.mode("append").parquet(src)
-
-        schema = spark.read.parquet(lsrc).schema
-        l_stream = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(lsrc)
-            .select(
-                F.col("ts").alias("l_ts"),
-                F.col("user_id").alias("l_uid"),
-                F.col("event_type").alias("l_type"),
-                F.col("value").alias("l_val"),
+        deploy_slices(cache, src)
+        joined = _two_source_interval_join(spark, src, delay, up, "leftOuter")
+        with state_shuffle(spark):
+            q = (
+                joined.writeStream.format("parquet")
+                .option("path", out)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
             )
-            .withWatermark("l_ts", f"{delay} seconds")
-        )
-        r_stream = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(rsrc)
-            .select(
-                F.col("ts").alias("r_ts"),
-                F.col("user_id").alias("r_uid"),
-                F.col("value").alias("r_val"),
-            )
-            .withWatermark("r_ts", f"{delay} seconds")
-        )
-        joined = l_stream.join(
-            r_stream,
-            (F.col("l_uid") == F.col("r_uid"))
-            & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"interval {up} seconds"))
-            & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"interval {up} seconds")),
-            "leftOuter",
-        ).select("l_type", "l_val", "r_val")
-        q = (
-            joined.writeStream.format("parquet")
-            .option("path", out)
-            .outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+            q.awaitTermination()
         res = (
             spark.read.schema("l_type string, l_val double, r_val double")
             .parquet(out)
@@ -3129,6 +3172,186 @@ def e42_streaming_outer_join_parity(spark: SparkSession, sf_dir: str) -> DataFra
                 .alias("sum_right"),
             )
             .orderBy("event_type")
+        )
+        return detach_from_state(res, root)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# e43 — SESSION-WINDOW late-data drop parity: the last streaming shape
+# with no late-data oracle row. e38 proved the watermark drops rows for
+# tumbling aggregations; sessions add the uniquely session-window
+# consequence — dropping a late row can SPLIT a session (the row would
+# have bridged two event clusters within the gap), so the engine must
+# emit TWO sessions where a batch recompute over all rows gives one.
+#
+# Arrival: e38's held-back-slice machinery over e37's sessionize, with
+# one strengthening — held rows are chosen PROVABLY late:
+#   held = (event_id % 7 == 0) AND (ts + gap < m1 - delay)
+# where m1 = max event time of the oldest third. The late-input front
+# for batch 3 is wm_late(3) = wm_evict(2) = max(batch-1 ts) - delay =
+# m1 - delay (the SPARK-40925 lagged front, same as e38), and a late
+# session row is dropped when its singleton window end (ts + gap) falls
+# below it — so every held row is dropped regardless of the boundary's
+# <=-vs-< flavor, and the oracle needs no per-row drop modeling: kept =
+# everything except held. (The strict < also keeps any kept row from
+# landing within the gap of an already-evicted session, so final
+# sessions are a pure function of the kept SET — gaps-and-islands.)
+#
+# Emission (append mode): sessions emit when the final front passes
+# their end — session_end <= hi - delay, the e38 <=-boundary, verified
+# bitwise at both SFs; later sessions stay in state, unemitted.
+# Non-vacuity at sf0.01: 244/10000 rows held and dropped; at sf0.1:
+# 2358 dropped, 3 of them bridge rows whose drop splits a session
+# (the split itself is pinned deterministically on a crafted fixture in
+# tests/test_streaming.py).
+# ---------------------------------------------------------------------------
+_SESSION_GAP_S = 1800  # 30 minutes, the e03/e37 session definition
+
+
+def _session_held_slices(spark: SparkSession, sf_dir: str):
+    """e43's arrival: in-event-time-order thirds with every 7th
+    PROVABLY-LATE row of the oldest third held back and re-injected
+    with the newest slice. meta = watermark delay seconds or "EMPTY"."""
+    from censo_escolar_spark.streaming import shared_slices, slice_dir
+
+    def build(root: str):
+        e = _events_thirds_projection(spark, sf_dir)
+        b = e.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+        if b["lo"] is None:
+            return "EMPTY"
+        lo_s, hi_s = int(b["lo"].timestamp()), int(b["hi"].timestamp())
+        span = hi_s - lo_s
+        c1, c2 = lo_s + span // 3, lo_s + (2 * span) // 3
+        delay = span // 6
+        t = F.unix_timestamp("ts")
+        m1row = e.filter(t < c1).agg(F.max("ts").alias("m")).first()
+        m1 = int(m1row["m"].timestamp()) if m1row["m"] is not None else lo_s
+        held = (F.col("event_id") % 7 == 0) & (
+            t + _SESSION_GAP_S < m1 - delay
+        )
+        slices = (
+            e.filter((t < c1) & ~held),
+            e.filter((t >= c1) & (t < c2)),
+            e.filter((t >= c2) | held),  # held rows re-injected LATE
+        )
+        for i, s in enumerate(slices):
+            s.coalesce(1).write.parquet(slice_dir(root, i))
+        return delay
+
+    return shared_slices("sess_held3", sf_dir, build)
+
+
+@register(
+    "e43_streaming_session_late_drop",
+    oracle="""
+    WITH e AS MATERIALIZED (
+      SELECT event_id, user_id,
+        epoch_ms(date_trunc('second', ts)) // 1000 AS tss,
+        CAST(value AS DECIMAL(18,2)) AS val
+      FROM events
+    ),
+    p AS MATERIALIZED (
+      SELECT lo, hi, lo + (hi - lo) // 3 AS c1, (hi - lo) // 6 AS dly
+      FROM (SELECT min(tss) AS lo, max(tss) AS hi FROM e)
+    ),
+    m1 AS (SELECT max(tss) AS m1 FROM e, p WHERE tss < p.c1),
+    kept AS MATERIALIZED (
+      SELECT e.* FROM e, p, m1
+      WHERE NOT (e.event_id % 7 = 0
+                 AND e.tss + 1800 < COALESCE(m1.m1, p.lo) - p.dly)
+    ),
+    marked AS (
+      SELECT user_id, tss, val, event_id,
+        -- STRICT >: Spark's session merge is INCLUSIVE on touch — an
+        -- event at exactly prev + gap EXTENDS the session (pinned
+        -- empirically at sf0.1, user 511's 1800s-adjacent pair merges).
+        -- e03/e37 never see this boundary: their raw microsecond
+        -- timestamps make exact-gap adjacency measure-zero; e43's
+        -- second-truncated event times hit it.
+        CASE WHEN lag(tss) OVER w IS NULL OR tss - lag(tss) OVER w > 1800
+             THEN 1 ELSE 0 END AS is_new
+      FROM kept
+      WINDOW w AS (PARTITION BY user_id ORDER BY tss, event_id)
+    ),
+    sess AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY tss, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    ),
+    agg AS (
+      SELECT user_id, MIN(tss) AS ss, MAX(tss) + 1800 AS se,
+        COUNT(*) AS n, SUM(val) AS tv
+      FROM sess GROUP BY user_id, sid
+    )
+    SELECT user_id,
+      make_timestamp(ss * 1000000) AS session_start,
+      make_timestamp(se * 1000000) AS session_end,
+      CAST(n AS BIGINT) AS n_events,
+      CAST(tv AS DOUBLE) AS total_value
+    FROM agg, p
+    WHERE se <= p.hi - p.dly
+    ORDER BY user_id, session_start
+    """,
+)
+def e43_streaming_session_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import posixpath
+    import shutil
+    import tempfile
+
+    from censo_escolar_spark.streaming import (
+        deploy_slices,
+        detach_from_state,
+        state_shuffle,
+    )
+    from censo_escolar_spark.streaming.windows import sessionize
+
+    cache, delay = _session_held_slices(spark, sf_dir)
+    if delay == "EMPTY":
+        return spark.createDataFrame(
+            [],
+            "user_id bigint, session_start timestamp_ntz,"
+            " session_end timestamp_ntz, n_events bigint,"
+            " total_value double",
+        )
+
+    root = tempfile.mkdtemp(prefix="e43_sess_late_")
+    src, ckpt, out = (posixpath.join(root, d) for d in ("src", "ckpt", "out"))
+    try:
+        deploy_slices(cache, src)
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        sessions = sessionize(
+            stream, gap="30 minutes", watermark=f"{delay} seconds"
+        )
+        with state_shuffle(spark):
+            q = (
+                sessions.writeStream.format("parquet")
+                .option("path", out)
+                .outputMode("append")  # emit only watermark-closed sessions
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        res = (
+            spark.read.schema(
+                "user_id bigint, session_start timestamp,"
+                " session_end timestamp, n_events bigint, total_value double"
+            )
+            .parquet(out)
+            .select(
+                "user_id",
+                F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+                F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+                "n_events",
+                "total_value",
+            )
+            .orderBy("user_id", "session_start")
         )
         return detach_from_state(res, root)
     finally:

@@ -649,3 +649,69 @@ def test_join_late_filter_front_and_state(spark, tmp_path):
     # kept late row joins a partner two cleanup fronts old: state
     # eviction lags exactly enough that no kept row loses its partner
     assert ("lG", "rOld4700") in pairs
+
+
+def test_session_late_drop_splits_session(spark, tmp_path):
+    """e43 contract on a crafted stream: the provably-late bridge row
+    (event_id % 7 == 0, oldest third) is DROPPED by the watermark, so
+    the engine emits TWO sessions where a full-data batch recompute
+    gives ONE merged [t+1000, t+5800) session — and the tail session
+    beyond the final front stays in state, unemitted."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import censo_escolar_spark.plans.events  # noqa: F401 - populates registry
+    from censo_escolar_spark.plans.registry import QUERIES
+
+    base = 1704067200  # 2024-01-01 00:00:00 UTC
+    # span 517400s -> delay 86233, c1 = base+173466, m1 = base+150000,
+    # late front for batch 3 = m1 - delay = base+63767: event 7 (ts
+    # base+2500, window end base+4300) is provably late -> held+dropped.
+    rows = [
+        (1, 1000, 42, 10.0),   # session A starts
+        (7, 2500, 42, 99.0),   # bridge: within 1800s of BOTH neighbors
+        (2, 4000, 42, 20.0),   # 3000s after row 1: splits without bridge
+        (3, 150000, 99, 1.0),  # slice-1 max -> m1
+        (4, 200000, 99, 1.0),  # slice 2 (keeps every batch non-empty)
+        (5, 518400, 99, 1.0),  # hi; session end > final front: unemitted
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [dt.datetime.utcfromtimestamp(base + r[1]) for r in rows],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array(["c"] * len(rows)),
+            "value": pa.array([r[3] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+
+    out = QUERIES["e43_streaming_session_late_drop"](spark, str(tmp_path))
+    got = {
+        (
+            r["user_id"],
+            r["session_start"],
+            r["session_end"],
+            r["n_events"],
+            r["total_value"],
+        )
+        for r in out.collect()
+    }
+
+    def t(off: int) -> dt.datetime:
+        return dt.datetime.utcfromtimestamp(base + off)
+
+    assert got == {
+        (42, t(1000), t(2800), 1, 10.0),   # split half 1 (bridge dropped)
+        (42, t(4000), t(5800), 1, 20.0),   # split half 2
+        (99, t(150000), t(151800), 1, 1.0),
+        (99, t(200000), t(201800), 1, 1.0),
+        # NOT the merged (42, t(1000), t(5800), 3, ...) a batch recompute
+        # over all rows would give; NOT (99, t(518400), ...) - beyond front
+    }
