@@ -5230,3 +5230,90 @@ def t41_bm25_index_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         return detach_from_state(out, state)
     finally:
         shutil.rmtree(state, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# d23 — maintainer COLD-RESTART parity: e40's two-incarnation pattern
+# composed with the batch-store dedup maintainer, the recovery path a
+# production corpus crawl exercises on every deploy/crash. Incarnation
+# A drains the first two document slices through the REAL streaming
+# query (maintain_deduped_corpus: file source, maxFilesPerTrigger=1,
+# availableNow -> batch ids 0, 1) and dies; a compaction is then staged
+# EXACTLY mid-protocol (phase-1 temps + commit marker, no swap — the
+# crash window of the two-phase fold, streaming/dedup.py::
+# stage_published_compaction); incarnation B starts a brand-new query
+# over the SAME checkpoint. Recovery must (a) finish the staged fold
+# from the marker before the store is read (every batch apply begins
+# with recover_batch_store), (b) restore the OFFSET LOG so the new
+# incarnation processes ONLY the new slice as batch 2 (a re-read of
+# slices 1-2 would double-publish every doc), and (c) keep the
+# published set identical to the straight-through d19 run — so the
+# oracle IS d19's declarative three-round replay. Batch-id continuity
+# and new-file-only input are additionally asserted in
+# tests/test_streaming_dedup.py::test_dedup_maintainer_cold_restart.
+# ---------------------------------------------------------------------------
+@register("d23_streaming_dedup_restart", oracle=_D19_ORACLE)
+def d23_streaming_dedup_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import posixpath
+    import shutil
+    import tempfile
+
+    from censo_escolar_spark.streaming import (
+        deploy_slices,
+        detach_from_state,
+        shared_slices,
+        slice_dir,
+    )
+    from censo_escolar_spark.streaming.dedup import (
+        maintain_deduped_corpus,
+        read_published,
+        stage_published_compaction,
+    )
+
+    def build(root: str):
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        for i in range(3):
+            docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(
+                slice_dir(root, i)
+            )
+        return "OK"
+
+    cache, _meta = shared_slices("docs_mod3", sf_dir, build)
+    schema = spark.read.parquet(slice_dir(cache, 0)).schema
+
+    root = tempfile.mkdtemp(prefix="d23_restart_")
+    src, ckpt, state = (
+        posixpath.join(root, d) for d in ("src", "ckpt", "state")
+    )
+    try:
+
+        def incarnation() -> None:
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            maintain_deduped_corpus(
+                stream,
+                state_dir=state,
+                checkpoint=ckpt,
+                threshold=0.5,
+                compact_every=None,
+            )
+
+        # incarnation A: slices 0-1 -> batch ids 0, 1; then it dies
+        deploy_slices(cache, src, which=(0, 1))
+        incarnation()
+        # crash INSIDE the compaction protocol: temps + marker, no swap
+        stage_published_compaction(spark, state, upto=1)
+        # incarnation B: recovers the fold + offsets, batch 2 = new slice
+        deploy_slices(cache, src, which=(2,))
+        incarnation()
+
+        final = read_published(spark, state)
+        out = final.select(
+            "doc_id", (F.col("doc_id") % 3 + 1).cast("int").alias("batch")
+        ).orderBy("doc_id")
+        return detach_from_state(out, root)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

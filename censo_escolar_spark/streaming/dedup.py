@@ -266,6 +266,26 @@ def compact_batch_store(
     recover_batch_store(spark, state_dir, list(layout))
     if upto < 0:
         return
+    _stage_batch_compaction(spark, state_dir, upto=upto, layout=layout, fold=fold)
+    _finish_batch_compaction(fs, jvm, state_dir, upto, list(layout))
+
+
+def _stage_batch_compaction(
+    spark: SparkSession,
+    state_dir: str,
+    *,
+    upto: int,
+    layout: dict[str, tuple[str, list[str]]],
+    fold=None,
+) -> None:
+    """Phase 1 of ``compact_batch_store`` ONLY: write every component's
+    folded partition to its temp directory, then atomically create the
+    commit marker — and stop. A process dying between the two phases
+    leaves exactly this state, so this is the CRASH-INJECTION SEAM the
+    restart-parity row (d23) and the crash-recovery tests drive; the
+    next state read (``recover_batch_store``, called by every batch
+    apply and reader) finishes the swap idempotently."""
+    fs, jvm = hadoop_fs(spark, state_dir)
 
     def jp(*parts):
         return jvm.org.apache.hadoop.fs.Path(posixpath.join(*parts))
@@ -290,7 +310,25 @@ def compact_batch_store(
             w = w.partitionBy(*parts)
         w.parquet(tmp)
     fs.create(jp(state_dir, f"{_COMPACT_COMMIT}{upto}"), False).close()
-    _finish_batch_compaction(fs, jvm, state_dir, upto, list(layout))
+
+
+def stage_published_compaction(
+    spark: SparkSession,
+    state_dir: str,
+    *,
+    upto: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Stage (phase 1 + marker, NO swap) a compaction of the text-dedup
+    store — the mid-compaction crash state for restart parity."""
+    _stage_batch_compaction(
+        spark,
+        state_dir,
+        upto=upto,
+        layout=_layout(id_col, text_col),
+        fold=lambda frames: _fold_corpus_deletes(frames, id_col),
+    )
 
 
 def _layout(id_col: str, text_col: str) -> dict[str, tuple[str, list[str]]]:

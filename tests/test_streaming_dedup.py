@@ -304,3 +304,76 @@ def test_forget_delete_retry_idempotent(spark, tmp_path):
     first = _published_ids(spark, state)
     apply_corpus_delete_batch(dels, 1, state_dir=state)
     assert _published_ids(spark, state) == first == [3]
+
+
+def test_dedup_maintainer_cold_restart(spark, tmp_path):
+    """The d23 contract, auditable: a second maintainer incarnation over
+    the same checkpoint (a) finishes a compaction staged mid-protocol
+    (temps + marker, no swap — the crash window), (b) continues the
+    batch-id sequence, (c) processes ONLY the file that arrived after
+    the first incarnation died, and (d) publishes the same corpus as a
+    straight-through run."""
+    import posixpath
+
+    from censo_escolar_spark.streaming import deploy_slices
+    from censo_escolar_spark.streaming.dedup import stage_published_compaction
+
+    cache = str(tmp_path / "cache")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    state = str(tmp_path / "state")
+    slices = [
+        [(1, BASE), (3, OTHER)],       # batch 0
+        [(5, THIRD), (6, BASE)],       # batch 1: 6 near-dups published 1
+        # batch 2 (after restart): 7 near-dups published 1; 9 is new
+        [(7, VARIANT), (9, "entirely novel text about subterranean fungal networks and their chemistry")],
+    ]
+    for i, rows in enumerate(slices):
+        _batch(spark, rows).coalesce(1).write.parquet(
+            posixpath.join(cache, f"s{i:02d}")
+        )
+    schema = spark.read.parquet(posixpath.join(cache, "s00")).schema
+
+    def incarnation() -> None:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        maintain_deduped_corpus(
+            stream, state_dir=state, checkpoint=ckpt, compact_every=None
+        )
+
+    deploy_slices(cache, src, which=(0, 1))
+    incarnation()
+    assert _published_ids(spark, state) == [1, 3, 5]
+    assert sorted(
+        d for d in os.listdir(os.path.join(state, "corpus"))
+        if d.startswith("batch=")
+    ) == ["batch=0", "batch=1"]
+
+    stage_published_compaction(spark, state, upto=1)
+    assert os.path.exists(os.path.join(state, "_compact_commit_1"))
+
+    deploy_slices(cache, src, which=(2,))
+    incarnation()
+
+    # (a) staged fold finished: batches 0-1 swapped into batch=1
+    assert not os.path.exists(os.path.join(state, "_compact_commit_1"))
+    dirs = sorted(
+        d for d in os.listdir(os.path.join(state, "corpus"))
+        if d.startswith("batch=")
+    )
+    # (b) continuity: the new incarnation wrote batch=2, not batch=0
+    assert dirs == ["batch=1", "batch=2"]
+    # (c) new-file-only: batch=2 holds only slice-3 survivors (7 is a
+    # near-dup of published 1 -> dropped; 9 publishes)
+    b2 = sorted(
+        r.doc_id
+        for r in spark.read.parquet(
+            os.path.join(state, "corpus", "batch=2")
+        ).collect()
+    )
+    assert b2 == [9]
+    # (d) same published set as a straight-through run
+    assert _published_ids(spark, state) == [1, 3, 5, 9]
