@@ -484,3 +484,75 @@ def normalize_text(col: str | Column) -> Column:
             F.lower(F.translate(c, ACCENT_SRC, ACCENT_DST)), r"\s+", " "
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Learned-quality-classifier scoring lane (t42/t43): the FineWeb-Edu-
+# style per-document classifier score, deterministic by construction so
+# the DuckDB oracle replays it bit-for-bit. A real deployment swaps the
+# weights for trained ones — the Spark plan (feature extraction in
+# codegen, one linear form per row, no UDF) is exactly the serving
+# shape; what is faked here is only the training.
+#
+# Weight MAGNITUDES are splitmix64-derived (hashing.splitmix64, seed
+# 0x5174C0DE, (v % 2001 - 1000) / 1000), SIGNS are curation priors
+# (unique-token and stopword mass up, mean-word-length and digit mass
+# down). The values are embedded as repr() literals here AND as
+# CAST('<repr>' AS DOUBLE) in the oracles — strtod round-trips repr, so
+# both engines hold the identical doubles.
+#
+# Float discipline: each feature is ONE IEEE division of exact integer
+# counts; the linear form is a FIXED left-to-right chain of per-row
+# scalars; the squash is ALGEBRAIC (s / (1 + |s|)) because exp() is not
+# correctly rounded across libms while abs/add/divide are IEEE-exact.
+# No cross-row float aggregation anywhere (t43 quantizes scores to
+# BIGINT before summing).
+# ---------------------------------------------------------------------------
+QUALITY_WEIGHTS = {
+    "bias": 0.129,
+    "mwl": -0.184,
+    "uniq": 0.635,
+    "stop": 0.318,
+    "digit": -0.844,
+}
+
+
+def learned_quality(col: str | Column) -> dict[str, Column]:
+    """Per-document quality features + classifier score + 0-4 grade.
+
+    Returns columns {mwl, uniq_ratio, stop_ratio, digit_ratio, score,
+    grade}: mean word length, distinct-token ratio, stopword-hit ratio,
+    digit-character ratio, the squashed linear score in (-1, 1), and
+    grade = floor((score + 1) * 2.5) in 0..4 (the FineWeb-Edu-style
+    integer rating downstream filters cut on, e.g. grade >= 3)."""
+    c = _c(col)
+    toks = tokens(c)
+    n = F.size(toks).cast("double")
+    mwl = (F.length(c) - (F.size(toks) - 1)).cast("double") / n
+    uniq = F.size(F.array_distinct(toks)).cast("double") / n
+    sw = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    stop = F.size(F.array_intersect(F.array_distinct(toks), sw)).cast("double") / n
+    nchars = F.length(c)
+    digit = F.when(
+        nchars > 0,
+        (nchars - F.length(F.regexp_replace(c, "[0-9]", ""))).cast("double")
+        / nchars.cast("double"),
+    ).otherwise(F.lit(0.0))
+    w = QUALITY_WEIGHTS
+    s = (
+        F.lit(w["bias"])
+        + F.lit(w["mwl"]) * mwl
+        + F.lit(w["uniq"]) * uniq
+        + F.lit(w["stop"]) * stop
+        + F.lit(w["digit"]) * digit
+    )
+    score = s / (F.lit(1.0) + F.abs(s))
+    grade = F.floor((score + F.lit(1.0)) * F.lit(2.5)).cast("int")
+    return {
+        "mwl": mwl,
+        "uniq_ratio": uniq,
+        "stop_ratio": stop,
+        "digit_ratio": digit,
+        "score": score,
+        "grade": grade,
+    }

@@ -5317,3 +5317,149 @@ def d23_streaming_dedup_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
         return detach_from_state(out, root)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# t42 — learned-quality-classifier scoring: the missing curation lane.
+# Modern pipelines score every document with a trained quality
+# classifier (FineWeb-Edu's educational-value regressor is the
+# canonical example) and cut on an integer grade; the Spark plan here
+# IS that serving shape — feature extraction in codegen, one linear
+# form per row, algebraic squash, zero UDFs — with fixed
+# splitmix64-derived weights standing in for the trained ones so the
+# oracle replays the exact doubles (functions/text.py::learned_quality
+# documents the float discipline: one IEEE division per feature, fixed
+# left-to-right linear chain, s/(1+|s|) instead of the non-portable
+# exp()). grade = floor((score+1)*2.5) in 0..4; keep-filters cut on
+# grade >= 3.
+# ---------------------------------------------------------------------------
+_T42_FEATURES = """
+    f AS (
+      SELECT doc_id, lang,
+        CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+          / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mwl,
+        CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+          / CAST(len(string_split(text, ' ')) AS DOUBLE) AS uniq_ratio,
+        CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+             ['the','a','of','and','to','in','is','it','on','for'])) AS DOUBLE)
+          / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio,
+        CASE WHEN length(text) > 0 THEN
+          CAST(length(text)
+               - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+            / CAST(length(text) AS DOUBLE)
+        ELSE CAST(0.0 AS DOUBLE) END AS digit_ratio
+      FROM documents
+    ),
+    lin AS (
+      SELECT *, CAST('0.129' AS DOUBLE)
+        + CAST('-0.184' AS DOUBLE) * mwl
+        + CAST('0.635' AS DOUBLE) * uniq_ratio
+        + CAST('0.318' AS DOUBLE) * stop_ratio
+        + CAST('-0.844' AS DOUBLE) * digit_ratio AS s
+      FROM f
+    ),
+    scored AS (
+      SELECT doc_id, lang, mwl, uniq_ratio, stop_ratio, digit_ratio,
+        s / (CAST(1.0 AS DOUBLE) + abs(s)) AS score
+      FROM lin
+    ),
+    graded AS (
+      SELECT *, CAST(floor((score + CAST(1.0 AS DOUBLE))
+                           * CAST(2.5 AS DOUBLE)) AS INTEGER) AS grade
+      FROM scored
+    )
+"""
+
+
+@register(
+    "t42_learned_quality_score",
+    oracle="WITH " + _T42_FEATURES + """
+    SELECT doc_id, lang, mwl, uniq_ratio, stop_ratio, digit_ratio,
+      score, grade
+    FROM graded
+    ORDER BY doc_id
+    """,
+)
+def t42_learned_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    q = T.learned_quality("text")
+    return docs.select(
+        "doc_id",
+        "lang",
+        q["mwl"].alias("mwl"),
+        q["uniq_ratio"].alias("uniq_ratio"),
+        q["stop_ratio"].alias("stop_ratio"),
+        q["digit_ratio"].alias("digit_ratio"),
+        q["score"].alias("score"),
+        q["grade"].alias("grade"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# t43 — incrementally-maintained quality-score stats: t42's classifier
+# run as a stream maintainer (streaming/stats.py::apply_quality_batch,
+# the ACCUMULATION state shape on the versioned bucket store). The
+# documents corpus arrives as three micro-batches (doc_id % 3); each
+# batch scores ITS OWN rows once (per-row, bit-deterministic) and folds
+# BIGINT-quantized sums additively into the per-(lang, grade) state —
+# so the final snapshot equals the one-shot recompute bit-for-bit, and
+# the oracle is simply t42's scoring aggregated corpus-wide.
+# compact_every=2 puts one state fold inside the run. mean_score is
+# derived read-side: (score_q / 1e9) / n_docs, fixed division order in
+# both engines.
+# ---------------------------------------------------------------------------
+@register(
+    "t43_quality_stats_maintained",
+    oracle="WITH " + _T42_FEATURES + """,
+    q AS (
+      SELECT lang, grade,
+        CAST(round(score * CAST(1000000000 AS DOUBLE)) AS BIGINT) AS sq
+      FROM graded
+    )
+    SELECT lang, grade,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(sq) AS BIGINT) AS score_q,
+      (CAST(CAST(SUM(sq) AS BIGINT) AS DOUBLE)
+         / CAST(1000000000 AS DOUBLE))
+        / CAST(CAST(COUNT(*) AS BIGINT) AS DOUBLE) AS mean_score
+    FROM q
+    GROUP BY lang, grade
+    ORDER BY lang, grade
+    """,
+)
+def t43_quality_stats_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from censo_escolar_spark.streaming import detach_from_state
+    from censo_escolar_spark.streaming.stats import (
+        apply_quality_batch,
+        read_quality_state,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    state = tempfile.mkdtemp(prefix="t43_quality_state_")
+    try:
+        for bid in (1, 2, 3):
+            apply_quality_batch(
+                docs.filter(F.col("doc_id") % 3 == bid - 1).select(
+                    "lang", "text"
+                ),
+                bid,
+                state_dir=state,
+                compact_every=2,
+            )
+        snap = read_quality_state(spark, state)
+        out = snap.select(
+            "lang",
+            "grade",
+            "n_docs",
+            "score_q",
+            (
+                (F.col("score_q").cast("double") / F.lit(1e9))
+                / F.col("n_docs").cast("double")
+            ).alias("mean_score"),
+        ).orderBy("lang", "grade")
+        return detach_from_state(out, state)
+    finally:
+        shutil.rmtree(state, ignore_errors=True)

@@ -138,3 +138,104 @@ def maintain_corpus_stats(
         .start()
     )
     q.awaitTermination()
+
+
+# ---------------------------------------------------------------------------
+# Learned-quality score maintenance (t43): the classifier lane's
+# incremental twin — per (lang, grade) counts and BIGINT-quantized
+# score sums kept current from the document stream. Scores are per-row
+# (functions/text.py::learned_quality, bit-deterministic), so the
+# maintained aggregate is purely ADDITIVE: each doc contributes
+# round(score * 1e9) as an exact BIGINT once, and a micro-batch folds
+# in as prior + partial — no float ever crosses rows, so the maintained
+# state equals the batch recompute bit-for-bit regardless of batch
+# boundaries. Readers derive mean_score = (score_q / 1e9) / n_docs.
+# ---------------------------------------------------------------------------
+QUALITY_SCHEMA = (
+    "grp string, lang string, grade int, n_docs bigint, score_q bigint"
+)
+
+
+def _quality_partial(batch_df: DataFrame) -> DataFrame:
+    from censo_escolar_spark.functions.text import learned_quality
+
+    q = learned_quality("text")
+    return (
+        batch_df.select(
+            "lang",
+            q["grade"].alias("grade"),
+            F.round(q["score"] * F.lit(1e9)).cast("bigint").alias("sq"),
+        )
+        .groupBy("lang", "grade")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("sq").cast("bigint").alias("score_q"),
+        )
+        .withColumn("grp", F.concat_ws("|", "lang", "grade"))
+    )
+
+
+def apply_quality_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    state_dir: str,
+    compact_every: int | None = COMPACT_EVERY,
+) -> None:
+    """The foreachBatch body (exposed for direct testing / backfills)."""
+    spark = batch_df.sparkSession
+    partial = _quality_partial(batch_df).localCheckpoint(eager=True)
+    touched = touched_buckets(partial, "grp")
+    prior = read_bucketed_state(
+        spark, state_dir, schema=QUALITY_SCHEMA, below=batch_id, buckets=touched
+    )
+    merged = (
+        prior.unionByName(partial)
+        .groupBy("grp", "lang", "grade")
+        .agg(
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.sum("score_q").cast("bigint").alias("score_q"),
+        )
+    )
+    write_bucketed_version(
+        merged, state_dir, batch_id, key_col="grp", touched=touched
+    )
+    if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+        compact_state(
+            spark,
+            state_dir,
+            schema=QUALITY_SCHEMA,
+            key_col="grp",
+            upto=batch_id - 1,
+        )
+
+
+def read_quality_state(
+    spark: SparkSession, state_dir: str, *, below: int | None = None
+) -> DataFrame:
+    """Latest committed quality-stats snapshot (empty frame if none)."""
+    return read_bucketed_state(
+        spark, state_dir, schema=QUALITY_SCHEMA, below=below
+    )
+
+
+def maintain_quality_stats(
+    docs: DataFrame,
+    *,
+    state_dir: str,
+    checkpoint: str,
+    compact_every: int | None = COMPACT_EVERY,
+) -> None:
+    """Drain everything currently available through the quality-score
+    maintainer (availableNow trigger)."""
+    q = (
+        docs.writeStream.foreachBatch(
+            lambda df, bid: apply_quality_batch(
+                df, bid, state_dir=state_dir, compact_every=compact_every
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -131,3 +131,78 @@ def test_maintain_corpus_stats_end_to_end(spark, tmp_path):
         ("pt", "web"): (1, 12, len(GOOD), 1),
     }
     assert any(d.startswith("version=") for d in os.listdir(state))
+
+
+# ---------------------------------------------------------------------------
+# Learned-quality score maintenance (apply_quality_batch / t43)
+# ---------------------------------------------------------------------------
+
+
+def _qsnapshot(spark, state_dir):
+    from censo_escolar_spark.streaming.stats import read_quality_state
+
+    return {
+        (r.lang, r.grade): (r.n_docs, r.score_q)
+        for r in read_quality_state(spark, state_dir).collect()
+    }
+
+
+def _one_shot_quality(spark, rows):
+    from pyspark.sql import functions as F
+
+    from censo_escolar_spark.functions.text import learned_quality
+
+    q = learned_quality("text")
+    return {
+        (r.lang, r.grade): (r.n_docs, r.score_q)
+        for r in spark.createDataFrame(rows, DOC_SCHEMA)
+        .select(
+            "lang",
+            q["grade"].alias("grade"),
+            F.round(q["score"] * F.lit(1e9)).cast("bigint").alias("sq"),
+        )
+        .groupBy("lang", "grade")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("sq").cast("bigint").alias("score_q"),
+        )
+        .collect()
+    }
+
+
+def test_quality_stats_split_invariance_and_retry(spark, tmp_path):
+    """Any batch split reproduces the one-shot aggregate exactly (the
+    additive BIGINT-quantization contract), and a retried batch
+    converges instead of double-adding."""
+    from censo_escolar_spark.streaming.stats import apply_quality_batch
+
+    rows = [
+        (1, GOOD, "en", "web"),
+        (2, SHORT, "en", "web"),
+        (3, GOOD + " 123 456", "de", "web"),
+        (4, "uno dos tres quatro cinco seis siete ocho nueve diez once", "es", "web"),
+    ]
+    state = str(tmp_path / "state")
+    apply_quality_batch(_docs(spark, rows[:2]), 1, state_dir=state)
+    apply_quality_batch(_docs(spark, rows[2:]), 2, state_dir=state)
+    # retry of batch 2 (same id) fully overwrites its own version
+    apply_quality_batch(_docs(spark, rows[2:]), 2, state_dir=state)
+    assert _qsnapshot(spark, state) == _one_shot_quality(spark, rows)
+
+
+def test_learned_quality_grade_is_deterministic(spark):
+    """Same text -> bit-identical score/grade across evaluations, and
+    the grade stays in the contract range 0..4."""
+    from censo_escolar_spark.functions.text import learned_quality
+
+    rows = [
+        (1, GOOD, "en", "web"),
+        (2, "1 2 3 4 5 6 7 8 9 10 11 12", "en", "web"),  # digit-heavy
+        (3, "word " * 50 + "word", "en", "web"),          # repetitive
+    ]
+    q = learned_quality("text")
+    df = _docs(spark, rows).select("doc_id", q["score"].alias("s"), q["grade"].alias("g"))
+    a = {r.doc_id: (r.s, r.g) for r in df.collect()}
+    b = {r.doc_id: (r.s, r.g) for r in df.collect()}
+    assert a == b
+    assert all(0 <= g <= 4 for _, g in a.values())
