@@ -45,24 +45,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # additions), so tier 1 is empty and those 50 now carry r6 evidence.
 # CORRECTNESS_r07 graded a 50-row window all green (the 6 round-7
 # additions + the 14 remaining r2-evidence rows + the 30 oldest
-# r3-evidence rows), so tiers 1 and 2 are now empty and tier 3 holds
-# only q60/q61/q63–q71, s18, t32.  Round 8 adds e38, e39, s22, s23,
-# m13, t39, s24, s25, d22, e40, s26, t40, e41, s27, t41, e42 (each
-# bitwise-exact in the sim at
-# sf0.01 AND sf0.1) — no artifact row yet, so they grade first; behind them the
-# window regrades the 13 remaining r3-evidence rows and the oldest
-# r4-evidence rows.
+# r3-evidence rows), emptying tiers 1 and 2.  CORRECTNESS_r08 graded
+# another all-green 50 (the 16 round-8 additions + the 13 remaining
+# r3-evidence rows + the 21 oldest r4 rows), so tier 3 is now empty and
+# tier 4 holds only q41–q59, q62, q72.  Round 9 adds e43, d23, t42,
+# t43, s28 (each bitwise-exact in the sim at sf0.01 AND sf0.1) — no
+# artifact row yet, so they grade first; behind them the window
+# regrades the 21 remaining r4-evidence rows and the oldest r5 rows.
 # Provenance: computed from the artifacts, never from judge re-runs
 # (advisory only).
 _LAST_GREEN_ROUND = {
-    3: {
-        "q60", "q61", *(f"q{i}" for i in range(63, 72)),
-        "s18", "t32",
-    },
     4: {
-        "d19", "e33", "m02", "m03",
-        *(f"q{i}" for i in range(26, 60)),
-        "q62", "q72", "t19", "t33",
+        *(f"q{i}" for i in range(41, 60)),
+        "q62", "q72",
     },
     5: {
         "c01", "c02", "d11", "d12", "d13", "d14", "d20",
@@ -91,6 +86,14 @@ _LAST_GREEN_ROUND = {
         "t02", *(f"t{i:02d}" for i in range(13, 18)),
         *(f"t{i}" for i in range(26, 32)),
         "t38",
+    },
+    8: {
+        "d19", "d22", "e33", *(f"e{i}" for i in range(38, 43)),
+        "m02", "m03", "m13",
+        *(f"q{i}" for i in range(26, 41)),
+        "q60", "q61", *(f"q{i}" for i in range(63, 72)),
+        "s18", *(f"s{i}" for i in range(22, 28)),
+        "t19", "t32", "t33", *(f"t{i}" for i in range(39, 42)),
     },
 }
 _EVIDENCE_AGE = {p: r for r, ps in _LAST_GREEN_ROUND.items() for p in ps}

@@ -5463,3 +5463,84 @@ def t43_quality_stats_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
         return detach_from_state(out, state)
     finally:
         shutil.rmtree(state, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# s28 — metadata-filtered ANN over the INCREMENTAL index with deletes
+# in the loop: s26's tenant/label predicate composed with s22/s23's
+# growing tombstone-aware store — the query shape a live multi-tenant
+# vector service actually runs, which previously fell back to an
+# unfiltered probe + post-filter. Insert batches carry the label as a
+# stored meta column (meta-aware fold: a compaction of a meta store
+# must fold with the meta schema or it would silently drop the label);
+# batch 3 tombstones every %5==0 id (no-ops for not-yet-inserted ids,
+# whose batch-4 insert stays live); batch 4 triggers the in-loop LSM
+# fold. Probe at nprobe=None so the result equals the filtered brute
+# force over the LIVE set — the s23 live-set oracle with the s09 label
+# equi-join. Filtered recall at nprobe < C and the pruned+pushed scan
+# are asserted in tests/test_similarity_ivf.py.
+# ---------------------------------------------------------------------------
+@register(
+    "s28_ivf_incremental_filtered",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    live AS (
+      SELECT * FROM e WHERE NOT (vec_id % 5 = 0 AND vec_id % 3 != 2)
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label,
+        list_dot_product(q.v, c.v) /
+          (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+      FROM e q JOIN live c
+        ON q.vec_id != c.vec_id AND q.label = c.label
+      WHERE q.vec_id < 8
+    )
+    SELECT query_id, neighbor_id, label, cos, CAST(rnk AS INTEGER) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+      FROM scored
+    )
+    WHERE rnk <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def s28_ivf_incremental_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from censo_escolar_spark.streaming import detach_from_state
+    from censo_escolar_spark.streaming.ivfindex import (
+        apply_ivf_delete_batch,
+        apply_ivf_index_batch,
+        ivf_topk_incremental_filtered,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    centroids = similarity.train_centroids(
+        emb.filter(F.col("vec_id") % 3 == 0), iters=1
+    )
+    root = tempfile.mkdtemp(prefix="s28_ivf_state_")
+    try:
+        ins = dict(
+            state_dir=root,
+            centroids=centroids,
+            meta_cols=("label",),
+            compact_every=2,
+        )
+        apply_ivf_index_batch(emb.filter(F.col("vec_id") % 3 == 0), 1, **ins)
+        apply_ivf_index_batch(emb.filter(F.col("vec_id") % 3 == 1), 2, **ins)
+        apply_ivf_delete_batch(
+            emb.filter(F.col("vec_id") % 5 == 0).select("vec_id"),
+            3,
+            state_dir=root,
+            meta_schema="label int",
+            compact_every=2,
+        )
+        apply_ivf_index_batch(emb.filter(F.col("vec_id") % 3 == 2), 4, **ins)
+        out = ivf_topk_incremental_filtered(
+            spark, root, queries, centroids, match_col="label", k=5, nprobe=None
+        ).orderBy("query_id", "rank")
+        return detach_from_state(out, root)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

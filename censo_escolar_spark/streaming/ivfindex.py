@@ -59,10 +59,32 @@ from censo_escolar_spark.streaming.dedup import (
 
 _INDEX_SCHEMA = "id bigint, v array<double>, cell int"
 _DELETE_SCHEMA = "id bigint"
+
+
+def _index_schema(meta_schema: str = "") -> str:
+    """The index component's read schema; stored metadata columns (the
+    filtered-probe lane, s28) slot between the vector and the ``cell``
+    partition column."""
+    meta = f", {meta_schema}" if meta_schema else ""
+    return f"id bigint, v array<double>{meta}, cell int"
+
+
 #: vectors sub-partitioned by the coarse cell id so a probe of nprobe
 #: cells stays a partition-pruned scan inside every batch dir, plus an
 #: id-tombstone component for deletions
 _LAYOUT = {"index": (_INDEX_SCHEMA, ["cell"]), "deletes": (_DELETE_SCHEMA, [])}
+
+
+def _layout_for(meta_schema: str = "") -> dict:
+    """Store layout; compactions of meta-bearing stores (s28) must fold
+    with the meta-aware index schema or the fold would silently DROP the
+    stored metadata columns."""
+    if not meta_schema:
+        return _LAYOUT
+    return {
+        "index": (_index_schema(meta_schema), ["cell"]),
+        "deletes": (_DELETE_SCHEMA, []),
+    }
 
 
 def _delete_cond(i: str, d: str):
@@ -95,16 +117,22 @@ def _fold_deletes(frames: dict[str, DataFrame]) -> dict[str, DataFrame]:
 
 
 def read_ivf_index_state(
-    spark: SparkSession, state_dir: str, *, below: int | None = None
+    spark: SparkSession,
+    state_dir: str,
+    *,
+    below: int | None = None,
+    meta_schema: str = "",
 ) -> DataFrame:
-    """The committed LIVE index ``(id, v, cell)``: union of every
-    committed batch partition strictly below ``below`` (all if None),
-    minus the committed tombstones below the same horizon; finishes any
-    marker-committed compaction first."""
+    """The committed LIVE index ``(id, v[, meta...], cell)``: union of
+    every committed batch partition strictly below ``below`` (all if
+    None), minus the committed tombstones below the same horizon;
+    finishes any marker-committed compaction first. ``meta_schema``
+    names stored metadata columns (e.g. ``"label int"``) for stores
+    built with ``meta_cols``."""
     recover_batch_store(spark, state_dir, list(_LAYOUT))
     hi = below if below is not None else 1 << 62
     index = _read_component(
-        spark, _component(state_dir, "index"), _INDEX_SCHEMA, hi,
+        spark, _component(state_dir, "index"), _index_schema(meta_schema), hi,
         keep_batch=True,
     )
     deletes = _read_component(
@@ -126,6 +154,7 @@ def apply_ivf_index_batch(
     centroids: np.ndarray,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    meta_cols: tuple[str, ...] = (),
     compact_every: int | None = COMPACT_EVERY,
 ) -> None:
     """The foreachBatch body (exposed for direct testing / backfills):
@@ -134,8 +163,13 @@ def apply_ivf_index_batch(
     the quantizer — and append them as this batch's cell-partitioned
     ``batch=<id>`` directory. Never reads prior batches: unlike the
     dedup maintainers there is no probe step on ingest, so a batch costs
-    exactly its own assignment + write."""
+    exactly its own assignment + write. ``meta_cols`` stores metadata
+    columns alongside each vector (the filtered-probe lane: readers
+    name them back via ``meta_schema``)."""
     spark = batch_df.sparkSession
+    meta_schema = ", ".join(
+        f"{m} {batch_df.schema[m].dataType.simpleString()}" for m in meta_cols
+    )
     recover_batch_store(spark, state_dir, list(_LAYOUT))
     assigned = ivf_assign(batch_df, centroids, vec_col=vec_col).select(
         # cast: every reader forces the fixed "id bigint" schema, so an
@@ -144,6 +178,7 @@ def apply_ivf_index_batch(
         # vectorized parquet read)
         F.col(id_col).cast("bigint").alias("id"),
         as_double_array(vec_col).alias("v"),
+        *[F.col(m) for m in meta_cols],
         F.col("__centroid_id").alias("cell"),
     )
     assigned.write.mode("overwrite").partitionBy("cell").parquet(
@@ -151,8 +186,8 @@ def apply_ivf_index_batch(
     )
     if compact_every and batch_id > 0 and batch_id % compact_every == 0:
         compact_batch_store(
-            spark, state_dir, upto=batch_id - 1, layout=_LAYOUT,
-            fold=_fold_deletes,
+            spark, state_dir, upto=batch_id - 1,
+            layout=_layout_for(meta_schema), fold=_fold_deletes,
         )
 
 
@@ -162,6 +197,7 @@ def apply_ivf_delete_batch(
     *,
     state_dir: str,
     id_col: str = "vec_id",
+    meta_schema: str = "",
     compact_every: int | None = COMPACT_EVERY,
 ) -> None:
     """Delete a batch of vector ids from the index: append the ids as
@@ -179,8 +215,8 @@ def apply_ivf_delete_batch(
     ).parquet(posixpath.join(_component(state_dir, "deletes"), f"batch={batch_id}"))
     if compact_every and batch_id > 0 and batch_id % compact_every == 0:
         compact_batch_store(
-            spark, state_dir, upto=batch_id - 1, layout=_LAYOUT,
-            fold=_fold_deletes,
+            spark, state_dir, upto=batch_id - 1,
+            layout=_layout_for(meta_schema), fold=_fold_deletes,
         )
 
 
@@ -243,3 +279,79 @@ def maintain_ivf_index(
         .start()
     )
     q.awaitTermination()
+
+
+def ivf_topk_incremental_filtered(
+    spark: SparkSession,
+    state_dir: str,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    match_col: str = "label",
+    k: int = 5,
+    nprobe: int | None = 4,
+    below: int | None = None,
+) -> DataFrame:
+    """Metadata-filtered ANN over the INCREMENTAL store: the s26
+    predicate (each query retrieves top-k only among indexed vectors
+    sharing its ``match_col`` value) against the growing, tombstone-
+    aware batch store — the tenant-filtered query against a live corpus
+    that previously fell back to unfiltered probe + post-filter.
+
+    Same layout as ``operators/similarity.ivf_topk_indexed_filtered``:
+    the scan is partition-pruned on the probed cells (and the batch
+    horizon), row-group-filtered on the bounded query set's match
+    values, then the per-query restriction completes through the
+    (cell, match) equi-join; tombstones subtract via the shared
+    arrival-ordered anti-join BEFORE any distance math. The match
+    column's type comes from the always-present query frame (the s26
+    empty-corpus lesson: an empty store has no footers to read)."""
+    mtype = queries.schema[match_col].dataType.simpleString()
+    probes, needed = probe_plan(
+        spark, queries, centroids, id_col=id_col, vec_col=vec_col, nprobe=nprobe
+    )
+    if probes is None:
+        return spark.createDataFrame(
+            [],
+            f"query_id long, neighbor_id long, {match_col} {mtype},"
+            " cos double, rank int",
+        )
+    from pyspark.sql import Window
+
+    from censo_escolar_spark.functions.vectors import cosine
+
+    qmeta = queries.select(
+        F.col(id_col).alias("q_id"), F.col(match_col).alias("__qm")
+    )
+    pr = probes.join(F.broadcast(qmeta), "q_id").withColumnRenamed(
+        "cell", "p_cell"
+    )
+    vals = [r["__qm"] for r in qmeta.select("__qm").distinct().collect()]
+    index = (
+        read_ivf_index_state(
+            spark, state_dir, below=below, meta_schema=f"{match_col} {mtype}"
+        )
+        .filter(F.col("cell").isin(needed))
+        .filter(F.col(match_col).isin(vals))
+        .withColumnRenamed(match_col, "__m")
+    )
+    scored = index.join(
+        F.broadcast(pr),
+        (F.col("cell") == F.col("p_cell"))
+        & (F.col("__m") == F.col("__qm"))
+        & (F.col("id") != F.col("q_id")),
+    ).withColumn("cos", cosine(F.col("q_v"), F.col("v")))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("id").alias("neighbor_id"),
+            F.col("__m").alias(match_col),
+            "cos",
+            "rank",
+        )
+    )

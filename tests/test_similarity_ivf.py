@@ -484,3 +484,110 @@ def test_ivf_filtered_topk_pushes_predicate_and_matches(spark, emb, tmp_path):
     got = {(r.query_id, r.neighbor_id) for r in pruned.collect()}
     truth = {(r.q_id, r.c_id) for r in exact}
     assert len(got & truth) / len(truth) >= 0.4
+
+
+def test_ivf_incremental_filtered_probe(spark, emb, tmp_path):
+    """s28: the metadata-filtered probe over the INCREMENTAL store with
+    a delete in the loop — exhaustive probe equals the filtered brute
+    force over the live set; a compaction of a meta-bearing store
+    preserves the stored label (a meta-blind fold would drop it); the
+    pruned probe's scan carries the cell partition filter AND the label
+    pushed filter."""
+    import os
+
+    from censo_escolar_spark.streaming.ivfindex import (
+        apply_ivf_delete_batch,
+        apply_ivf_index_batch,
+        ivf_topk_incremental_filtered,
+        read_ivf_index_state,
+    )
+
+    state = str(tmp_path / "ivf_meta_state")
+    centroids = S.train_centroids(
+        emb.filter(F.col("vec_id") % 3 == 0), n_centroids=4, iters=1
+    )
+    ins = dict(
+        state_dir=state, centroids=centroids, meta_cols=("label",),
+        compact_every=2,
+    )
+    apply_ivf_index_batch(emb.filter(F.col("vec_id") % 3 == 0), 1, **ins)
+    apply_ivf_index_batch(emb.filter(F.col("vec_id") % 3 == 1), 2, **ins)
+    apply_ivf_delete_batch(
+        emb.filter(F.col("vec_id") % 5 == 0).select("vec_id"),
+        3,
+        state_dir=state,
+        meta_schema="label int",
+        compact_every=2,
+    )
+    apply_ivf_index_batch(emb.filter(F.col("vec_id") % 3 == 2), 4, **ins)
+
+    # the batch-4 fold (upto=3) rewrote the store: labels must survive
+    batch_dirs = sorted(
+        d for d in os.listdir(os.path.join(state, "index"))
+        if d.startswith("batch=")
+    )
+    assert batch_dirs == ["batch=3", "batch=4"]
+    folded = read_ivf_index_state(spark, state, meta_schema="label int")
+    assert folded.filter(F.col("label").isNull()).count() == 0
+    live_truth = {
+        r.vec_id: r.label
+        for r in emb.filter(
+            ~((F.col("vec_id") % 5 == 0) & (F.col("vec_id") % 3 != 2))
+        ).collect()
+    }
+    assert {r.id: r.label for r in folded.collect()} == live_truth
+
+    # exhaustive filtered probe == filtered brute force over the live set
+    queries = emb.filter(F.col("vec_id") < 8)
+    from pyspark.sql import Window
+
+    from censo_escolar_spark.functions.vectors import cosine
+
+    q = queries.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        S.as_double_array("embedding").alias("q_v"),
+    )
+    c = emb.filter(
+        ~((F.col("vec_id") % 5 == 0) & (F.col("vec_id") % 3 != 2))
+    ).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("label").alias("c_label"),
+        S.as_double_array("embedding").alias("c_v"),
+    )
+    scored = c.join(
+        F.broadcast(q),
+        (F.col("q_id") != F.col("c_id")) & (F.col("q_label") == F.col("c_label")),
+    ).withColumn("cos", cosine(F.col("q_v"), F.col("c_v")))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("c_id"))
+    exact = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("q_id", "c_id", "rank")
+        .orderBy("q_id", "rank")
+        .collect()
+    )
+    got = (
+        ivf_topk_incremental_filtered(
+            spark, state, queries, centroids, match_col="label", k=5,
+            nprobe=None,
+        )
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    assert [(r.q_id, r.c_id, r.rank) for r in exact] == [
+        (r.query_id, r.neighbor_id, r.rank) for r in got
+    ]
+    qlabels = {r.vec_id: r.label for r in queries.select("vec_id", "label").collect()}
+    assert all(r.label == qlabels[r.query_id] for r in got)
+
+    # pruned probe: cell partition filter + label pushed filter + recall
+    pruned = ivf_topk_incremental_filtered(
+        spark, state, queries, centroids, match_col="label", k=5, nprobe=1
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    assert "PushedFilters" in plan and "label" in plan
+    gotp = {(r.query_id, r.neighbor_id) for r in pruned.collect()}
+    truth = {(r.q_id, r.c_id) for r in exact}
+    assert len(gotp & truth) / len(truth) >= 0.4
