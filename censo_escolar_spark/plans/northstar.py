@@ -5544,3 +5544,99 @@ def s28_ivf_incremental_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         return detach_from_state(out, root)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# s29 — SNAPSHOT (time-travel) reads of the maintained IVF index: the
+# audit query a live vector service runs ("what did retrieval serve
+# BEFORE today's ingest?"). The batch store is naturally versioned —
+# every component partition is keyed by the batch id that committed it
+# — so a probe with a `below` horizon resolves the index exactly as it
+# stood after batch `below - 1`, with the SAME pruned-scan probe plan.
+# Horizon validity is bounded by compaction (the LSM trade: a fold
+# collapses history at-or-below its `upto` into one partition, so only
+# horizons AT-OR-ABOVE the last fold remain resolvable — here the
+# batch-4 fold has upto=3, and the audited horizon is 4). Probe A
+# (below=4) must see inserts 1-2 minus the batch-3 tombstones, fold
+# notwithstanding; probe B (live) additionally sees batch-4 inserts,
+# including re-inserts of tombstoned ids. Both exhaustive, so each
+# equals brute force over its snapshot's live set.
+# ---------------------------------------------------------------------------
+@register(
+    "s29_ivf_snapshot_read",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    snap_a AS (
+      SELECT * FROM e WHERE vec_id % 3 != 2 AND vec_id % 5 != 0
+    ),
+    snap_b AS (
+      SELECT * FROM e WHERE NOT (vec_id % 5 = 0 AND vec_id % 3 != 2)
+    ),
+    scored AS (
+      SELECT 1 AS snapshot, q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        list_dot_product(q.v, c.v) /
+          (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+      FROM e q JOIN snap_a c ON q.vec_id != c.vec_id
+      WHERE q.vec_id < 8
+      UNION ALL
+      SELECT 2, q.vec_id, c.vec_id,
+        list_dot_product(q.v, c.v) /
+          (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))
+      FROM e q JOIN snap_b c ON q.vec_id != c.vec_id
+      WHERE q.vec_id < 8
+    )
+    SELECT CAST(snapshot AS INTEGER) AS snapshot,
+      query_id, neighbor_id, cos, CAST(rnk AS INTEGER) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY snapshot, query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rnk
+      FROM scored
+    )
+    WHERE rnk <= 5
+    ORDER BY snapshot, query_id, rank
+    """,
+)
+def s29_ivf_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from censo_escolar_spark.streaming import detach_from_state
+    from censo_escolar_spark.streaming.ivfindex import (
+        apply_ivf_delete_batch,
+        apply_ivf_index_batch,
+        ivf_topk_incremental,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    centroids = similarity.train_centroids(
+        emb.filter(F.col("vec_id") % 3 == 0), iters=1
+    )
+    root = tempfile.mkdtemp(prefix="s29_ivf_state_")
+    try:
+        ins = dict(state_dir=root, centroids=centroids, compact_every=2)
+        apply_ivf_index_batch(emb.filter(F.col("vec_id") % 3 == 0), 1, **ins)
+        apply_ivf_index_batch(emb.filter(F.col("vec_id") % 3 == 1), 2, **ins)
+        apply_ivf_delete_batch(
+            emb.filter(F.col("vec_id") % 5 == 0).select("vec_id"),
+            3,
+            state_dir=root,
+            compact_every=2,
+        )
+        # batch 4 triggers the fold at upto=3: history below the audited
+        # horizon collapses INTO batch=3, which a below=4 read resolves
+        apply_ivf_index_batch(emb.filter(F.col("vec_id") % 3 == 2), 4, **ins)
+
+        def probe(snap: int, below) -> DataFrame:
+            return ivf_topk_incremental(
+                spark, root, queries, centroids, k=5, nprobe=None, below=below
+            ).select(F.lit(snap).cast("int").alias("snapshot"), "*")
+
+        out = (
+            probe(1, 4)
+            .unionByName(probe(2, None))
+            .orderBy("snapshot", "query_id", "rank")
+        )
+        return detach_from_state(out, root)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

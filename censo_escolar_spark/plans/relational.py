@@ -3015,9 +3015,7 @@ def q71_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 # carries DECIMAL(19,3) (no rounding anywhere), summary sums in
 # decimal and casts to double once.
 # ---------------------------------------------------------------------------
-@register(
-    "q72_streaming_merge_parity",
-    oracle="""
+_Q72_ORACLE = """
     WITH based AS (
       SELECT o_orderkey AS k, o_orderstatus AS st,
         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(19,3)) AS pr
@@ -3050,8 +3048,10 @@ def q71_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(COUNT(*) AS BIGINT) AS n_orders,
       CAST(SUM(pr) AS DOUBLE) AS total_price
     FROM final GROUP BY st ORDER BY st
-    """,
-)
+    """
+
+
+@register("q72_streaming_merge_parity", oracle=_Q72_ORACLE)
 def q72_streaming_merge_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
@@ -3252,3 +3252,133 @@ def q73_streaming_merge_compacted(spark: SparkSession, sf_dir: str) -> DataFrame
         import shutil
 
         shutil.rmtree(state, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# q74 — MERGE-maintainer COLD-RESTART parity: d23's two-incarnation +
+# mid-compaction-crash pattern on the BUCKETED VERSIONED store (the
+# other state implementation — per-bucket latest-version resolution,
+# streaming/bucketstate.py — where d23 exercised the batch=-partition
+# store). Incarnation A drains the first two CDC waves through the REAL
+# streaming query (maintain_merged_table over a file source,
+# maxFilesPerTrigger=1 -> batch ids 0, 1) and dies; a compaction of the
+# bucket store is then staged exactly mid-protocol (phase-1 folded
+# snapshot + commit marker, no swap — bucketstate.stage_state_compaction,
+# the crash window of its two-phase commit); incarnation B recovers the
+# swap from the marker (every read_bucketed_state runs _recover first),
+# restores the offset log (processes ONLY wave 3), and must resolve the
+# same merged table as the straight-through q72 run — same oracle.
+# ---------------------------------------------------------------------------
+@register("q74_streaming_merge_restart", oracle=_Q72_ORACLE)
+def q74_streaming_merge_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import posixpath
+    import shutil
+    import tempfile
+
+    from censo_escolar_spark.streaming import (
+        deploy_slices,
+        detach_from_state,
+        shared_slices,
+        slice_dir,
+    )
+    from censo_escolar_spark.streaming.bucketstate import (
+        stage_state_compaction,
+    )
+    from censo_escolar_spark.streaming.merge import (
+        maintain_merged_table,
+        read_merged_state,
+    )
+
+    schema = "o_orderkey bigint, o_orderstatus string, o_totalprice decimal(19,3)"
+
+    def build(root: str):
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.col("o_totalprice").cast("decimal(18,2)").cast("decimal(19,3)")
+            .alias("o_totalprice"),
+        )
+        k = F.col("o_orderkey")
+        dec2 = F.col("o_totalprice").cast("decimal(18,2)")
+        b1 = o.withColumn("op", F.lit("I")).withColumn("seq", F.lit(1))
+        b2 = (
+            o.filter(k % 5 == 2)
+            .withColumn(
+                "o_totalprice",
+                (dec2 * F.lit("1.1").cast("decimal(3,1)")).cast("decimal(19,3)"),
+            )
+            .withColumn("op", F.lit("U"))
+            .withColumn("seq", F.lit(1))
+            .unionByName(
+                o.filter(k % 11 == 0)
+                .withColumn("op", F.lit("D"))
+                .withColumn("seq", F.lit(2))
+            )
+        )
+        b3 = (
+            o.filter(k % 7 == 3)
+            .withColumn(
+                "o_totalprice",
+                (dec2 * F.lit("1.2").cast("decimal(2,1)")).cast("decimal(19,3)"),
+            )
+            .withColumn("op", F.lit("U"))
+            .withColumn("seq", F.lit(1))
+            .unionByName(
+                o.filter(k % 33 == 0)
+                .withColumn("o_orderstatus", F.lit("N"))
+                .withColumn("op", F.lit("I"))
+                .withColumn("seq", F.lit(2))
+            )
+        )
+        for i, b in enumerate((b1, b2, b3)):
+            b.coalesce(1).write.parquet(slice_dir(root, i))
+        return "OK"
+
+    cache, _meta = shared_slices("cdc_waves", sf_dir, build)
+    stream_schema = spark.read.parquet(slice_dir(cache, 0)).schema
+
+    root = tempfile.mkdtemp(prefix="q74_restart_")
+    src, ckpt, state = (
+        posixpath.join(root, d) for d in ("src", "ckpt", "state")
+    )
+    try:
+
+        def incarnation() -> None:
+            stream = (
+                spark.readStream.schema(stream_schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            maintain_merged_table(
+                stream,
+                state_dir=state,
+                checkpoint=ckpt,
+                key_col="o_orderkey",
+                seq_col="seq",
+                schema=schema,
+                compact_every=None,
+            )
+
+        # incarnation A: waves 1-2 -> batch ids 0, 1; then it dies
+        deploy_slices(cache, src, which=(0, 1))
+        incarnation()
+        # crash INSIDE the bucket-store compaction: temps + marker, no swap
+        stage_state_compaction(
+            spark, state, schema=schema, key_col="o_orderkey", upto=1
+        )
+        # incarnation B: recovers the swap + offsets, batch 2 = wave 3
+        deploy_slices(cache, src, which=(2,))
+        incarnation()
+
+        final = read_merged_state(spark, state, schema=schema)
+        summary = (
+            final.groupBy("o_orderstatus")
+            .agg(
+                F.count("*").cast("bigint").alias("n_orders"),
+                F.sum("o_totalprice").cast("double").alias("total_price"),
+            )
+            .orderBy("o_orderstatus")
+        )
+        return detach_from_state(summary, root)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

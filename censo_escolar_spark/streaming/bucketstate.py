@@ -279,6 +279,30 @@ def compact_state(
     streaming checkpoint and batch ``upto`` will never re-run.)"""
     fs, jvm = hadoop_fs(spark, state_dir)
     _recover(spark, state_dir)
+    stage_state_compaction(
+        spark, state_dir, schema=schema, key_col=key_col, upto=upto,
+        n_buckets=n_buckets,
+    )
+    _finish_compaction(fs, jvm, state_dir, upto)
+
+
+def stage_state_compaction(
+    spark: SparkSession,
+    state_dir: str,
+    *,
+    schema: str,
+    key_col: str,
+    upto: int,
+    n_buckets: int = N_BUCKETS,
+) -> None:
+    """Phase 1 of ``compact_state`` ONLY: write the folded snapshot to
+    the temp directory, then atomically create the commit marker — and
+    stop. A process dying between the two phases leaves exactly this
+    state, so this is the CRASH-INJECTION SEAM for the bucketed store's
+    restart-parity row (q74) and crash-window tests; the next manifest
+    read (``_recover``, run by every ``read_bucketed_state``) finishes
+    the swap idempotently."""
+    fs, jvm = hadoop_fs(spark, state_dir)
     tmp = posixpath.join(state_dir, f"{_COMPACT_TMP}{upto}")
     fs.delete(_jpath(jvm, tmp), True)  # stale pre-marker attempt, if any
     state = read_bucketed_state(spark, state_dir, schema=schema, below=upto + 1)
@@ -291,4 +315,3 @@ def compact_state(
     )
     # the commit point: atomic zero-byte create (fails if present)
     fs.create(_jpath(jvm, state_dir, f"{_COMPACT_COMMIT}{upto}"), False).close()
-    _finish_compaction(fs, jvm, state_dir, upto)

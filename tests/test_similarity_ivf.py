@@ -591,3 +591,47 @@ def test_ivf_incremental_filtered_probe(spark, emb, tmp_path):
     gotp = {(r.query_id, r.neighbor_id) for r in pruned.collect()}
     truth = {(r.q_id, r.c_id) for r in exact}
     assert len(gotp & truth) / len(truth) >= 0.4
+
+
+def test_ivf_snapshot_reads_respect_horizon_and_fold(spark, emb, tmp_path):
+    """s29: a `below` horizon resolves the index as of that batch —
+    inserts and tombstones committed at-or-after it are invisible — and
+    compaction bounds resolvable history: the fold collapses batches
+    at-or-below its upto into one partition, so a horizon at the fold
+    boundary still resolves (the folded partition IS that snapshot)
+    while a horizon strictly below it resolves empty."""
+    from censo_escolar_spark.streaming.ivfindex import (
+        apply_ivf_delete_batch,
+        apply_ivf_index_batch,
+        read_ivf_index_state,
+    )
+
+    state = str(tmp_path / "ivf_snap_state")
+    centroids = S.train_centroids(
+        emb.filter(F.col("vec_id") % 3 == 0), n_centroids=4, iters=1
+    )
+    ins = dict(state_dir=state, centroids=centroids, compact_every=2)
+    apply_ivf_index_batch(emb.filter(F.col("vec_id") % 3 == 0), 1, **ins)
+    apply_ivf_index_batch(emb.filter(F.col("vec_id") % 3 == 1), 2, **ins)
+    apply_ivf_delete_batch(
+        emb.filter(F.col("vec_id") % 5 == 0).select("vec_id"),
+        3, state_dir=state, compact_every=2,
+    )
+    apply_ivf_index_batch(emb.filter(F.col("vec_id") % 3 == 2), 4, **ins)
+
+    ids = lambda df: sorted(r.id for r in df.select("id").collect())
+    all_ids = {r.vec_id for r in emb.select("vec_id").collect()}
+
+    # horizon 4 = post-fold(upto=3) snapshot: inserts 1-2 minus tombstones
+    snap4 = ids(read_ivf_index_state(spark, state, below=4))
+    assert snap4 == sorted(
+        i for i in all_ids if i % 3 != 2 and i % 5 != 0
+    )
+    # live view additionally holds batch-4 inserts (re-inserted %5 live)
+    live = ids(read_ivf_index_state(spark, state))
+    assert live == sorted(
+        i for i in all_ids if not (i % 5 == 0 and i % 3 != 2)
+    )
+    # a horizon strictly below the fold's upto is no longer resolvable
+    # (LSM history collapse) — empty, not wrong data
+    assert ids(read_ivf_index_state(spark, state, below=2)) == []

@@ -332,3 +332,59 @@ def test_compact_failed_rename_keeps_marker_for_retry(spark, tmp_path):
     # the next read (real fs) finishes the swap; state identical
     assert _snapshot(spark, state) == before
     assert sorted(os.listdir(state)) == ["version=0"]
+
+
+def test_merge_maintainer_cold_restart(spark, tmp_path):
+    """The q74 contract: a second maintainer incarnation over the same
+    checkpoint finishes a bucket-store compaction staged mid-protocol
+    (temps + marker, no swap), continues the batch-id sequence
+    (processes ONLY the new file), and resolves the same snapshot as a
+    straight-through run."""
+    import posixpath
+
+    from censo_escolar_spark.streaming import deploy_slices
+    from censo_escolar_spark.streaming.bucketstate import (
+        stage_state_compaction,
+    )
+
+    cache = str(tmp_path / "cache")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    state = str(tmp_path / "state")
+    slices = [
+        [(1, "I", 1, "a"), (2, "I", 1, "b")],
+        [(1, "U", 1, "a2"), (3, "I", 1, "c")],
+        [(2, "D", 1, None), (4, "I", 1, "d")],  # after restart
+    ]
+    for i, rows in enumerate(slices):
+        _batch(spark, rows).coalesce(1).write.parquet(
+            posixpath.join(cache, f"s{i:02d}")
+        )
+    schema = spark.read.parquet(posixpath.join(cache, "s00")).schema
+
+    def incarnation() -> None:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        maintain_merged_table(
+            stream, state_dir=state, checkpoint=ckpt, key_col="id",
+            seq_col="seq", schema=STATE_SCHEMA, compact_every=None,
+        )
+
+    deploy_slices(cache, src, which=(0, 1))
+    incarnation()
+    assert _snapshot(spark, state) == {1: "a2", 2: "b", 3: "c"}
+
+    stage_state_compaction(
+        spark, state, schema=STATE_SCHEMA, key_col="id", upto=1
+    )
+    assert os.path.exists(os.path.join(state, "_compact_commit_1"))
+
+    deploy_slices(cache, src, which=(2,))
+    incarnation()
+
+    # staged swap finished; wave-3 delete/insert applied exactly once
+    assert not os.path.exists(os.path.join(state, "_compact_commit_1"))
+    assert _snapshot(spark, state) == {1: "a2", 3: "c", 4: "d"}
