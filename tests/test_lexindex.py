@@ -287,3 +287,49 @@ def test_lex_compaction_crash_after_marker_recovers(spark, tmp_path):
         assert dirs == ["batch=4"], (comp, dirs)
     raw = spark.read.parquet(os.path.join(state, "postings"))
     assert 1 not in {r["doc_id"] for r in raw.collect()}
+
+
+def test_snapshot_probe_below_horizon(spark, tmp_path):
+    """A `below` horizon resolves BM25 retrieval as of that batch — the
+    s29 time-travel contract on the lexical store: stats (df, N, avgdl)
+    and postings all come from the snapshot, so the probe equals the
+    one-shot BM25 over exactly the documents committed before the
+    horizon. Compaction bounds resolvable history: with the fold at
+    upto=2 a below=3 read resolves via the folded partition."""
+    from censo_escolar_spark.streaming.lexindex import live_term_df
+
+    state = str(tmp_path / "lex_snap")
+    docs = _docs(spark)
+    # batches 1-3 with a fold at batch 3 (upto=2): history 1-2 collapses
+    for bid, m in ((1, 0), (2, 1), (3, 2)):
+        apply_lex_index_batch(
+            docs.filter(F.col("doc_id") % 3 == m),
+            bid,
+            state_dir=state,
+            compact_every=3 if bid == 3 else None,
+        )
+    snap_docs = docs.filter(F.col("doc_id") % 3 != 2)  # as of below=3
+
+    qtf, _, _ = retrieval.corpus_stats(
+        docs.filter(F.col("doc_id") == 0), "doc_id", "text"
+    )
+    cand = [r["term"] for r in qtf.select("term").distinct().collect()]
+    snap_df = live_term_df(spark, state, cand, below=3)
+    qterms = retrieval.rarest_query_terms(qtf, snap_df, [0], n_terms=8)
+
+    tf, dl, dfreq = retrieval.corpus_stats(snap_docs, "doc_id", "text")
+    one_shot = retrieval.bm25_topk(
+        snap_docs, qterms, k=5, stats=(tf, dl, dfreq)
+    )
+    got = bm25_topk_indexed(spark, state, qterms, k=5, below=3)
+    tup = lambda df: sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["score_scaled"])
+        for r in df.collect()
+    )
+    assert tup(got) == tup(one_shot)
+    # live probe sees the batch-3 docs too (differs from the snapshot)
+    termstats, _ = lex_index_stats(spark, state)
+    qterms_live = retrieval.rarest_query_terms(qtf, termstats, [0], n_terms=8)
+    live = bm25_topk_indexed(spark, state, qterms_live, k=5)
+    live_ids = {r["doc_id"] for r in live.collect()}
+    assert any(i % 3 == 2 for i in live_ids) or tup(live) != tup(got)
