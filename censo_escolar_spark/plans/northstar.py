@@ -5640,3 +5640,92 @@ def s29_ivf_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         return detach_from_state(out, root)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# d24 — classifier-GATED curated ingest: the two curation lanes
+# composed the way a production pipeline actually runs them — the
+# learned-quality classifier (t42) gates what enters the dedup
+# maintainer (d19), so low-grade documents never cost shingling,
+# sketching, or index writes. Engine side is one codegen filter
+# (grade >= 2, ~17% of the corpus kept) in front of the unchanged
+# maintainer; the oracle prepends t42's bit-exact grading chain as a
+# qdocs CTE and replays d19's three-round dedup over it (every FROM
+# documents in the d19 chain rebound to qdocs). The gate boundary is
+# exact: grade is an integer computed from bit-identical scores in
+# both engines, so threshold membership can never straddle.
+# ---------------------------------------------------------------------------
+_D24_QDOCS = """
+  q_f AS (
+    SELECT doc_id, text,
+      CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+        / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mwl,
+      CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        / CAST(len(string_split(text, ' ')) AS DOUBLE) AS uniq_ratio,
+      CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+           ['the','a','of','and','to','in','is','it','on','for'])) AS DOUBLE)
+        / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio,
+      CASE WHEN length(text) > 0 THEN
+        CAST(length(text)
+             - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+          / CAST(length(text) AS DOUBLE)
+      ELSE CAST(0.0 AS DOUBLE) END AS digit_ratio
+    FROM documents
+  ),
+  q_lin AS (
+    SELECT doc_id, text, CAST('0.129' AS DOUBLE)
+      + CAST('-0.184' AS DOUBLE) * mwl
+      + CAST('0.635' AS DOUBLE) * uniq_ratio
+      + CAST('0.318' AS DOUBLE) * stop_ratio
+      + CAST('-0.844' AS DOUBLE) * digit_ratio AS s
+    FROM q_f
+  ),
+  qdocs AS MATERIALIZED (
+    SELECT doc_id, text FROM q_lin
+    WHERE CAST(floor((s / (CAST(1.0 AS DOUBLE) + abs(s))
+                      + CAST(1.0 AS DOUBLE))
+                     * CAST(2.5 AS DOUBLE)) AS INTEGER) >= 2
+  )
+"""
+
+_D24_ORACLE = (
+    "WITH RECURSIVE "
+    + _D24_QDOCS
+    + ",\n  "
+    + _D19_ORACLE.replace("FROM documents", "FROM qdocs").replace(
+        "WITH RECURSIVE ", "", 1
+    )
+)
+
+
+@register("d24_curated_ingest", oracle=_D24_ORACLE)
+def d24_curated_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from censo_escolar_spark.streaming import detach_from_state
+    from censo_escolar_spark.streaming.dedup import (
+        apply_dedup_batch,
+        read_published,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = docs.filter(T.learned_quality("text")["grade"] >= 2).select(
+        "doc_id", "text"
+    )
+    state = tempfile.mkdtemp(prefix="d24_curated_state_")
+    try:
+        for bid in (1, 2, 3):
+            apply_dedup_batch(
+                kept.filter(F.col("doc_id") % 3 == bid - 1),
+                bid,
+                state_dir=state,
+                threshold=0.5,
+            )
+        final = read_published(spark, state)
+        out = final.select(
+            "doc_id", (F.col("doc_id") % 3 + 1).cast("int").alias("batch")
+        ).orderBy("doc_id")
+        return detach_from_state(out, state)
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
