@@ -149,16 +149,16 @@ def main() -> None:
         "(same min-of-2 idle discipline) after 7 new queries and the\n"
         "streaming-parity harness amortization; the round-over-round\n"
         "signal for BENCH_r09 is read against these idle numbers, not\n"
-        "the shared-host artifact. Round-9 caveat: the host carried a\n"
-        "persistent ~7/32-core EXTERNAL load during the whole\n"
-        "regeneration (load average ~7 with no local process running),\n"
-        "so absolute times run ~10-30% above the round-8 table —\n"
-        "CPU-bound GEMM rows most (s13 4.1 -> 9.0 s isolated) — while\n"
-        "the 1x/10x RATIOS, both sides measured under the same load,\n"
-        "are unaffected (total ratio 1.9x, same as round 8). The\n"
-        "same-load e-row comparison is the real engine signal: the\n"
-        "slice-cache + state_shuffle work cut e41 13.9 -> 6.0 s and\n"
-        "e42 13.2 -> 4.9 s on this harder day.\n"
+        "the shared-host artifact. (A first round-9 regeneration ran\n"
+        "under a transient ~7/32-core external host load and was\n"
+        "re-done once the host went idle — the committed table is the\n"
+        "idle one.) Idle round-over-round: common-query total 373.7 ->\n"
+        "384.6 s (+3%, inside the noise band), with the round-9\n"
+        "slice-cache + state_shuffle work cutting the streaming parity\n"
+        "rows outright: e41 13.9 -> 6.4 s, e42 13.2 -> 4.9 s,\n"
+        "e37/e38/e39/e40 each 1-2.5 s faster; the 8 new queries add\n"
+        "~54 s of maintainer/parity fixed overhead, all 1.0-2.0x at\n"
+        "10x in their same-commit rows.\n"
     )
     out.append("\n| query | 1× sec | 10× sec | ratio |\n|---|---|---|---|\n")
     for ratio, k, b, p, r in rows:
