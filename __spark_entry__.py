@@ -49,8 +49,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # another all-green 50 (the 16 round-8 additions + the 13 remaining
 # r3-evidence rows + the 21 oldest r4 rows), so tier 3 is now empty and
 # tier 4 holds only q41–q59, q62, q72.  Round 9 adds e43, d23, t42,
-# t43, s28, q74, s29, d24 (each bitwise-exact in the sim at sf0.01 AND
-# sf0.1) — no
+# t43, s28, q74, s29, d24, e44 (each bitwise-exact in the sim at
+# sf0.01 AND sf0.1) — no
 # artifact row yet, so they grade first; behind them the window
 # regrades the 21 remaining r4-evidence rows and the oldest r5 rows.
 # Provenance: computed from the artifacts, never from judge re-runs

@@ -3356,3 +3356,107 @@ def e43_streaming_session_late_drop(spark: SparkSession, sf_dir: str) -> DataFra
         return detach_from_state(res, root)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# e44 — SLIDING-window late-data drop parity: the window shape where
+# lateness is PARTIAL. A sliding (2h window, 1h slide) event belongs to
+# two windows; Spark's late filter applies per generated (row, window)
+# pair (StateStoreRestore filters on the window struct's end AFTER
+# expansion), so a held row re-injected late can be dropped for its
+# EXPIRED older window while still counting toward its newer one —
+# semantics neither e38 (tumbling: whole-row drop) nor e43 (sessions)
+# exercises. Same arrival construction and pinned lagged front as e38
+# (the shared "latedrop" slice cache — zero extra slicing jobs); the
+# oracle expands each row into its two hour-aligned windows and applies
+# the drop per pair (window_end <= wm_late3), with e38's <=-boundary
+# and emission cut (window_end <= final front). Bitwise at both SFs;
+# partial drops provably fire (held rows inside the one-hour band
+# (wm_late3 - 7200, wm_late3 - 3600] lose exactly one window).
+# ---------------------------------------------------------------------------
+@register(
+    "e44_streaming_sliding_late_drop",
+    oracle=_LATE_DROP_CTES
+    + """,
+    pairs AS (
+      SELECT t.event_type, t.val, t.held,
+        ((t.tss // 3600) - u.k) * 3600 AS ws
+      FROM tagged t CROSS JOIN (SELECT unnest([0, 1]) AS k) u
+    ),
+    kept44 AS (
+      SELECT p2.event_type, p2.val, p2.ws
+      FROM pairs p2, fronts f
+      WHERE NOT (p2.held AND p2.ws + 7200 <= f.wm_late3)
+    )
+    SELECT make_timestamp(ws * 1000000) AS window_start,
+      event_type,
+      CAST(COUNT(*) AS BIGINT) AS n_events,
+      CAST(SUM(val) AS DOUBLE) AS total_value
+    FROM kept44, fronts f
+    GROUP BY ws, event_type, f.fw
+    HAVING ws + 7200 <= f.fw
+    ORDER BY window_start, event_type
+    """,
+)
+def e44_streaming_sliding_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import posixpath
+    import shutil
+    import tempfile
+
+    from censo_escolar_spark.streaming import (
+        deploy_slices,
+        detach_from_state,
+        state_shuffle,
+    )
+
+    root_tmp = tempfile.mkdtemp(prefix="e44_sliding_")
+    src, ckpt, out = (
+        posixpath.join(root_tmp, d) for d in ("src", "ckpt", "out")
+    )
+    try:
+        cache, delay = _late_drop_slices(spark, sf_dir)
+        if delay == "EMPTY":
+            return spark.createDataFrame([], _LATE_DROP_OUT_SCHEMA)
+        deploy_slices(cache, src)
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        agg = (
+            stream.withWatermark("ts", f"{delay} seconds")
+            .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.col("value").cast(DEC)).cast("double").alias(
+                    "total_value"
+                ),
+            )
+        )
+        with state_shuffle(spark):
+            q = (
+                agg.writeStream.format("parquet")
+                .option("path", out)
+                .outputMode("append")  # emission gated on the eviction front
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        res = (
+            spark.read.schema(
+                "w struct<start:timestamp,end:timestamp>,"
+                " event_type string, n_events bigint, total_value double"
+            )
+            .parquet(out)
+            .select(
+                F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+                "event_type",
+                "n_events",
+                "total_value",
+            )
+            .orderBy("window_start", "event_type")
+        )
+        return detach_from_state(res, root_tmp)
+    finally:
+        shutil.rmtree(root_tmp, ignore_errors=True)
