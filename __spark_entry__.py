@@ -47,22 +47,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # additions + the 14 remaining r2-evidence rows + the 30 oldest
 # r3-evidence rows), emptying tiers 1 and 2.  CORRECTNESS_r08 graded
 # another all-green 50 (the 16 round-8 additions + the 13 remaining
-# r3-evidence rows + the 21 oldest r4 rows), so tier 3 is now empty and
-# tier 4 holds only q41–q59, q62, q72.  Round 9 adds e43, d23, t42,
-# t43, s28, q74, s29, d24, e44 (each bitwise-exact in the sim at
-# sf0.01 AND sf0.1) — no
-# artifact row yet, so they grade first; behind them the window
-# regrades the 21 remaining r4-evidence rows and the oldest r5 rows.
+# r3-evidence rows + the 21 oldest r4 rows), emptying tier 3.
+# CORRECTNESS_r09 graded another all-green 50 (the 9 round-9 additions
+# + the 21 remaining r4-evidence rows + the 20 oldest r5 rows: c01,
+# e01–e19), emptying tier 4.  Round 10 adds e45, s30, s31, t44, m14
+# (each bitwise-exact in the sim at sf0.01 AND sf0.1) — no artifact
+# row yet, so they grade first; behind them the window regrades the
+# ~30 remaining r5-evidence rows, then the oldest r6 rows.
 # Provenance: computed from the artifacts, never from judge re-runs
 # (advisory only).
 _LAST_GREEN_ROUND = {
-    4: {
-        *(f"q{i}" for i in range(41, 60)),
-        "q62", "q72",
-    },
     5: {
-        "c01", "c02", "d11", "d12", "d13", "d14", "d20",
-        *(f"e{i:02d}" for i in range(1, 25)),
+        "c02", "d11", "d12", "d13", "d14", "d20",
+        *(f"e{i:02d}" for i in range(20, 25)),
         "e35", "g01", "m04", "m08", "q13", "q20",
         "s07", "s08", "s09", "s10", "s19", "s20",
         "t18", *(f"t{i}" for i in range(20, 26)),
@@ -95,6 +92,14 @@ _LAST_GREEN_ROUND = {
         "q60", "q61", *(f"q{i}" for i in range(63, 72)),
         "s18", *(f"s{i}" for i in range(22, 28)),
         "t19", "t32", "t33", *(f"t{i}" for i in range(39, 42)),
+    },
+    9: {
+        "c01", "d23", "d24",
+        *(f"e{i:02d}" for i in range(1, 20)),
+        "e43", "e44",
+        *(f"q{i}" for i in range(41, 60)),
+        "q62", "q72", "q74",
+        "s28", "s29", "t42", "t43",
     },
 }
 _EVIDENCE_AGE = {p: r for r, ps in _LAST_GREEN_ROUND.items() for p in ps}

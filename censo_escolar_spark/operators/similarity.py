@@ -780,13 +780,31 @@ def ivf_topk_indexed_filtered(
         # contract; hardcoding e.g. int would diverge for string/tenant
         # metadata). The query frame always carries the column, while an
         # empty corpus leaves the store footerless — reading it here
-        # would raise UNABLE_TO_INFER_SCHEMA.
-        if match_col in queries.columns:
-            mtype = queries.schema[match_col].dataType.simpleString()
-        else:
-            mtype = (
+        # would raise UNABLE_TO_INFER_SCHEMA. When the store IS readable
+        # we assert the contract instead of silently preferring one
+        # side, so a type mismatch fails loudly rather than producing a
+        # result schema that depends on corpus emptiness.
+        stored_mtype = None
+        try:
+            stored_mtype = (
                 spark.read.parquet(index_path).schema[match_col]
                 .dataType.simpleString()
+            )
+        except Exception:
+            pass  # footerless (never-written) store: query type rules
+        if match_col in queries.columns:
+            mtype = queries.schema[match_col].dataType.simpleString()
+            if stored_mtype is not None and stored_mtype != mtype:
+                raise TypeError(
+                    f"{match_col!r} type mismatch: queries carry {mtype}"
+                    f" but the stored index carries {stored_mtype}"
+                )
+        elif stored_mtype is not None:
+            mtype = stored_mtype
+        else:
+            raise ValueError(
+                f"{match_col!r} absent from the query frame and the"
+                " stored index is unreadable — cannot type the result"
             )
         return spark.createDataFrame(
             [],

@@ -2105,14 +2105,16 @@ def e33_streaming_scd2_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter((F.col("ts") >= lo) & (F.col("ts") < hi)),
         e.filter(F.col("ts") >= hi),
     ]
-    from censo_escolar_spark.streaming import detach_from_state
+    from censo_escolar_spark.plans.fixtures import PARITY_SHUFFLE
+    from censo_escolar_spark.streaming import detach_from_state, state_shuffle
 
     state = tempfile.mkdtemp(prefix="e33_scd2_state_")
     try:
-        for bid, batch in enumerate(batches, start=1):
-            apply_scd2_batch(batch, bid, state_dir=state)
-        out = read_scd2_state(spark, state).orderBy("user_id", "run_id")
-        return detach_from_state(out, state)
+        with state_shuffle(spark, PARITY_SHUFFLE):
+            for bid, batch in enumerate(batches, start=1):
+                apply_scd2_batch(batch, bid, state_dir=state)
+            out = read_scd2_state(spark, state).orderBy("user_id", "run_id")
+            return detach_from_state(out, state)
     finally:
         import shutil
 
@@ -2231,7 +2233,8 @@ def e35_late_event_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def e36_streaming_stats_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
-    from censo_escolar_spark.streaming import detach_from_state
+    from censo_escolar_spark.plans.fixtures import PARITY_SHUFFLE
+    from censo_escolar_spark.streaming import detach_from_state, state_shuffle
     from censo_escolar_spark.streaming.stats import (
         apply_stats_batch,
         read_stats_state,
@@ -2240,18 +2243,21 @@ def e36_streaming_stats_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     state = tempfile.mkdtemp(prefix="e36_stats_state_")
     try:
-        for bid in (1, 2, 3):
-            apply_stats_batch(
-                docs.filter(F.col("doc_id") % 3 == bid - 1),
-                bid,
-                state_dir=state,
+        with state_shuffle(spark, PARITY_SHUFFLE):
+            for bid in (1, 2, 3):
+                apply_stats_batch(
+                    docs.filter(F.col("doc_id") % 3 == bid - 1),
+                    bid,
+                    state_dir=state,
+                )
+            out = (
+                read_stats_state(spark, state)
+                .select(
+                    "lang", "source", "n_docs", "n_tokens", "n_chars", "n_kept"
+                )
+                .orderBy("lang", "source")
             )
-        out = (
-            read_stats_state(spark, state)
-            .select("lang", "source", "n_docs", "n_tokens", "n_chars", "n_kept")
-            .orderBy("lang", "source")
-        )
-        return detach_from_state(out, state)
+            return detach_from_state(out, state)
     finally:
         import shutil
 
@@ -3456,6 +3462,258 @@ def e44_streaming_sliding_late_drop(spark: SparkSession, sf_dir: str) -> DataFra
                 "total_value",
             )
             .orderBy("window_start", "event_type")
+        )
+        return detach_from_state(res, root_tmp)
+    finally:
+        shutil.rmtree(root_tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# e45 — CUSTOM STATEFUL OPERATOR parity (applyInPandasWithState): the
+# one streaming API with no built-in equivalent — per-user activity
+# segments closed by inactivity TIMEOUT (streaming/windows.py::
+# user_activity_segments). The arrival is the e38 held-back shape over
+# a SPARSE per-user event lane (every 13th event — ~5 events/user, so
+# real inactivity exists): time-range thirds, with every 7th sparse
+# event of the MIDDLE third held and re-injected with the newest slice
+# (late by construction; the engine does NOT filter late rows before a
+# stateful-processing operator, so the operator's own ts>=watermark
+# drop is what the oracle models). Segment semantics are
+# batch-boundary semantics, pinned empirically on this build:
+#   wm(N) = max event time over batches < N, minus delay (0 initial);
+#   a segment CLOSES when a front strictly passes last+gap — at the
+#   next data batch for the key (data path), at a no-data batch in
+#   between (timeout), or at the trailing no-data batch availableNow
+#   runs after the last file (final front hi-delay); equality does NOT
+#   fire (strict >, verified);
+#   rows merging into the open segment do so regardless of event-time
+#   order (out-of-order late-survivors fold in — DIFFERENT from
+#   session_window, which is why the built-ins can't express this).
+# The oracle folds each user's kept rows batch-by-batch (b∈{1,2,3}
+# from the time cuts, held→3), closing segments on the same strict
+# fronts; the final segment emits only if the final front passed it.
+# All arithmetic is integer seconds / exact cents — bitwise parity.
+# timeout-vs-watermark boundary (strict fire, equality holds) is
+# additionally pinned by tests/test_streaming.py with crafted rows.
+# ---------------------------------------------------------------------------
+_E45_ORACLE = """
+WITH e AS (
+  SELECT event_id, user_id, epoch_ms(date_trunc('second', ts)) // 1000 AS tss,
+    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events WHERE event_id % 13 = 0
+),
+p AS (
+  SELECT min(tss) AS lo, max(tss) AS hi,
+    min(tss) + (max(tss)-min(tss))//3 AS c1,
+    min(tss) + 2*(max(tss)-min(tss))//3 AS c2,
+    (max(tss)-min(tss))//6 AS dly,
+    (max(tss)-min(tss))//24 AS gap
+  FROM e
+),
+tagged AS (
+  SELECT e.user_id, e.tss, e.cents,
+    CASE WHEN e.event_id % 7 = 0 AND e.tss >= p.c1 AND e.tss < p.c2 THEN 3
+         WHEN e.tss < p.c1 THEN 1 WHEN e.tss < p.c2 THEN 2 ELSE 3 END AS b
+  FROM e, p
+),
+fronts AS (
+  SELECT
+    COALESCE(max(CASE WHEN b = 1 THEN tss END) - any_value(p.dly), 0) AS wm2,
+    COALESCE(max(CASE WHEN b <= 2 THEN tss END) - any_value(p.dly), 0) AS wm3,
+    max(tss) - any_value(p.dly) AS wmf,
+    any_value(p.gap) AS gap
+  FROM tagged, p
+),
+kept AS (
+  -- the operator drops rows below the CURRENT watermark; only held
+  -- (b=3, pre-c2) rows can be late, against the batch-3 front
+  SELECT t.* FROM tagged t, fronts f, p
+  WHERE NOT (t.b = 3 AND t.tss < p.c2 AND t.tss < f.wm3)
+),
+g AS (
+  SELECT user_id, b, CAST(COUNT(*) AS BIGINT) AS n, min(tss) AS f, max(tss) AS l,
+    CAST(SUM(cents) AS BIGINT) AS c
+  FROM kept GROUP BY user_id, b
+),
+u AS (
+  SELECT user_id,
+    max(CASE WHEN b=1 THEN n END) AS n1, max(CASE WHEN b=1 THEN f END) AS f1,
+    max(CASE WHEN b=1 THEN l END) AS l1, max(CASE WHEN b=1 THEN c END) AS c1,
+    max(CASE WHEN b=2 THEN n END) AS n2, max(CASE WHEN b=2 THEN f END) AS f2,
+    max(CASE WHEN b=2 THEN l END) AS l2, max(CASE WHEN b=2 THEN c END) AS c2,
+    max(CASE WHEN b=3 THEN n END) AS n3, max(CASE WHEN b=3 THEN f END) AS f3,
+    max(CASE WHEN b=3 THEN l END) AS l3, max(CASE WHEN b=3 THEN c END) AS c3
+  FROM g GROUP BY user_id
+),
+segs AS (
+  SELECT u.*, f.wm2, f.wm3, f.wmf, f.gap,
+    (n1 IS NOT NULL AND n2 IS NOT NULL AND f.wm2 > l1 + f.gap) AS bd2
+  FROM u, fronts f
+),
+seg2 AS (
+  SELECT *,
+    CASE WHEN n2 IS NOT NULL THEN
+      CASE WHEN bd2 OR n1 IS NULL THEN n2 ELSE n1 + n2 END
+    ELSE n1 END AS a_n,
+    CASE WHEN n2 IS NOT NULL THEN
+      CASE WHEN bd2 OR n1 IS NULL THEN f2 ELSE LEAST(f1, f2) END
+    ELSE f1 END AS a_f,
+    CASE WHEN n2 IS NOT NULL THEN
+      CASE WHEN bd2 OR n1 IS NULL THEN l2 ELSE GREATEST(l1, l2) END
+    ELSE l1 END AS a_l,
+    CASE WHEN n2 IS NOT NULL THEN
+      CASE WHEN bd2 OR n1 IS NULL THEN c2 ELSE c1 + c2 END
+    ELSE c1 END AS a_c
+  FROM segs
+),
+seg3 AS (
+  SELECT *,
+    (a_n IS NOT NULL AND n3 IS NOT NULL AND wm3 > a_l + gap) AS bd3,
+    CASE WHEN n3 IS NOT NULL THEN
+      CASE WHEN (a_n IS NOT NULL AND wm3 > a_l + gap) OR a_n IS NULL
+           THEN n3 ELSE a_n + n3 END
+    ELSE a_n END AS z_n,
+    CASE WHEN n3 IS NOT NULL THEN
+      CASE WHEN (a_n IS NOT NULL AND wm3 > a_l + gap) OR a_n IS NULL
+           THEN f3 ELSE LEAST(a_f, f3) END
+    ELSE a_f END AS z_f,
+    CASE WHEN n3 IS NOT NULL THEN
+      CASE WHEN (a_n IS NOT NULL AND wm3 > a_l + gap) OR a_n IS NULL
+           THEN l3 ELSE GREATEST(a_l, l3) END
+    ELSE a_l END AS z_l,
+    CASE WHEN n3 IS NOT NULL THEN
+      CASE WHEN (a_n IS NOT NULL AND wm3 > a_l + gap) OR a_n IS NULL
+           THEN c3 ELSE a_c + c3 END
+    ELSE a_c END AS z_c
+  FROM seg2
+)
+SELECT user_id, first_s, last_s, n_events,
+  CAST(cents AS DOUBLE) / 100.0 AS total_value
+FROM (
+  SELECT user_id, f1 AS first_s, l1 AS last_s, n1 AS n_events, c1 AS cents
+  FROM seg3 WHERE bd2
+  UNION ALL
+  SELECT user_id, a_f, a_l, a_n, a_c FROM seg3 WHERE bd3
+  UNION ALL
+  SELECT user_id, z_f, z_l, z_n, z_c FROM seg3
+  WHERE z_n IS NOT NULL AND wmf > z_l + gap
+)
+ORDER BY user_id, first_s
+"""
+
+_E45_OUT_SCHEMA = (
+    "user_id bigint, first_s bigint, last_s bigint,"
+    " n_events bigint, total_value double"
+)
+
+
+def _stateful_held_slices(spark: SparkSession, sf_dir: str):
+    """e45's arrival: the sparse per-user lane (event_id % 13 == 0) in
+    time-range thirds, every 7th sparse event of the MIDDLE third held
+    and re-injected with the newest slice. Carries the exact-cents and
+    integer-seconds projections the stateful operator folds. meta =
+    (delay, gap) seconds, or "EMPTY"."""
+    from censo_escolar_spark.streaming import shared_slices, slice_dir
+
+    def build(root: str):
+        e = load_table(spark, sf_dir, "events").filter(
+            F.col("event_id") % 13 == 0
+        ).select(
+            "event_id",
+            "user_id",
+            F.date_trunc("second", F.col("ts").cast("timestamp")).alias("ts"),
+            "value",
+        )
+        b = e.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+        if b["lo"] is None:
+            return "EMPTY"
+        lo_s, hi_s = int(b["lo"].timestamp()), int(b["hi"].timestamp())
+        span = hi_s - lo_s
+        c1, c2 = lo_s + span // 3, lo_s + (2 * span) // 3
+        t = F.unix_timestamp("ts")
+        held = (F.col("event_id") % 7 == 0) & (t >= c1) & (t < c2)
+        proj = e.select(
+            "user_id",
+            "ts",
+            t.alias("ts_s"),
+            (F.col("value").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("cents"),
+            held.alias("__held"),
+            t.alias("__t"),
+        )
+        slices = (
+            proj.filter(F.col("__t") < c1),
+            proj.filter(
+                (F.col("__t") >= c1) & (F.col("__t") < c2) & ~F.col("__held")
+            ),
+            proj.filter((F.col("__t") >= c2) | F.col("__held")),
+        )
+        for i, s in enumerate(slices):
+            s.drop("__held", "__t").coalesce(1).write.parquet(
+                slice_dir(root, i)
+            )
+        return (span // 6, span // 24)
+
+    return shared_slices("stateful_mid13", sf_dir, build)
+
+
+@register("e45_stateful_timeout_segments", oracle=_E45_ORACLE)
+def e45_stateful_timeout_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import posixpath
+    import shutil
+    import tempfile
+
+    from censo_escolar_spark.streaming import (
+        deploy_slices,
+        detach_from_state,
+        state_shuffle,
+    )
+    from censo_escolar_spark.streaming.windows import user_activity_segments
+
+    root_tmp = tempfile.mkdtemp(prefix="e45_stateful_")
+    src, ckpt, out = (
+        posixpath.join(root_tmp, d) for d in ("src", "ckpt", "out")
+    )
+    try:
+        cache, meta = _stateful_held_slices(spark, sf_dir)
+        if meta == "EMPTY":
+            return spark.createDataFrame([], _E45_OUT_SCHEMA)
+        delay, gap = meta
+        deploy_slices(cache, src)
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .withWatermark("ts", f"{delay} seconds")
+        )
+        segs = user_activity_segments(stream, gap_s=gap)
+        with state_shuffle(spark):
+            q = (
+                segs.writeStream.format("parquet")
+                .option("path", out)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        res = (
+            spark.read.schema(
+                "user_id bigint, n_events bigint, first_s bigint,"
+                " last_s bigint, cents bigint"
+            )
+            .parquet(out)
+            .select(
+                "user_id",
+                "first_s",
+                "last_s",
+                "n_events",
+                (F.col("cents").cast("double") / F.lit(100.0)).alias(
+                    "total_value"
+                ),
+            )
+            .orderBy("user_id", "first_s")
         )
         return detach_from_state(res, root_tmp)
     finally:

@@ -1,0 +1,356 @@
+"""Shared maintainer-store fixtures for the parity rows.
+
+BENCH-HARNESS AMORTIZATION, NOT PRODUCTION MACHINERY. Each family of
+stored-index parity rows (text dedup d19/d22/d23, BM25 t40/t41/t44,
+IVF s22/s23/s28/s29, MERGE q72/q74) replays the same base-store
+construction before diverging (extend / delete / crash / snapshot).
+A production maintainer builds its store once and owns it for life —
+these rows each need a PRIVATE store per invocation, so without
+sharing, every row pays the whole base construction again. The
+fixtures here build each base ONCE per (sf_dir, content) into a
+process-lifetime cache (``streaming.shared_state``), and rows either
+
+- read the cached tree IN PLACE when they only probe it (detach with
+  ``streaming.detach`` — never delete the cache), or
+- extend/mutate a ``clone_state`` hardlink clone (restart rows mutate
+  checkpoints; fold rows rewrite partitions — clones own their
+  directory entries, the cached inodes are never written in place).
+
+Streaming bases (dedup_stream_base / merge_stream_base) carry a REAL
+checkpoint from a real incarnation-A run. Spark's restart path
+re-resolves the last committed batch's file paths
+(MicroBatchExecution.populateStartOffsets re-calls getBatch), so the
+stream SOURCE directory must keep its absolute path across restarts:
+consumers reuse the fixture's own ``src`` dir (appending the next
+slice is the one sanctioned mutation — it is idempotent, the file
+content is deterministic) and clone only ``ckpt`` + ``state``.
+
+The correctness story is unchanged: the first invocation in a process
+builds the base through the very code path the row claims to prove,
+and every divergence step still runs live per invocation.
+"""
+
+from __future__ import annotations
+
+import posixpath
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from censo_escolar_spark.sources.readers import load_table
+from censo_escolar_spark.streaming import (
+    deploy_slices,
+    shared_slices,
+    shared_state,
+    slice_dir,
+    state_shuffle,
+)
+
+#: Parity-row state-store parallelism (see streaming.state_shuffle):
+#: the fixture stores are kB-to-MB scale, where 32 shuffle partitions
+#: are pure fixed overhead. Production sizes partitions to volume.
+PARITY_SHUFFLE = 8
+
+
+# ---------------------------------------------------------------------------
+# documents %3 slices (shared with d23's stream deployment)
+# ---------------------------------------------------------------------------
+def docs_mod3_slices(spark: SparkSession, sf_dir: str) -> str:
+    def build(root: str):
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        for i in range(3):
+            docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(
+                slice_dir(root, i)
+            )
+        return "OK"
+
+    cache, _ = shared_slices("docs_mod3", sf_dir, build)
+    return cache
+
+
+# ---------------------------------------------------------------------------
+# Text-dedup store base: the REAL streaming maintainer drains document
+# slices 0-1 (batch ids 0, 1; threshold 0.5, no cadence compaction)
+# over a file source with a durable checkpoint. d19 extends a state
+# clone with the third batch; d22 rebases its delete + reclaim-fold
+# run on a state clone; d23 restarts a NEW incarnation over a cloned
+# checkpoint + the fixture's src (mid-compaction crash staged on the
+# clone first).
+# ---------------------------------------------------------------------------
+def dedup_stream_base(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Returns (fixture_root, slices_cache). fixture_root holds
+    src/ ckpt/ state/ after incarnation A drained slices 0-1."""
+    from censo_escolar_spark.streaming.dedup import maintain_deduped_corpus
+
+    slices = docs_mod3_slices(spark, sf_dir)
+    schema = spark.read.parquet(slice_dir(slices, 0)).schema
+
+    def build(root: str):
+        src, ckpt, state = (
+            posixpath.join(root, d) for d in ("src", "ckpt", "state")
+        )
+        deploy_slices(slices, src, which=(0, 1))
+        with state_shuffle(spark, PARITY_SHUFFLE):
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            maintain_deduped_corpus(
+                stream,
+                state_dir=state,
+                checkpoint=ckpt,
+                threshold=0.5,
+                compact_every=None,
+            )
+        return "OK"
+
+    root, _ = shared_state("dedup_stream_base", sf_dir, build)
+    return root, slices
+
+
+def dedup_full_store(spark: SparkSession, sf_dir: str) -> str:
+    """The d19 final store: base + the third document batch (direct
+    ``apply_dedup_batch`` backfill, bid 2). Read-only for consumers."""
+    from censo_escolar_spark.streaming import link_tree
+    from censo_escolar_spark.streaming.dedup import apply_dedup_batch
+
+    base, _ = dedup_stream_base(spark, sf_dir)
+
+    def build(root: str):
+        link_tree(posixpath.join(base, "state"), root)
+        docs = load_table(spark, sf_dir, "documents")
+        with state_shuffle(spark, PARITY_SHUFFLE):
+            apply_dedup_batch(
+                docs.filter(F.col("doc_id") % 3 == 2).select("doc_id", "text"),
+                2,
+                state_dir=root,
+                threshold=0.5,
+            )
+        return "OK"
+
+    root, _ = shared_state("dedup_full_store", sf_dir, build)
+    return root
+
+
+# ---------------------------------------------------------------------------
+# BM25 lexical-index bases (streaming/lexindex.py).
+# ---------------------------------------------------------------------------
+def lex_base(spark: SparkSession, sf_dir: str) -> str:
+    """Lex store after ingest batches 1-2 (compact_every=2: the plain
+    fold runs at batch 2). t40 extends a clone with batch 3; the
+    deletes store below extends a clone with the tombstone + reclaim."""
+    from censo_escolar_spark.streaming.lexindex import apply_lex_index_batch
+
+    def build(root: str):
+        docs = load_table(spark, sf_dir, "documents")
+        with state_shuffle(spark, PARITY_SHUFFLE):
+            for bid, m in ((1, 0), (2, 1)):
+                apply_lex_index_batch(
+                    docs.filter(F.col("doc_id") % 3 == m).select(
+                        "doc_id", "text"
+                    ),
+                    bid,
+                    state_dir=root,
+                    compact_every=2,
+                )
+        return "OK"
+
+    root, _ = shared_state("lex_base", sf_dir, build)
+    return root
+
+
+def lex_deletes_store(spark: SparkSession, sf_dir: str) -> str:
+    """The t41 final store: base + DELETE %7==0 (bid 3) + ingest %3==2
+    (bid 4, triggering the reclaiming fold at upto=3). Read-only for
+    consumers (t41 live probe, t44 snapshot reads)."""
+    from censo_escolar_spark.streaming import link_tree
+    from censo_escolar_spark.streaming.lexindex import (
+        apply_lex_delete_batch,
+        apply_lex_index_batch,
+    )
+
+    base = lex_base(spark, sf_dir)
+
+    def build(root: str):
+        link_tree(base, root)
+        docs = load_table(spark, sf_dir, "documents")
+        with state_shuffle(spark, PARITY_SHUFFLE):
+            apply_lex_delete_batch(
+                docs.filter(F.col("doc_id") % 7 == 0).select("doc_id"),
+                3,
+                state_dir=root,
+                compact_every=2,
+            )
+            apply_lex_index_batch(
+                docs.filter(F.col("doc_id") % 3 == 2).select("doc_id", "text"),
+                4,
+                state_dir=root,
+                compact_every=2,
+            )
+        return "OK"
+
+    root, _ = shared_state("lex_deletes_store", sf_dir, build)
+    return root
+
+
+# ---------------------------------------------------------------------------
+# IVF batch-store bases (streaming/ivfindex.py). All carry the label
+# meta column — meta-blind probes (s22/s23/s29) read an explicit
+# schema subset, so one store serves both the filtered and unfiltered
+# rows. Centroids are trained on the FIRST increment and frozen (the
+# s22 lifecycle); they ride the fixture meta so probes reuse the
+# exact array the store was assigned with.
+# ---------------------------------------------------------------------------
+def ivf_meta_base(spark: SparkSession, sf_dir: str):
+    """Returns (root, centroids): meta store after insert batches 1-2
+    (compact_every=2 folds at batch 2)."""
+    from censo_escolar_spark.operators import similarity
+    from censo_escolar_spark.streaming.ivfindex import apply_ivf_index_batch
+
+    def build(root: str):
+        emb = load_table(spark, sf_dir, "embeddings")
+        centroids = similarity.train_centroids(
+            emb.filter(F.col("vec_id") % 3 == 0), iters=1
+        )
+        with state_shuffle(spark, PARITY_SHUFFLE):
+            for bid in (1, 2):
+                apply_ivf_index_batch(
+                    emb.filter(F.col("vec_id") % 3 == bid - 1),
+                    bid,
+                    state_dir=root,
+                    centroids=centroids,
+                    meta_cols=("label",),
+                    compact_every=2,
+                )
+        return centroids
+
+    return shared_state("ivf_meta_base", sf_dir, build)
+
+
+def ivf_deletes_store(spark: SparkSession, sf_dir: str):
+    """Returns (root, centroids): the s23/s28/s29 final store — base +
+    tombstone %5==0 (bid 3) + insert %3==2 (bid 4, triggering the
+    meta-aware reclaiming fold at upto=3). Read-only for consumers."""
+    from censo_escolar_spark.streaming import link_tree
+    from censo_escolar_spark.streaming.ivfindex import (
+        apply_ivf_delete_batch,
+        apply_ivf_index_batch,
+    )
+
+    base, centroids = ivf_meta_base(spark, sf_dir)
+
+    def build(root: str):
+        link_tree(base, root)
+        emb = load_table(spark, sf_dir, "embeddings")
+        with state_shuffle(spark, PARITY_SHUFFLE):
+            apply_ivf_delete_batch(
+                emb.filter(F.col("vec_id") % 5 == 0).select("vec_id"),
+                3,
+                state_dir=root,
+                meta_schema="label int",
+                compact_every=2,
+            )
+            apply_ivf_index_batch(
+                emb.filter(F.col("vec_id") % 3 == 2),
+                4,
+                state_dir=root,
+                centroids=centroids,
+                meta_cols=("label",),
+                compact_every=2,
+            )
+        return centroids
+
+    root, _ = shared_state("ivf_deletes_store", sf_dir, build)
+    return root, centroids
+
+
+# ---------------------------------------------------------------------------
+# CDC MERGE bases (streaming/merge.py over bucketstate).
+# ---------------------------------------------------------------------------
+MERGE_SCHEMA = "o_orderkey bigint, o_orderstatus string, o_totalprice decimal(19,3)"
+
+
+def cdc_wave_slices(spark: SparkSession, sf_dir: str) -> str:
+    """The q72/q74 CDC waves as parquet slices (shared build)."""
+
+    def build(root: str):
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.col("o_totalprice").cast("decimal(18,2)").cast("decimal(19,3)")
+            .alias("o_totalprice"),
+        )
+        k = F.col("o_orderkey")
+        dec2 = F.col("o_totalprice").cast("decimal(18,2)")
+        b1 = o.withColumn("op", F.lit("I")).withColumn("seq", F.lit(1))
+        b2 = (
+            o.filter(k % 5 == 2)
+            .withColumn(
+                "o_totalprice",
+                (dec2 * F.lit("1.1").cast("decimal(3,1)")).cast("decimal(19,3)"),
+            )
+            .withColumn("op", F.lit("U"))
+            .withColumn("seq", F.lit(1))
+            .unionByName(
+                o.filter(k % 11 == 0)
+                .withColumn("op", F.lit("D"))
+                .withColumn("seq", F.lit(2))
+            )
+        )
+        b3 = (
+            o.filter(k % 7 == 3)
+            .withColumn(
+                "o_totalprice",
+                (dec2 * F.lit("1.2").cast("decimal(2,1)")).cast("decimal(19,3)"),
+            )
+            .withColumn("op", F.lit("U"))
+            .withColumn("seq", F.lit(1))
+            .unionByName(
+                o.filter(k % 33 == 0)
+                .withColumn("o_orderstatus", F.lit("N"))
+                .withColumn("op", F.lit("I"))
+                .withColumn("seq", F.lit(2))
+            )
+        )
+        for i, b in enumerate((b1, b2, b3)):
+            b.coalesce(1).write.parquet(slice_dir(root, i))
+        return "OK"
+
+    cache, _ = shared_slices("cdc_waves", sf_dir, build)
+    return cache
+
+
+def merge_stream_base(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Returns (fixture_root, slices_cache): bucket-store MERGE state
+    after the REAL streaming maintainer drained CDC waves 0-1 (batch
+    ids 0, 1; no cadence compaction), with its checkpoint."""
+    from censo_escolar_spark.streaming.merge import maintain_merged_table
+
+    slices = cdc_wave_slices(spark, sf_dir)
+    schema = spark.read.parquet(slice_dir(slices, 0)).schema
+
+    def build(root: str):
+        src, ckpt, state = (
+            posixpath.join(root, d) for d in ("src", "ckpt", "state")
+        )
+        deploy_slices(slices, src, which=(0, 1))
+        with state_shuffle(spark, PARITY_SHUFFLE):
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            maintain_merged_table(
+                stream,
+                state_dir=state,
+                checkpoint=ckpt,
+                key_col="o_orderkey",
+                seq_col="seq",
+                schema=MERGE_SCHEMA,
+                compact_every=None,
+            )
+        return "OK"
+
+    root, _ = shared_state("merge_stream_base", sf_dir, build)
+    return root, slices

@@ -950,20 +950,24 @@ def m12_streaming_image_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFr
             F.encode((F.col("doc_id") % 40).cast("string"), "utf-8"),
         ).alias("payload"),
     )
+    from censo_escolar_spark.plans.fixtures import PARITY_SHUFFLE
+    from censo_escolar_spark.streaming import state_shuffle
+
     state = tempfile.mkdtemp(prefix="m12_image_state_")
     try:
-        for bid in (1, 2, 3):
-            apply_image_dedup_batch(
-                staged.filter(F.col("doc_id") % 3 == bid - 1),
-                bid,
-                state_dir=state,
-                decoder=M.fake_decode,
-            )
-        final = read_published_hashes(spark, state)
-        out = final.select(
-            "doc_id", (F.col("doc_id") % 3 + 1).cast("int").alias("batch")
-        ).orderBy("doc_id")
-        return detach_from_state(out, state)
+        with state_shuffle(spark, PARITY_SHUFFLE):
+            for bid in (1, 2, 3):
+                apply_image_dedup_batch(
+                    staged.filter(F.col("doc_id") % 3 == bid - 1),
+                    bid,
+                    state_dir=state,
+                    decoder=M.fake_decode,
+                )
+            final = read_published_hashes(spark, state)
+            out = final.select(
+                "doc_id", (F.col("doc_id") % 3 + 1).cast("int").alias("batch")
+            ).orderBy("doc_id")
+            return detach_from_state(out, state)
     finally:
         shutil.rmtree(state, ignore_errors=True)
 
@@ -1081,3 +1085,87 @@ def m13_cross_modal_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
         pair_type="caption_dup_image_distinct",
     )
     return a.unionByName(b).orderBy("pair_type", "anchor_id", "candidate_id")
+
+
+# ---------------------------------------------------------------------------
+# m14 — QC-GATED image ingest: the d24 composition on the image lane.
+# A deterministic image-quality gate (mean brightness — SUM(pixels)
+# over the 8×8 thumbnail >= 8192, i.e. mean >= 128; the m02 decode
+# stats made an admission predicate) runs INSIDE the maintainer's
+# per-batch body right after the single decode, so rejected images
+# never cost DCT hashing, band joins, or index writes — and, unlike a
+# pre-filter in front of the stream, shares the batch's one decode.
+# The uniform splitmix64 fake pixels put per-image mean brightness
+# tightly around 127.5, so the >= 128 cut genuinely splits the 40
+# payload classes (≈half admitted — the boundary is exercised, not
+# vacuous). Oracle: m12's three-increment drop-then-cluster replay
+# with every hash-table read rebound to the GATED hash set (the gate
+# is exact integer arithmetic on the same pix CTE both engines
+# derive from the payload bytes).
+# ---------------------------------------------------------------------------
+def _m14_oracle() -> str:
+    # textual surgery like d24's: gate CTEs slot in after `ph`, and
+    # every DOWNSTREAM read of the hash table rebinds to the gated
+    # view. Guards keep the surgery honest if m12's oracle changes.
+    marker = "pairs AS MATERIALIZED ("
+    assert _M12_ORACLE.count(marker) == 1, "m14 surgery: marker not unique"
+    head, tail = _M12_ORACLE.split(marker, 1)
+    import re
+
+    tail = re.sub(r"\bph\b", "phg", marker + tail)
+    assert re.search(r"\bph\b", tail) is None
+    gate = """qc AS MATERIALIZED (
+  SELECT doc_id FROM pix GROUP BY doc_id HAVING SUM(px) >= 8192
+),
+phg AS MATERIALIZED (
+  SELECT ph.doc_id, ph.phash FROM ph JOIN qc USING (doc_id)
+),
+"""
+    return head + gate + tail
+
+
+@register("m14_gated_image_ingest", oracle=_m14_oracle())
+def m14_gated_image_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from censo_escolar_spark.plans.fixtures import PARITY_SHUFFLE
+    from censo_escolar_spark.streaming import detach_from_state, state_shuffle
+    from censo_escolar_spark.streaming.imagededup import (
+        apply_image_dedup_batch,
+        read_published_hashes,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id",
+        F.concat(
+            F.unhex(F.lit("89504E47")),
+            F.encode((F.col("doc_id") % 40).cast("string"), "utf-8"),
+        ).alias("payload"),
+    )
+    # mean-brightness admission: exact integer fold over the decoded
+    # 8x8 thumbnail (codegen; the decode itself is the batch's one
+    # Arrow crossing)
+    gate = (
+        F.expr("aggregate(pixels, CAST(0 AS BIGINT), (a, x) -> a + x)")
+        >= 8192
+    )
+    state = tempfile.mkdtemp(prefix="m14_gated_state_")
+    try:
+        with state_shuffle(spark, PARITY_SHUFFLE):
+            for bid in (1, 2, 3):
+                apply_image_dedup_batch(
+                    staged.filter(F.col("doc_id") % 3 == bid - 1),
+                    bid,
+                    state_dir=state,
+                    decoder=M.fake_decode,
+                    qc_gate=gate,
+                )
+            final = read_published_hashes(spark, state)
+            out = final.select(
+                "doc_id", (F.col("doc_id") % 3 + 1).cast("int").alias("batch")
+            ).orderBy("doc_id")
+            return detach_from_state(out, state)
+    finally:
+        shutil.rmtree(state, ignore_errors=True)

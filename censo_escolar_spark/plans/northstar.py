@@ -3432,9 +3432,16 @@ def s21_ivf_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("s22_ivf_incremental_topk", oracle=_S01_ORACLE)
 def s22_ivf_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
-    import tempfile
 
-    from censo_escolar_spark.streaming import detach_from_state
+    from censo_escolar_spark.plans.fixtures import (
+        PARITY_SHUFFLE,
+        ivf_meta_base,
+    )
+    from censo_escolar_spark.streaming import (
+        clone_state,
+        detach_from_state,
+        state_shuffle,
+    )
     from censo_escolar_spark.streaming.ivfindex import (
         apply_ivf_index_batch,
         ivf_topk_incremental,
@@ -3446,17 +3453,20 @@ def s22_ivf_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # that exists at index-build time (the first increment) and FROZEN;
     # later increments assign to those cells. Exhaustive probe keeps
     # the contract independent of where the cell boundaries fall.
-    centroids = similarity.train_centroids(
-        emb.filter(F.col("vec_id") % 3 == 0), iters=1
-    )
-    root = tempfile.mkdtemp(prefix="s22_ivf_state_")
+    # Increments 1-2 (+ the cadence fold at 2) are the shared meta
+    # store base (the probe here is meta-BLIND: an explicit schema
+    # subset prunes the stored label at the scan); the third increment
+    # extends a clone.
+    base, centroids = ivf_meta_base(spark, sf_dir)
+    root = clone_state(base, prefix="s22_ivf_")
     try:
-        for bid in (1, 2, 3):
+        with state_shuffle(spark, PARITY_SHUFFLE):
             apply_ivf_index_batch(
-                emb.filter(F.col("vec_id") % 3 == bid - 1),
-                bid,
+                emb.filter(F.col("vec_id") % 3 == 2),
+                3,
                 state_dir=root,
                 centroids=centroids,
+                meta_cols=("label",),
                 compact_every=2,
             )
         out = ivf_topk_incremental(
@@ -3479,9 +3489,7 @@ def s22_ivf_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # inserted when the delete was issued (%3 in (0,1)); queries stay the
 # full s01 query set (query vectors are inputs, not corpus members).
 # ---------------------------------------------------------------------------
-@register(
-    "s23_ivf_index_deletes",
-    oracle="""
+_S23_LIVE_ORACLE = """
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     live AS (
       SELECT * FROM e WHERE NOT (vec_id % 5 = 0 AND vec_id % 3 != 2)
@@ -3501,48 +3509,27 @@ def s22_ivf_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     WHERE rnk <= 5
     ORDER BY query_id, rank
-    """,
-)
-def s23_ivf_index_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
-    import tempfile
+    """
 
-    from censo_escolar_spark.streaming import detach_from_state
-    from censo_escolar_spark.streaming.ivfindex import (
-        apply_ivf_delete_batch,
-        apply_ivf_index_batch,
-        ivf_topk_incremental,
-    )
+
+@register("s23_ivf_index_deletes", oracle=_S23_LIVE_ORACLE)
+def s23_ivf_index_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from censo_escolar_spark.plans.fixtures import ivf_deletes_store
+    from censo_escolar_spark.streaming import detach
+    from censo_escolar_spark.streaming.ivfindex import ivf_topk_incremental
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
-    centroids = similarity.train_centroids(
-        emb.filter(F.col("vec_id") % 3 == 0), iters=1
-    )
-    root = tempfile.mkdtemp(prefix="s23_ivf_state_")
-    try:
-        ins = dict(
-            state_dir=root, centroids=centroids, compact_every=2
-        )
-        apply_ivf_index_batch(emb.filter(F.col("vec_id") % 3 == 0), 1, **ins)
-        apply_ivf_index_batch(emb.filter(F.col("vec_id") % 3 == 1), 2, **ins)
-        # tombstone ALL %5==0 ids: a no-op for ids not yet inserted
-        # (%3==2), whose later insert must stay live
-        apply_ivf_delete_batch(
-            emb.filter(F.col("vec_id") % 5 == 0).select("vec_id"),
-            3,
-            state_dir=root,
-            compact_every=2,
-        )
-        # batch 4 triggers the in-loop fold (upto=3): tombstoned rows
-        # physically reclaimed, consumed tombstones dropped
-        apply_ivf_index_batch(emb.filter(F.col("vec_id") % 3 == 2), 4, **ins)
-        out = ivf_topk_incremental(
-            spark, root, queries, centroids, k=5, nprobe=None
-        ).orderBy("query_id", "rank")
-        return detach_from_state(out, root)
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
+    # inserts 1-2, tombstone %5==0 (a no-op for not-yet-inserted %3==2
+    # ids, whose later insert must stay live), insert 4 triggering the
+    # in-loop reclaiming fold: the shared read-only store fixture
+    # (s28 probes it filtered, s29 probes it at snapshot horizons);
+    # this row probes the LIVE view meta-blind.
+    root, centroids = ivf_deletes_store(spark, sf_dir)
+    out = ivf_topk_incremental(
+        spark, root, queries, centroids, k=5, nprobe=None
+    ).orderBy("query_id", "rank")
+    return detach(out)
 
 
 # ---------------------------------------------------------------------------
@@ -3652,11 +3639,15 @@ def s18_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # d19 — streaming dedup maintenance parity: the documents corpus
-# arrives as three micro-batches (doc_id % 3 = 0, 1, 2 → batch ids
-# 1, 2, 3) through the streaming maintainer's foreachBatch body
-# (streaming/dedup.py::apply_dedup_batch — versioned published
-# snapshots, incremental_dedup per batch), and the FINAL published
-# corpus is returned. The oracle unrolls the three rounds
+# arrives as three micro-batches (doc_id % 3 = 0, 1, 2) through the
+# streaming maintainer (streaming/dedup.py — versioned published
+# snapshots, incremental_dedup per batch): the first two through the
+# REAL file-source streaming query (batch ids 0, 1; the shared
+# fixture plans/fixtures.dedup_stream_base that d22/d23 also rebase
+# on), the third as a direct ``apply_dedup_batch`` backfill (bid 2) —
+# and the FINAL published corpus is returned. Batch ids are labels,
+# not semantics: the oracle's batch column derives from doc_id % 3.
+# The oracle unrolls the three rounds
 # declaratively: batch 1 is plain within-batch closure dedup; each
 # later batch first drops docs with an exact-Jaccard≥0.5 partner in
 # the published set (increments never retroactively delete published
@@ -3765,32 +3756,22 @@ ORDER BY doc_id
 
 @register("d19_streaming_dedup_parity", oracle=_D19_ORACLE)
 def d19_streaming_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    # Store construction: the REAL streaming maintainer drains the
+    # first two slices (plans/fixtures.dedup_stream_base — file source,
+    # checkpoint, foreachBatch), then the third arrives as a direct
+    # ``apply_dedup_batch`` backfill — both entry points of the same
+    # batch body. The base store is a process-shared fixture (d22/d23
+    # rebase on clones of it); this row reads the extended store.
+    from censo_escolar_spark.plans.fixtures import dedup_full_store
+    from censo_escolar_spark.streaming import detach
+    from censo_escolar_spark.streaming.dedup import read_published
 
-    from censo_escolar_spark.streaming.dedup import (
-        apply_dedup_batch,
-        read_published,
-    )
-
-    from censo_escolar_spark.streaming import detach_from_state
-
-    docs = load_table(spark, sf_dir, "documents")
-    state = tempfile.mkdtemp(prefix="d19_dedup_state_")
-    try:
-        for bid in (1, 2, 3):
-            batch = docs.filter(F.col("doc_id") % 3 == bid - 1).select(
-                "doc_id", "text"
-            )
-            apply_dedup_batch(batch, bid, state_dir=state, threshold=0.5)
-        final = read_published(spark, state)
-        out = final.select(
-            "doc_id", (F.col("doc_id") % 3 + 1).cast("int").alias("batch")
-        ).orderBy("doc_id")
-        return detach_from_state(out, state)
-    finally:
-        import shutil
-
-        shutil.rmtree(state, ignore_errors=True)
+    store = dedup_full_store(spark, sf_dir)
+    final = read_published(spark, store)
+    out = final.select(
+        "doc_id", (F.col("doc_id") % 3 + 1).cast("int").alias("batch")
+    ).orderBy("doc_id")
+    return detach(out)
 
 
 # ---------------------------------------------------------------------------
@@ -4823,19 +4804,21 @@ def s25_maxsim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # d22 — right-to-be-forgotten in the streaming dedup corpus: d19's
-# ingest pipeline (batches 1 and 2) followed by a DELETE batch
-# tombstoning every doc_id % 7 == 0 (published or not — never-published
-# ids are no-ops), then a third ingest whose near-dup suppression runs
-# against the post-delete LIVE index — a new near-dup of a forgotten
-# doc must PUBLISH (the forgotten doc can no longer influence
-# retention), and a batch-4 doc whose id was tombstoned at batch 3 is
-# LIVE (arrival-ordered tombstones only remove rows published strictly
-# before them).  compact_every=2 puts one fold BEFORE the delete
-# (plain union) and one AFTER it (upto=3: tombstoned text/sketch/band
-# rows physically reclaimed, consumed tombstones dropped) — so the
-# parity also proves the LSM reclaim preserves the live view.  Oracle:
-# d19's per-batch declarative replay with the published set minus the
-# delete set driving batch-4 suppression.
+# ingest pipeline (the shared streamed base, batch ids 0-1) followed
+# by a DELETE batch (bid 2) tombstoning every doc_id % 7 == 0
+# (published or not — never-published ids are no-ops), then a third
+# ingest (bid 4) whose near-dup suppression runs against the
+# post-delete LIVE index — a new near-dup of a forgotten doc must
+# PUBLISH (the forgotten doc can no longer influence retention), and
+# a bid-4 doc whose id was tombstoned at bid 2 is LIVE
+# (arrival-ordered tombstones only remove rows published strictly
+# before them).  compact_every=2 puts one fold at the delete batch
+# covering only pre-delete content (plain union) and one AFTER it
+# (upto=3: tombstoned text/sketch/band rows physically reclaimed,
+# consumed tombstones dropped) — so the parity also proves the LSM
+# reclaim preserves the live view.  Oracle: d19's per-batch
+# declarative replay with the published set minus the delete set
+# driving final-batch suppression.
 # ---------------------------------------------------------------------------
 _D22_ORACLE = f"""
 WITH RECURSIVE {_SQL_SHINGLES},
@@ -4945,10 +4928,18 @@ ORDER BY doc_id
 
 @register("d22_corpus_forget", oracle=_D22_ORACLE)
 def d22_corpus_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import posixpath
     import shutil
-    import tempfile
 
-    from censo_escolar_spark.streaming import detach_from_state
+    from censo_escolar_spark.plans.fixtures import (
+        PARITY_SHUFFLE,
+        dedup_stream_base,
+    )
+    from censo_escolar_spark.streaming import (
+        clone_state,
+        detach_from_state,
+        state_shuffle,
+    )
     from censo_escolar_spark.streaming.dedup import (
         apply_corpus_delete_batch,
         apply_dedup_batch,
@@ -4956,39 +4947,37 @@ def d22_corpus_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    state = tempfile.mkdtemp(prefix="d22_dedup_state_")
+    base, _slices = dedup_stream_base(spark, sf_dir)
+    # delete + post-delete ingest mutate the store: work on a clone
+    state = clone_state(posixpath.join(base, "state"), prefix="d22_dedup_")
     try:
-        for bid, m in ((1, 0), (2, 1)):
+        with state_shuffle(spark, PARITY_SHUFFLE):
+            # bid 2 triggers the cadence fold at upto=1 (pre-delete
+            # content only — the plain union), then bid 4 triggers the
+            # reclaiming fold at upto=3 (tombstones consumed)
+            apply_corpus_delete_batch(
+                docs.filter(F.col("doc_id") % 7 == 0).select("doc_id"),
+                2,
+                state_dir=state,
+                compact_every=2,
+            )
             apply_dedup_batch(
-                docs.filter(F.col("doc_id") % 3 == m).select("doc_id", "text"),
-                bid,
+                docs.filter(F.col("doc_id") % 3 == 2).select("doc_id", "text"),
+                4,
                 state_dir=state,
                 threshold=0.5,
                 compact_every=2,
             )
-        apply_corpus_delete_batch(
-            docs.filter(F.col("doc_id") % 7 == 0).select("doc_id"),
-            3,
-            state_dir=state,
-            compact_every=2,
-        )
-        apply_dedup_batch(
-            docs.filter(F.col("doc_id") % 3 == 2).select("doc_id", "text"),
-            4,
-            state_dir=state,
-            threshold=0.5,
-            compact_every=2,
-        )
-        final = read_published(spark, state)
-        out = final.select(
-            "doc_id",
-            F.when(F.col("doc_id") % 3 == 0, 1)
-            .when(F.col("doc_id") % 3 == 1, 2)
-            .otherwise(4)
-            .cast("int")
-            .alias("batch"),
-        ).orderBy("doc_id")
-        return detach_from_state(out, state)
+            final = read_published(spark, state)
+            out = final.select(
+                "doc_id",
+                F.when(F.col("doc_id") % 3 == 0, 1)
+                .when(F.col("doc_id") % 3 == 1, 2)
+                .otherwise(4)
+                .cast("int")
+                .alias("batch"),
+            ).orderBy("doc_id")
+            return detach_from_state(out, state)
     finally:
         shutil.rmtree(state, ignore_errors=True)
 
@@ -5040,9 +5029,13 @@ def s26_ivf_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("t40_bm25_incremental_index", oracle=_T39_ORACLE)
 def t40_bm25_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
-    import tempfile
 
-    from censo_escolar_spark.streaming import detach_from_state
+    from censo_escolar_spark.plans.fixtures import PARITY_SHUFFLE, lex_base
+    from censo_escolar_spark.streaming import (
+        clone_state,
+        detach_from_state,
+        state_shuffle,
+    )
     from censo_escolar_spark.streaming.lexindex import (
         apply_lex_index_batch,
         bm25_topk_indexed,
@@ -5050,12 +5043,15 @@ def t40_bm25_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    state = tempfile.mkdtemp(prefix="t40_lex_state_")
+    # batches 1-2 (+ the cadence fold at 2) are the shared lex base;
+    # the third ingest extends a clone (t41's delete run diverges from
+    # the same base)
+    state = clone_state(lex_base(spark, sf_dir), prefix="t40_lex_")
     try:
-        for bid, m in ((1, 0), (2, 1), (3, 2)):
+        with state_shuffle(spark, PARITY_SHUFFLE):
             apply_lex_index_batch(
-                docs.filter(F.col("doc_id") % 3 == m).select("doc_id", "text"),
-                bid,
+                docs.filter(F.col("doc_id") % 3 == 2).select("doc_id", "text"),
+                3,
                 state_dir=state,
                 compact_every=2,
             )
@@ -5185,51 +5181,28 @@ ORDER BY query_id, rank
 
 @register("t41_bm25_index_deletes", oracle=_T41_ORACLE)
 def t41_bm25_index_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
-    import tempfile
-
-    from censo_escolar_spark.streaming import detach_from_state
+    from censo_escolar_spark.plans.fixtures import lex_deletes_store
+    from censo_escolar_spark.streaming import detach
     from censo_escolar_spark.streaming.lexindex import (
-        apply_lex_delete_batch,
-        apply_lex_index_batch,
         bm25_topk_indexed,
         live_term_df,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    state = tempfile.mkdtemp(prefix="t41_lex_state_")
-    try:
-        for bid, m in ((1, 0), (2, 1)):
-            apply_lex_index_batch(
-                docs.filter(F.col("doc_id") % 3 == m).select("doc_id", "text"),
-                bid,
-                state_dir=state,
-                compact_every=2,
-            )
-        apply_lex_delete_batch(
-            docs.filter(F.col("doc_id") % 7 == 0).select("doc_id"),
-            3,
-            state_dir=state,
-            compact_every=2,
-        )
-        apply_lex_index_batch(
-            docs.filter(F.col("doc_id") % 3 == 2).select("doc_id", "text"),
-            4,
-            state_dir=state,
-            compact_every=2,
-        )
-        qtf, _, _ = retrieval.corpus_stats(
-            docs.filter(F.col("doc_id") < 4), "doc_id", "text"
-        )
-        cand_terms = [r["term"] for r in qtf.select("term").distinct().collect()]
-        live_df = live_term_df(spark, state, cand_terms)
-        qterms = retrieval.rarest_query_terms(qtf, live_df, range(4), n_terms=8)
-        out = bm25_topk_indexed(spark, state, qterms, k=5).orderBy(
-            "query_id", "rank"
-        )
-        return detach_from_state(out, state)
-    finally:
-        shutil.rmtree(state, ignore_errors=True)
+    # base (fold) + delete + reclaiming fold is the shared read-only
+    # store fixture (t44's snapshot reads audit the same store); this
+    # row probes its LIVE view
+    state = lex_deletes_store(spark, sf_dir)
+    qtf, _, _ = retrieval.corpus_stats(
+        docs.filter(F.col("doc_id") < 4), "doc_id", "text"
+    )
+    cand_terms = [r["term"] for r in qtf.select("term").distinct().collect()]
+    live_df = live_term_df(spark, state, cand_terms)
+    qterms = retrieval.rarest_query_terms(qtf, live_df, range(4), n_terms=8)
+    out = bm25_topk_indexed(spark, state, qterms, k=5).orderBy(
+        "query_id", "rank"
+    )
+    return detach(out)
 
 
 # ---------------------------------------------------------------------------
@@ -5238,7 +5211,9 @@ def t41_bm25_index_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
 # production corpus crawl exercises on every deploy/crash. Incarnation
 # A drains the first two document slices through the REAL streaming
 # query (maintain_deduped_corpus: file source, maxFilesPerTrigger=1,
-# availableNow -> batch ids 0, 1) and dies; a compaction is then staged
+# availableNow -> batch ids 0, 1; shared fixture
+# plans/fixtures.dedup_stream_base, checkpoint + state hardlink-cloned
+# here) and dies; a compaction is then staged
 # EXACTLY mid-protocol (phase-1 temps + commit marker, no swap — the
 # crash window of the two-phase fold, streaming/dedup.py::
 # stage_published_compaction); incarnation B starts a brand-new query
@@ -5258,11 +5233,15 @@ def d23_streaming_dedup_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
+    from censo_escolar_spark.plans.fixtures import (
+        PARITY_SHUFFLE,
+        dedup_stream_base,
+    )
     from censo_escolar_spark.streaming import (
         deploy_slices,
         detach_from_state,
-        shared_slices,
-        slice_dir,
+        link_tree,
+        state_shuffle,
     )
     from censo_escolar_spark.streaming.dedup import (
         maintain_deduped_corpus,
@@ -5270,24 +5249,27 @@ def d23_streaming_dedup_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
         stage_published_compaction,
     )
 
-    def build(root: str):
-        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-        for i in range(3):
-            docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(
-                slice_dir(root, i)
-            )
-        return "OK"
-
-    cache, _meta = shared_slices("docs_mod3", sf_dir, build)
-    schema = spark.read.parquet(slice_dir(cache, 0)).schema
+    # incarnation A is the shared streamed base (real file-source query,
+    # batch ids 0-1, durable checkpoint). The crash + restart below
+    # mutate checkpoint and state, so both are hardlink-CLONED; the
+    # stream SOURCE dir must keep its absolute path across the restart
+    # (Spark re-resolves the last committed batch's file paths on
+    # recovery), so incarnation B reads the fixture's own src, extended
+    # with the third slice (idempotent, deterministic content).
+    base, slices = dedup_stream_base(spark, sf_dir)
+    src = posixpath.join(base, "src")
+    schema = spark.read.parquet(posixpath.join(slices, "s00")).schema
 
     root = tempfile.mkdtemp(prefix="d23_restart_")
-    src, ckpt, state = (
-        posixpath.join(root, d) for d in ("src", "ckpt", "state")
-    )
+    ckpt, state = (posixpath.join(root, d) for d in ("ckpt", "state"))
     try:
-
-        def incarnation() -> None:
+        link_tree(posixpath.join(base, "ckpt"), ckpt)
+        link_tree(posixpath.join(base, "state"), state)
+        # crash INSIDE the compaction protocol: temps + marker, no swap
+        with state_shuffle(spark, PARITY_SHUFFLE):
+            stage_published_compaction(spark, state, upto=1)
+            # incarnation B: recovers the fold + offsets, batch 2 = new slice
+            deploy_slices(slices, src, which=(2,))
             stream = (
                 spark.readStream.schema(schema)
                 .option("maxFilesPerTrigger", 1)
@@ -5300,15 +5282,6 @@ def d23_streaming_dedup_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
                 threshold=0.5,
                 compact_every=None,
             )
-
-        # incarnation A: slices 0-1 -> batch ids 0, 1; then it dies
-        deploy_slices(cache, src, which=(0, 1))
-        incarnation()
-        # crash INSIDE the compaction protocol: temps + marker, no swap
-        stage_published_compaction(spark, state, upto=1)
-        # incarnation B: recovers the fold + offsets, batch 2 = new slice
-        deploy_slices(cache, src, which=(2,))
-        incarnation()
 
         final = read_published(spark, state)
         out = final.select(
@@ -5437,18 +5410,22 @@ def t43_quality_stats_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_quality_state,
     )
 
+    from censo_escolar_spark.plans.fixtures import PARITY_SHUFFLE
+    from censo_escolar_spark.streaming import state_shuffle
+
     docs = load_table(spark, sf_dir, "documents")
     state = tempfile.mkdtemp(prefix="t43_quality_state_")
     try:
-        for bid in (1, 2, 3):
-            apply_quality_batch(
-                docs.filter(F.col("doc_id") % 3 == bid - 1).select(
-                    "lang", "text"
-                ),
-                bid,
-                state_dir=state,
-                compact_every=2,
-            )
+        with state_shuffle(spark, PARITY_SHUFFLE):
+            for bid in (1, 2, 3):
+                apply_quality_batch(
+                    docs.filter(F.col("doc_id") % 3 == bid - 1).select(
+                        "lang", "text"
+                    ),
+                    bid,
+                    state_dir=state,
+                    compact_every=2,
+                )
         snap = read_quality_state(spark, state)
         out = snap.select(
             "lang",
@@ -5505,45 +5482,22 @@ def t43_quality_stats_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def s28_ivf_incremental_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
-    import tempfile
-
-    from censo_escolar_spark.streaming import detach_from_state
+    from censo_escolar_spark.plans.fixtures import ivf_deletes_store
+    from censo_escolar_spark.streaming import detach
     from censo_escolar_spark.streaming.ivfindex import (
-        apply_ivf_delete_batch,
-        apply_ivf_index_batch,
         ivf_topk_incremental_filtered,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
-    centroids = similarity.train_centroids(
-        emb.filter(F.col("vec_id") % 3 == 0), iters=1
-    )
-    root = tempfile.mkdtemp(prefix="s28_ivf_state_")
-    try:
-        ins = dict(
-            state_dir=root,
-            centroids=centroids,
-            meta_cols=("label",),
-            compact_every=2,
-        )
-        apply_ivf_index_batch(emb.filter(F.col("vec_id") % 3 == 0), 1, **ins)
-        apply_ivf_index_batch(emb.filter(F.col("vec_id") % 3 == 1), 2, **ins)
-        apply_ivf_delete_batch(
-            emb.filter(F.col("vec_id") % 5 == 0).select("vec_id"),
-            3,
-            state_dir=root,
-            meta_schema="label int",
-            compact_every=2,
-        )
-        apply_ivf_index_batch(emb.filter(F.col("vec_id") % 3 == 2), 4, **ins)
-        out = ivf_topk_incremental_filtered(
-            spark, root, queries, centroids, match_col="label", k=5, nprobe=None
-        ).orderBy("query_id", "rank")
-        return detach_from_state(out, root)
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
+    # the shared tombstone-aware meta store (built with label meta and
+    # the in-loop meta-aware fold — see plans/fixtures.ivf_deletes_store);
+    # this row runs the label-filtered probe against its LIVE view
+    root, centroids = ivf_deletes_store(spark, sf_dir)
+    out = ivf_topk_incremental_filtered(
+        spark, root, queries, centroids, match_col="label", k=5, nprobe=None
+    ).orderBy("query_id", "rank")
+    return detach(out)
 
 
 # ---------------------------------------------------------------------------
@@ -5597,49 +5551,28 @@ def s28_ivf_incremental_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def s29_ivf_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
-    import tempfile
-
-    from censo_escolar_spark.streaming import detach_from_state
-    from censo_escolar_spark.streaming.ivfindex import (
-        apply_ivf_delete_batch,
-        apply_ivf_index_batch,
-        ivf_topk_incremental,
-    )
+    from censo_escolar_spark.plans.fixtures import ivf_deletes_store
+    from censo_escolar_spark.streaming import detach
+    from censo_escolar_spark.streaming.ivfindex import ivf_topk_incremental
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
-    centroids = similarity.train_centroids(
-        emb.filter(F.col("vec_id") % 3 == 0), iters=1
+    # the shared tombstone-aware store whose batch-4 ingest triggered
+    # the fold at upto=3: history below the audited horizon collapsed
+    # INTO batch=3, which the below=4 read must still resolve
+    root, centroids = ivf_deletes_store(spark, sf_dir)
+
+    def probe(snap: int, below) -> DataFrame:
+        return ivf_topk_incremental(
+            spark, root, queries, centroids, k=5, nprobe=None, below=below
+        ).select(F.lit(snap).cast("int").alias("snapshot"), "*")
+
+    out = (
+        probe(1, 4)
+        .unionByName(probe(2, None))
+        .orderBy("snapshot", "query_id", "rank")
     )
-    root = tempfile.mkdtemp(prefix="s29_ivf_state_")
-    try:
-        ins = dict(state_dir=root, centroids=centroids, compact_every=2)
-        apply_ivf_index_batch(emb.filter(F.col("vec_id") % 3 == 0), 1, **ins)
-        apply_ivf_index_batch(emb.filter(F.col("vec_id") % 3 == 1), 2, **ins)
-        apply_ivf_delete_batch(
-            emb.filter(F.col("vec_id") % 5 == 0).select("vec_id"),
-            3,
-            state_dir=root,
-            compact_every=2,
-        )
-        # batch 4 triggers the fold at upto=3: history below the audited
-        # horizon collapses INTO batch=3, which a below=4 read resolves
-        apply_ivf_index_batch(emb.filter(F.col("vec_id") % 3 == 2), 4, **ins)
-
-        def probe(snap: int, below) -> DataFrame:
-            return ivf_topk_incremental(
-                spark, root, queries, centroids, k=5, nprobe=None, below=below
-            ).select(F.lit(snap).cast("int").alias("snapshot"), "*")
-
-        out = (
-            probe(1, 4)
-            .unionByName(probe(2, None))
-            .orderBy("snapshot", "query_id", "rank")
-        )
-        return detach_from_state(out, root)
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
+    return detach(out)
 
 
 # ---------------------------------------------------------------------------
@@ -5703,7 +5636,8 @@ def d24_curated_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from censo_escolar_spark.streaming import detach_from_state
+    from censo_escolar_spark.plans.fixtures import PARITY_SHUFFLE
+    from censo_escolar_spark.streaming import detach_from_state, state_shuffle
     from censo_escolar_spark.streaming.dedup import (
         apply_dedup_batch,
         read_published,
@@ -5715,17 +5649,324 @@ def d24_curated_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     state = tempfile.mkdtemp(prefix="d24_curated_state_")
     try:
-        for bid in (1, 2, 3):
-            apply_dedup_batch(
-                kept.filter(F.col("doc_id") % 3 == bid - 1),
-                bid,
-                state_dir=state,
-                threshold=0.5,
-            )
-        final = read_published(spark, state)
-        out = final.select(
-            "doc_id", (F.col("doc_id") % 3 + 1).cast("int").alias("batch")
-        ).orderBy("doc_id")
-        return detach_from_state(out, state)
+        with state_shuffle(spark, PARITY_SHUFFLE):
+            for bid in (1, 2, 3):
+                apply_dedup_batch(
+                    kept.filter(F.col("doc_id") % 3 == bid - 1),
+                    bid,
+                    state_dir=state,
+                    threshold=0.5,
+                )
+            final = read_published(spark, state)
+            out = final.select(
+                "doc_id", (F.col("doc_id") % 3 + 1).cast("int").alias("batch")
+            ).orderBy("doc_id")
+            return detach_from_state(out, state)
     finally:
         shutil.rmtree(state, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# s30 — INCREMENTAL IVF-PQ: the compressed codes index (s27's m-bytes-
+# per-vector layout) under the maintained-store discipline (s22/s23's
+# batch=/cell= partitions, arrival-ordered tombstones, delete-aware
+# in-loop fold). Coarse quantizer AND codebooks are trained on the
+# first increment and FROZEN — re-training per batch would silently
+# change the meaning of every stored code; at 100 TB the growing index
+# is exactly the one you want compressed. Batches: insert %3==0,
+# insert %3==1, DELETE %5==0 (no-op for not-yet-coded ids), insert
+# %3==2 (triggers the reclaiming fold at upto=3). Probe exhaustive
+# (nprobe=None, rerank >= corpus) so the ADC + exact-re-rank pipeline
+# must equal brute force over the LIVE set — s23's oracle verbatim.
+# Recall at realistic (nprobe, rerank) and code equality with the
+# one-shot store are asserted in tests/test_pq.py.
+# ---------------------------------------------------------------------------
+@register("s30_ivfpq_incremental", oracle=_S23_LIVE_ORACLE)
+def s30_ivfpq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from censo_escolar_spark.operators import pq
+    from censo_escolar_spark.plans.fixtures import PARITY_SHUFFLE
+    from censo_escolar_spark.streaming import detach_from_state, state_shuffle
+    from censo_escolar_spark.streaming.ivfindex import (
+        apply_ivfpq_delete_batch,
+        apply_ivfpq_index_batch,
+        ivfpq_topk_incremental,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    first = emb.filter(F.col("vec_id") % 3 == 0)
+    centroids = similarity.train_centroids(first, iters=1)
+    books = pq.train_pq_codebooks(first, m=4, k=16, iters=1)
+    root = tempfile.mkdtemp(prefix="s30_ivfpq_state_")
+    try:
+        with state_shuffle(spark, PARITY_SHUFFLE):
+            ins = dict(
+                state_dir=root,
+                centroids=centroids,
+                codebooks=books,
+                compact_every=2,
+            )
+            apply_ivfpq_index_batch(first, 1, **ins)
+            apply_ivfpq_index_batch(emb.filter(F.col("vec_id") % 3 == 1), 2, **ins)
+            apply_ivfpq_delete_batch(
+                emb.filter(F.col("vec_id") % 5 == 0).select("vec_id"),
+                3,
+                state_dir=root,
+                compact_every=2,
+            )
+            # batch 4 triggers the in-loop fold (upto=3): tombstoned
+            # codes physically reclaimed, consumed tombstones dropped
+            apply_ivfpq_index_batch(emb.filter(F.col("vec_id") % 3 == 2), 4, **ins)
+        live = emb.filter(
+            ~((F.col("vec_id") % 5 == 0) & (F.col("vec_id") % 3 != 2))
+        )
+        out = ivfpq_topk_incremental(
+            spark, root, queries, live, centroids, books,
+            k=5, nprobe=None, rerank=1_000_000,
+        ).orderBy("query_id", "rank")
+        return detach_from_state(out, root)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# t44 — SNAPSHOT (time-travel) reads of the maintained BM25 index: s29's
+# audit query on the LEXICAL store ("what did ranked retrieval serve
+# BEFORE today's ingest?"). The t41 store's history below the audited
+# horizon collapsed INTO batch=3 at the batch-4 fold (upto=3), so a
+# below=4 probe resolves the post-delete, pre-batch-4 index — with the
+# fold-REBUILT termstats/totals (the delete-aware fold recomputed them
+# from survivors, so the snapshot's N/avgdl/df are the post-forget
+# stats, not the stale pre-delete ones). Probe A (below=4): live set =
+# ingests 1-2 minus the %7 tombstones; probe B (live): plus batch-4
+# docs, including re-ingests of tombstoned ids. Query-term selection
+# (rarest-8 by df) runs against EACH snapshot's own live df — the same
+# query document can legitimately probe different terms in the two
+# eras. Oracle: t39's BM25 SQL instantiated per snapshot's live set,
+# unioned under a snapshot column.
+# ---------------------------------------------------------------------------
+def _t44_snapshot_block(p: str, live_where: str) -> str:
+    """One snapshot's BM25 CTE chain (t41's oracle, prefixed)."""
+    return f"""
+{p}live AS (SELECT doc_id, text FROM documents WHERE {live_where}),
+{p}tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM {p}live),
+{p}tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+          FROM {p}tok GROUP BY doc_id, term),
+{p}dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+          FROM {p}tf GROUP BY doc_id),
+{p}dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+             FROM {p}tf GROUP BY term),
+{p}n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM {p}live),
+{p}tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS tot_tokens FROM {p}tok),
+{p}qterms AS (
+  SELECT qid, term, df FROM (
+    SELECT qt.doc_id AS qid, qt.term, d.df,
+      ROW_NUMBER() OVER (PARTITION BY qt.doc_id
+                         ORDER BY d.df ASC, qt.term ASC) AS r
+    FROM (SELECT DISTINCT doc_id, term FROM qtok) qt
+    JOIN {p}dfreq d USING (term)
+  ) WHERE r <= 8
+),
+{p}consts AS (
+  SELECT CAST(n.n_docs AS DOUBLE) AS nd,
+    CAST(tot.tot_tokens AS DOUBLE) / CAST(n.n_docs AS DOUBLE) AS avgdl
+  FROM {p}n n CROSS JOIN {p}tot tot
+),
+{p}scored AS (
+  SELECT q.qid AS query_id, t.doc_id,
+    CAST(round(
+      (((c.nd - CAST(q.df AS DOUBLE) + 0.5) / (CAST(q.df AS DOUBLE) + 0.5))
+        * (CAST(t.tf AS DOUBLE) * {retrieval.BM25_K1_PLUS_1!r}))
+      / (CAST(t.tf AS DOUBLE)
+         + ({retrieval.BM25_K1!r} * ({retrieval.BM25_ONE_MINUS_B!r}
+            + ({retrieval.BM25_B!r} * (CAST(l.dl AS DOUBLE) / c.avgdl)))))
+      * {retrieval.BM25_SCALE!r}) AS BIGINT) AS qscaled
+  FROM {p}qterms q
+  JOIN {p}tf t ON q.term = t.term AND t.doc_id != q.qid
+  JOIN {p}dl l ON t.doc_id = l.doc_id
+  CROSS JOIN {p}consts c
+),
+{p}agg AS (
+  SELECT query_id, doc_id, CAST(SUM(qscaled) AS BIGINT) AS score_scaled,
+    CAST(COUNT(*) AS INTEGER) AS n_terms
+  FROM {p}scored GROUP BY query_id, doc_id
+),
+{p}top AS (
+  SELECT query_id, CAST(r AS INTEGER) AS rank, doc_id, n_terms,
+    score_scaled,
+    CAST(score_scaled AS DOUBLE) / {retrieval.BM25_SCALE!r} AS score
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY score_scaled DESC, doc_id) AS r
+    FROM {p}agg
+  )
+  WHERE r <= 5
+)"""
+
+
+_T44_ORACLE = (
+    """
+WITH qtok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents WHERE doc_id < 4
+),"""
+    + _t44_snapshot_block("a_", "doc_id % 3 != 2 AND doc_id % 7 != 0")
+    + ","
+    + _t44_snapshot_block("b_", "NOT (doc_id % 7 = 0 AND doc_id % 3 != 2)")
+    + """
+SELECT * FROM (
+  SELECT CAST(1 AS INTEGER) AS snapshot, * FROM a_top
+  UNION ALL
+  SELECT CAST(2 AS INTEGER) AS snapshot, * FROM b_top
+)
+ORDER BY snapshot, query_id, rank
+"""
+)
+
+
+@register("t44_bm25_snapshot_read", oracle=_T44_ORACLE)
+def t44_bm25_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from censo_escolar_spark.plans.fixtures import lex_deletes_store
+    from censo_escolar_spark.streaming import detach
+    from censo_escolar_spark.streaming.lexindex import (
+        bm25_topk_indexed,
+        live_term_df,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    # the shared t41 store: ingests 1-2 (fold at 2), delete 3, ingest 4
+    # (reclaiming fold at upto=3 — the audited horizon's floor)
+    state = lex_deletes_store(spark, sf_dir)
+    qtf, _, _ = retrieval.corpus_stats(
+        docs.filter(F.col("doc_id") < 4), "doc_id", "text"
+    )
+    cand_terms = [r["term"] for r in qtf.select("term").distinct().collect()]
+
+    def probe(snap: int, below) -> DataFrame:
+        df_live = live_term_df(spark, state, cand_terms, below=below)
+        qterms = retrieval.rarest_query_terms(qtf, df_live, range(4), n_terms=8)
+        return bm25_topk_indexed(spark, state, qterms, k=5, below=below).select(
+            F.lit(snap).cast("int").alias("snapshot"), "*"
+        )
+
+    out = (
+        probe(1, 4)
+        .unionByName(probe(2, None))
+        .orderBy("snapshot", "query_id", "rank")
+    )
+    return detach(out)
+
+
+# ---------------------------------------------------------------------------
+# s31 — SCHEMA EVOLUTION on the live IVF store: the reference's
+# null-padding drift semantics (sources/readers.read_parquet_evolving,
+# the censo year-over-year column story) applied to the engine's OWN
+# state. The store is built WITHOUT metadata (batches 1-2, plain
+# (id, v, cell) files — including a fold at batch 2 that rewrites
+# history in the old schema), then gains a label column mid-stream
+# (batches 3-4 written with meta_cols): a meta-aware read over the
+# mixed-era store must NULL-fill the pre-evolution files (explicit-
+# schema parquet reads resolve missing columns as NULL), and the
+# batch-4 meta-aware fold must rewrite BOTH eras under the evolved
+# schema without dropping the label or inventing one for old rows.
+# Probe 1 (meta-blind, exhaustive) must equal brute force over ALL
+# rows — evolution can't lose pre-era vectors; probe 2 (label-filtered)
+# retrieves only among the labeled era (NULL labels never equi-join —
+# the documented drop semantics). Era membership is vec_id % 3 == 2 by
+# construction, which is how the oracle models the label boundary.
+# The mixed-era fold is additionally unit-tested in
+# tests/test_similarity_ivf.py.
+# ---------------------------------------------------------------------------
+@register(
+    "s31_ivf_schema_evolution",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS (
+      SELECT 1 AS probe, q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        CAST(NULL AS INTEGER) AS label,
+        list_dot_product(q.v, c.v) /
+          (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+      FROM e q JOIN e c ON q.vec_id != c.vec_id
+      WHERE q.vec_id < 8
+      UNION ALL
+      SELECT 2, q.vec_id, c.vec_id, c.label,
+        list_dot_product(q.v, c.v) /
+          (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))
+      FROM e q JOIN e c
+        ON q.vec_id != c.vec_id AND q.label = c.label AND c.vec_id % 3 = 2
+      WHERE q.vec_id < 8
+    )
+    SELECT CAST(probe AS INTEGER) AS probe, query_id, neighbor_id, label,
+      cos, CAST(rnk AS INTEGER) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY probe, query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rnk
+      FROM scored
+    )
+    WHERE rnk <= 5
+    ORDER BY probe, query_id, rank
+    """,
+)
+def s31_ivf_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from censo_escolar_spark.plans.fixtures import PARITY_SHUFFLE
+    from censo_escolar_spark.streaming import detach_from_state, state_shuffle
+    from censo_escolar_spark.streaming.ivfindex import (
+        apply_ivf_index_batch,
+        ivf_topk_incremental,
+        ivf_topk_incremental_filtered,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    centroids = similarity.train_centroids(
+        emb.filter(F.col("vec_id") % 3 == 0), iters=1
+    )
+    root = tempfile.mkdtemp(prefix="s31_ivf_state_")
+    try:
+        with state_shuffle(spark, PARITY_SHUFFLE):
+            # pre-evolution era: plain (id, v, cell), fold at batch 2
+            plain = dict(state_dir=root, centroids=centroids, compact_every=2)
+            apply_ivf_index_batch(emb.filter(F.col("vec_id") % 3 == 0), 1, **plain)
+            apply_ivf_index_batch(emb.filter(F.col("vec_id") % 3 == 1), 2, **plain)
+            # evolution: later batches carry the label; the batch-4 fold
+            # (upto=3) rewrites BOTH eras under the evolved schema
+            evolved = dict(
+                state_dir=root,
+                centroids=centroids,
+                meta_cols=("label",),
+                compact_every=2,
+            )
+            third = emb.filter(F.col("vec_id") % 3 == 2)
+            apply_ivf_index_batch(third.filter(F.col("vec_id") % 2 == 0), 3, **evolved)
+            apply_ivf_index_batch(third.filter(F.col("vec_id") % 2 == 1), 4, **evolved)
+
+        blind = ivf_topk_incremental(
+            spark, root, queries, centroids, k=5, nprobe=None
+        ).select(
+            F.lit(1).cast("int").alias("probe"),
+            "query_id",
+            "neighbor_id",
+            F.lit(None).cast("int").alias("label"),
+            "cos",
+            "rank",
+        )
+        filtered = ivf_topk_incremental_filtered(
+            spark, root, queries, centroids, match_col="label", k=5, nprobe=None
+        ).select(
+            F.lit(2).cast("int").alias("probe"),
+            "query_id",
+            "neighbor_id",
+            "label",
+            "cos",
+            "rank",
+        )
+        out = blind.unionByName(filtered).orderBy("probe", "query_id", "rank")
+        return detach_from_state(out, root)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -3003,9 +3003,12 @@ def q71_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q72 — streaming MERGE maintenance parity: three CDC micro-batches
 # (full load, then update/delete, then update/re-insert waves, all
 # derived deterministically from `orders`) are applied through the
-# streaming maintainer's foreachBatch body (streaming/merge.py::
-# apply_merge_batch — versioned snapshots, within-batch last-image
-# compaction, full-outer MERGE), and the FINAL snapshot is summarized.
+# streaming maintainer (streaming/merge.py — versioned snapshots,
+# within-batch last-image compaction, full-outer MERGE): waves 1-2
+# through the REAL file-source streaming query (the shared fixture
+# plans/fixtures.merge_stream_base that q74 also rebases on), wave 3
+# as a direct apply_merge_batch backfill — and the FINAL snapshot is
+# summarized.
 # The oracle recomputes the same final state declaratively: rank every
 # CDC row per key by (batch DESC, seq DESC, op DESC), keep rn=1 rows
 # whose op isn't 'D'. This puts the streaming upkeep operator itself
@@ -3053,80 +3056,53 @@ _Q72_ORACLE = """
 
 @register("q72_streaming_merge_parity", oracle=_Q72_ORACLE)
 def q72_streaming_merge_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    import posixpath
+    import shutil
 
+    from censo_escolar_spark.plans.fixtures import (
+        MERGE_SCHEMA,
+        PARITY_SHUFFLE,
+        merge_stream_base,
+    )
+    from censo_escolar_spark.streaming import (
+        clone_state,
+        detach_from_state,
+        slice_dir,
+        state_shuffle,
+    )
     from censo_escolar_spark.streaming.merge import (
         apply_merge_batch,
         read_merged_state,
     )
 
-    schema = "o_orderkey bigint, o_orderstatus string, o_totalprice decimal(19,3)"
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        "o_orderstatus",
-        F.col("o_totalprice").cast("decimal(18,2)").cast("decimal(19,3)")
-        .alias("o_totalprice"),
-    )
-    k = F.col("o_orderkey")
-    dec2 = F.col("o_totalprice").cast("decimal(18,2)")
-    b1 = o.withColumn("op", F.lit("I")).withColumn("seq", F.lit(1))
-    b2 = (
-        o.filter(k % 5 == 2)
-        .withColumn(
-            "o_totalprice",
-            (dec2 * F.lit("1.1").cast("decimal(3,1)")).cast("decimal(19,3)"),
-        )
-        .withColumn("op", F.lit("U"))
-        .withColumn("seq", F.lit(1))
-        .unionByName(
-            o.filter(k % 11 == 0)
-            .withColumn("op", F.lit("D"))
-            .withColumn("seq", F.lit(2))
-        )
-    )
-    b3 = (
-        o.filter(k % 7 == 3)
-        .withColumn(
-            "o_totalprice",
-            (dec2 * F.lit("1.2").cast("decimal(2,1)")).cast("decimal(19,3)"),
-        )
-        .withColumn("op", F.lit("U"))
-        .withColumn("seq", F.lit(1))
-        .unionByName(
-            o.filter(k % 33 == 0)
-            .withColumn("o_orderstatus", F.lit("N"))
-            .withColumn("op", F.lit("I"))
-            .withColumn("seq", F.lit(2))
-        )
-    )
-    from censo_escolar_spark.streaming import detach_from_state
-
-    state = tempfile.mkdtemp(prefix="q72_merge_state_")
+    # CDC waves 1-2 arrive through the shared streamed base (real
+    # file-source maintainer, batch ids 0-1); wave 3 applies as a
+    # direct backfill (bid 2) on a clone — both entry points of the
+    # same MERGE batch body. Batch ids are ordinals: the rank-by-
+    # (batch DESC, seq DESC) resolution only needs their order.
+    base, slices = merge_stream_base(spark, sf_dir)
+    state = clone_state(posixpath.join(base, "state"), prefix="q72_merge_")
     try:
-        for bid, batch in ((1, b1), (2, b2), (3, b3)):
+        with state_shuffle(spark, PARITY_SHUFFLE):
             apply_merge_batch(
-                batch,
-                bid,
+                spark.read.parquet(slice_dir(slices, 2)),
+                2,
                 state_dir=state,
                 key_col="o_orderkey",
                 seq_col="seq",
-                schema=schema,
+                schema=MERGE_SCHEMA,
             )
-        final = read_merged_state(spark, state, schema=schema)
-        summary = (
-            final.groupBy("o_orderstatus")
-            .agg(
-                F.count("*").cast("bigint").alias("n_orders"),
-                F.sum("o_totalprice").cast("double").alias("total_price"),
+            final = read_merged_state(spark, state, schema=MERGE_SCHEMA)
+            summary = (
+                final.groupBy("o_orderstatus")
+                .agg(
+                    F.count("*").cast("bigint").alias("n_orders"),
+                    F.sum("o_totalprice").cast("double").alias("total_price"),
+                )
+                .orderBy("o_orderstatus")
             )
-            .orderBy("o_orderstatus")
-        )
-        return detach_from_state(summary, state)
+            return detach_from_state(summary, state)
     finally:
-        # no-op after detach_from_state already removed it; covers the
-        # mid-loop failure path
-        import shutil
-
         shutil.rmtree(state, ignore_errors=True)
 
 
@@ -3226,18 +3202,22 @@ def q73_streaming_merge_compacted(spark: SparkSession, sf_dir: str) -> DataFrame
             .withColumn("seq", F.lit(2))
         )
     )
+    from censo_escolar_spark.plans.fixtures import PARITY_SHUFFLE
+    from censo_escolar_spark.streaming import state_shuffle
+
     state = tempfile.mkdtemp(prefix="q73_merge_state_")
     try:
-        for bid, batch in ((1, b1), (2, b2), (3, b3)):
-            apply_merge_batch(
-                batch,
-                bid,
-                state_dir=state,
-                key_col="o_orderkey",
-                seq_col="seq",
-                schema=schema,
-                compact_every=1,  # fold prior history after EVERY batch
-            )
+        with state_shuffle(spark, PARITY_SHUFFLE):
+            for bid, batch in ((1, b1), (2, b2), (3, b3)):
+                apply_merge_batch(
+                    batch,
+                    bid,
+                    state_dir=state,
+                    key_col="o_orderkey",
+                    seq_col="seq",
+                    schema=schema,
+                    compact_every=1,  # fold prior history after EVERY batch
+                )
         final = read_merged_state(spark, state, schema=schema)
         summary = (
             final.groupBy("o_orderstatus")
@@ -3275,11 +3255,17 @@ def q74_streaming_merge_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
+    from censo_escolar_spark.plans.fixtures import (
+        MERGE_SCHEMA,
+        PARITY_SHUFFLE,
+        merge_stream_base,
+    )
     from censo_escolar_spark.streaming import (
         deploy_slices,
         detach_from_state,
-        shared_slices,
+        link_tree,
         slice_dir,
+        state_shuffle,
     )
     from censo_escolar_spark.streaming.bucketstate import (
         stage_state_compaction,
@@ -3289,61 +3275,29 @@ def q74_streaming_merge_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_merged_state,
     )
 
-    schema = "o_orderkey bigint, o_orderstatus string, o_totalprice decimal(19,3)"
-
-    def build(root: str):
-        o = load_table(spark, sf_dir, "orders").select(
-            "o_orderkey",
-            "o_orderstatus",
-            F.col("o_totalprice").cast("decimal(18,2)").cast("decimal(19,3)")
-            .alias("o_totalprice"),
-        )
-        k = F.col("o_orderkey")
-        dec2 = F.col("o_totalprice").cast("decimal(18,2)")
-        b1 = o.withColumn("op", F.lit("I")).withColumn("seq", F.lit(1))
-        b2 = (
-            o.filter(k % 5 == 2)
-            .withColumn(
-                "o_totalprice",
-                (dec2 * F.lit("1.1").cast("decimal(3,1)")).cast("decimal(19,3)"),
-            )
-            .withColumn("op", F.lit("U"))
-            .withColumn("seq", F.lit(1))
-            .unionByName(
-                o.filter(k % 11 == 0)
-                .withColumn("op", F.lit("D"))
-                .withColumn("seq", F.lit(2))
-            )
-        )
-        b3 = (
-            o.filter(k % 7 == 3)
-            .withColumn(
-                "o_totalprice",
-                (dec2 * F.lit("1.2").cast("decimal(2,1)")).cast("decimal(19,3)"),
-            )
-            .withColumn("op", F.lit("U"))
-            .withColumn("seq", F.lit(1))
-            .unionByName(
-                o.filter(k % 33 == 0)
-                .withColumn("o_orderstatus", F.lit("N"))
-                .withColumn("op", F.lit("I"))
-                .withColumn("seq", F.lit(2))
-            )
-        )
-        for i, b in enumerate((b1, b2, b3)):
-            b.coalesce(1).write.parquet(slice_dir(root, i))
-        return "OK"
-
-    cache, _meta = shared_slices("cdc_waves", sf_dir, build)
-    stream_schema = spark.read.parquet(slice_dir(cache, 0)).schema
+    # incarnation A is the shared streamed base (waves 0-1, durable
+    # checkpoint). The staged crash + restart mutate checkpoint and
+    # state, so both are hardlink-CLONED; the stream source keeps its
+    # absolute path across the restart (Spark re-resolves the last
+    # committed batch's files on recovery), so incarnation B reads the
+    # fixture's own src, extended with wave 3.
+    base, slices = merge_stream_base(spark, sf_dir)
+    src = posixpath.join(base, "src")
+    stream_schema = spark.read.parquet(slice_dir(slices, 0)).schema
 
     root = tempfile.mkdtemp(prefix="q74_restart_")
-    src, ckpt, state = (
-        posixpath.join(root, d) for d in ("src", "ckpt", "state")
-    )
+    ckpt, state = (posixpath.join(root, d) for d in ("ckpt", "state"))
     try:
-
-        def incarnation() -> None:
+        link_tree(posixpath.join(base, "ckpt"), ckpt)
+        link_tree(posixpath.join(base, "state"), state)
+        with state_shuffle(spark, PARITY_SHUFFLE):
+            # crash INSIDE the bucket-store compaction: temps + marker,
+            # no swap
+            stage_state_compaction(
+                spark, state, schema=MERGE_SCHEMA, key_col="o_orderkey", upto=1
+            )
+            # incarnation B: recovers the swap + offsets, batch 2 = wave 3
+            deploy_slices(slices, src, which=(2,))
             stream = (
                 spark.readStream.schema(stream_schema)
                 .option("maxFilesPerTrigger", 1)
@@ -3355,22 +3309,11 @@ def q74_streaming_merge_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
                 checkpoint=ckpt,
                 key_col="o_orderkey",
                 seq_col="seq",
-                schema=schema,
+                schema=MERGE_SCHEMA,
                 compact_every=None,
             )
 
-        # incarnation A: waves 1-2 -> batch ids 0, 1; then it dies
-        deploy_slices(cache, src, which=(0, 1))
-        incarnation()
-        # crash INSIDE the bucket-store compaction: temps + marker, no swap
-        stage_state_compaction(
-            spark, state, schema=schema, key_col="o_orderkey", upto=1
-        )
-        # incarnation B: recovers the swap + offsets, batch 2 = wave 3
-        deploy_slices(cache, src, which=(2,))
-        incarnation()
-
-        final = read_merged_state(spark, state, schema=schema)
+        final = read_merged_state(spark, state, schema=MERGE_SCHEMA)
         summary = (
             final.groupBy("o_orderstatus")
             .agg(

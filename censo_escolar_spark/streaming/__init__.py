@@ -53,9 +53,25 @@ def detach_from_state(df: DataFrame, state_dir: str) -> DataFrame:
 # source dir with explicitly pinned, strictly-increasing mtimes.
 # ---------------------------------------------------------------------------
 
-#: (key, abspath(sf_dir)) -> (cache_root, meta). Process-lifetime cache;
-#: directories are removed at interpreter exit.
-_SLICE_CACHE: dict[tuple[str, str], tuple[str, object]] = {}
+#: (key, abspath(sf_dir), fingerprint) -> (cache_root, meta).
+#: Process-lifetime cache; directories are removed at interpreter exit.
+#: The fingerprint (stat of every file under sf_dir) means regenerating
+#: the data under sf_dir within one process invalidates the cache
+#: instead of silently serving stale slices to later parity rows.
+_SLICE_CACHE: dict[tuple[str, str, int], tuple[str, object]] = {}
+
+
+def _dir_fingerprint(sf_dir: str) -> int:
+    """Cheap content fingerprint of a data dir: hash of every file's
+    (relpath, mtime_ns, size). Pure stat calls — no reads — so it costs
+    microseconds per table dir and catches in-process regeneration."""
+    acc: list[tuple[str, int, int]] = []
+    for root, _dirs, files in os.walk(sf_dir):
+        rel = os.path.relpath(root, sf_dir)
+        for f in files:
+            st = os.stat(os.path.join(root, f))
+            acc.append((posixpath.join(rel, f), st.st_mtime_ns, st.st_size))
+    return hash(tuple(sorted(acc)))
 
 
 def _purge_slice_cache() -> None:  # pragma: no cover - exit hook
@@ -93,6 +109,21 @@ def state_shuffle(spark, n: int = 8):
         spark.conf.set(key, old)
 
 
+def _shared_fixture(key: str, sf_dir: str, build) -> tuple[str, object]:
+    k = (key, os.path.abspath(sf_dir), _dir_fingerprint(sf_dir))
+    hit = _SLICE_CACHE.get(k)
+    if hit is not None and os.path.isdir(hit[0]):
+        return hit
+    root = tempfile.mkdtemp(prefix=f"fixture_{key}_")
+    try:
+        meta = build(root)
+    except BaseException:
+        shutil.rmtree(root, ignore_errors=True)
+        raise
+    _SLICE_CACHE[k] = (root, meta)
+    return root, meta
+
+
 def shared_slices(key: str, sf_dir: str, build) -> tuple[str, object]:
     """Build-once cache for a parity row's slice files.
 
@@ -104,18 +135,74 @@ def shared_slices(key: str, sf_dir: str, build) -> tuple[str, object]:
     so N parity rows over the same arrival construction pay the Spark
     slicing jobs once.
     """
-    k = (key, os.path.abspath(sf_dir))
-    hit = _SLICE_CACHE.get(k)
-    if hit is not None and os.path.isdir(hit[0]):
-        return hit
-    root = tempfile.mkdtemp(prefix=f"slices_{key}_")
-    try:
-        meta = build(root)
-    except BaseException:
-        shutil.rmtree(root, ignore_errors=True)
-        raise
-    _SLICE_CACHE[k] = (root, meta)
-    return root, meta
+    return _shared_fixture(key, sf_dir, build)
+
+
+def shared_state(key: str, sf_dir: str, build) -> tuple[str, object]:
+    """Build-once cache for a maintainer parity row's STATE fixture —
+    ``shared_slices`` generalized to stored-index / checkpoint trees.
+
+    ``build(root)`` populates ``root`` with whatever the fixture is (a
+    batch store's state dir, or a full src/ckpt/state streaming root)
+    and returns any metadata later consumers need. The result is
+    memoized per (key, sf_dir, content-fingerprint) for the life of the
+    process, so the N rows of a maintainer family (d19/d22/d23,
+    t40/t41/t44, s23/s28/s29, q72/q74) pay the shared base-store
+    construction ONCE.
+
+    Consumers must treat the cached tree as IMMUTABLE: rows that only
+    probe it read it in place (and detach with ``detach``, never
+    ``detach_from_state`` — deleting the cache would break later rows);
+    rows that extend or mutate it (more batches, staged crashes, new
+    checkpoints) work on a ``clone_state`` hardlink clone. This is a
+    BENCH-HARNESS amortization exactly like ``shared_slices``: a
+    production maintainer owns its one state dir for its whole life and
+    never clones it.
+    """
+    return _shared_fixture(key, sf_dir, build)
+
+
+def link_tree(src: str, dst: str) -> None:
+    """Recursively hardlink ``src``'s files into ``dst`` (directories
+    recreated; cross-device falls back to copy). Safe for Spark state /
+    checkpoint trees because nothing ever mutates those files IN PLACE
+    — parquet data, offset logs, and compaction temps are all
+    create-then-rename — so a clone shares inodes but owns its own
+    directory entries and may add, replace, or delete files freely
+    without affecting the cached original."""
+    for root, _dirs, files in os.walk(src):
+        rel = os.path.relpath(root, src)
+        tgt = dst if rel == "." else os.path.join(dst, rel)
+        os.makedirs(tgt, exist_ok=True)
+        for f in files:
+            s, d = os.path.join(root, f), os.path.join(tgt, f)
+            try:
+                os.link(s, d)
+            except OSError:
+                shutil.copyfile(s, d)
+
+
+def clone_state(cache_root: str, *, prefix: str = "stateclone_") -> str:
+    """Hardlink-clone a ``shared_state`` fixture into a fresh temp dir
+    the caller owns (and must remove). Clone, don't share: restart
+    parities mutate checkpoints and stage crashes, and two rows folding
+    the same store would race."""
+    dst = tempfile.mkdtemp(prefix=prefix)
+    link_tree(cache_root, dst)
+    return dst
+
+
+def detach(df: DataFrame) -> DataFrame:
+    """Materialize ``df`` off whatever on-disk state its plan reads —
+    the shared-cache variant of ``detach_from_state``: the cache
+    outlives the query, so nothing is deleted."""
+    return df.localCheckpoint(eager=True)
+
+
+#: abspath(src) -> highest mtime ever pinned into that stream-source
+#: dir. Keeps phased deployments strictly ordered without trusting the
+#: wall clock to be monotonic.
+_LAST_PINNED: dict[str, float] = {}
 
 
 def slice_dir(root: str, i: int) -> str:
@@ -134,18 +221,25 @@ def deploy_slices(root: str, src: str, which=None) -> None:
     later query's re-pin could reorder an earlier still-draining
     stream's listing.) ``which`` selects slice indices (default: all,
     ascending); phased-arrival rows (e40-style restarts) call this
-    twice with disjoint index lists — monotonic wall clock keeps the
-    later phase's pinned mtimes above the earlier one's.
+    twice with disjoint index lists. Ordering across phases does NOT
+    rest on the wall clock (``time.time()`` is not monotonic — an NTP
+    step backward, or two phases inside one second, could otherwise
+    pin a later phase at or below an earlier one): the last pinned
+    mtime is tracked per destination dir and each deployment starts
+    strictly above it.
     """
     os.makedirs(src, exist_ok=True)
     subs = sorted(d for d in os.listdir(root) if d.startswith("s"))
     if which is not None:
         wanted = {f"s{i:02d}" for i in which}
         subs = [d for d in subs if d in wanted]
-    base = time.time()
+    src_key = os.path.abspath(src)
+    base = max(time.time(), _LAST_PINNED.get(src_key, 0.0) + 1.0)
     for i, d in enumerate(subs):
         ts = base + i
         for f in sorted(glob.glob(posixpath.join(root, d, "*.parquet"))):
             dst = posixpath.join(src, f"{d}_{posixpath.basename(f)}")
             shutil.copyfile(f, dst)
             os.utime(dst, (ts, ts))
+    if subs:
+        _LAST_PINNED[src_key] = base + len(subs) - 1

@@ -70,6 +70,7 @@ def apply_image_dedup_batch(
     decoder: M.Decoder = M.real_decode,
     max_hamming: int = 3,
     n_bands: int = 4,
+    qc_gate=None,
     compact_every: int | None = COMPACT_EVERY,
 ) -> None:
     """The foreachBatch body (exposed for direct testing / backfills).
@@ -78,7 +79,14 @@ def apply_image_dedup_batch(
     stored index at the VALUE level — identical hashes by equi-join,
     near hashes by the pigeonhole band join + exact bit_count — drop
     hit docs, cluster survivors on the contracted value graph, append
-    the winners' (doc_id, phash) as this batch's partition."""
+    the winners' (doc_id, phash) as this batch's partition.
+
+    ``qc_gate`` (optional Column predicate over the DECODED frame —
+    ``id, h, w, pixels``) is the image-quality admission gate (m14):
+    rejected images are dropped right after the one decode, so they
+    never cost DCT hashing, band joins, or index writes — the image
+    twin of the d24 classifier gate, sharing the batch's single decode
+    instead of paying a second one."""
     spark = batch_df.sparkSession
     recover_batch_store(spark, state_dir, list(_LAYOUT))
     pub = read_published_hashes(spark, state_dir, below=batch_id)
@@ -89,6 +97,8 @@ def apply_image_dedup_batch(
         bytes_col=bytes_col,
         decoder=decoder,
     )
+    if qc_gate is not None:
+        decoded = decoded.filter(qc_gate)
     # probe + cluster + append all consume the hashes; one eager cut
     # stops the decode + DCT pipeline re-running per consumer
     hashes = M.phash64(decoded).localCheckpoint(eager=True)
@@ -137,6 +147,7 @@ def maintain_image_corpus(
     bytes_col: str = "payload",
     decoder: M.Decoder = M.real_decode,
     max_hamming: int = 3,
+    qc_gate=None,
     compact_every: int | None = COMPACT_EVERY,
 ) -> None:
     """Drain everything currently available through the image-dedup
@@ -152,6 +163,7 @@ def maintain_image_corpus(
                 bytes_col=bytes_col,
                 decoder=decoder,
                 max_hamming=max_hamming,
+                qc_gate=qc_gate,
                 compact_every=compact_every,
             )
         )

@@ -307,7 +307,15 @@ def ivf_topk_incremental_filtered(
     (cell, match) equi-join; tombstones subtract via the shared
     arrival-ordered anti-join BEFORE any distance math. The match
     column's type comes from the always-present query frame (the s26
-    empty-corpus lesson: an empty store has no footers to read)."""
+    empty-corpus lesson: an empty store has no footers to read).
+
+    Contract: the query frame is BOUNDED (the s01 top-k contract — at
+    most a few thousand query rows), because its distinct match values
+    are collected to the driver for the pushed ``isin`` row-group
+    filter and the probe side is broadcast; an unbounded query frame
+    belongs in the kNN-join operator instead. Rows whose ``match_col``
+    is NULL retrieve nothing: ``isin`` and the equi-join both drop
+    NULLs, consistent with the equi-join oracle semantics."""
     mtype = queries.schema[match_col].dataType.simpleString()
     probes, needed = probe_plan(
         spark, queries, centroids, id_col=id_col, vec_col=vec_col, nprobe=nprobe
@@ -354,4 +362,165 @@ def ivf_topk_incremental_filtered(
             "cos",
             "rank",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental IVF-PQ: the COMPRESSED member of the maintained-index
+# family. Same batch-store discipline as the raw-vector store above —
+# append-only batch=<id>/cell=<c> partitions, arrival-ordered delete
+# tombstones, the delete-aware LSM fold — but each partition holds
+# (id, pq_code) rows, m bytes per vector. Batches are encoded against
+# FROZEN codebooks (trained once at index build, like the frozen coarse
+# quantizer): at 100 TB the growing index is exactly the one you want
+# compressed, and re-training codebooks per batch would silently change
+# the meaning of every previously stored code. The float vectors stay
+# in their source table; probes re-rank the bounded top-`rerank` pool
+# against it by id (operators/pq.py's ADC + exact re-rank back half).
+# ---------------------------------------------------------------------------
+_PQ_INDEX_SCHEMA = "id bigint, pq_code array<int>, cell int"
+_PQ_LAYOUT = {
+    "index": (_PQ_INDEX_SCHEMA, ["cell"]),
+    "deletes": (_DELETE_SCHEMA, []),
+}
+
+
+def apply_ivfpq_index_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    state_dir: str,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    compact_every: int | None = COMPACT_EVERY,
+) -> None:
+    """foreachBatch body for the compressed index: assign the batch to
+    its frozen coarse cells (one GEMM per Arrow batch), PQ-encode
+    against the FROZEN codebooks (m GEMMs per Arrow batch), and append
+    the (id, pq_code) rows as this batch's cell-partitioned
+    ``batch=<id>`` directory — O(batch) work and m bytes/vector of new
+    state, never a read of prior batches. Retry-idempotent like the raw
+    store (a re-run overwrites its own batch directory)."""
+    from censo_escolar_spark.operators.pq import pq_encode
+    from censo_escolar_spark.operators.similarity import ivf_assign
+
+    spark = batch_df.sparkSession
+    recover_batch_store(spark, state_dir, list(_PQ_LAYOUT))
+    coded = pq_encode(
+        ivf_assign(batch_df, centroids, vec_col=vec_col),
+        codebooks,
+        id_col=id_col,
+        vec_col=vec_col,
+    ).select(
+        F.col(id_col).cast("bigint").alias("id"),
+        "pq_code",
+        F.col("__centroid_id").alias("cell"),
+    )
+    coded.write.mode("overwrite").partitionBy("cell").parquet(
+        posixpath.join(_component(state_dir, "index"), f"batch={batch_id}")
+    )
+    if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+        compact_batch_store(
+            spark, state_dir, upto=batch_id - 1,
+            layout=_PQ_LAYOUT, fold=_fold_deletes,
+        )
+
+
+def apply_ivfpq_delete_batch(
+    ids_df: DataFrame,
+    batch_id: int,
+    *,
+    state_dir: str,
+    id_col: str = "vec_id",
+    compact_every: int | None = COMPACT_EVERY,
+) -> None:
+    """Tombstone a batch of vector ids in the COMPRESSED index — the
+    s23 delete semantics verbatim (arrival-ordered; fold reclaims codes
+    and consumed tombstones; deleting a never-coded id is a no-op; a
+    later re-insert is a new live row)."""
+    spark = ids_df.sparkSession
+    recover_batch_store(spark, state_dir, list(_PQ_LAYOUT))
+    ids_df.select(F.col(id_col).cast("bigint").alias("id")).write.mode(
+        "overwrite"
+    ).parquet(posixpath.join(_component(state_dir, "deletes"), f"batch={batch_id}"))
+    if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+        compact_batch_store(
+            spark, state_dir, upto=batch_id - 1,
+            layout=_PQ_LAYOUT, fold=_fold_deletes,
+        )
+
+
+def read_ivfpq_index_state(
+    spark: SparkSession,
+    state_dir: str,
+    *,
+    below: int | None = None,
+) -> DataFrame:
+    """The committed LIVE codes ``(id, pq_code, cell)`` below the
+    ``below`` horizon (s29 snapshot semantics: only horizons at-or-above
+    the last fold resolve), minus arrival-ordered tombstones; finishes
+    any marker-committed compaction first."""
+    recover_batch_store(spark, state_dir, list(_PQ_LAYOUT))
+    hi = below if below is not None else 1 << 62
+    index = _read_component(
+        spark, _component(state_dir, "index"), _PQ_INDEX_SCHEMA, hi,
+        keep_batch=True,
+    )
+    deletes = _read_component(
+        spark, _component(state_dir, "deletes"), _DELETE_SCHEMA, hi,
+        keep_batch=True,
+    )
+    return (
+        index.alias("i")
+        .join(deletes.alias("d"), _delete_cond("i", "d"), "left_anti")
+        .drop("batch")
+    )
+
+
+def ivfpq_topk_incremental(
+    spark: SparkSession,
+    state_dir: str,
+    queries: DataFrame,
+    vectors: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int | None = 4,
+    rerank: int = 50,
+    below: int | None = None,
+) -> DataFrame:
+    """IVF-PQ top-k against the INCREMENTALLY-maintained codes store:
+    the probe scan is partition-pruned to the probed cells (and the
+    batch horizon), reads m-byte codes only, ADC-scores them, and
+    exactly re-ranks the bounded pool against ``vectors`` by id.
+    ``nprobe=None`` + ``rerank >= |corpus|`` equals brute force over
+    the LIVE set (the s30 oracle configuration)."""
+    from censo_escolar_spark.operators.pq import (
+        _ivfpq_adc_rerank,
+        _ivfpq_probe_setup,
+    )
+
+    setup = _ivfpq_probe_setup(
+        spark, queries, centroids, codebooks,
+        id_col=id_col, vec_col=vec_col, nprobe=nprobe,
+    )
+    if setup is None:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cos double, rank int"
+        )
+    probes, tables, needed = setup
+    coded = (
+        read_ivfpq_index_state(spark, state_dir, below=below)
+        .filter(F.col("cell").isin(needed))
+        .select(F.col("id").alias("c_id"), "cell", "pq_code")
+    )
+    return _ivfpq_adc_rerank(
+        coded, probes, tables, codebooks.shape[0],
+        queries=queries, vectors=vectors,
+        id_col=id_col, vec_col=vec_col, rerank=rerank, k=k,
     )

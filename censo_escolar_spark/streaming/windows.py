@@ -129,6 +129,123 @@ def running_user_stats(events: DataFrame, *, ts_col: str = "ts") -> DataFrame:
     )
 
 
+def user_activity_segments(
+    events: DataFrame,
+    *,
+    gap_s: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    sec_col: str = "ts_s",
+    cents_col: str = "cents",
+) -> DataFrame:
+    """Custom stateful operator: per-key activity SEGMENTS with
+    inactivity-TIMEOUT emission — the state machine the built-in
+    windows can't express, via ``applyInPandasWithState`` +
+    ``GroupStateTimeout.EventTimeTimeout``.
+
+    Semantics (deliberately DIFFERENT from ``session_window``): a key's
+    open segment accumulates every arriving on-time row — including
+    out-of-order rows older than the segment's current end — and closes
+    only when the EVENT-TIME WATERMARK strictly passes ``last + gap``
+    (the operational "user went quiet" signal a monitoring pipeline
+    emits on), not when a per-event gap appears in event time. Closed
+    segments emit ``(key, n_events, first_s, last_s, cents)``; the
+    still-open segment at stream end never emits (no terminal
+    watermark). This is the timeout-session shape of
+    flatMapGroupsWithState in the Structured Streaming docs, expressed
+    over Arrow batches.
+
+    Engine semantics this build was pinned against (empirically, like
+    the e38/e43 fronts; see plans/events.py::e45 for the oracle model):
+
+    - ``GroupState.getCurrentWatermarkMs()`` during batch N is
+      ``max(event time over batches < N) - delay`` (0 before any data);
+    - event-time timeouts fire only when the watermark is STRICTLY
+      above the armed timestamp (equality does not fire), in the first
+      batch where the key receives no data — including the trailing
+      no-data batch an availableNow drain runs after the last file;
+    - late input rows are NOT filtered before a stateful-processing
+      operator (unlike windowed aggregations): the function must drop
+      them itself. This operator drops rows with ``ts < watermark``
+      and handles the "all rows late" invocation by re-arming.
+
+    Contracts: ``sec_col`` must equal ``unix_timestamp(ts_col)`` (the
+    integer-seconds twin of the watermark column — all arithmetic stays
+    exact), ``cents_col`` an exact integer amount. State per key is one
+    4-tuple of int64 — O(live keys) across the cluster, partitioned by
+    the groupBy hash exactly like built-in stateful aggregations.
+    """
+    out_schema = (
+        f"{key_col} bigint, n_events bigint, first_s bigint,"
+        " last_s bigint, cents bigint"
+    )
+    state_schema = "n bigint, first_s bigint, last_s bigint, cents bigint"
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        wm = state.getCurrentWatermarkMs()
+
+        def emit(seg):
+            return pd.DataFrame(
+                {
+                    key_col: [key[0]],
+                    "n_events": [seg[0]],
+                    "first_s": [seg[1]],
+                    "last_s": [seg[2]],
+                    "cents": [seg[3]],
+                }
+            )
+
+        if state.hasTimedOut:
+            seg = state.get
+            state.remove()
+            yield emit(seg)
+            return
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        kept = rows[rows[sec_col] * 1000 >= wm]
+        old = state.get if state.exists else None
+        closed = None
+        # the engine would have timed this segment out before this
+        # batch's data iff the watermark STRICTLY passed its arm point
+        if old is not None and wm > (old[2] + gap_s) * 1000:
+            closed, old = old, None
+        if len(kept):
+            n = int(len(kept))
+            f_ = int(kept[sec_col].min())
+            l_ = int(kept[sec_col].max())
+            c_ = int(kept[cents_col].sum())
+            if old is not None:
+                n += old[0]
+                f_ = min(f_, old[1])
+                l_ = max(l_, old[2])
+                c_ += old[3]
+            state.update((n, f_, l_, c_))
+            # kept rows have ts*1000 >= wm and gap > 0, so the arm point
+            # is above the watermark except possibly by equality on the
+            # second lattice; wm+1 preserves strict-fire behavior there
+            # (fronts move in whole seconds)
+            state.setTimeoutTimestamp(max((l_ + gap_s) * 1000, wm + 1))
+        elif old is None:
+            if state.exists:  # closed above with no successor rows
+                state.remove()
+        else:
+            # only-late-rows invocation: keep the segment open, re-arm
+            # (a timeout not re-registered in an invocation is dropped)
+            state.update(old)
+            state.setTimeoutTimestamp(max((old[2] + gap_s) * 1000, wm + 1))
+        if closed is not None:
+            yield emit(closed)
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def interval_join(
     left: DataFrame,
     right: DataFrame,

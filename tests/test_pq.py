@@ -170,3 +170,112 @@ def test_ivfpq_indexed_prunes_and_matches(spark, emb, tmp_path):
     got = {(r.query_id, r.neighbor_id) for r in pruned.collect()}
     truth = {(r.query_id, r.neighbor_id) for r in mem}
     assert len(got & truth) / len(truth) >= 0.4
+
+
+def test_ivfpq_incremental_matches_one_shot_and_brute_force(
+    spark, emb, tmp_path
+):
+    """The incrementally-built codes store (insert/insert/delete/insert
+    with the in-loop delete-aware fold) must hold EXACTLY the codes the
+    one-shot writer produces for the live set — frozen codebooks make
+    encoding a pure function of the vector — and its exhaustive probe
+    must equal brute force over the live set."""
+    from censo_escolar_spark.streaming.ivfindex import (
+        apply_ivfpq_delete_batch,
+        apply_ivfpq_index_batch,
+        ivfpq_topk_incremental,
+        read_ivfpq_index_state,
+    )
+
+    first = emb.filter(F.col("vec_id") % 3 == 0)
+    cents = similarity.train_centroids(first, iters=1)
+    books = pq.train_pq_codebooks(first, m=4, k=16, iters=1)
+    state = str(tmp_path / "pqstate")
+    ins = dict(state_dir=state, centroids=cents, codebooks=books, compact_every=2)
+    apply_ivfpq_index_batch(first, 1, **ins)
+    apply_ivfpq_index_batch(emb.filter(F.col("vec_id") % 3 == 1), 2, **ins)
+    apply_ivfpq_delete_batch(
+        emb.filter(F.col("vec_id") % 5 == 0).select("vec_id"),
+        3,
+        state_dir=state,
+        compact_every=2,
+    )
+    apply_ivfpq_index_batch(emb.filter(F.col("vec_id") % 3 == 2), 4, **ins)
+
+    live = emb.filter(~((F.col("vec_id") % 5 == 0) & (F.col("vec_id") % 3 != 2)))
+    # stored codes == one-shot encoding of the live set (id-keyed)
+    oneshot = str(tmp_path / "oneshot")
+    pq.write_ivfpq_index(live, oneshot, cents, books)
+    a = {
+        (r["id"], tuple(r["pq_code"]), r["cell"])
+        for r in read_ivfpq_index_state(spark, state).collect()
+    }
+    b = {
+        (r["id"], tuple(r["pq_code"]), r["cell"])
+        for r in spark.read.parquet(oneshot).collect()
+    }
+    assert a == b and len(a) > 0
+
+    queries = emb.filter(F.col("vec_id") < 8)
+    got = ivfpq_topk_incremental(
+        spark, state, queries, live, cents, books,
+        k=5, nprobe=None, rerank=1_000_000,
+    )
+    ref = similarity.cosine_topk(live, queries, k=5)
+    ga = [tuple(r) for r in got.orderBy("query_id", "rank").collect()]
+    rb = [tuple(r) for r in ref.orderBy("query_id", "rank").collect()]
+    assert ga == rb
+
+
+def test_ivfpq_incremental_recall_and_snapshot(spark, emb, tmp_path):
+    """Realistic (nprobe, rerank) keeps recall against exact top-k on
+    the live set; a below= horizon resolves the pre-ingest snapshot
+    (only horizons at-or-above the last fold resolve)."""
+    from censo_escolar_spark.streaming.ivfindex import (
+        apply_ivfpq_delete_batch,
+        apply_ivfpq_index_batch,
+        ivfpq_topk_incremental,
+    )
+
+    first = emb.filter(F.col("vec_id") % 3 == 0)
+    cents = similarity.train_centroids(first, iters=1)
+    books = pq.train_pq_codebooks(first, m=4, k=16, iters=1)
+    state = str(tmp_path / "pqstate2")
+    ins = dict(state_dir=state, centroids=cents, codebooks=books, compact_every=2)
+    apply_ivfpq_index_batch(first, 1, **ins)
+    apply_ivfpq_index_batch(emb.filter(F.col("vec_id") % 3 == 1), 2, **ins)
+    apply_ivfpq_delete_batch(
+        emb.filter(F.col("vec_id") % 5 == 0).select("vec_id"),
+        3,
+        state_dir=state,
+        compact_every=2,
+    )
+    apply_ivfpq_index_batch(emb.filter(F.col("vec_id") % 3 == 2), 4, **ins)
+
+    queries = emb.filter(F.col("vec_id") < 8)
+    live = emb.filter(~((F.col("vec_id") % 5 == 0) & (F.col("vec_id") % 3 != 2)))
+    approx = ivfpq_topk_incremental(
+        spark, state, queries, live, cents, books, k=5, nprobe=None, rerank=150
+    )
+    exact = similarity.cosine_topk(live, queries, k=5)
+    hits = approx.select("query_id", "neighbor_id").intersect(
+        exact.select("query_id", "neighbor_id")
+    )
+    recall = hits.count() / max(1, exact.count())
+    # isotropic fixture (ANN's hardest case) + codebooks trained on the
+    # FIRST increment only (the frozen-codebook lifecycle): a ~30%-of-
+    # corpus ADC pool must still place most true neighbors
+    assert recall >= 0.8, f"IVF-PQ incremental recall {recall:.2f}"
+
+    # snapshot at the fold horizon: inserts 1-2 minus the tombstones
+    snap_live = emb.filter(
+        (F.col("vec_id") % 3 != 2) & (F.col("vec_id") % 5 != 0)
+    )
+    snap = ivfpq_topk_incremental(
+        spark, state, queries, snap_live, cents, books,
+        k=5, nprobe=None, rerank=1_000_000, below=4,
+    )
+    ref = similarity.cosine_topk(snap_live, queries, k=5)
+    assert [tuple(r) for r in snap.orderBy("query_id", "rank").collect()] == [
+        tuple(r) for r in ref.orderBy("query_id", "rank").collect()
+    ]

@@ -635,3 +635,71 @@ def test_ivf_snapshot_reads_respect_horizon_and_fold(spark, emb, tmp_path):
     # a horizon strictly below the fold's upto is no longer resolvable
     # (LSM history collapse) — empty, not wrong data
     assert ids(read_ivf_index_state(spark, state, below=2)) == []
+
+
+def test_ivf_mixed_era_schema_evolution_fold(spark, emb, tmp_path):
+    """A store built WITHOUT meta that gains a label mid-stream (the
+    s31 evolution): a meta-aware read NULL-fills the pre-era files, the
+    meta-aware fold rewrites BOTH eras without dropping the label or
+    inventing one for old rows, and the filtered probe never matches a
+    NULL-label (pre-era) row."""
+    from censo_escolar_spark.streaming.ivfindex import (
+        apply_ivf_index_batch,
+        ivf_topk_incremental,
+        ivf_topk_incremental_filtered,
+        read_ivf_index_state,
+    )
+
+    cents = S.train_centroids(
+        emb.filter(F.col("vec_id") % 3 == 0), iters=1
+    )
+    state = str(tmp_path / "evostate")
+    plain = dict(state_dir=state, centroids=cents, compact_every=2)
+    apply_ivf_index_batch(emb.filter(F.col("vec_id") % 3 == 0), 1, **plain)
+    apply_ivf_index_batch(emb.filter(F.col("vec_id") % 3 == 1), 2, **plain)
+    evolved = dict(
+        state_dir=state, centroids=cents, meta_cols=("label",), compact_every=2
+    )
+    third = emb.filter(F.col("vec_id") % 3 == 2)
+    apply_ivf_index_batch(third.filter(F.col("vec_id") % 2 == 0), 3, **evolved)
+    # batch 4 triggers the meta-aware fold at upto=3 ACROSS the era
+    # boundary: pre-era rows must come out with a NULL label
+    apply_ivf_index_batch(third.filter(F.col("vec_id") % 2 == 1), 4, **evolved)
+
+    rows = read_ivf_index_state(
+        spark, state, meta_schema="label int"
+    ).collect()
+    n_all = emb.count()
+    assert len(rows) == n_all  # evolution lost no pre-era vectors
+    by_era = {True: [], False: []}
+    for r in rows:
+        by_era[r["id"] % 3 == 2].append(r["label"])
+    assert all(lb is None for lb in by_era[False])  # pre-era: NULL-filled
+    assert all(lb is not None for lb in by_era[True])  # labeled era intact
+
+    # label cross-check against the source table for the evolved era
+    src = {
+        r["vec_id"]: r["label"]
+        for r in emb.filter(F.col("vec_id") % 3 == 2).collect()
+    }
+    got = {
+        r["id"]: r["label"]
+        for r in rows
+        if r["id"] % 3 == 2
+    }
+    assert got == src
+
+    # the meta-blind exhaustive probe sees BOTH eras
+    queries = emb.filter(F.col("vec_id") < 8)
+    blind = ivf_topk_incremental(spark, state, queries, cents, k=5, nprobe=None)
+    exact = S.cosine_topk(emb, queries, k=5)
+    assert [tuple(r) for r in blind.orderBy("query_id", "rank").collect()] == [
+        tuple(r) for r in exact.orderBy("query_id", "rank").collect()
+    ]
+
+    # the filtered probe matches only labeled-era rows (NULL never joins)
+    filt = ivf_topk_incremental_filtered(
+        spark, state, queries, cents, match_col="label", k=5, nprobe=None
+    )
+    neigh = [r["neighbor_id"] for r in filt.collect()]
+    assert neigh and all(n % 3 == 2 for n in neigh)

@@ -715,3 +715,92 @@ def test_session_late_drop_splits_session(spark, tmp_path):
         # NOT the merged (42, t(1000), t(5800), 3, ...) a batch recompute
         # over all rows would give; NOT (99, t(518400), ...) - beyond front
     }
+
+
+def test_stateful_timeout_boundary_strict(spark, tmp_path):
+    """Pin the timeout-vs-watermark boundary of user_activity_segments
+    (the e45 operator): an event-time timeout fires only when the
+    watermark ends up STRICTLY above the armed timestamp — a segment
+    whose last+gap equals the final front stays OPEN (never emits),
+    one strictly below it closes, and an on-time successor row merges
+    while a watermark-passed successor starts a new segment.
+
+    Fixture (delay 100 s, gap 50 s), epoch-relative seconds; the
+    watermark during file N reflects files < N only (max ts - delay,
+    0-initial), so wm = -100 during file 1 and 900 during file 2:
+      u1: @0 (file 0) then @1000 (file 2) -> at file 2 the wm (900)
+          strictly passed 0+50, so the @0 segment CLOSES via the
+          data path (n=1) and @1000 starts fresh; the final front
+          1900 > 1050 closes that too (n=1).
+      u2: @900 (file 1) then @940 (file 2) -> 900 < 900+50: the
+          on-time successor MERGES (one segment, n=2); 1900 > 990
+          closes it at the trailing batch.
+      u3: @930 (file 1)   -> armed 980: 900 < 980 at file 2 (no fire),
+          1900 > 980 at the trailing no-data batch -> timeout (n=1).
+      u4: @1850 (file 2)  -> armed 1900 == final front 1900: equality
+          must NOT fire — no emission for u4.
+      u5: @1000 (file 1, pins wm(2) = 900) then @2000 (file 2, pins
+          the final front at exactly 1900): merges, armed 2050 > 1900
+          -> still open, never emits.
+    """
+    import glob
+    import os
+    import shutil
+    from datetime import timedelta, timezone
+
+    import pyspark.sql.functions as F
+
+    base = datetime(2024, 3, 1, tzinfo=timezone.utc)
+
+    def row(u, s):
+        return (
+            (base + timedelta(seconds=s)).replace(tzinfo=None),
+            u,
+            "x",
+            1.0,
+        )
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    sink = str(tmp_path / "out")
+    os.makedirs(src)
+    files = [
+        [row(1, 0)],
+        [row(2, 900), row(3, 930), row(5, 1000)],
+        [row(1, 1000), row(2, 940), row(4, 1850), row(5, 2000)],
+    ]
+    for i, rows in enumerate(files):
+        p = str(tmp_path / f"s{i}")
+        spark.createDataFrame(rows, schema=SCHEMA).coalesce(1).write.parquet(p)
+        for f in sorted(glob.glob(p + "/*.parquet")):
+            dst = os.path.join(src, f"s{i}_{os.path.basename(f)}")
+            shutil.copyfile(f, dst)
+            os.utime(dst, (3_000_000 + i, 3_000_000 + i))
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select(
+            "user_id",
+            "ts",
+            F.unix_timestamp("ts").alias("ts_s"),
+            (F.col("value").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .withWatermark("ts", "100 seconds")
+    )
+    segs = W.user_activity_segments(stream, gap_s=50)
+    _drain_to_files(segs, sink, ckpt)
+    got = {
+        (r["user_id"], r["first_s"] - int(base.timestamp())): r["n_events"]
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert got == {
+        (1, 0): 1,  # closed by the data-path check at file 2 (900 > 50)
+        (1, 1000): 1,  # closed by the trailing batch (1900 > 1050)
+        (2, 900): 2,  # 900 < 950: on-time successor merged, closed at end
+        (3, 930): 1,  # timeout at the trailing batch (1900 > 980)
+        # u4 absent: armed 1900 == final front 1900, strict fire
+        # u5 absent: armed 2050 > 1900, still open
+    }
