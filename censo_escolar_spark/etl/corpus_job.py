@@ -67,6 +67,12 @@ def curate(df: DataFrame, cfg: CorpusJobConfig) -> DataFrame:
             min_avg_token_len=cfg.min_avg_token_len,
         )
     )
+    # the cleaned frame feeds BOTH the dedup sketch pass and the
+    # keep-join below; one eager cut stops the regex-heavy clean +
+    # quality pipeline running twice (MEMORY_AND_DISK blocks — at real
+    # scale this is the same materialize-once decision run_corpus_job
+    # makes for the curated frame)
+    cleaned = cleaned.localCheckpoint(eager=True)
     labels = corpus_dedup(cleaned, i, t, threshold=cfg.dedup_threshold).select(
         i, "cluster_id", "keep"
     )

@@ -5644,8 +5644,13 @@ def d24_curated_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    kept = docs.filter(T.learned_quality("text")["grade"] >= 2).select(
-        "doc_id", "text"
+    # one eager cut: the classifier's feature extraction (splits +
+    # regexes over every document) would otherwise re-run inside each
+    # of the three batch applies' probe/sketch/write consumers
+    kept = (
+        docs.filter(T.learned_quality("text")["grade"] >= 2)
+        .select("doc_id", "text")
+        .localCheckpoint(eager=True)
     )
     state = tempfile.mkdtemp(prefix="d24_curated_state_")
     try:
