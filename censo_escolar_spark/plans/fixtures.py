@@ -354,3 +354,29 @@ def merge_stream_base(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
 
     root, _ = shared_state("merge_stream_base", sf_dir, build)
     return root, slices
+
+
+def merge_full_store(spark: SparkSession, sf_dir: str) -> str:
+    """The q72 final store: the streamed base (waves 0-1) + wave 3 as a
+    direct ``apply_merge_batch`` backfill (bid 2). Read-only for
+    consumers (q72's live summary, q75's snapshot probes)."""
+    from censo_escolar_spark.streaming import link_tree, slice_dir
+    from censo_escolar_spark.streaming.merge import apply_merge_batch
+
+    base, slices = merge_stream_base(spark, sf_dir)
+
+    def build(root: str):
+        link_tree(posixpath.join(base, "state"), root)
+        with state_shuffle(spark, PARITY_SHUFFLE):
+            apply_merge_batch(
+                spark.read.parquet(slice_dir(slices, 2)),
+                2,
+                state_dir=root,
+                key_col="o_orderkey",
+                seq_col="seq",
+                schema=MERGE_SCHEMA,
+            )
+        return "OK"
+
+    root, _ = shared_state("merge_full_store", sf_dir, build)
+    return root

@@ -5975,3 +5975,54 @@ def s31_ivf_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         return detach_from_state(out, root)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# d25 — SNAPSHOT (time-travel) reads of the maintained dedup corpus:
+# the audit query s29/t44 gave the vector and lexical stores, applied
+# to the fourth store (the text-dedup corpus) — "what was published
+# BEFORE today's crawl batch?". The batch store is naturally versioned
+# (every component partition keyed by the committing batch id), so
+# `read_published(below=…)` resolves the corpus exactly as it stood
+# after the prior batch, and the LIVE read sees everything. Probes run
+# against the SHARED d19 store fixture read-only: snapshot A (below=2)
+# = the two streamed increments' published set (the oracle's k0 ∪ k1
+# rounds); snapshot B (live) = the full three-round replay. Increments
+# never retroactively delete published docs, so A ⊆ B by construction
+# — the oracle proves the horizon slices arrival history, not set
+# membership.
+# ---------------------------------------------------------------------------
+_D25_ORACLE = (
+    _D19_ORACLE.rsplit("SELECT doc_id, CAST(doc_id % 3 + 1 AS INTEGER) AS batch", 1)[0]
+    + """
+SELECT CAST(snapshot AS INTEGER) AS snapshot, doc_id,
+  CAST(doc_id % 3 + 1 AS INTEGER) AS batch
+FROM (
+  SELECT 1 AS snapshot, doc_id FROM k0
+  UNION ALL SELECT 1, doc_id FROM k1
+  UNION ALL SELECT 2, doc_id FROM k0
+  UNION ALL SELECT 2, doc_id FROM k1
+  UNION ALL SELECT 2, doc_id FROM k2
+)
+ORDER BY snapshot, doc_id
+"""
+)
+
+
+@register("d25_dedup_snapshot_read", oracle=_D25_ORACLE)
+def d25_dedup_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from censo_escolar_spark.plans.fixtures import dedup_full_store
+    from censo_escolar_spark.streaming import detach
+    from censo_escolar_spark.streaming.dedup import read_published
+
+    store = dedup_full_store(spark, sf_dir)
+
+    def probe(snap: int, below) -> DataFrame:
+        return read_published(spark, store, below=below).select(
+            F.lit(snap).cast("int").alias("snapshot"),
+            "doc_id",
+            (F.col("doc_id") % 3 + 1).cast("int").alias("batch"),
+        )
+
+    out = probe(1, 2).unionByName(probe(2, None)).orderBy("snapshot", "doc_id")
+    return detach(out)

@@ -3056,54 +3056,30 @@ _Q72_ORACLE = """
 
 @register("q72_streaming_merge_parity", oracle=_Q72_ORACLE)
 def q72_streaming_merge_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import posixpath
-    import shutil
-
     from censo_escolar_spark.plans.fixtures import (
         MERGE_SCHEMA,
-        PARITY_SHUFFLE,
-        merge_stream_base,
+        merge_full_store,
     )
-    from censo_escolar_spark.streaming import (
-        clone_state,
-        detach_from_state,
-        slice_dir,
-        state_shuffle,
-    )
-    from censo_escolar_spark.streaming.merge import (
-        apply_merge_batch,
-        read_merged_state,
-    )
+    from censo_escolar_spark.streaming import detach
+    from censo_escolar_spark.streaming.merge import read_merged_state
 
     # CDC waves 1-2 arrive through the shared streamed base (real
     # file-source maintainer, batch ids 0-1); wave 3 applies as a
-    # direct backfill (bid 2) on a clone — both entry points of the
-    # same MERGE batch body. Batch ids are ordinals: the rank-by-
-    # (batch DESC, seq DESC) resolution only needs their order.
-    base, slices = merge_stream_base(spark, sf_dir)
-    state = clone_state(posixpath.join(base, "state"), prefix="q72_merge_")
-    try:
-        with state_shuffle(spark, PARITY_SHUFFLE):
-            apply_merge_batch(
-                spark.read.parquet(slice_dir(slices, 2)),
-                2,
-                state_dir=state,
-                key_col="o_orderkey",
-                seq_col="seq",
-                schema=MERGE_SCHEMA,
-            )
-            final = read_merged_state(spark, state, schema=MERGE_SCHEMA)
-            summary = (
-                final.groupBy("o_orderstatus")
-                .agg(
-                    F.count("*").cast("bigint").alias("n_orders"),
-                    F.sum("o_totalprice").cast("double").alias("total_price"),
-                )
-                .orderBy("o_orderstatus")
-            )
-            return detach_from_state(summary, state)
-    finally:
-        shutil.rmtree(state, ignore_errors=True)
+    # direct backfill (bid 2) — both entry points of the same MERGE
+    # batch body. Batch ids are ordinals: the rank-by-(batch DESC,
+    # seq DESC) resolution only needs their order. The full store is a
+    # shared read-only fixture (q75 runs its snapshot probes on it).
+    state = merge_full_store(spark, sf_dir)
+    final = read_merged_state(spark, state, schema=MERGE_SCHEMA)
+    summary = (
+        final.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("o_totalprice").cast("double").alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+    return detach(summary)
 
 
 # ---------------------------------------------------------------------------
@@ -3325,3 +3301,87 @@ def q74_streaming_merge_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
         return detach_from_state(summary, root)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# q75 — SNAPSHOT (time-travel) reads of the maintained MERGE table: the
+# s29/t44/d25 audit query on the fourth store implementation (the
+# bucketed versioned store). Every version directory is keyed by the
+# batch that committed it, so `read_merged_state(below=…)` resolves,
+# per bucket, the latest version strictly below the horizon — the
+# merged table exactly as it stood BEFORE a CDC wave applied, with the
+# same bounded-manifest read path as the live view. Snapshot A
+# (below=2): the full load after wave 2's updates/deletes (deleted
+# keys gone, 1.1-bumped prices visible, wave-3 changes absent);
+# snapshot B (live): the straight-through q72 state. Oracle: q72's CDC
+# ranking truncated to waves <= 2 for A, full for B.
+# ---------------------------------------------------------------------------
+@register(
+    "q75_merge_snapshot_read",
+    oracle="""
+    WITH based AS (
+      SELECT o_orderkey AS k, o_orderstatus AS st,
+        CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(19,3)) AS pr
+      FROM orders
+    ),
+    cdc AS (
+      SELECT k, 1 AS b, 1 AS seq, 'I' AS op, st, pr FROM based
+      UNION ALL
+      SELECT k, 2, 1, 'U', st,
+        CAST(CAST(pr AS DECIMAL(18,2)) * CAST('1.1' AS DECIMAL(3,1))
+             AS DECIMAL(19,3))
+      FROM based WHERE k % 5 = 2
+      UNION ALL
+      SELECT k, 2, 2, 'D', st, pr FROM based WHERE k % 11 = 0
+      UNION ALL
+      SELECT k, 3, 1, 'U', st,
+        CAST(CAST(pr AS DECIMAL(18,2)) * CAST('1.2' AS DECIMAL(2,1))
+             AS DECIMAL(19,3))
+      FROM based WHERE k % 7 = 3
+      UNION ALL
+      SELECT k, 3, 2, 'I', 'N', pr FROM based WHERE k % 33 = 0
+    ),
+    snap AS (
+      SELECT 1 AS snapshot, * FROM cdc WHERE b <= 2
+      UNION ALL
+      SELECT 2, * FROM cdc
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY snapshot, k
+                  ORDER BY b DESC, seq DESC, op DESC) AS rn
+      FROM snap
+    ),
+    final AS (
+      SELECT snapshot, k, st, pr FROM ranked WHERE rn = 1 AND op != 'D'
+    )
+    SELECT CAST(snapshot AS INTEGER) AS snapshot, st AS o_orderstatus,
+      CAST(COUNT(*) AS BIGINT) AS n_orders,
+      CAST(SUM(pr) AS DOUBLE) AS total_price
+    FROM final GROUP BY snapshot, st ORDER BY snapshot, st
+    """,
+)
+def q75_merge_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from censo_escolar_spark.plans.fixtures import (
+        MERGE_SCHEMA,
+        merge_full_store,
+    )
+    from censo_escolar_spark.streaming import detach
+    from censo_escolar_spark.streaming.merge import read_merged_state
+
+    state = merge_full_store(spark, sf_dir)
+
+    def probe(snap: int, below) -> DataFrame:
+        return (
+            read_merged_state(spark, state, schema=MERGE_SCHEMA, below=below)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count("*").cast("bigint").alias("n_orders"),
+                F.sum("o_totalprice").cast("double").alias("total_price"),
+            )
+            .select(F.lit(snap).cast("int").alias("snapshot"), "*")
+        )
+
+    out = probe(1, 2).unionByName(probe(2, None)).orderBy(
+        "snapshot", "o_orderstatus"
+    )
+    return detach(out)
