@@ -36,7 +36,7 @@ def main() -> None:
     total_p = sum(p for _, _, b, p, _ in rows if b >= 0 and p >= 0)
 
     out = []
-    out.append("# SCALEBENCH — empirical 10× scaling probe (round 9)\n")
+    out.append("# SCALEBENCH — empirical 10× scaling probe (round 10)\n")
     out.append(
         "Per-query wall time at 1× vs 10× data, same 32-file parquet\n"
         "layout for both sides (`scripts/make_scale_probe.py`: the 10×\n"
@@ -119,6 +119,21 @@ def main() -> None:
         "  deployed per query with pinned mtimes, and state_shuffle\n"
         "  bounds throwaway parity streams to 8 state partitions —\n"
         "  e41 15.5 -> ~6.6 s, e42 13.6 -> ~5.0 s at sf0.1.\n"
+        "- **round-10 additions** — the snapshot-read rows (d25 dedup\n"
+        "  corpus, q75 MERGE table, joining s29/t44) read the SAME\n"
+        "  pruned plans as the live views with a horizon predicate; the\n"
+        "  stateful-timeout parity (e45) holds one int64 4-tuple per\n"
+        "  live key; the incremental IVF-PQ store (s30) appends m-byte\n"
+        "  codes per batch against frozen codebooks; the schema-\n"
+        "  evolution row (s31) adds only a NULL-filled explicit-schema\n"
+        "  read; the gated image ingest (m14) rejects inside the\n"
+        "  batch's single decode. Round 10 also cut the maintainer\n"
+        "  FIXTURE cost itself: the d19/t41/s23-s29/q72-family base\n"
+        "  stores build once per process (plans/fixtures.py,\n"
+        "  shared_state + hardlink clones), and the batch-apply parity\n"
+        "  rows now run under state_shuffle(8) like the streaming ones\n"
+        "  — idle sf0.1 bench 455.9 s at 230 queries (r9) -> ~444 s at\n"
+        "  235 before d25/q75 landed.\n"
         "- Everything else is at/below linear; sub-second rows are\n"
         "  job-overhead-dominated.\n"
     )
@@ -145,20 +160,21 @@ def main() -> None:
         "query moved above noise.\n\n"
         "Round 8 regenerated this table at round-8 HEAD (min of two runs\n"
         "per layout, idle host) after 16 new queries landed with same-commit\n"
-        "provisional rows. Round 9 regenerated it again at round-9 HEAD\n"
-        "(same min-of-2 idle discipline) after 7 new queries and the\n"
-        "streaming-parity harness amortization; the round-over-round\n"
-        "signal for BENCH_r09 is read against these idle numbers, not\n"
-        "the shared-host artifact. (A first round-9 regeneration ran\n"
-        "under a transient ~7/32-core external host load and was\n"
-        "re-done once the host went idle — the committed table is the\n"
-        "idle one.) Idle round-over-round: common-query total 373.7 ->\n"
-        "384.6 s (+3%, inside the noise band), with the round-9\n"
-        "slice-cache + state_shuffle work cutting the streaming parity\n"
-        "rows outright: e41 13.9 -> 6.4 s, e42 13.2 -> 4.9 s,\n"
-        "e37/e38/e39/e40 each 1-2.5 s faster; the 8 new queries add\n"
-        "~54 s of maintainer/parity fixed overhead, all 1.0-2.0x at\n"
-        "10x in their same-commit rows.\n"
+        "provisional rows; round 9 again at round-9 HEAD after 7 new\n"
+        "queries and the streaming-parity harness amortization (a first\n"
+        "round-9 regeneration ran under a transient external host load\n"
+        "and was re-done idle). Round 10 regenerated it at round-10 HEAD\n"
+        "(same min-of-2 idle discipline, full registry both layouts) after\n"
+        "7 new queries (e45, s30, s31, t44, m14, d25, q75) and the\n"
+        "maintainer-fixture amortization (shared base stores +\n"
+        "state_shuffle on batch-apply parity rows) — so every new row\n"
+        "has a same-commit 1x/10x pair, and the fixture savings and\n"
+        "their 10x behavior are measured in the same table. At sf0.1\n"
+        "(idle, single run) the round-over-round headline is 455.9 s /\n"
+        "230 queries (r9 artifact) -> 444.3 s / 235 queries mid-round:\n"
+        "the shared fixtures cut the d19/d22/d23 family ~13 s, t41 ~4 s,\n"
+        "s28+s29 ~7 s, q74 ~5 s, while the five new maintainer rows\n"
+        "added ~31 s of their own fixed overhead.\n"
     )
     out.append("\n| query | 1× sec | 10× sec | ratio |\n|---|---|---|---|\n")
     for ratio, k, b, p, r in rows:
