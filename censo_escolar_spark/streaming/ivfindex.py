@@ -524,3 +524,39 @@ def ivfpq_topk_incremental(
         queries=queries, vectors=vectors,
         id_col=id_col, vec_col=vec_col, rerank=rerank, k=k,
     )
+
+
+def maintain_ivfpq_index(
+    vectors: DataFrame,
+    *,
+    state_dir: str,
+    checkpoint: str,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    compact_every: int | None = COMPACT_EVERY,
+) -> None:
+    """Drain everything currently available through the COMPRESSED
+    index maintainer (availableNow trigger — the test/backfill entry
+    point; a production embedding stream runs the same query
+    continuously, encoding each micro-batch against the frozen
+    codebooks)."""
+    q = (
+        vectors.writeStream.foreachBatch(
+            lambda df, bid: apply_ivfpq_index_batch(
+                df,
+                bid,
+                state_dir=state_dir,
+                centroids=centroids,
+                codebooks=codebooks,
+                id_col=id_col,
+                vec_col=vec_col,
+                compact_every=compact_every,
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -279,3 +279,54 @@ def test_ivfpq_incremental_recall_and_snapshot(spark, emb, tmp_path):
     assert [tuple(r) for r in snap.orderBy("query_id", "rank").collect()] == [
         tuple(r) for r in ref.orderBy("query_id", "rank").collect()
     ]
+
+
+def test_maintain_ivfpq_index_streaming(spark, emb, tmp_path):
+    """The compressed-index maintainer drains a real file-source stream
+    (maxFilesPerTrigger=1 -> one micro-batch per increment) into the
+    same store the direct applies build; the exhaustive probe equals
+    brute force over everything streamed."""
+    import glob
+    import os
+    import shutil
+
+    from censo_escolar_spark.streaming.ivfindex import (
+        ivfpq_topk_incremental,
+        maintain_ivfpq_index,
+    )
+
+    first = emb.filter(F.col("vec_id") % 3 == 0)
+    cents = similarity.train_centroids(first, iters=1)
+    books = pq.train_pq_codebooks(first, m=4, k=16, iters=1)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i in range(3):
+        p = str(tmp_path / f"s{i}")
+        emb.filter(F.col("vec_id") % 3 == i).coalesce(1).write.parquet(p)
+        for f in sorted(glob.glob(p + "/*.parquet")):
+            dst = os.path.join(src, f"s{i}_{os.path.basename(f)}")
+            shutil.copyfile(f, dst)
+            os.utime(dst, (4_000_000 + i, 4_000_000 + i))
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    state, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+    maintain_ivfpq_index(
+        stream,
+        state_dir=state,
+        checkpoint=ckpt,
+        centroids=cents,
+        codebooks=books,
+        compact_every=2,
+    )
+    queries = emb.filter(F.col("vec_id") < 8)
+    got = ivfpq_topk_incremental(
+        spark, state, queries, emb, cents, books,
+        k=5, nprobe=None, rerank=1_000_000,
+    )
+    ref = similarity.cosine_topk(emb, queries, k=5)
+    assert [tuple(r) for r in got.orderBy("query_id", "rank").collect()] == [
+        tuple(r) for r in ref.orderBy("query_id", "rank").collect()
+    ]
