@@ -51,8 +51,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # CORRECTNESS_r09 graded another all-green 50 (the 9 round-9 additions
 # + the 21 remaining r4-evidence rows + the 20 oldest r5 rows: c01,
 # e01–e19), emptying tier 4.  Round 10 adds e45, s30, s31, t44, m14,
-# d25, q75 (each bitwise-exact in the sim at sf0.01 AND sf0.1) — no
-# artifact row yet, so they grade first; behind them the window
+# d25, q75, e46 (each bitwise-exact in the sim at sf0.01 AND sf0.1) —
+# no artifact row yet, so they grade first; behind them the window
 # regrades the ~30 remaining r5-evidence rows, then the oldest r6
 # rows.
 # Provenance: computed from the artifacts, never from judge re-runs

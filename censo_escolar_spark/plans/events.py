@@ -3718,3 +3718,122 @@ def e45_stateful_timeout_segments(spark: SparkSession, sf_dir: str) -> DataFrame
         return detach_from_state(res, root_tmp)
     finally:
         shutil.rmtree(root_tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# e46 — STREAM-STATIC join parity: the remaining Structured Streaming
+# join kind (e41/e42 covered stream-stream). Every micro-batch of the
+# event stream is enriched against a STATIC broadcast dimension
+# (customer market segment — the stateless lookup a production
+# enrichment stage runs; no join state, no watermark interaction on
+# the static side), then flows into a watermarked tumbling aggregation
+# per (window, segment). Arrival is fully in-order (the shared e40/e42
+# slice cache), so no row is late and the append-mode emission cut is
+# the final front — the oracle is the plain join + window aggregation
+# under e38's HAVING. The watermark column passes through the join
+# untouched (the documented stream-static contract), which is exactly
+# what this row evidences.
+# ---------------------------------------------------------------------------
+_E46_OUT_SCHEMA = (
+    "window_start timestamp_ntz, c_mktsegment string,"
+    " n_events bigint, total_value double"
+)
+
+
+@register(
+    "e46_stream_static_join",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, date_trunc('second', ts) AS ts,
+        CAST(value AS DECIMAL(18,2)) AS val
+      FROM events
+    ),
+    p AS (
+      SELECT epoch_ms(max(ts)) // 1000
+        - (epoch_ms(max(ts)) // 1000 - epoch_ms(min(ts)) // 1000) // 6 AS fw
+      FROM e
+    ),
+    j AS (
+      SELECT c.c_mktsegment AS seg,
+        (epoch_ms(e.ts) // 1000 // 3600) * 3600 AS ws, e.val
+      FROM e JOIN customer c ON e.user_id = c.c_custkey
+    )
+    SELECT make_timestamp(ws * 1000000) AS window_start,
+      seg AS c_mktsegment,
+      CAST(COUNT(*) AS BIGINT) AS n_events,
+      CAST(SUM(val) AS DOUBLE) AS total_value
+    FROM j, p
+    GROUP BY ws, seg, p.fw
+    HAVING ws + 3600 <= p.fw
+    ORDER BY window_start, c_mktsegment
+    """,
+)
+def e46_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import posixpath
+    import shutil
+    import tempfile
+
+    from censo_escolar_spark.streaming import (
+        deploy_slices,
+        detach_from_state,
+        state_shuffle,
+    )
+
+    root = tempfile.mkdtemp(prefix="e46_enrich_")
+    src, ckpt, out = (posixpath.join(root, d) for d in ("src", "ckpt", "out"))
+    try:
+        cache, meta = _inorder_slices(spark, sf_dir)
+        if meta == "EMPTY":
+            return spark.createDataFrame([], _E46_OUT_SCHEMA)
+        delay, _up = meta
+        deploy_slices(cache, src)
+        dim = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment"
+        )
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .withWatermark("ts", f"{delay} seconds")
+        )
+        agg = (
+            stream.join(
+                F.broadcast(dim),
+                stream["user_id"] == dim["c_custkey"],
+                "inner",
+            )
+            .groupBy(F.window("ts", "1 hour").alias("w"), "c_mktsegment")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.col("value").cast(DEC)).cast("double").alias(
+                    "total_value"
+                ),
+            )
+        )
+        with state_shuffle(spark):
+            q = (
+                agg.writeStream.format("parquet")
+                .option("path", out)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        res = (
+            spark.read.schema(
+                "w struct<start:timestamp,end:timestamp>,"
+                " c_mktsegment string, n_events bigint, total_value double"
+            )
+            .parquet(out)
+            .select(
+                F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+                "c_mktsegment",
+                "n_events",
+                "total_value",
+            )
+            .orderBy("window_start", "c_mktsegment")
+        )
+        return detach_from_state(res, root)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
