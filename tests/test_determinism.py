@@ -57,6 +57,11 @@ CASES = [
     # pairs (Arrow decode feeding a two-scan self-join)
     "m09_perceptual_hash",
     "m10_phash_near_dup_pairs",
+    # round-10 additions: the stateful-timeout segment machine (per-key
+    # state folds must not depend on partition routing) and the
+    # incremental IVF-PQ ADC + two-phase exact re-rank
+    "e45_stateful_timeout_segments",
+    "s30_ivfpq_incremental",
 ]
 
 
