@@ -50,27 +50,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # r3-evidence rows + the 21 oldest r4 rows), emptying tier 3.
 # CORRECTNESS_r09 graded another all-green 50 (the 9 round-9 additions
 # + the 21 remaining r4-evidence rows + the 20 oldest r5 rows: c01,
-# e01–e19), emptying tier 4.  Round 10 adds e45, s30, s31, t44, m14,
-# d25, q75, e46 (each bitwise-exact in the sim at sf0.01 AND sf0.1) —
-# no artifact row yet, so they grade first; behind them the window
-# regrades the ~30 remaining r5-evidence rows, then the oldest r6
-# rows.
+# e01–e19), emptying tier 4.  CORRECTNESS_r10 graded another all-green
+# 50 (the 8 round-10 additions + the 30 remaining r5-evidence rows +
+# the oldest r6 rows: d01–d08, e36, m01, m09, m10), emptying tier 5.
+# Round 11 adds e47, e48, e49, m15, m16 (each bitwise-exact in the sim
+# at sf0.01 AND sf0.1) — no artifact row yet, so they grade first;
+# behind them the window regrades the 38 remaining r6-evidence rows,
+# then the oldest r7 rows.
 # Provenance: computed from the artifacts, never from judge re-runs
 # (advisory only).
 _LAST_GREEN_ROUND = {
-    5: {
-        "c02", "d11", "d12", "d13", "d14", "d20",
-        *(f"e{i:02d}" for i in range(20, 25)),
-        "e35", "g01", "m04", "m08", "q13", "q20",
-        "s07", "s08", "s09", "s10", "s19", "s20",
-        "t18", *(f"t{i}" for i in range(20, 26)),
-    },
     6: {
-        "d21", "e36", "m09", "m10", *(f"t{i}" for i in range(34, 38)),
+        "d09", "d21", *(f"t{i}" for i in range(34, 38)),
         "q08", "q09", "q10", "q11", "q12", "q14", "q15", "q16", "q17",
         "q18", "q19", "q21", "q22", "q23", "q24", "q25",
-        *(f"d{i:02d}" for i in range(1, 10)),
-        "m01",
         *(f"s{i:02d}" for i in range(1, 6)),
         "t01", *(f"t{i:02d}" for i in range(3, 13)),
     },
@@ -101,6 +94,16 @@ _LAST_GREEN_ROUND = {
         *(f"q{i}" for i in range(41, 60)),
         "q62", "q72", "q74",
         "s28", "s29", "t42", "t43",
+    },
+    10: {
+        "c02", "d11", "d12", "d13", "d14", "d20", "d25",
+        *(f"e{i:02d}" for i in range(20, 25)),
+        "e35", "e36", "e45", "e46", "g01",
+        "m01", "m04", "m08", "m09", "m10", "m14",
+        "q13", "q20", "q75",
+        "s07", "s08", "s09", "s10", "s19", "s20", "s30", "s31",
+        "t18", *(f"t{i}" for i in range(20, 26)), "t44",
+        *(f"d{i:02d}" for i in range(1, 9)),
     },
 }
 _EVIDENCE_AGE = {p: r for r, ps in _LAST_GREEN_ROUND.items() for p in ps}

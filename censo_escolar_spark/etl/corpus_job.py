@@ -57,7 +57,15 @@ class CorpusJobConfig:
 
 
 def curate(df: DataFrame, cfg: CorpusJobConfig) -> DataFrame:
-    """Stages 2-6: clean → quality filter → dedup → enrich → split."""
+    """Stages 2-6: clean → quality filter → dedup → enrich → split.
+
+    EAGER contract: calling this triggers Spark jobs immediately (the
+    cleaned frame is ``localCheckpoint(eager=True)``-materialized once
+    because dedup and the keep-join both consume it), and the returned
+    frame's lineage is tied to executor block storage for the session's
+    lifetime. Callers composing plans lazily should call this at the
+    point they are ready to materialize, exactly like ``run_corpus_job``
+    does at its own boundary."""
     i, t = cfg.id_col, cfg.text_col
     cleaned = df.withColumn(t, T.strip_boilerplate(t)).filter(
         T.quality_keep(

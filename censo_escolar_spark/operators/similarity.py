@@ -784,14 +784,25 @@ def ivf_topk_indexed_filtered(
         # we assert the contract instead of silently preferring one
         # side, so a type mismatch fails loudly rather than producing a
         # result schema that depends on corpus emptiness.
+        from pyspark.errors import AnalysisException
+
         stored_mtype = None
         try:
             stored_mtype = (
                 spark.read.parquet(index_path).schema[match_col]
                 .dataType.simpleString()
             )
-        except Exception:
-            pass  # footerless (never-written) store: query type rules
+        except AnalysisException as exc:
+            # ONLY the footerless (never-written / no-parquet-files)
+            # store falls back to query-side typing; corrupt stores and
+            # IO/permission failures must surface, not masquerade as
+            # "empty index"
+            marker = str(exc)
+            if not any(
+                m in marker
+                for m in ("UNABLE_TO_INFER_SCHEMA", "PATH_NOT_FOUND")
+            ):
+                raise
         if match_col in queries.columns:
             mtype = queries.schema[match_col].dataType.simpleString()
             if stored_mtype is not None and stored_mtype != mtype:

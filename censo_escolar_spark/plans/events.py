@@ -2231,37 +2231,86 @@ def e35_late_event_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def e36_streaming_stats_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    # Store construction: the three %3 increments through the stats
+    # maintainer's batch body, built once as the process-shared fixture
+    # (plans/fixtures.stats_store_base; e49 probes its version
+    # horizons). This row reads the live snapshot.
+    from censo_escolar_spark.plans.fixtures import stats_store_base
+    from censo_escolar_spark.streaming import detach
+    from censo_escolar_spark.streaming.stats import read_stats_state
 
-    from censo_escolar_spark.plans.fixtures import PARITY_SHUFFLE
-    from censo_escolar_spark.streaming import detach_from_state, state_shuffle
-    from censo_escolar_spark.streaming.stats import (
-        apply_stats_batch,
-        read_stats_state,
+    store = stats_store_base(spark, sf_dir)
+    out = (
+        read_stats_state(spark, store)
+        .select("lang", "source", "n_docs", "n_tokens", "n_chars", "n_kept")
+        .orderBy("lang", "source")
     )
+    return detach(out)
 
-    docs = load_table(spark, sf_dir, "documents")
-    state = tempfile.mkdtemp(prefix="e36_stats_state_")
-    try:
-        with state_shuffle(spark, PARITY_SHUFFLE):
-            for bid in (1, 2, 3):
-                apply_stats_batch(
-                    docs.filter(F.col("doc_id") % 3 == bid - 1),
-                    bid,
-                    state_dir=state,
-                )
-            out = (
-                read_stats_state(spark, state)
-                .select(
-                    "lang", "source", "n_docs", "n_tokens", "n_chars", "n_kept"
-                )
-                .orderBy("lang", "source")
-            )
-            return detach_from_state(out, state)
-    finally:
-        import shutil
 
-        shutil.rmtree(state, ignore_errors=True)
+# ---------------------------------------------------------------------------
+# e49 — SNAPSHOT (time-travel) reads of the maintained stats store: the
+# d25/t44/s29/q75/m16 audit on the LAST versioned-store shape (the
+# bucketstate additive-aggregate store). The store is naturally
+# versioned — each micro-batch writes its touched buckets under its own
+# version — so `read_stats_state(below=k)` resolves the aggregate
+# exactly as it stood after batch k-1: "what did the corpus stats say
+# before today's crawl?". Horizons: below=2 (first increment only),
+# below=3 (two increments), live. The oracle recomputes each truncated
+# prefix from scratch; parity is bit-exact because every maintained
+# column is a BIGINT count, so prefix-additivity has no float ordering.
+# ---------------------------------------------------------------------------
+@register(
+    "e49_stats_snapshot_read",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang, source,
+        len(string_split(text, ' ')) AS n_tok,
+        length(text) AS n_ch,
+        (length(text) - (len(string_split(text, ' ')) - 1)) * 1.0
+          / len(string_split(text, ' ')) AS avg_len,
+        (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0
+          / length(text) AS dig_ratio
+      FROM documents
+    ),
+    snap(s) AS (VALUES (1), (2), (3))
+    SELECT CAST(snap.s AS INTEGER) AS snapshot, lang, source,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+      CAST(SUM(n_ch) AS BIGINT) AS n_chars,
+      CAST(SUM(CASE WHEN n_tok >= 10 AND dig_ratio <= 0.3 AND avg_len >= 2.0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM scored, snap
+    WHERE doc_id % 3 < snap.s
+    GROUP BY snap.s, lang, source
+    ORDER BY snapshot, lang, source
+    """,
+)
+def e49_stats_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from censo_escolar_spark.plans.fixtures import stats_store_base
+    from censo_escolar_spark.streaming import detach
+    from censo_escolar_spark.streaming.stats import read_stats_state
+
+    store = stats_store_base(spark, sf_dir)
+
+    def probe(snap: int, below) -> DataFrame:
+        return read_stats_state(spark, store, below=below).select(
+            F.lit(snap).cast("int").alias("snapshot"),
+            "lang",
+            "source",
+            "n_docs",
+            "n_tokens",
+            "n_chars",
+            "n_kept",
+        )
+
+    out = (
+        probe(1, 2)
+        .unionByName(probe(2, 3))
+        .unionByName(probe(3, None))
+        .orderBy("snapshot", "lang", "source")
+    )
+    return detach(out)
 
 
 # ---------------------------------------------------------------------------
@@ -3185,6 +3234,151 @@ def e42_streaming_outer_join_parity(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 # ---------------------------------------------------------------------------
+# e48 — stream-stream FULL-OUTER interval-join parity: the last
+# stream-stream join kind (e41 inner, e42 leftOuter). Same fully
+# in-order two-source layout as e42; full outer adds the RIGHT side's
+# null-row emission, whose front mirrors the pinned left rule under
+# the condition read from the right timeline: a right row can match
+# left rows with l_ts ∈ [r_ts − upper, r_ts + lower], so its null row
+# emits iff r_ts + lower < fw — STRICT, verified at ±1 s in
+# tests/test_streaming.py::test_stream_stream_interval_join_full_outer
+# (the symmetric ±up bound makes both fronts r_ts/l_ts + up < fw).
+# Both-null rows cannot exist. Right-only rows carry no left
+# event_type; they group under the '~right_only' sentinel so the
+# compare never sorts NULL group keys.
+# ---------------------------------------------------------------------------
+@register(
+    "e48_streaming_full_outer_join",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, event_type,
+        epoch_ms(date_trunc('second', ts)) // 1000 AS tss,
+        CAST(value AS DECIMAL(18,2)) AS val
+      FROM events
+    ),
+    p AS (
+      SELECT (hi - lo) // 6 AS dly, (hi - lo) // 100 AS up
+      FROM (SELECT min(tss) AS lo, max(tss) AS hi FROM e)
+    ),
+    lft AS (
+      SELECT e.*, p.dly, p.up FROM e, p WHERE e.event_id % 2 = 0
+    ),
+    rgt AS (SELECT e.*, p.up FROM e, p WHERE e.event_id % 2 = 1),
+    fw AS (
+      SELECT LEAST((SELECT max(tss) FROM lft), (SELECT max(tss) FROM rgt))
+        - (SELECT dly FROM p) AS fw
+    ),
+    pairs AS (
+      SELECT l.event_type, l.val AS lval, r.val AS rval
+      FROM lft l JOIN rgt r ON l.user_id = r.user_id
+        AND r.tss >= l.tss - l.up AND r.tss <= l.tss + l.up
+    ),
+    l_unmatched AS (
+      SELECT l.event_type, l.val AS lval,
+        CAST(NULL AS DECIMAL(18,2)) AS rval
+      FROM lft l, fw
+      WHERE l.tss + l.up < fw.fw
+        AND NOT EXISTS (
+          SELECT 1 FROM rgt r
+          WHERE r.user_id = l.user_id
+            AND r.tss >= l.tss - l.up AND r.tss <= l.tss + l.up
+        )
+    ),
+    r_unmatched AS (
+      SELECT CAST(NULL AS VARCHAR) AS event_type,
+        CAST(NULL AS DECIMAL(18,2)) AS lval, r.val AS rval
+      FROM rgt r, fw
+      WHERE r.tss + r.up < fw.fw
+        AND NOT EXISTS (
+          SELECT 1 FROM lft l
+          WHERE l.user_id = r.user_id
+            AND r.tss >= l.tss - l.up AND r.tss <= l.tss + l.up
+        )
+    ),
+    allrows AS (
+      SELECT * FROM pairs
+      UNION ALL SELECT * FROM l_unmatched
+      UNION ALL SELECT * FROM r_unmatched
+    )
+    SELECT COALESCE(event_type, '~right_only') AS event_type,
+      CAST(COUNT(*) AS BIGINT) AS n_rows,
+      CAST(COUNT(lval) AS BIGINT) AS n_left,
+      CAST(COUNT(rval) AS BIGINT) AS n_right,
+      CAST(COALESCE(SUM(lval), CAST(0 AS DECIMAL(18,2))) AS DOUBLE)
+        AS sum_left,
+      CAST(COALESCE(SUM(rval), CAST(0 AS DECIMAL(18,2))) AS DOUBLE)
+        AS sum_right
+    FROM allrows
+    GROUP BY 1
+    ORDER BY event_type
+    """,
+)
+def e48_streaming_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import posixpath
+    import shutil
+    import tempfile
+
+    from censo_escolar_spark.streaming import (
+        deploy_slices,
+        detach_from_state,
+        state_shuffle,
+    )
+
+    cache, meta = _inorder_slices(spark, sf_dir)
+    if meta == "EMPTY":
+        return spark.createDataFrame(
+            [],
+            "event_type string, n_rows bigint, n_left bigint,"
+            " n_right bigint, sum_left double, sum_right double",
+        )
+    delay, up = meta
+
+    root = tempfile.mkdtemp(prefix="e48_full_outer_")
+    src, ckpt, out = (posixpath.join(root, d) for d in ("src", "ckpt", "out"))
+    try:
+        deploy_slices(cache, src)
+        joined = _two_source_interval_join(spark, src, delay, up, "fullOuter")
+        with state_shuffle(spark):
+            q = (
+                joined.writeStream.format("parquet")
+                .option("path", out)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        res = (
+            spark.read.schema("l_type string, l_val double, r_val double")
+            .parquet(out)
+            .groupBy(
+                F.coalesce(F.col("l_type"), F.lit("~right_only")).alias(
+                    "event_type"
+                )
+            )
+            .agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.count("l_val").cast("bigint").alias("n_left"),
+                F.count("r_val").cast("bigint").alias("n_right"),
+                F.coalesce(
+                    F.sum(F.col("l_val").cast(DEC)), F.lit("0").cast(DEC)
+                )
+                .cast("double")
+                .alias("sum_left"),
+                F.coalesce(
+                    F.sum(F.col("r_val").cast(DEC)), F.lit("0").cast(DEC)
+                )
+                .cast("double")
+                .alias("sum_right"),
+            )
+            .orderBy("event_type")
+        )
+        return detach_from_state(res, root)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
 # e43 — SESSION-WINDOW late-data drop parity: the last streaming shape
 # with no late-data oracle row. e38 proved the watermark drops rows for
 # tumbling aggregations; sessions add the uniquely session-window
@@ -3833,6 +4027,203 @@ def e46_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "total_value",
             )
             .orderBy("window_start", "c_mktsegment")
+        )
+        return detach_from_state(res, root)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# e47 — streaming DEDUP-WITHIN-WATERMARK parity: the last streaming
+# operator without an oracle row (dropDuplicatesWithinWatermark —
+# streaming/windows.py::dedup_within_watermark). The arrival
+# construction injects deliberate DUPLICATE keys (re-sent copies of
+# oldest-third events with shifted event times — the at-least-once
+# upstream a dedup stage exists to absorb) so the engine's bounded
+# dedup state is exercised on all four of its behaviors: suppression
+# within the horizon, state EVICTION (a duplicate arriving after its
+# key's state expired RE-EMITS — the documented contract: dedup only
+# within the watermark delay), late-input filtering, and pass-through
+# emission.
+#
+# Semantics pinned empirically against this Spark build
+# (tests/test_streaming.py::test_ddww_eviction_and_late_boundaries):
+#   wm_evict(N) = max event time over batches < N, minus delay (0-init);
+#   wm_late(N)  = wm_evict(N-1) (the SPARK-40925 lagged late front,
+#     same as e38); batch N DROPS input rows with ts <= wm_late(N)
+#     (equality drops);
+#   state presence governs suppression: cleanup at the END of batch N
+#     uses the DURING-batch front wm_evict(N), so an entry with expiry
+#     (= first-arrival ts + delay) <= wm_evict(N) still suppresses
+#     batch-N duplicates and is gone only from batch N+1 on; eviction
+#     fires at EQUALITY (expiry == front evicts); a suppressed
+#     duplicate does NOT refresh its key's expiry.
+#
+# Construction (delay = span/12, cuts c1/c2 at span thirds):
+#   batch 1: oldest third. batch 2: middle third + dup-A (copies of
+#   %5==2 oldest rows, ts+delay/3) — all suppressed (every original's
+#   expiry > the 0-init front): the steady-state dedup case. batch 3:
+#   newest third + dup-B (%5==0, ts+span/2: on time; re-emits iff the
+#   original's expiry cleared the end-of-batch-2 front — the eviction
+#   boundary lands INSIDE the oldest third, so both outcomes populate)
+#   + dup-C (%5==1, ts+delay/2: late-dropped or still-suppressed —
+#   provably never emits, both drop reasons populate). Integer-seconds
+#   arithmetic on second-truncated timestamps both sides -> exact.
+#   Non-vacuity at sf0.01 is asserted in
+#   tests/test_oracle_parity.py::test_e47_construction_nonvacuous.
+# ---------------------------------------------------------------------------
+_E47_OUT_SCHEMA = (
+    "event_id bigint, ts timestamp_ntz, event_type string, value double"
+)
+
+
+def _ddww_slices(spark: SparkSession, sf_dir: str):
+    """e47's arrival: time-range thirds of ``events`` with duplicate-key
+    copies injected per the construction above. meta = watermark delay
+    seconds (span/12), or "EMPTY"."""
+    from censo_escolar_spark.streaming import shared_slices, slice_dir
+
+    def build(root: str):
+        e = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            "event_type",
+            F.date_trunc("second", F.col("ts").cast("timestamp")).alias("ts"),
+            "value",
+        )
+        b = e.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+        if b["lo"] is None:
+            return "EMPTY"
+        lo_s, hi_s = int(b["lo"].timestamp()), int(b["hi"].timestamp())
+        span = hi_s - lo_s
+        c1, c2 = lo_s + span // 3, lo_s + (2 * span) // 3
+        dly, half = span // 12, span // 2
+        t = F.unix_timestamp("ts")
+        old = e.filter(t < c1)
+
+        def shifted(cls: int, shift: int) -> DataFrame:
+            return old.filter(F.col("event_id") % 5 == cls).select(
+                "event_id",
+                "event_type",
+                F.timestamp_seconds(t + F.lit(shift)).alias("ts"),
+                "value",
+            )
+
+        slices = (
+            old,
+            e.filter((t >= c1) & (t < c2)).unionByName(shifted(2, dly // 3)),
+            e.filter(t >= c2)
+            .unionByName(shifted(0, half))
+            .unionByName(shifted(1, dly // 2)),
+        )
+        for i, s in enumerate(slices):
+            s.coalesce(1).write.parquet(slice_dir(root, i))
+        return dly
+
+    return shared_slices("ddww_dups3", sf_dir, build)
+
+
+@register(
+    "e47_streaming_dedup_within_watermark",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, event_type,
+        epoch_ms(date_trunc('second', ts)) // 1000 AS tss,
+        CAST(value AS DOUBLE) AS val
+      FROM events
+    ),
+    p AS (
+      SELECT min(tss) + (max(tss) - min(tss)) // 3 AS c1,
+        (max(tss) - min(tss)) // 12 AS dly,
+        (max(tss) - min(tss)) // 2 AS half
+      FROM e
+    ),
+    f AS (
+      -- the front during batch 2 == the end-of-batch-2 eviction front
+      -- == wm_late(3); a 0 front (empty batch 1) is unobservable: no
+      -- batch-1 rows -> no duplicates derive from them
+      SELECT COALESCE(max(CASE WHEN e.tss < p.c1 THEN e.tss END), 0)
+          - any_value(p.dly) AS wm2,
+        any_value(p.c1) AS c1, any_value(p.dly) AS dly,
+        any_value(p.half) AS half
+      FROM e, p
+    ),
+    orig AS (
+      SELECT e.*, f.wm2, f.dly, f.half FROM e, f WHERE e.tss < f.c1
+    ),
+    dupb AS (
+      -- on time (strictly above wm_late(3)) AND original evicted
+      -- (expiry <= front, equality evicts) -> re-emits
+      SELECT event_id, tss + half AS tss, event_type, val FROM orig
+      WHERE event_id % 5 = 0 AND tss + half > wm2 AND tss + dly <= wm2
+    ),
+    dupc AS (
+      -- same model; provably empty (a dly/2 shift cannot clear wm_late
+      -- once the original's expiry did not) — kept for model honesty
+      SELECT event_id, tss + dly // 2 AS tss, event_type, val FROM orig
+      WHERE event_id % 5 = 1 AND tss + dly // 2 > wm2 AND tss + dly <= wm2
+    )
+    SELECT event_id, make_timestamp(tss * 1000000) AS ts,
+      event_type, val AS value
+    FROM (
+      SELECT event_id, tss, event_type, val FROM e
+      UNION ALL SELECT * FROM dupb
+      UNION ALL SELECT * FROM dupc
+    )
+    ORDER BY event_id, ts
+    """,
+)
+def e47_streaming_dedup_within_watermark(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import posixpath
+    import shutil
+    import tempfile
+
+    from censo_escolar_spark.streaming import (
+        deploy_slices,
+        detach_from_state,
+        state_shuffle,
+    )
+    from censo_escolar_spark.streaming.windows import dedup_within_watermark
+
+    root = tempfile.mkdtemp(prefix="e47_ddww_")
+    src, ckpt, out = (posixpath.join(root, d) for d in ("src", "ckpt", "out"))
+    try:
+        cache, dly = _ddww_slices(spark, sf_dir)
+        if dly == "EMPTY":
+            return spark.createDataFrame([], _E47_OUT_SCHEMA)
+        deploy_slices(cache, src)
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        deduped = dedup_within_watermark(
+            stream, keys=["event_id"], watermark=f"{dly} seconds"
+        )
+        with state_shuffle(spark):
+            q = (
+                deduped.writeStream.format("parquet")
+                .option("path", out)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        res = (
+            spark.read.schema(
+                "event_id bigint, event_type string, ts timestamp,"
+                " value double"
+            )
+            .parquet(out)
+            .select(
+                "event_id",
+                F.col("ts").cast("timestamp_ntz").alias("ts"),
+                "event_type",
+                F.col("value").cast("double").alias("value"),
+            )
+            .orderBy("event_id", "ts")
         )
         return detach_from_state(res, root)
     finally:

@@ -266,6 +266,29 @@ def ivf_deletes_store(spark: SparkSession, sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Corpus-stats store base (streaming/stats.py over bucketstate): the
+# e36 three-increment accumulation. e36 reads the live snapshot; e49
+# probes version horizons.
+# ---------------------------------------------------------------------------
+def stats_store_base(spark: SparkSession, sf_dir: str) -> str:
+    from censo_escolar_spark.streaming.stats import apply_stats_batch
+
+    def build(root: str):
+        docs = load_table(spark, sf_dir, "documents")
+        with state_shuffle(spark, PARITY_SHUFFLE):
+            for bid in (1, 2, 3):
+                apply_stats_batch(
+                    docs.filter(F.col("doc_id") % 3 == bid - 1),
+                    bid,
+                    state_dir=root,
+                )
+        return "OK"
+
+    root, _ = shared_state("stats_store_base", sf_dir, build)
+    return root
+
+
+# ---------------------------------------------------------------------------
 # CDC MERGE bases (streaming/merge.py over bucketstate).
 # ---------------------------------------------------------------------------
 MERGE_SCHEMA = "o_orderkey bigint, o_orderstatus string, o_totalprice decimal(19,3)"
@@ -354,6 +377,97 @@ def merge_stream_base(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
 
     root, _ = shared_state("merge_stream_base", sf_dir, build)
     return root, slices
+
+
+# ---------------------------------------------------------------------------
+# Image pHash store bases (streaming/imagededup.py). Payload staging is
+# m12's: PNG magic + the doc_id%40 class string, decoded with the
+# deterministic fake decoder (real codecs aren't in this container; the
+# store discipline, banding and tombstone machinery are the real path).
+# ---------------------------------------------------------------------------
+
+#: Re-ingested copies in the m15/m16 wave carry doc_id + this offset
+#: (disjoint from any original id; preserves within-batch min-id
+#: cluster-winner order). Mirrored literally in the m15/m16 oracles.
+IMAGE_REINGEST_OFFSET = 1 << 40
+
+
+def staged_images(spark: SparkSession, sf_dir: str, *, offset: int = 0):
+    """The m12 payload staging, optionally re-keyed to offset ids (the
+    payload class stays keyed by the ORIGINAL doc_id, so an offset copy
+    is an exact byte duplicate of its original)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        (F.col("doc_id") + F.lit(offset)).cast("bigint").alias("doc_id"),
+        F.concat(
+            F.unhex(F.lit("89504E47")),
+            F.encode((F.col("doc_id") % 40).cast("string"), "utf-8"),
+        ).alias("payload"),
+    )
+
+
+def image_store_base(spark: SparkSession, sf_dir: str) -> str:
+    """Hash store after ingest batches 1-3 (m12's %3 arrival slicing;
+    compact_every=2: the plain fold runs at batch 2). m12 reads it
+    live; m16 probes a mid-history horizon; the deletes store below
+    extends a clone."""
+    from censo_escolar_spark.operators.multimodal import fake_decode
+    from censo_escolar_spark.streaming.imagededup import apply_image_dedup_batch
+
+    def build(root: str):
+        staged = staged_images(spark, sf_dir)
+        with state_shuffle(spark, PARITY_SHUFFLE):
+            for bid in (1, 2, 3):
+                apply_image_dedup_batch(
+                    staged.filter(F.col("doc_id") % 3 == bid - 1),
+                    bid,
+                    state_dir=root,
+                    decoder=fake_decode,
+                    compact_every=2,
+                )
+        return "OK"
+
+    root, _ = shared_state("image_store_base", sf_dir, build)
+    return root
+
+
+def image_deletes_store(spark: SparkSession, sf_dir: str) -> str:
+    """The m15/m16 final store: base + tombstones %5==0 (bid 4; the
+    cadence fold at upto=3 runs PRE-delete, plain) + a full re-ingest
+    wave under offset ids (bid 6, probing the post-delete LIVE index;
+    its cadence fold at upto=5 is the DELETE-AWARE reclaim consuming
+    the tombstones). Read-only for consumers (m15 live view, m16
+    snapshot probes)."""
+    from censo_escolar_spark.operators.multimodal import fake_decode
+    from censo_escolar_spark.streaming import link_tree
+    from censo_escolar_spark.streaming.imagededup import (
+        apply_image_delete_batch,
+        apply_image_dedup_batch,
+    )
+
+    base = image_store_base(spark, sf_dir)
+
+    def build(root: str):
+        link_tree(base, root)
+        docs = load_table(spark, sf_dir, "documents")
+        with state_shuffle(spark, PARITY_SHUFFLE):
+            apply_image_delete_batch(
+                docs.filter(F.col("doc_id") % 5 == 0).select("doc_id"),
+                4,
+                state_dir=root,
+                compact_every=2,
+            )
+            apply_image_dedup_batch(
+                staged_images(spark, sf_dir, offset=IMAGE_REINGEST_OFFSET),
+                6,
+                state_dir=root,
+                decoder=fake_decode,
+                compact_every=2,
+            )
+        return "OK"
+
+    root, _ = shared_state("image_deletes_store", sf_dir, build)
+    return root
 
 
 def merge_full_store(spark: SparkSession, sf_dir: str) -> str:

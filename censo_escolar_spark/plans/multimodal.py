@@ -933,43 +933,20 @@ ORDER BY doc_id
 
 @register("m12_streaming_image_dedup_parity", oracle=_M12_ORACLE)
 def m12_streaming_image_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
-    import tempfile
+    # Store construction: the three %3 increments through the
+    # maintainer's batch body, built once as the process-shared fixture
+    # (plans/fixtures.image_store_base; m15/m16 rebase on it). This row
+    # reads the published live index.
+    from censo_escolar_spark.plans.fixtures import image_store_base
+    from censo_escolar_spark.streaming import detach
+    from censo_escolar_spark.streaming.imagededup import read_published_hashes
 
-    from censo_escolar_spark.streaming import detach_from_state
-    from censo_escolar_spark.streaming.imagededup import (
-        apply_image_dedup_batch,
-        read_published_hashes,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    staged = docs.select(
-        "doc_id",
-        F.concat(
-            F.unhex(F.lit("89504E47")),
-            F.encode((F.col("doc_id") % 40).cast("string"), "utf-8"),
-        ).alias("payload"),
-    )
-    from censo_escolar_spark.plans.fixtures import PARITY_SHUFFLE
-    from censo_escolar_spark.streaming import state_shuffle
-
-    state = tempfile.mkdtemp(prefix="m12_image_state_")
-    try:
-        with state_shuffle(spark, PARITY_SHUFFLE):
-            for bid in (1, 2, 3):
-                apply_image_dedup_batch(
-                    staged.filter(F.col("doc_id") % 3 == bid - 1),
-                    bid,
-                    state_dir=state,
-                    decoder=M.fake_decode,
-                )
-            final = read_published_hashes(spark, state)
-            out = final.select(
-                "doc_id", (F.col("doc_id") % 3 + 1).cast("int").alias("batch")
-            ).orderBy("doc_id")
-            return detach_from_state(out, state)
-    finally:
-        shutil.rmtree(state, ignore_errors=True)
+    store = image_store_base(spark, sf_dir)
+    final = read_published_hashes(spark, store)
+    out = final.select(
+        "doc_id", (F.col("doc_id") % 3 + 1).cast("int").alias("batch")
+    ).orderBy("doc_id")
+    return detach(out)
 
 
 # ---------------------------------------------------------------------------
@@ -1169,3 +1146,177 @@ def m14_gated_image_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             return detach_from_state(out, state)
     finally:
         shutil.rmtree(state, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# m15 — image-store RIGHT-TO-BE-FORGOTTEN: the d22 tombstone discipline
+# on the pHash image store, where it matters most. The m12 chain gains
+# a delete wave (tombstones for doc_id %5==0, bid 4 — its cadence fold
+# at upto=3 runs pre-delete) and then a FULL RE-INGEST wave of every
+# staged image under offset ids (bid 6): each copy is an exact byte
+# duplicate of its original, so it publishes iff NO live published
+# hash is within hamming 3 — i.e. exactly the classes whose published
+# representatives were all forgotten re-publish, proving a forgotten
+# image stops suppressing future near-dups. Bid 6's cadence fold
+# (upto=5) is the DELETE-AWARE reclaim: tombstoned (doc_id, phash)
+# rows leave the store's files and the consumed tombstones drop.
+# Oracle: m12's replay extended with the live-view subtraction and one
+# more drop-then-cluster round over the re-ingest wave.
+# Non-vacuity at sf0.001+ is asserted in
+# tests/test_oracle_parity.py::test_m15_construction_nonvacuous.
+# ---------------------------------------------------------------------------
+def _m15_ctes() -> str:
+    """m12's CTE scaffolding + the delete-wave rounds (shared by the
+    m15 and m16 oracles). Guards keep the surgery honest if m12's
+    oracle changes."""
+    marker = "SELECT doc_id, CAST(doc_id % 3 + 1 AS INTEGER) AS batch"
+    assert _M12_ORACLE.count(marker) == 1, "m15 surgery: marker not unique"
+    head = _M12_ORACLE.rsplit(marker, 1)[0]
+    return (
+        head.rstrip().rstrip(")").rstrip()
+        + """
+),
+live3 AS MATERIALIZED (
+  SELECT doc_id FROM (
+    SELECT doc_id FROM k0
+    UNION ALL SELECT doc_id FROM k1
+    UNION ALL SELECT doc_id FROM k2
+  ) WHERE doc_id % 5 <> 0
+),
+hx6 AS MATERIALIZED (
+  SELECT p.id_a AS doc_id FROM pairs p JOIN live3 l ON p.id_b = l.doc_id
+  UNION
+  SELECT p.id_b FROM pairs p JOIN live3 l ON p.id_a = l.doc_id
+  UNION
+  SELECT doc_id FROM live3
+),
+s6 AS MATERIALIZED (
+  SELECT doc_id FROM ph WHERE doc_id NOT IN (SELECT doc_id FROM hx6)
+),
+e6 AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  WHERE id_a IN (SELECT doc_id FROM s6) AND id_b IN (SELECT doc_id FROM s6)
+  UNION
+  SELECT id_b, id_a FROM pairs
+  WHERE id_a IN (SELECT doc_id FROM s6) AND id_b IN (SELECT doc_id FROM s6)
+),
+r6(src, dst) AS (
+  SELECT src, dst FROM e6
+  UNION
+  SELECT r.src, e.dst FROM r6 r JOIN e6 e ON r.dst = e.src
+),
+c6 AS MATERIALIZED (
+  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cl FROM r6 GROUP BY src
+),
+k6 AS MATERIALIZED (
+  SELECT s6.doc_id FROM s6
+  LEFT JOIN c6 USING (doc_id)
+  WHERE s6.doc_id = COALESCE(c6.cl, s6.doc_id)
+)
+"""
+    )
+
+
+#: doc_id offset of the re-ingest wave — plans/fixtures.py
+#: IMAGE_REINGEST_OFFSET (1 << 40), embedded literally in the SQL.
+_M15_OFFSET_SQL = "1099511627776"
+
+
+def _m15_oracle() -> str:
+    return (
+        _m15_ctes()
+        + f"""
+SELECT doc_id, CAST(batch AS INTEGER) AS batch
+FROM (
+  SELECT doc_id, doc_id % 3 + 1 AS batch FROM live3
+  UNION ALL SELECT doc_id + {_M15_OFFSET_SQL}, 6 FROM k6
+)
+ORDER BY doc_id
+"""
+    )
+
+
+@register("m15_image_forget", oracle=_m15_oracle())
+def m15_image_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from censo_escolar_spark.plans.fixtures import (
+        IMAGE_REINGEST_OFFSET,
+        image_deletes_store,
+    )
+    from censo_escolar_spark.streaming import detach
+    from censo_escolar_spark.streaming.imagededup import read_published_hashes
+
+    store = image_deletes_store(spark, sf_dir)
+    final = read_published_hashes(spark, store)
+    out = final.select(
+        "doc_id",
+        F.when(F.col("doc_id") >= IMAGE_REINGEST_OFFSET, F.lit(6))
+        .otherwise(F.col("doc_id") % 3 + 1)
+        .cast("int")
+        .alias("batch"),
+    ).orderBy("doc_id")
+    return detach(out)
+
+
+# ---------------------------------------------------------------------------
+# m16 — SNAPSHOT (time-travel) reads of the image store: the d25/t44/
+# s29/q75 audit on the FIFTH store family, completing time travel
+# across every versioned store. Horizons must sit at-or-above fold
+# boundaries (folds collapse strictly-below history): snapshot 1 reads
+# the BASE store mid-history (below=3: the first two increments);
+# snapshot 2 reads the deletes store at below=6, which resolves the
+# post-delete pre-re-ingest state THROUGH the reclaiming fold's
+# batch=5 partition (the folded file IS the snapshot — tombstones
+# consumed); snapshot 3 is the live view. A ⊉ relationships hold by
+# construction: 2 ⊂ 1's future (delete shrank it), 3 ⊃ 2 (re-ingest).
+# ---------------------------------------------------------------------------
+def _m16_oracle() -> str:
+    return (
+        _m15_ctes()
+        + f"""
+SELECT CAST(snapshot AS INTEGER) AS snapshot, doc_id,
+  CAST(batch AS INTEGER) AS batch
+FROM (
+  SELECT 1 AS snapshot, doc_id, doc_id % 3 + 1 AS batch FROM k0
+  UNION ALL SELECT 1, doc_id, doc_id % 3 + 1 FROM k1
+  UNION ALL SELECT 2, doc_id, doc_id % 3 + 1 FROM live3
+  UNION ALL SELECT 3, doc_id, doc_id % 3 + 1 FROM live3
+  UNION ALL SELECT 3, doc_id + {_M15_OFFSET_SQL}, 6 FROM k6
+)
+ORDER BY snapshot, doc_id
+"""
+    )
+
+
+@register("m16_image_snapshot_read", oracle=_m16_oracle())
+def m16_image_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from censo_escolar_spark.plans.fixtures import (
+        IMAGE_REINGEST_OFFSET,
+        image_deletes_store,
+        image_store_base,
+    )
+    from censo_escolar_spark.streaming import detach
+    from censo_escolar_spark.streaming.imagededup import read_published_hashes
+
+    base = image_store_base(spark, sf_dir)
+    store = image_deletes_store(spark, sf_dir)
+
+    def label():
+        return (
+            F.when(F.col("doc_id") >= IMAGE_REINGEST_OFFSET, F.lit(6))
+            .otherwise(F.col("doc_id") % 3 + 1)
+            .cast("int")
+            .alias("batch")
+        )
+
+    def probe(snap: int, root: str, below) -> DataFrame:
+        return read_published_hashes(spark, root, below=below).select(
+            F.lit(snap).cast("int").alias("snapshot"), "doc_id", label()
+        )
+
+    out = (
+        probe(1, base, 3)
+        .unionByName(probe(2, store, 6))
+        .unionByName(probe(3, store, None))
+        .orderBy("snapshot", "doc_id")
+    )
+    return detach(out)

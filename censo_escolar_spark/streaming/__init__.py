@@ -54,6 +54,11 @@ def detach_from_state(df: DataFrame, state_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 #: (key, abspath(sf_dir), fingerprint) -> (cache_root, meta).
+#: Keys and consumers assume a SEQUENTIAL harness (the driver sweep,
+#: bench, and pytest all run rows one at a time in-process): two rows
+#: deploying into one shared src concurrently could re-pin mtimes under
+#: a still-draining stream (deploy_slices skips content-identical
+#: files, which covers the sequential re-deploy case, not true races).
 #: Process-lifetime cache; directories are removed at interpreter exit.
 #: The fingerprint (stat of every file under sf_dir) means regenerating
 #: the data under sf_dir within one process invalidates the cache
@@ -61,17 +66,24 @@ def detach_from_state(df: DataFrame, state_dir: str) -> DataFrame:
 _SLICE_CACHE: dict[tuple[str, str, int], tuple[str, object]] = {}
 
 
-def _dir_fingerprint(sf_dir: str) -> int:
-    """Cheap content fingerprint of a data dir: hash of every file's
+def _dir_fingerprint(sf_dir: str) -> str:
+    """Cheap content fingerprint of a data dir: sha256 over every file's
     (relpath, mtime_ns, size). Pure stat calls — no reads — so it costs
-    microseconds per table dir and catches in-process regeneration."""
+    microseconds per table dir and catches in-process regeneration.
+    Collision-resistant by construction (unlike Python's built-in
+    ``hash``, whose 64-bit in-process collisions could silently serve a
+    stale fixture); the remaining blind spot is inherent to stat-only
+    fingerprints — a rewrite that preserves both mtime_ns and size is
+    undetected."""
+    import hashlib
+
     acc: list[tuple[str, int, int]] = []
     for root, _dirs, files in os.walk(sf_dir):
         rel = os.path.relpath(root, sf_dir)
         for f in files:
             st = os.stat(os.path.join(root, f))
             acc.append((posixpath.join(rel, f), st.st_mtime_ns, st.st_size))
-    return hash(tuple(sorted(acc)))
+    return hashlib.sha256(repr(sorted(acc)).encode()).hexdigest()
 
 
 def _purge_slice_cache() -> None:  # pragma: no cover - exit hook
@@ -233,13 +245,25 @@ def deploy_slices(root: str, src: str, which=None) -> None:
     if which is not None:
         wanted = {f"s{i:02d}" for i in which}
         subs = [d for d in subs if d in wanted]
+    import filecmp
+
     src_key = os.path.abspath(src)
     base = max(time.time(), _LAST_PINNED.get(src_key, 0.0) + 1.0)
+    last_pinned = None
     for i, d in enumerate(subs):
         ts = base + i
         for f in sorted(glob.glob(posixpath.join(root, d, "*.parquet"))):
             dst = posixpath.join(src, f"{d}_{posixpath.basename(f)}")
+            # idempotent re-deploy (a shared-fixture row deploying a
+            # slice an earlier row already placed): a content-identical
+            # file keeps its live, already-ordered mtime instead of
+            # being re-pinned under a possibly still-listing stream
+            if os.path.exists(dst) and filecmp.cmp(f, dst, shallow=False):
+                continue
             shutil.copyfile(f, dst)
             os.utime(dst, (ts, ts))
-    if subs:
-        _LAST_PINNED[src_key] = base + len(subs) - 1
+            last_pinned = ts
+    if last_pinned is not None:
+        _LAST_PINNED[src_key] = max(
+            _LAST_PINNED.get(src_key, 0.0), last_pinned
+        )

@@ -24,6 +24,15 @@ below its own id and fully overwrites its own ``batch=<id>`` directory.
 Every ``compact_every`` batches the strictly-prior partitions fold into
 one (``streaming/dedup.compact_batch_store`` — the crash-safe two-phase
 marker commit), bounding listing depth on a long-running crawl.
+
+Right-to-be-forgotten (``apply_image_delete_batch``) follows the text
+maintainer's tombstone discipline exactly (streaming/dedup.py): id
+tombstones append as their own ``deletes`` batches, readers and the
+ingest probe subtract them with the arrival-ordered anti-join, and the
+cadence fold physically reclaims tombstoned (doc_id, phash) rows from
+the files — a forgotten image also stops suppressing future near-dups
+the moment its delete batch commits (right-to-be-forgotten matters
+MOST for images).
 """
 
 from __future__ import annotations
@@ -37,6 +46,8 @@ from censo_escolar_spark.operators import multimodal as M
 from censo_escolar_spark.streaming.dedup import (
     _component,
     _read_component,
+    _subtract_deleted,
+    _tombstones,
     compact_batch_store,
     recover_batch_store,
 )
@@ -45,19 +56,93 @@ from censo_escolar_spark.streaming.dedup import (
 COMPACT_EVERY = 16
 
 _HASH_SCHEMA = "doc_id bigint, phash bigint"
-_LAYOUT = {"hashes": (_HASH_SCHEMA, [])}
+_LAYOUT = {"hashes": (_HASH_SCHEMA, []), "deletes": ("doc_id bigint", [])}
 
 
 def read_published_hashes(
     spark: SparkSession, state_dir: str, *, below: int | None = None
 ) -> DataFrame:
-    """The published image index (doc_id, phash): union of every
-    committed batch partition (empty frame if none)."""
+    """The published LIVE image index (doc_id, phash): union of every
+    committed batch partition below the horizon (empty frame if none),
+    minus committed right-to-be-forgotten tombstones below the same
+    horizon. A delete-free store keeps its exact pre-delete read plan
+    (the tombstone probe short-circuits, see dedup._tombstones)."""
     recover_batch_store(spark, state_dir, list(_LAYOUT))
     hi = below if below is not None else 1 << 62
-    return _read_component(
-        spark, _component(state_dir, "hashes"), _HASH_SCHEMA, hi
+    tombs = _tombstones(spark, state_dir, "doc_id", hi)
+    hashes = _read_component(
+        spark,
+        _component(state_dir, "hashes"),
+        _HASH_SCHEMA,
+        hi,
+        keep_batch=tombs is not None,
     )
+    if tombs is None:
+        return hashes
+    return _subtract_deleted(hashes, tombs, "doc_id").drop("batch")
+
+
+def _fold_image_deletes(frames: dict[str, DataFrame]) -> dict[str, DataFrame]:
+    """Compaction fold: physically reclaim tombstoned (doc_id, phash)
+    rows and drop the consumed tombstones — dedup._fold_corpus_deletes
+    for the one-component image store. Live-view preserving (readers
+    resolve hashes MINUS arrival-ordered deletes, unchanged by removing
+    matched pairs); degenerates to the plain union with no tombstones."""
+    tombs = frames["deletes"]
+    return {
+        "hashes": _subtract_deleted(frames["hashes"], tombs, "doc_id").drop(
+            "batch"
+        ),
+        "deletes": tombs.filter(F.lit(False)).drop("batch"),
+    }
+
+
+def compact_image_store(
+    spark: SparkSession, state_dir: str, *, upto: int
+) -> None:
+    """Fold the image store's ``batch=`` history at-or-below ``upto``
+    into one partition per component — see ``compact_batch_store`` for
+    the crash-safe protocol; the fold is DELETE-AWARE (a delete-blind
+    fold would rebatch rows past their tombstones and resurrect them,
+    the lexindex-documented hazard)."""
+    compact_batch_store(
+        spark, state_dir, upto=upto, layout=_LAYOUT, fold=_fold_image_deletes
+    )
+
+
+def apply_image_delete_batch(
+    ids_df: DataFrame,
+    batch_id: int,
+    *,
+    state_dir: str,
+    compact_every: int | None = COMPACT_EVERY,
+) -> None:
+    """Right-to-be-forgotten: delete a batch of image doc ids from the
+    published hash index.
+
+    The ids append as this batch's partition of the ``deletes``
+    component — O(batch), no published partition is read or rewritten.
+    Effects (the arrival-ordered tombstone semantics shared with the
+    text/IVF/BM25 stores):
+
+    - ``read_published_hashes`` no longer returns the images;
+    - later ingest batches no longer drop near-dups of them (the probe
+      reads the live index) — a forgotten image cannot keep influencing
+      retention;
+    - the cadence fold physically reclaims the (doc_id, phash) rows
+      from the store's files (``_fold_image_deletes``);
+    - a re-ingest of the same id after the delete is a new live row;
+    - deleting a never-published id is a harmless no-op.
+
+    Retry-idempotent: a re-run fully overwrites its own ``batch=<id>``
+    directory and reads nothing newer."""
+    spark = ids_df.sparkSession
+    recover_batch_store(spark, state_dir, list(_LAYOUT))
+    ids_df.select(F.col("doc_id").cast("bigint").alias("doc_id")).write.mode(
+        "overwrite"
+    ).parquet(posixpath.join(_component(state_dir, "deletes"), f"batch={batch_id}"))
+    if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+        compact_image_store(spark, state_dir, upto=batch_id - 1)
 
 
 def apply_image_dedup_batch(
@@ -133,9 +218,7 @@ def apply_image_dedup_batch(
         posixpath.join(_component(state_dir, "hashes"), f"batch={batch_id}")
     )
     if compact_every and batch_id > 0 and batch_id % compact_every == 0:
-        compact_batch_store(
-            spark, state_dir, upto=batch_id - 1, layout=_LAYOUT
-        )
+        compact_image_store(spark, state_dir, upto=batch_id - 1)
 
 
 def maintain_image_corpus(

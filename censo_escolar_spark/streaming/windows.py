@@ -273,16 +273,22 @@ def interval_join(
     still arrive. Outer results therefore trail the watermark; tests
     must advance it (later data or stream end) to observe them.
 
-    Only ``inner`` and ``leftOuter`` are accepted: the interval bound
-    is written for the LEFT side's timeline, so a right/full outer join
-    would silently emit unmatched RIGHT rows under an asymmetric
-    constraint never defined for them (swap the inputs to get
-    right-outer semantics).
+    ``how='fullOuter'`` additionally emits each unmatched RIGHT row
+    (left columns NULL) under the mirrored rule: a right row's match
+    interval on the LEFT timeline is ``l_ts ∈ [right_ts − upper,
+    right_ts + lower]`` (the join condition read from the right side),
+    so its null row emits once the watermark strictly passes
+    ``right_ts + lower``. Both-null rows cannot exist.
+
+    Only ``inner``, ``leftOuter`` and ``fullOuter`` are accepted:
+    plain right-outer is the same operator with the inputs swapped —
+    keeping one spelling avoids two asymmetric bound conventions.
     """
-    if how not in ("inner", "leftOuter"):
+    if how not in ("inner", "leftOuter", "fullOuter"):
         raise ValueError(
-            "interval_join supports how='inner' or 'leftOuter' only "
-            f"(got {how!r}); swap left/right for right-outer semantics"
+            "interval_join supports how='inner', 'leftOuter' or"
+            f" 'fullOuter' only (got {how!r}); swap left/right for"
+            " right-outer semantics"
         )
     l = left.withWatermark(left_ts, watermark).alias("l")
     r = right.withWatermark(right_ts, watermark).alias("r")
@@ -291,7 +297,15 @@ def interval_join(
         & (F.col(f"r.{right_ts}") >= F.expr(f"l.{left_ts} - interval {lower}"))
         & (F.col(f"r.{right_ts}") <= F.expr(f"l.{left_ts} + interval {upper}"))
     )
-    return l.join(r, cond, how).drop(F.col(f"r.{on}"))
+    j = l.join(r, cond, how)
+    if how != "fullOuter":
+        return j.drop(F.col(f"r.{on}"))
+    # right-only rows carry a NULL left key: surface ONE key column
+    return j.select(
+        F.coalesce(F.col(f"l.{on}"), F.col(f"r.{on}")).alias(on),
+        *[F.col(f"l.{c}") for c in left.columns if c != on],
+        *[F.col(f"r.{c}") for c in right.columns if c != on],
+    )
 
 
 def run_available_now(

@@ -804,3 +804,168 @@ def test_stateful_timeout_boundary_strict(spark, tmp_path):
         # u4 absent: armed 1900 == final front 1900, strict fire
         # u5 absent: armed 2050 > 1900, still open
     }
+
+
+def test_ddww_eviction_and_late_boundaries(spark, tmp_path):
+    """Pin dropDuplicatesWithinWatermark's engine semantics (the fronts
+    the e47 oracle models). Delay 300 s, epoch-relative seconds, three
+    single-file micro-batches; wm_evict(N) = max ts over batches < N
+    minus delay (0-init), wm_late(N) = wm_evict(N-1):
+
+    - state PRESENCE governs suppression during batch N: cleanup at the
+      end of batch N uses the DURING-batch front wm_evict(N), so k1
+      (expiry 400 <= wm_evict(2)=700) still suppresses its batch-2 dup
+      (it is evicted only at the END of batch 2);
+    - eviction fires at EQUALITY: k2's expiry 400+300=700 == the
+      end-of-batch-2 front 700 -> evicted -> its batch-3 dup @900
+      RE-EMITS;
+    - a suppressed duplicate does NOT refresh expiry: k1's dup @500
+      would push expiry to 800 > 700 if it did; the batch-3 dup @950
+      re-emits, so it did not;
+    - the late filter drops ts == wm_late(N) (equality drops): new keys
+      @700 and @699 in batch 3 (wm_late(3)=700) both vanish, @1800
+      survives.
+    """
+    import glob
+    import os
+    import shutil
+    from datetime import timedelta, timezone
+
+    base = datetime(2024, 3, 1, tzinfo=timezone.utc)
+
+    def row(k, s, tag):
+        return ((base + timedelta(seconds=s)).replace(tzinfo=None), k, tag, 1.0)
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    sink = str(tmp_path / "out")
+    os.makedirs(src)
+    files = [
+        [row(1, 100, "b1-k1"), (row(2, 400, "b1-k2")), row(9, 1000, "b1-front")],
+        [row(1, 500, "b2-k1-dup"), row(10, 2000, "b2-front")],
+        [
+            row(2, 900, "b3-k2-dup-after-equality-evict"),
+            row(1, 950, "b3-k1-dup-no-refresh"),
+            row(20, 700, "b3-late-eq"),
+            row(21, 699, "b3-late-below"),
+            row(22, 1800, "b3-new"),
+        ],
+    ]
+    for i, rows in enumerate(files):
+        p = str(tmp_path / f"s{i}")
+        spark.createDataFrame(rows, schema=SCHEMA).coalesce(1).write.parquet(p)
+        for f in sorted(glob.glob(p + "/*.parquet")):
+            dst = os.path.join(src, f"s{i}_{os.path.basename(f)}")
+            shutil.copyfile(f, dst)
+            os.utime(dst, (3_000_000 + i, 3_000_000 + i))
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "300 seconds")
+        .dropDuplicatesWithinWatermark(["user_id"])
+    )
+    _drain_to_files(stream, sink, ckpt)
+    base_s = int(base.timestamp())
+    got = {
+        (r.user_id, int(r.ts.replace(tzinfo=timezone.utc).timestamp()) - base_s)
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert got == {
+        (1, 100), (2, 400), (9, 1000),       # batch 1 all emit
+        (10, 2000),                          # batch 2: k1 dup suppressed
+        (2, 900),                            # equality eviction -> re-emit
+        (1, 950),                            # no expiry refresh -> re-emit
+        (22, 1800),                          # on-time new key
+        # (20,700)/(21,699) late-dropped at ts <= wm_late(3)=700
+    }
+
+
+def test_stream_stream_interval_join_full_outer(spark, tmp_path):
+    """Pin fullOuter interval-join emission fronts (the e48 oracle
+    model): matched pairs emit on arrival; an unmatched LEFT row's
+    null-row emits iff l_ts + upper < fw (STRICT — e42's pinned rule);
+    an unmatched RIGHT row's null-row emits iff r_ts + lower < fw,
+    also STRICT (its match interval on the left timeline is
+    [r_ts - upper, r_ts + lower]). fw = min over sources of max event
+    time, minus delay. Fixture: delay 100 s, lower=upper=10 s,
+    front-setters at 2000 on both sides -> fw = 1900; boundary rows at
+    1890 (interval end == 1900, must NOT emit) and 1889 (emits)."""
+    import glob
+    import os
+    import shutil
+    from datetime import timedelta, timezone
+
+    base = datetime(2024, 3, 1, tzinfo=timezone.utc)
+
+    def row(u, s, tag):
+        return ((base + timedelta(seconds=s)).replace(tzinfo=None), u, tag, 1.0)
+
+    lsrc, rsrc = str(tmp_path / "fol"), str(tmp_path / "for")
+    ckpt = str(tmp_path / "fockpt")
+    os.makedirs(lsrc)
+    os.makedirs(rsrc)
+    files = {
+        lsrc: [
+            [row(7, 1500, "L-pair"), row(5, 1890, "L-boundary-eq"),
+             row(6, 1889, "L-below")],
+            [row(99, 2000, "L-front")],
+        ],
+        rsrc: [
+            [row(7, 1505, "R-pair"), row(3, 1890, "R-boundary-eq"),
+             row(4, 1889, "R-below")],
+            [row(98, 2000, "R-front")],
+        ],
+    }
+    for src, batches in files.items():
+        for i, rows in enumerate(batches):
+            p = str(tmp_path / f"{os.path.basename(src)}_s{i}")
+            spark.createDataFrame(rows, schema=SCHEMA).coalesce(1).write.parquet(p)
+            for f in sorted(glob.glob(p + "/*.parquet")):
+                dst = os.path.join(src, f"s{i}_{os.path.basename(f)}")
+                shutil.copyfile(f, dst)
+                os.utime(dst, (3_000_000 + i, 3_000_000 + i))
+
+    schema = spark.read.parquet(lsrc).schema
+
+    def prep(path, prefix):
+        df = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+        )
+        for a, b in {
+            "ts": f"{prefix}_ts",
+            "event_type": f"{prefix}_type",
+            "value": f"{prefix}_val",
+        }.items():
+            df = df.withColumnRenamed(a, b)
+        return df
+
+    joined = W.interval_join(
+        prep(lsrc, "l"), prep(rsrc, "r"),
+        on="user_id", left_ts="l_ts", right_ts="r_ts",
+        lower="10 seconds", upper="10 seconds",
+        watermark="100 seconds", how="fullOuter",
+    )
+    _drain(joined, "sjoin_full", ckpt, "append")
+    base_s = int(base.timestamp())
+
+    def rel(ts):
+        return (
+            None
+            if ts is None
+            else int(ts.replace(tzinfo=timezone.utc).timestamp()) - base_s
+        )
+
+    got = {
+        (r.user_id, rel(r.l_ts), rel(r.r_ts))
+        for r in spark.table("sjoin_full").collect()
+    }
+    assert got == {
+        (7, 1500, 1505),   # matched pair
+        (6, 1889, None),   # left null-row: 1899 < 1900
+        (4, None, 1889),   # right null-row: 1899 < 1900
+        # u5/u3 boundary-eq (interval end == fw) stay in state;
+        # u99/u98 fronts end above fw
+    }

@@ -122,3 +122,146 @@ def test_compaction_invariance_random_image_streams(spark, tmp_path):
         for state, every in ((plain, None), (compacted, 3)):
             _apply(spark, rows, bid, state, compact_every=every)
         assert _published_ids(spark, plain) == _published_ids(spark, compacted)
+
+
+# ---------------------------------------------------------------------------
+# Right-to-be-forgotten (apply_image_delete_batch) — the d22/t41/s23
+# tombstone discipline on the image store.
+# ---------------------------------------------------------------------------
+
+
+def _ids(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint")
+
+
+def test_image_forget_removes_and_stops_suppressing(spark, tmp_path):
+    from censo_escolar_spark.streaming.imagededup import apply_image_delete_batch
+
+    state = str(tmp_path / "state")
+    _apply(spark, [(1, IMG_A), (3, IMG_B)], 0, state)
+    # re-upload of published image A -> suppressed
+    _apply(spark, [(4, IMG_A)], 1, state)
+    assert _published_ids(spark, state) == [1, 3]
+    # forget image 1
+    apply_image_delete_batch(_ids(spark, [(1,)]), 2, state_dir=state)
+    assert _published_ids(spark, state) == [3]
+    # a NEW copy of the forgotten image now publishes
+    _apply(spark, [(5, IMG_A)], 3, state)
+    assert _published_ids(spark, state) == [3, 5]
+
+
+def test_image_forget_reingest_after_delete_is_live(spark, tmp_path):
+    from censo_escolar_spark.streaming.imagededup import apply_image_delete_batch
+
+    state = str(tmp_path / "state")
+    _apply(spark, [(1, IMG_A)], 0, state)
+    apply_image_delete_batch(_ids(spark, [(1,)]), 1, state_dir=state)
+    assert _published_ids(spark, state) == []
+    _apply(spark, [(1, IMG_A)], 2, state)
+    assert _published_ids(spark, state) == [1]
+
+
+def test_image_forget_never_published_id_is_noop(spark, tmp_path):
+    from censo_escolar_spark.streaming.imagededup import apply_image_delete_batch
+
+    state = str(tmp_path / "state")
+    _apply(spark, [(1, IMG_A)], 0, state)
+    apply_image_delete_batch(_ids(spark, [(99,)]), 1, state_dir=state)
+    assert _published_ids(spark, state) == [1]
+
+
+def test_image_forget_compaction_physically_reclaims(spark, tmp_path):
+    """After the fold, the tombstoned image's (doc_id, phash) row is
+    gone from the store's FILES, and the consumed tombstone dropped."""
+    from censo_escolar_spark.streaming.imagededup import (
+        apply_image_delete_batch,
+        compact_image_store,
+    )
+
+    state = str(tmp_path / "state")
+    _apply(spark, [(1, IMG_A), (3, IMG_B)], 0, state)
+    apply_image_delete_batch(_ids(spark, [(1,)]), 1, state_dir=state)
+    compact_image_store(spark, state, upto=1)
+    assert _published_ids(spark, state) == [3]
+    raw = spark.read.parquet(os.path.join(state, "hashes"))
+    assert sorted(r.doc_id for r in raw.collect()) == [3]
+    deletes = spark.read.parquet(os.path.join(state, "deletes"))
+    assert deletes.count() == 0
+
+
+def test_image_forget_delete_retry_idempotent(spark, tmp_path):
+    from censo_escolar_spark.streaming.imagededup import apply_image_delete_batch
+
+    state = str(tmp_path / "state")
+    _apply(spark, [(1, IMG_A), (3, IMG_B)], 0, state)
+    dels = _ids(spark, [(1,)])
+    apply_image_delete_batch(dels, 1, state_dir=state)
+    first = _published_ids(spark, state)
+    apply_image_delete_batch(dels, 1, state_dir=state)
+    assert _published_ids(spark, state) == first == [3]
+
+
+def test_image_snapshot_reads(spark, tmp_path):
+    """Time-travel (m16): `below=` horizons resolve the index exactly as
+    it stood after each batch — including across a delete."""
+    from censo_escolar_spark.streaming.imagededup import (
+        apply_image_delete_batch,
+        read_published_hashes,
+    )
+
+    state = str(tmp_path / "state")
+    _apply(spark, [(1, IMG_A)], 0, state)
+    _apply(spark, [(3, IMG_B)], 1, state)
+    apply_image_delete_batch(_ids(spark, [(1,)]), 2, state_dir=state)
+    _apply(spark, [(5, IMG_C)], 3, state)
+
+    def at(below):
+        return sorted(
+            r.doc_id
+            for r in read_published_hashes(spark, state, below=below).collect()
+        )
+
+    assert at(1) == [1]
+    assert at(2) == [1, 3]
+    assert at(3) == [3]      # delete visible at its horizon
+    assert at(None) == [3, 5]
+
+
+def test_image_delete_invariance_random_streams(spark, tmp_path):
+    """INVARIANCE with deletes interleaved: a seeded stream of uploads,
+    re-uploads and forget-batches resolves the identical live set
+    whether or not the history is folded along the way (the fold is
+    delete-aware: reclaimed rows never resurrect)."""
+    import random
+
+    from censo_escolar_spark.streaming.imagededup import apply_image_delete_batch
+
+    rng = random.Random(20260817)
+    plain = str(tmp_path / "plain")
+    compacted = str(tmp_path / "compacted")
+    seen, published_guess = [], []
+    next_id = 1
+    for bid in range(10):
+        if published_guess and rng.random() < 0.3:
+            victim = rng.choice(published_guess)
+            for state, every in ((plain, None), (compacted, 3)):
+                apply_image_delete_batch(
+                    _ids(spark, [(victim,)]), bid, state_dir=state,
+                    compact_every=every,
+                )
+        else:
+            rows = []
+            for _ in range(rng.randint(1, 3)):
+                if seen and rng.random() < 0.4:
+                    payload = rng.choice(seen)
+                else:
+                    payload = b"\x89PNG" + b"q" * rng.randint(1, 12) + bytes(
+                        [rng.randint(48, 57)]
+                    )
+                    seen.append(payload)
+                rows.append((next_id, payload))
+                next_id += 1
+            for state, every in ((plain, None), (compacted, 3)):
+                _apply(spark, rows, bid, state, compact_every=every)
+        published_guess = _published_ids(spark, plain)
+        assert published_guess == _published_ids(spark, compacted)
