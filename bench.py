@@ -81,11 +81,28 @@ def main() -> None:
     # JVM/codegen warm-up (not timed).
     run(queries["q01_pricing_summary"](spark, sf_dir))
 
+    timings: dict[str, float] = {}
+
+    # Shared maintainer-store fixture construction, timed as its OWN
+    # line item: the maintainer parity families reuse process-lifetime
+    # base stores (plans/fixtures.py), and without this the whole base
+    # build lands on whichever family row runs first (round 10 charged
+    # d19 13 s for stores d22/d23/d25 then reused). The total still
+    # counts every second; the per-row numbers report steady state.
+    from censo_escolar_spark.plans import fixtures
+
+    t0 = time.perf_counter()
+    try:
+        fixtures.prime(spark, sf_dir)
+        timings["fixtures"] = round(time.perf_counter() - t0, 2)
+    except Exception as exc:
+        timings["fixtures"] = -1.0
+        print(f"bench error priming fixtures: {exc}", file=sys.stderr)
+
     # Keyed by the short query id (prefix before the first underscore:
     # "q01_pricing_summary" -> "q01"). Full names made the one-line JSON
     # ~3.4 kB, past the driver's output-capture window -> "parsed": null
     # in BENCH_r01/r02.json. Short ids keep the whole line under ~1.5 kB.
-    timings: dict[str, float] = {}
     for name in sorted(queries):
         short = name.split("_", 1)[0]
         t0 = time.perf_counter()

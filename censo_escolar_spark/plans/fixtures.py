@@ -52,6 +52,27 @@ from censo_escolar_spark.streaming import (
 PARITY_SHUFFLE = 8
 
 
+def prime(spark: SparkSession, sf_dir: str) -> None:
+    """Build every process-shared maintainer base store for ``sf_dir``.
+
+    The bench calls this ONCE, timed as its own line item
+    (``fixtures``), so the per-row timings report each parity row's
+    STEADY-STATE cost instead of charging whichever family row happens
+    to run first with the whole base construction (round 10's d19/q72
+    attribution skew). Correctness runs don't prime — the first toucher
+    builds lazily through the same code path either way."""
+    builders = (
+        dedup_full_store,        # builds dedup_stream_base too (d19/d22/d23/d25)
+        lex_deletes_store,       # builds lex_base too (t40/t41/t44)
+        merge_full_store,        # builds cdc slices + merge base (q72/q74/q75)
+        image_deletes_store,     # builds image_store_base too (m12/m15/m16)
+        stats_store_base,        # e36/e49
+        ivf_deletes_store,       # builds ivf_meta_base too (s22/s23/s28/s29)
+    )
+    for build in builders:
+        build(spark, sf_dir)
+
+
 # ---------------------------------------------------------------------------
 # documents %3 slices (shared with d23's stream deployment)
 # ---------------------------------------------------------------------------

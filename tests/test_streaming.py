@@ -969,3 +969,68 @@ def test_stream_stream_interval_join_full_outer(spark, tmp_path):
         # u5/u3 boundary-eq (interval end == fw) stay in state;
         # u99/u98 fronts end above fw
     }
+
+
+def test_full_outer_right_front_uses_lower_bound(spark, tmp_path):
+    """Pin the ASYMMETRIC-bounds case of the fullOuter right-side
+    emission rule (e48's symmetric ±up fixture cannot distinguish
+    +lower from +upper): with lower=5 s, upper=20 s, a right row's
+    match interval on the left timeline is [r_ts − upper, r_ts + lower],
+    so its null row emits iff r_ts + lower < fw — rows at 1879/1880/
+    1894 clear the 1900 front, the 1895 boundary row (1900 == fw,
+    strict) does not."""
+    import glob
+    import os
+    import shutil
+    from datetime import timedelta, timezone
+
+    base = datetime(2024, 3, 1, tzinfo=timezone.utc)
+
+    def row(u, s):
+        return ((base + timedelta(seconds=s)).replace(tzinfo=None), u, "x", 1.0)
+
+    lsrc, rsrc = str(tmp_path / "asl"), str(tmp_path / "asr")
+    ckpt, sink = str(tmp_path / "asckpt"), str(tmp_path / "asout")
+    os.makedirs(lsrc)
+    os.makedirs(rsrc)
+    files = {
+        lsrc: [[row(50, 100)], [row(99, 2000)]],
+        rsrc: [[row(3, 1879), row(4, 1880), row(7, 1894), row(8, 1895)],
+               [row(98, 2000)]],
+    }
+    for src, batches in files.items():
+        for i, rows in enumerate(batches):
+            p = str(tmp_path / f"{os.path.basename(src)}_s{i}")
+            spark.createDataFrame(rows, schema=SCHEMA).coalesce(1).write.parquet(p)
+            for f in sorted(glob.glob(p + "/*.parquet")):
+                dst = os.path.join(src, f"s{i}_{os.path.basename(f)}")
+                shutil.copyfile(f, dst)
+                os.utime(dst, (3_000_000 + i, 3_000_000 + i))
+
+    schema = spark.read.parquet(lsrc).schema
+
+    def prep(path, prefix):
+        df = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+        )
+        for a, b in {
+            "ts": f"{prefix}_ts",
+            "event_type": f"{prefix}_type",
+            "value": f"{prefix}_val",
+        }.items():
+            df = df.withColumnRenamed(a, b)
+        return df
+
+    joined = W.interval_join(
+        prep(lsrc, "l"), prep(rsrc, "r"),
+        on="user_id", left_ts="l_ts", right_ts="r_ts",
+        lower="5 seconds", upper="20 seconds",
+        watermark="100 seconds", how="fullOuter",
+    )
+    _drain_to_files(joined, sink, ckpt)
+    got = sorted(r.user_id for r in spark.read.parquet(sink).collect())
+    # 3/4/7: r_ts + 5 < 1900 -> right null rows; 8: 1900 == fw stays;
+    # 50: left null row (100 + 20 < 1900); 99/98 fronts stay in state
+    assert got == [3, 4, 7, 50]
