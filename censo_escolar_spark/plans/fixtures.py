@@ -60,17 +60,38 @@ def prime(spark: SparkSession, sf_dir: str) -> None:
     STEADY-STATE cost instead of charging whichever family row happens
     to run first with the whole base construction (round 10's d19/q72
     attribution skew). Correctness runs don't prime — the first toucher
-    builds lazily through the same code path either way."""
+    builds lazily through the same code path either way.
+
+    The six families are INDEPENDENT store chains (disjoint cache keys,
+    disjoint directories), so they build CONCURRENTLY from a small
+    driver thread pool: Spark's FIFO scheduler back-fills executor slots
+    freed by one family's single-task tail with the next family's jobs
+    (optimization guide §2.6 — actions are only sequential because the
+    driver calls them sequentially). Measured on the 32-core harness
+    this cut the priming pass from the sum of the chains (~55 s) to
+    about the longest chain. The pool wraps ONE outer ``state_shuffle``
+    so every inner ``state_shuffle`` in the builders captures and
+    restores the same value — the conf is session-global, and without
+    the outer pin a builder finishing early could restore 32 while
+    another family's stream is still starting (the state partition
+    count is frozen into checkpoints at stream start, so that race
+    would corrupt a restart fixture).
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
     builders = (
         dedup_full_store,        # builds dedup_stream_base too (d19/d22/d23/d25)
-        lex_deletes_store,       # builds lex_base too (t40/t41/t44)
-        merge_full_store,        # builds cdc slices + merge base (q72/q74/q75)
         image_deletes_store,     # builds image_store_base too (m12/m15/m16)
-        stats_store_base,        # e36/e49
+        merge_full_store,        # builds cdc slices + merge base (q72/q74/q75)
+        lex_deletes_store,       # builds lex_base too (t40/t41/t44)
         ivf_deletes_store,       # builds ivf_meta_base too (s22/s23/s28/s29)
+        stats_store_base,        # e36/e49
     )
-    for build in builders:
-        build(spark, sf_dir)
+    with state_shuffle(spark, PARITY_SHUFFLE):
+        with ThreadPoolExecutor(max_workers=len(builders)) as pool:
+            futures = [pool.submit(b, spark, sf_dir) for b in builders]
+            for f in futures:
+                f.result()
 
 
 # ---------------------------------------------------------------------------

@@ -34,7 +34,7 @@ ARROW_OK = {
     "t03_fingerprints",
     "s15_knn_join",  # blocked-GEMM candidate pass (cosine_pairs shape)
     "s17_ivf_knn_join",  # ivf_assign + probe GEMMs (s04 shape, corpus-wide)
-    "m09_perceptual_hash",  # Arrow decode feeding the JVM-side DCT pack
+    "m09_perceptual_hash",  # Arrow decode + in-Arrow exact-int64 DCT pack
     # (m10 reuses the same decode but behind an eager checkpoint, so its
     # final plan has no Python boundary to allowlist)
 }
