@@ -376,6 +376,9 @@ def connected_components(
     # Union-by-min keeps every root the component minimum, so the output
     # contract (min reachable node id per node) is identical. Numeric
     # node ids only, same as the decimal label-sum probe below.
+    # (A take(limit+1) would fuse the two actions but executeTake's
+    # incremental partition scanning costs up to THREE jobs when the
+    # limit is not reached early — measured worse than count+collect.)
     if small_graph_edges and sym.count() <= small_graph_edges:
         parent: dict = {}
 
