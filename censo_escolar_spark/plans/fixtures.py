@@ -85,6 +85,8 @@ def prime(spark: SparkSession, sf_dir: str) -> None:
         merge_full_store,        # builds cdc slices + merge base (q72/q74/q75)
         lex_deletes_store,       # builds lex_base too (t40/t41/t44)
         ivf_deletes_store,       # builds ivf_meta_base too (s22/s23/s28/s29)
+        ivfpq_base,              # s30
+        ivf_plain_base,          # s31
         stats_store_base,        # e36/e49
     )
     with state_shuffle(spark, PARITY_SHUFFLE):
@@ -305,6 +307,64 @@ def ivf_deletes_store(spark: SparkSession, sf_dir: str):
 
     root, _ = shared_state("ivf_deletes_store", sf_dir, build)
     return root, centroids
+
+
+def ivfpq_base(spark: SparkSession, sf_dir: str):
+    """Returns (root, (centroids, codebooks)): the COMPRESSED codes
+    store after insert batches 1-2 (compact_every=2: the plain fold
+    runs at batch 2), quantizer and codebooks trained on the first
+    increment and frozen. s30 extends a ``clone_state`` clone with its
+    delete + fold-triggering insert — the d19 discipline applied to the
+    one index family whose base still rebuilt per invocation."""
+    from censo_escolar_spark.operators import pq, similarity
+    from censo_escolar_spark.streaming.ivfindex import apply_ivfpq_index_batch
+
+    def build(root: str):
+        emb = load_table(spark, sf_dir, "embeddings")
+        first = emb.filter(F.col("vec_id") % 3 == 0)
+        centroids = similarity.train_centroids(first, iters=1)
+        books = pq.train_pq_codebooks(first, m=4, k=16, iters=1)
+        with state_shuffle(spark, PARITY_SHUFFLE):
+            ins = dict(
+                state_dir=root,
+                centroids=centroids,
+                codebooks=books,
+                compact_every=2,
+            )
+            apply_ivfpq_index_batch(first, 1, **ins)
+            apply_ivfpq_index_batch(
+                emb.filter(F.col("vec_id") % 3 == 1), 2, **ins
+            )
+        return (centroids, books)
+
+    return shared_state("ivfpq_base", sf_dir, build)
+
+
+def ivf_plain_base(spark: SparkSession, sf_dir: str):
+    """Returns (root, centroids): the meta-LESS IVF store after insert
+    batches 1-2 (the s31 PRE-EVOLUTION era; compact_every=2 folds at
+    batch 2). s31 extends a clone with the label-bearing evolved-era
+    batches, whose batch-4 fold rewrites both eras."""
+    from censo_escolar_spark.operators import similarity
+    from censo_escolar_spark.streaming.ivfindex import apply_ivf_index_batch
+
+    def build(root: str):
+        emb = load_table(spark, sf_dir, "embeddings")
+        centroids = similarity.train_centroids(
+            emb.filter(F.col("vec_id") % 3 == 0), iters=1
+        )
+        with state_shuffle(spark, PARITY_SHUFFLE):
+            for bid in (1, 2):
+                apply_ivf_index_batch(
+                    emb.filter(F.col("vec_id") % 3 == bid - 1),
+                    bid,
+                    state_dir=root,
+                    centroids=centroids,
+                    compact_every=2,
+                )
+        return centroids
+
+    return shared_state("ivf_plain_base", sf_dir, build)
 
 
 # ---------------------------------------------------------------------------

@@ -5689,11 +5689,13 @@ def d24_curated_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("s30_ivfpq_incremental", oracle=_S23_LIVE_ORACLE)
 def s30_ivfpq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
-    import tempfile
 
-    from censo_escolar_spark.operators import pq
-    from censo_escolar_spark.plans.fixtures import PARITY_SHUFFLE
-    from censo_escolar_spark.streaming import detach_from_state, state_shuffle
+    from censo_escolar_spark.plans.fixtures import PARITY_SHUFFLE, ivfpq_base
+    from censo_escolar_spark.streaming import (
+        clone_state,
+        detach_from_state,
+        state_shuffle,
+    )
     from censo_escolar_spark.streaming.ivfindex import (
         apply_ivfpq_delete_batch,
         apply_ivfpq_index_batch,
@@ -5702,10 +5704,12 @@ def s30_ivfpq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
-    first = emb.filter(F.col("vec_id") % 3 == 0)
-    centroids = similarity.train_centroids(first, iters=1)
-    books = pq.train_pq_codebooks(first, m=4, k=16, iters=1)
-    root = tempfile.mkdtemp(prefix="s30_ivfpq_state_")
+    # batches 1-2 (and the frozen quantizer/codebooks) come from the
+    # shared family base — the d19/s23 fixture discipline; the delete,
+    # the fold-triggering insert, and the probe still run live here on
+    # a private clone, so the row's divergence steps are unchanged
+    base, (centroids, books) = ivfpq_base(spark, sf_dir)
+    root = clone_state(base, prefix="s30_ivfpq_state_")
     try:
         with state_shuffle(spark, PARITY_SHUFFLE):
             ins = dict(
@@ -5714,8 +5718,6 @@ def s30_ivfpq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                 codebooks=books,
                 compact_every=2,
             )
-            apply_ivfpq_index_batch(first, 1, **ins)
-            apply_ivfpq_index_batch(emb.filter(F.col("vec_id") % 3 == 1), 2, **ins)
             apply_ivfpq_delete_batch(
                 emb.filter(F.col("vec_id") % 5 == 0).select("vec_id"),
                 3,
@@ -5917,10 +5919,13 @@ def t44_bm25_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def s31_ivf_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
-    import tempfile
 
-    from censo_escolar_spark.plans.fixtures import PARITY_SHUFFLE
-    from censo_escolar_spark.streaming import detach_from_state, state_shuffle
+    from censo_escolar_spark.plans.fixtures import PARITY_SHUFFLE, ivf_plain_base
+    from censo_escolar_spark.streaming import (
+        clone_state,
+        detach_from_state,
+        state_shuffle,
+    )
     from censo_escolar_spark.streaming.ivfindex import (
         apply_ivf_index_batch,
         ivf_topk_incremental,
@@ -5929,16 +5934,13 @@ def s31_ivf_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
-    centroids = similarity.train_centroids(
-        emb.filter(F.col("vec_id") % 3 == 0), iters=1
-    )
-    root = tempfile.mkdtemp(prefix="s31_ivf_state_")
+    # the PRE-EVOLUTION era (plain batches 1-2, fold at 2) comes from
+    # the shared family base; the mid-stream schema evolution — the
+    # thing this row proves — still runs live on a private clone
+    base, centroids = ivf_plain_base(spark, sf_dir)
+    root = clone_state(base, prefix="s31_ivf_state_")
     try:
         with state_shuffle(spark, PARITY_SHUFFLE):
-            # pre-evolution era: plain (id, v, cell), fold at batch 2
-            plain = dict(state_dir=root, centroids=centroids, compact_every=2)
-            apply_ivf_index_batch(emb.filter(F.col("vec_id") % 3 == 0), 1, **plain)
-            apply_ivf_index_batch(emb.filter(F.col("vec_id") % 3 == 1), 2, **plain)
             # evolution: later batches carry the label; the batch-4 fold
             # (upto=3) rewrites BOTH eras under the evolved schema
             evolved = dict(
