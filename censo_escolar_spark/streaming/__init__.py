@@ -96,14 +96,16 @@ atexit.register(_purge_slice_cache)
 
 
 @contextmanager
-def state_shuffle(spark, n: int = 8):
+def state_shuffle(spark, n: int = 4):
     """Bound state-store parallelism for a throwaway parity stream.
 
     A streaming query creates (#shuffle partitions) state-store
     instances PER stateful operator PER micro-batch; the parity rows
     run 3–5 micro-batches over kB-to-MB-scale slices, where 32
     partitions' worth of store open/snapshot/commit is pure fixed
-    overhead. 8 keeps the rows parallel while cutting that overhead 4×.
+    overhead. 4 keeps the rows parallel while cutting that overhead 8×
+    (round 11 measured the per-stream floor at 8/4/2 partitions:
+    1.47/1.25/1.32 s warm — 4 is the knee).
     Production streams at real volume should NOT use this — there the
     state partition count must match data volume, and it is frozen
     into the checkpoint at first start (which is also why e40 wraps
