@@ -81,6 +81,31 @@ def main() -> None:
     # JVM/codegen warm-up (not timed).
     run(queries["q01_pricing_summary"](spark, sf_dir))
 
+    # Python-worker warm-up (not timed), the Arrow-side analogue of the
+    # JVM warm-up above: local[N] spawns one Python worker per core on
+    # the FIRST vectorized-UDF stage, each paying the pandas/numpy
+    # import (~4 s total for 32 workers, measured) — a one-time process
+    # cost that otherwise lands on whichever Arrow query happens to run
+    # first and reads as that row's regression. Workers are reused
+    # afterwards (spark.python.worker.reuse default), so every timed row
+    # sees the same warm state it would see mid-run.
+    import pandas as _pd
+    from pyspark.sql import functions as _F
+    from pyspark.sql.functions import pandas_udf as _pandas_udf
+
+    @_pandas_udf("double")
+    def _warm(x: _pd.Series) -> _pd.Series:
+        import numpy  # noqa: F401  # the import IS the warm-up
+
+        return x
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    run(
+        spark.range(0, 100 * cpus, 1, cpus).select(
+            _warm(_F.col("id").cast("double"))
+        )
+    )
+
     timings: dict[str, float] = {}
 
     # Shared maintainer-store fixture construction, timed as its OWN

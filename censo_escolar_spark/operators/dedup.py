@@ -1350,7 +1350,23 @@ def portable_minhash_signatures(
     One shingle fan-out, ``n_hashes`` md5 evaluations per shingle row
     (all codegen), one partial-aggregated groupBy per document.
     Returns (id, sig array<long> of length n_hashes).
+
+    The md5 family is CPU-dense (~n_hashes digests per shingle row), so
+    the fan-out must not inherit the SCAN's parallelism when the input
+    is a small/unsplittable file set (a single-row-group parquet file
+    scans as ONE task — guide §2.5 input skew; d17 measured a 4.5 s
+    single-task hashing stage on the harness). When the input has fewer
+    partitions than cores, the documents are hash-repartitioned by id
+    first — a shuffle of the (small, by premise) text that unlocks
+    core-count hashing, and with the partition count matching
+    ``spark.sql.shuffle.partitions`` the downstream per-id groupBy
+    reuses the exchange. Inputs already wider than the core count (any
+    real corpus) skip this entirely — repartitioning 100 TB of text
+    would add a payload shuffle for nothing.
     """
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism, F.col(id_col))
     sh = shingle_strings(df, id_col, text_col, n)
     hashes = [
         F.conv(
