@@ -89,22 +89,14 @@ def main() -> None:
     # first and reads as that row's regression. Workers are reused
     # afterwards (spark.python.worker.reuse default), so every timed row
     # sees the same warm state it would see mid-run.
-    import pandas as _pd
-    from pyspark.sql import functions as _F
-    from pyspark.sql.functions import pandas_udf as _pandas_udf
-
-    @_pandas_udf("double")
-    def _warm(x: _pd.Series) -> _pd.Series:
+    def _warm(batches):
         import numpy  # noqa: F401  # the import IS the warm-up
+        import pandas  # noqa: F401
 
-        return x
+        yield from batches
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    run(
-        spark.range(0, 100 * cpus, 1, cpus).select(
-            _warm(_F.col("id").cast("double"))
-        )
-    )
+    run(spark.range(0, 100 * cpus, 1, cpus).mapInPandas(_warm, "id long"))
 
     timings: dict[str, float] = {}
 

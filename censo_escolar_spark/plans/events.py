@@ -2089,35 +2089,34 @@ def e32_debounced_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def e33_streaming_scd2_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    import shutil
 
+    from censo_escolar_spark.plans.fixtures import (
+        PARITY_SHUFFLE,
+        scd2_store_base,
+    )
+    from censo_escolar_spark.streaming import (
+        clone_state,
+        detach_from_state,
+        state_shuffle,
+    )
     from censo_escolar_spark.streaming.scd2 import (
         apply_scd2_batch,
         read_scd2_state,
     )
 
     e = load_table(spark, sf_dir, "events")
-    cuts = ["2024-01-11", "2024-01-21"]
-    lo = F.lit(cuts[0]).cast("timestamp")
-    hi = F.lit(cuts[1]).cast("timestamp")
-    batches = [
-        e.filter(F.col("ts") < lo),
-        e.filter((F.col("ts") >= lo) & (F.col("ts") < hi)),
-        e.filter(F.col("ts") >= hi),
-    ]
-    from censo_escolar_spark.plans.fixtures import PARITY_SHUFFLE
-    from censo_escolar_spark.streaming import detach_from_state, state_shuffle
-
-    state = tempfile.mkdtemp(prefix="e33_scd2_state_")
+    hi = F.lit("2024-01-21").cast("timestamp")
+    # batches 1-2 come from the shared family base (the d19/s30 fixture
+    # discipline); the third increment and the snapshot read run live
+    # on a private clone
+    state = clone_state(scd2_store_base(spark, sf_dir), prefix="e33_scd2_state_")
     try:
         with state_shuffle(spark, PARITY_SHUFFLE):
-            for bid, batch in enumerate(batches, start=1):
-                apply_scd2_batch(batch, bid, state_dir=state)
+            apply_scd2_batch(e.filter(F.col("ts") >= hi), 3, state_dir=state)
             out = read_scd2_state(spark, state).orderBy("user_id", "run_id")
             return detach_from_state(out, state)
     finally:
-        import shutil
-
         shutil.rmtree(state, ignore_errors=True)
 
 

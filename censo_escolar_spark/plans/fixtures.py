@@ -92,6 +92,8 @@ def prime(spark: SparkSession, sf_dir: str) -> None:
         ivf_deletes_store,       # builds ivf_meta_base too (s22/s23/s28/s29)
         ivfpq_base,              # s30
         ivf_plain_base,          # s31
+        scd2_store_base,         # e33
+        merge_compacted_base,    # q73
         stats_store_base,        # e36/e49
     )
     with state_shuffle(spark, PARITY_SHUFFLE):
@@ -574,6 +576,58 @@ def image_deletes_store(spark: SparkSession, sf_dir: str) -> str:
         return "OK"
 
     root, _ = shared_state("image_deletes_store", sf_dir, build)
+    return root
+
+
+def scd2_store_base(spark: SparkSession, sf_dir: str) -> str:
+    """Bucketed SCD2 state after e33's first two event-time batches
+    (cuts at 2024-01-11 / 2024-01-21, deterministic constants); e33
+    extends a clone with the third batch and reads the snapshot."""
+    from censo_escolar_spark.streaming.scd2 import apply_scd2_batch
+
+    def build(root: str):
+        e = load_table(spark, sf_dir, "events")
+        lo = F.lit("2024-01-11").cast("timestamp")
+        hi = F.lit("2024-01-21").cast("timestamp")
+        with state_shuffle(spark, PARITY_SHUFFLE):
+            apply_scd2_batch(e.filter(F.col("ts") < lo), 1, state_dir=root)
+            apply_scd2_batch(
+                e.filter((F.col("ts") >= lo) & (F.col("ts") < hi)),
+                2,
+                state_dir=root,
+            )
+        return "OK"
+
+    root, _ = shared_state("scd2_store_base", sf_dir, build)
+    return root
+
+
+def merge_compacted_base(spark: SparkSession, sf_dir: str) -> str:
+    """Bucket-store MERGE state after CDC waves 1-2 applied with
+    ``compact_every=1`` (q73's fold-after-every-batch cadence — the
+    fold history, not just the live view, is the row's subject); q73
+    extends a clone with wave 3 + its fold. Reads the shared
+    ``cdc_wave_slices`` parquet, so wave construction is paid once."""
+    from censo_escolar_spark.streaming import slice_dir
+    from censo_escolar_spark.streaming.merge import apply_merge_batch
+
+    slices = cdc_wave_slices(spark, sf_dir)
+
+    def build(root: str):
+        with state_shuffle(spark, PARITY_SHUFFLE):
+            for bid in (1, 2):
+                apply_merge_batch(
+                    spark.read.parquet(slice_dir(slices, bid - 1)),
+                    bid,
+                    state_dir=root,
+                    key_col="o_orderkey",
+                    seq_col="seq",
+                    schema=MERGE_SCHEMA,
+                    compact_every=1,
+                )
+        return "OK"
+
+    root, _ = shared_state("merge_compacted_base", sf_dir, build)
     return root
 
 

@@ -3131,69 +3131,42 @@ def q72_streaming_merge_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q73_streaming_merge_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
-    from censo_escolar_spark.streaming import detach_from_state
+    from censo_escolar_spark.plans.fixtures import (
+        MERGE_SCHEMA,
+        PARITY_SHUFFLE,
+        cdc_wave_slices,
+        merge_compacted_base,
+    )
+    from censo_escolar_spark.streaming import (
+        clone_state,
+        detach_from_state,
+        slice_dir,
+        state_shuffle,
+    )
     from censo_escolar_spark.streaming.merge import (
         apply_merge_batch,
         read_merged_state,
     )
 
-    schema = "o_orderkey bigint, o_orderstatus string, o_totalprice decimal(19,3)"
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        "o_orderstatus",
-        F.col("o_totalprice").cast("decimal(18,2)").cast("decimal(19,3)")
-        .alias("o_totalprice"),
+    schema = MERGE_SCHEMA
+    # waves 1-2 (with their fold-after-every-batch history) come from
+    # the shared compacted base; wave 3 and ITS fold run live on a
+    # private clone, and the wave parquet is the shared slice cache
+    slices = cdc_wave_slices(spark, sf_dir)
+    state = clone_state(
+        merge_compacted_base(spark, sf_dir), prefix="q73_merge_state_"
     )
-    k = F.col("o_orderkey")
-    dec2 = F.col("o_totalprice").cast("decimal(18,2)")
-    b1 = o.withColumn("op", F.lit("I")).withColumn("seq", F.lit(1))
-    b2 = (
-        o.filter(k % 5 == 2)
-        .withColumn(
-            "o_totalprice",
-            (dec2 * F.lit("1.1").cast("decimal(3,1)")).cast("decimal(19,3)"),
-        )
-        .withColumn("op", F.lit("U"))
-        .withColumn("seq", F.lit(1))
-        .unionByName(
-            o.filter(k % 11 == 0)
-            .withColumn("op", F.lit("D"))
-            .withColumn("seq", F.lit(2))
-        )
-    )
-    b3 = (
-        o.filter(k % 7 == 3)
-        .withColumn(
-            "o_totalprice",
-            (dec2 * F.lit("1.2").cast("decimal(2,1)")).cast("decimal(19,3)"),
-        )
-        .withColumn("op", F.lit("U"))
-        .withColumn("seq", F.lit(1))
-        .unionByName(
-            o.filter(k % 33 == 0)
-            .withColumn("o_orderstatus", F.lit("N"))
-            .withColumn("op", F.lit("I"))
-            .withColumn("seq", F.lit(2))
-        )
-    )
-    from censo_escolar_spark.plans.fixtures import PARITY_SHUFFLE
-    from censo_escolar_spark.streaming import state_shuffle
-
-    state = tempfile.mkdtemp(prefix="q73_merge_state_")
     try:
         with state_shuffle(spark, PARITY_SHUFFLE):
-            for bid, batch in ((1, b1), (2, b2), (3, b3)):
-                apply_merge_batch(
-                    batch,
-                    bid,
-                    state_dir=state,
-                    key_col="o_orderkey",
-                    seq_col="seq",
-                    schema=schema,
-                    compact_every=1,  # fold prior history after EVERY batch
-                )
+            apply_merge_batch(
+                spark.read.parquet(slice_dir(slices, 2)),
+                3,
+                state_dir=state,
+                key_col="o_orderkey",
+                seq_col="seq",
+                schema=schema,
+                compact_every=1,  # fold prior history after EVERY batch
+            )
         final = read_merged_state(spark, state, schema=schema)
         summary = (
             final.groupBy("o_orderstatus")

@@ -14,6 +14,7 @@ import os
 import posixpath
 import shutil
 import tempfile
+import threading
 import time
 from contextlib import contextmanager
 
@@ -123,19 +124,32 @@ def state_shuffle(spark, n: int = 4):
         spark.conf.set(key, old)
 
 
+#: Per-fixture-key build locks: the parallel priming pass (plans/
+#: fixtures.prime) runs independent family chains on driver threads,
+#: and two chains may depend on the SAME sub-fixture (cdc_wave_slices
+#: feeds both the streamed merge base and the compacted merge base) —
+#: without the lock both threads would miss the cache and build
+#: duplicate slicing jobs.
+_FIXTURE_LOCKS: dict = {}
+_FIXTURE_LOCKS_GUARD = threading.Lock()
+
+
 def _shared_fixture(key: str, sf_dir: str, build) -> tuple[str, object]:
     k = (key, os.path.abspath(sf_dir), _dir_fingerprint(sf_dir))
-    hit = _SLICE_CACHE.get(k)
-    if hit is not None and os.path.isdir(hit[0]):
-        return hit
-    root = tempfile.mkdtemp(prefix=f"fixture_{key}_")
-    try:
-        meta = build(root)
-    except BaseException:
-        shutil.rmtree(root, ignore_errors=True)
-        raise
-    _SLICE_CACHE[k] = (root, meta)
-    return root, meta
+    with _FIXTURE_LOCKS_GUARD:
+        lock = _FIXTURE_LOCKS.setdefault(k, threading.Lock())
+    with lock:
+        hit = _SLICE_CACHE.get(k)
+        if hit is not None and os.path.isdir(hit[0]):
+            return hit
+        root = tempfile.mkdtemp(prefix=f"fixture_{key}_")
+        try:
+            meta = build(root)
+        except BaseException:
+            shutil.rmtree(root, ignore_errors=True)
+            raise
+        _SLICE_CACHE[k] = (root, meta)
+        return root, meta
 
 
 def shared_slices(key: str, sf_dir: str, build) -> tuple[str, object]:
