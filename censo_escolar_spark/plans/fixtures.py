@@ -94,6 +94,7 @@ def prime(spark: SparkSession, sf_dir: str) -> None:
         ivf_plain_base,          # s31
         scd2_store_base,         # e33
         merge_compacted_base,    # q73
+        curated_dedup_base,      # d24
         stats_store_base,        # e36/e49
     )
     with state_shuffle(spark, PARITY_SHUFFLE):
@@ -158,6 +159,37 @@ def dedup_stream_base(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
 
     root, _ = shared_state("dedup_stream_base", sf_dir, build)
     return root, slices
+
+
+def curated_dedup_base(spark: SparkSession, sf_dir: str) -> str:
+    """d24's classifier-GATED dedup store after batches 1-2: the t42
+    learned-quality gate (grade >= 2) in front of the d19 maintainer,
+    over the %3 arrival slices. d24 extends a clone with the third
+    batch and reads the published set — the gate composition (what the
+    row proves) still runs live for every batch, here and there,
+    through the same apply path."""
+    from censo_escolar_spark.functions import text as T
+    from censo_escolar_spark.streaming.dedup import apply_dedup_batch
+
+    def build(root: str):
+        docs = load_table(spark, sf_dir, "documents")
+        kept = (
+            docs.filter(T.learned_quality("text")["grade"] >= 2)
+            .select("doc_id", "text")
+            .localCheckpoint(eager=True)
+        )
+        with state_shuffle(spark, PARITY_SHUFFLE):
+            for bid in (1, 2):
+                apply_dedup_batch(
+                    kept.filter(F.col("doc_id") % 3 == bid - 1),
+                    bid,
+                    state_dir=root,
+                    threshold=0.5,
+                )
+        return "OK"
+
+    root, _ = shared_state("curated_dedup_base", sf_dir, build)
+    return root
 
 
 def dedup_full_store(spark: SparkSession, sf_dir: str) -> str:

@@ -5634,34 +5634,40 @@ _D24_ORACLE = (
 @register("d24_curated_ingest", oracle=_D24_ORACLE)
 def d24_curated_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
-    import tempfile
 
-    from censo_escolar_spark.plans.fixtures import PARITY_SHUFFLE
-    from censo_escolar_spark.streaming import detach_from_state, state_shuffle
+    from censo_escolar_spark.plans.fixtures import (
+        PARITY_SHUFFLE,
+        curated_dedup_base,
+    )
+    from censo_escolar_spark.streaming import (
+        clone_state,
+        detach_from_state,
+        state_shuffle,
+    )
     from censo_escolar_spark.streaming.dedup import (
         apply_dedup_batch,
         read_published,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    # one eager cut: the classifier's feature extraction (splits +
-    # regexes over every document) would otherwise re-run inside each
-    # of the three batch applies' probe/sketch/write consumers
-    kept = (
-        docs.filter(T.learned_quality("text")["grade"] >= 2)
-        .select("doc_id", "text")
-        .localCheckpoint(eager=True)
+    # batches 1-2 of the GATED store come from the shared family base;
+    # the classifier gate + third increment + published read run live
+    # on a private clone (the gate is one codegen filter — cheap to
+    # re-apply to the third slice here)
+    kept = docs.filter(T.learned_quality("text")["grade"] >= 2).select(
+        "doc_id", "text"
     )
-    state = tempfile.mkdtemp(prefix="d24_curated_state_")
+    state = clone_state(
+        curated_dedup_base(spark, sf_dir), prefix="d24_curated_state_"
+    )
     try:
         with state_shuffle(spark, PARITY_SHUFFLE):
-            for bid in (1, 2, 3):
-                apply_dedup_batch(
-                    kept.filter(F.col("doc_id") % 3 == bid - 1),
-                    bid,
-                    state_dir=state,
-                    threshold=0.5,
-                )
+            apply_dedup_batch(
+                kept.filter(F.col("doc_id") % 3 == 2),
+                3,
+                state_dir=state,
+                threshold=0.5,
+            )
             final = read_published(spark, state)
             out = final.select(
                 "doc_id", (F.col("doc_id") % 3 + 1).cast("int").alias("batch")
