@@ -1,9 +1,11 @@
 """Shared maintainer-store fixtures for the parity rows.
 
 BENCH-HARNESS AMORTIZATION, NOT PRODUCTION MACHINERY. Each family of
-stored-index parity rows (text dedup d19/d22/d23, BM25 t40/t41/t44,
-IVF s22/s23/s28/s29, MERGE q72/q74) replays the same base-store
-construction before diverging (extend / delete / crash / snapshot).
+stored-index parity rows (text dedup d19/d22/d23/d25, gated dedup d24,
+BM25 t40/t41/t44, IVF s22/s23/s28/s29, IVF-PQ s30, plain-era IVF s31,
+MERGE q72/q74/q75, compacted MERGE q73, SCD2 e33, stats e36/e49, image
+m12/m15/m16) replays the same base-store construction before
+diverging (extend / delete / crash / evolve / snapshot).
 A production maintainer builds its store once and owns it for life —
 these rows each need a PRIVATE store per invocation, so without
 sharing, every row pays the whole base construction again. The
