@@ -97,6 +97,7 @@ def prime(spark: SparkSession, sf_dir: str) -> None:
         scd2_store_base,         # e33
         merge_compacted_base,    # q73
         curated_dedup_base,      # d24
+        gated_image_base,        # m14
         stats_store_base,        # e36/e49
     )
     with state_shuffle(spark, PARITY_SHUFFLE):
@@ -610,6 +611,44 @@ def image_deletes_store(spark: SparkSession, sf_dir: str) -> str:
         return "OK"
 
     root, _ = shared_state("image_deletes_store", sf_dir, build)
+    return root
+
+
+def image_qc_gate() -> F.Column:
+    """m14's mean-brightness admission predicate over the DECODED frame
+    (``id, h, w, pixels``): exact integer fold over the 8×8 thumbnail,
+    SUM(pixels) >= 8192 i.e. mean >= 128. Defined once here so the
+    gated base below and m14's live divergence batch apply literally
+    the same codegen expression."""
+    return (
+        F.expr("aggregate(pixels, CAST(0 AS BIGINT), (a, x) -> a + x)")
+        >= 8192
+    )
+
+
+def gated_image_base(spark: SparkSession, sf_dir: str) -> str:
+    """m14's QC-GATED image store after ingest batches 1-2 (the m12 %3
+    arrival slicing with the brightness gate inside each batch body —
+    the image twin of d24's ``curated_dedup_base``). m14 extends a
+    clone with the third gated batch and reads the published hashes."""
+    from censo_escolar_spark.operators.multimodal import fake_decode
+    from censo_escolar_spark.streaming.imagededup import apply_image_dedup_batch
+
+    def build(root: str):
+        staged = staged_images(spark, sf_dir)
+        gate = image_qc_gate()
+        with state_shuffle(spark, PARITY_SHUFFLE):
+            for bid in (1, 2):
+                apply_image_dedup_batch(
+                    staged.filter(F.col("doc_id") % 3 == bid - 1),
+                    bid,
+                    state_dir=root,
+                    decoder=fake_decode,
+                    qc_gate=gate,
+                )
+        return "OK"
+
+    root, _ = shared_state("gated_image_base", sf_dir, build)
     return root
 
 

@@ -1035,15 +1035,34 @@ def m13_cross_modal_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.encode((F.col("doc_id") % 40).cast("string"), "utf-8"),
         ).alias("payload"),
     )
-    decoded = M.decode_media(staged, bytes_col="payload", decoder=M.fake_decode)
-    hashes = M.phash64(decoded).localCheckpoint(eager=True)
-    img = M.phash_clusters(hashes, "id", max_hamming=3).select(
-        F.col("id").cast("bigint").alias("doc_id"),
-        F.col("cluster_id").cast("bigint").alias("img_cluster"),
-    )
-    cap = dedup.dedup_clusters(docs, "doc_id", "text", n=3, threshold=0.5).select(
-        "doc_id", F.col("cluster_id").alias("cap_cluster")
-    )
+    # the image-label and caption-label pipelines are INDEPENDENT until
+    # the doc_id join, and each runs several eager driver actions
+    # internally (checkpoint cuts, the closure's convergence probes), so
+    # composing them sequentially leaves the executors idle during every
+    # other pipeline's single-task tails. Build them from two driver
+    # threads instead — optimization guide §2.6: actions are only
+    # sequential because the driver calls them sequentially; FIFO
+    # scheduling back-fills one pipeline's stragglers with the other's
+    # jobs. Results are plain (doc_id, label) frames; no session conf is
+    # touched on either path, so the threads share the session safely.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def img_labels() -> DataFrame:
+        decoded = M.decode_media(staged, bytes_col="payload", decoder=M.fake_decode)
+        hashes = M.phash64(decoded).localCheckpoint(eager=True)
+        return M.phash_clusters(hashes, "id", max_hamming=3).select(
+            F.col("id").cast("bigint").alias("doc_id"),
+            F.col("cluster_id").cast("bigint").alias("img_cluster"),
+        )
+
+    def cap_labels() -> DataFrame:
+        return dedup.dedup_clusters(
+            docs, "doc_id", "text", n=3, threshold=0.5
+        ).select("doc_id", F.col("cluster_id").alias("cap_cluster"))
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        img_f, cap_f = pool.submit(img_labels), pool.submit(cap_labels)
+        img, cap = img_f.result(), cap_f.result()
     # both mining directions consume the joined labels; one eager cut
     # stops the two label pipelines re-running per direction
     labels = img.join(cap, "doc_id").localCheckpoint(eager=True)
@@ -1104,10 +1123,17 @@ phg AS MATERIALIZED (
 @register("m14_gated_image_ingest", oracle=_m14_oracle())
 def m14_gated_image_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
-    import tempfile
 
-    from censo_escolar_spark.plans.fixtures import PARITY_SHUFFLE
-    from censo_escolar_spark.streaming import detach_from_state, state_shuffle
+    from censo_escolar_spark.plans.fixtures import (
+        PARITY_SHUFFLE,
+        gated_image_base,
+        image_qc_gate,
+    )
+    from censo_escolar_spark.streaming import (
+        clone_state,
+        detach_from_state,
+        state_shuffle,
+    )
     from censo_escolar_spark.streaming.imagededup import (
         apply_image_dedup_batch,
         read_published_hashes,
@@ -1121,24 +1147,25 @@ def m14_gated_image_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.encode((F.col("doc_id") % 40).cast("string"), "utf-8"),
         ).alias("payload"),
     )
-    # mean-brightness admission: exact integer fold over the decoded
-    # 8x8 thumbnail (codegen; the decode itself is the batch's one
-    # Arrow crossing)
-    gate = (
-        F.expr("aggregate(pixels, CAST(0 AS BIGINT), (a, x) -> a + x)")
-        >= 8192
+    # gated batches 1-2 come from the shared family base (the d24
+    # pattern on the image lane); the third gated increment + published
+    # read run live on a private clone. The gate — a mean-brightness
+    # admission, an exact integer fold over the decoded 8x8 thumbnail
+    # (codegen; the decode itself is the batch's one Arrow crossing) —
+    # is the same expression the base builder applied.
+    gate = image_qc_gate()
+    state = clone_state(
+        gated_image_base(spark, sf_dir), prefix="m14_gated_state_"
     )
-    state = tempfile.mkdtemp(prefix="m14_gated_state_")
     try:
         with state_shuffle(spark, PARITY_SHUFFLE):
-            for bid in (1, 2, 3):
-                apply_image_dedup_batch(
-                    staged.filter(F.col("doc_id") % 3 == bid - 1),
-                    bid,
-                    state_dir=state,
-                    decoder=M.fake_decode,
-                    qc_gate=gate,
-                )
+            apply_image_dedup_batch(
+                staged.filter(F.col("doc_id") % 3 == 2),
+                3,
+                state_dir=state,
+                decoder=M.fake_decode,
+                qc_gate=gate,
+            )
             final = read_published_hashes(spark, state)
             out = final.select(
                 "doc_id", (F.col("doc_id") % 3 + 1).cast("int").alias("batch")

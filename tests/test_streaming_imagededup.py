@@ -78,6 +78,45 @@ def test_image_dedup_compaction_cadence(spark, tmp_path):
     assert 999 not in _published_ids(spark, state)
 
 
+def test_gated_clone_prefix_equals_inline_build(spark, tmp_path):
+    """The m14 fixture-base amortization contract: a hardlink CLONE of a
+    gated store after batches 1-2, extended with the live third gated
+    batch, publishes byte-identically to the inline 1-2-3 build. (The
+    gate drops ids whose pixel sum is below threshold; batch applies
+    are deterministic, so the cloned prefix is bitwise the state the
+    inline build produced.)"""
+    from pyspark.sql import functions as F
+
+    from censo_escolar_spark.streaming import link_tree
+    from censo_escolar_spark.streaming.imagededup import read_published_hashes
+
+    gate = (
+        F.expr("aggregate(pixels, CAST(0 AS BIGINT), (a, x) -> a + x)") >= 4000
+    )
+    batches = [
+        [(1, IMG_A), (2, IMG_B)],
+        [(3, IMG_A), (4, IMG_C)],
+        [(5, IMG_B), (6, b"\x89PNG" + b"class-d-4444")],
+    ]
+    inline = str(tmp_path / "inline")
+    for bid, rows in enumerate(batches, start=1):
+        _apply(spark, rows, bid, inline, qc_gate=gate)
+
+    base = str(tmp_path / "base")
+    for bid, rows in enumerate(batches[:2], start=1):
+        _apply(spark, rows, bid, base, qc_gate=gate)
+    clone = str(tmp_path / "clone")
+    link_tree(base, clone)
+    _apply(spark, batches[2], 3, clone, qc_gate=gate)
+
+    pub = lambda s: sorted(  # noqa: E731
+        map(tuple, read_published_hashes(spark, s).collect())
+    )
+    assert pub(clone) == pub(inline)
+    # non-vacuity: the gate actually rejected something in these batches
+    assert len(pub(inline)) < sum(len(b) for b in batches)
+
+
 def test_maintain_image_corpus_end_to_end(spark, tmp_path):
     src = str(tmp_path / "img_src")
     state = str(tmp_path / "state")
