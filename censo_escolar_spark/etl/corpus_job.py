@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from censo_escolar_spark.functions import text as T
 from censo_escolar_spark.operators import quality as Q
 from censo_escolar_spark.operators.dedup import corpus_dedup
+from censo_escolar_spark.operators.skew import spread_small_input
 from censo_escolar_spark.sources.writers import write_partitioned_parquet
 
 
@@ -67,6 +68,11 @@ def curate(df: DataFrame, cfg: CorpusJobConfig) -> DataFrame:
     point they are ready to materialize, exactly like ``run_corpus_job``
     does at its own boundary."""
     i, t = cfg.id_col, cfg.text_col
+    # regex-heavy cleaning + quality signals are CPU-dense per byte:
+    # spread a harness-small/unsplittable source across cores first
+    # (guide §2.5 — the checkpoint below measured 2.3 s on ONE task);
+    # no-op when the source already scans at core count (real corpora)
+    df = spread_small_input(df, i)
     cleaned = df.withColumn(t, T.strip_boilerplate(t)).filter(
         T.quality_keep(
             t,

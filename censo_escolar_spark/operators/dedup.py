@@ -165,6 +165,14 @@ def jaccard_pairs(
     The index is materialized once — it feeds the self-join (twice) and
     the per-doc sizes, and each consumer would otherwise re-run the
     tokenize→shingle→explode chain.
+
+    A §2.5 core-count spread of the checkpointed index was tried in the
+    round-11 optimization pass and REVERTED with numbers: the in-session
+    A/B measured +0.2-0.5 s on every jaccard consumer (d02/d20/g01/m13)
+    — the extra exchange inside the checkpoint build costs more than
+    the few-task self-join map side it parallelizes, because the heavy
+    stages here (pair count-aggregation, closure) re-shuffle to core
+    count anyway.
     """
     sh = shingle_sets(df, id_col, text_col, n).localCheckpoint(eager=True)
     if max_doc_freq is not None:
@@ -834,6 +842,17 @@ def minhash_pairs(
     # hash collision inside one document pair (P ≈ |sh|²/2⁶⁵ —
     # vanishing), and the joins shuffle 8-byte longs instead of ~20-char
     # strings.
+    #
+    # spread first (guide §2.5, the portable_minhash_signatures guard):
+    # the numpy sketch pass and the band-key explode both inherit the
+    # input's partitioning, and a harness-small/unsplittable scan would
+    # serialize them onto 1-3 tasks (d20 measured a 1.8 s three-task
+    # band explode). No-op for inputs already at core count. Batch-
+    # analytics entry point only — the streaming batch applies keep
+    # their own (state_shuffle-sized) layout.
+    from censo_escolar_spark.operators.skew import spread_small_input
+
+    df = spread_small_input(df, id_col)
     sketches = minhash_sketches(df, id_col, text_col, n=n).localCheckpoint(eager=True)
     cands = minhash_candidates(
         sketches.select(id_col, "signature"), id_col, materialize=False
@@ -906,7 +925,10 @@ def simhash_pairs(
     """
     assert max_hamming < n_bands, "pigeonhole exactness requires max_hamming < n_bands"
     # materialize: the band self-join would otherwise compute every
-    # fingerprint twice (same rationale as minhash_candidates)
+    # fingerprint twice (same rationale as minhash_candidates). A §2.5
+    # core-count spread of the input was tried in the round-11
+    # optimization pass and REVERTED: in-session A/B measured +0.15 s
+    # (d05) — the pack pass is too cheap here for the extra exchange.
     fps = simhash_fingerprints(df, id_col, text_col).localCheckpoint(eager=True)
     return simhash_pairs_from_fingerprints(
         fps, id_col, max_hamming=max_hamming, n_bands=n_bands

@@ -78,7 +78,13 @@ def cosine_topk(
 
 
 def _verify_exact(
-    cands: DataFrame, df: DataFrame, id_col: str, vec_col: str, threshold: float
+    cands: DataFrame,
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    *,
+    spread: bool = True,
 ) -> DataFrame:
     """Join candidate (id_a, id_b) pairs back to their vectors and keep
     pairs whose EXACT fold-order cosine clears the threshold.
@@ -88,7 +94,30 @@ def _verify_exact(
     ~1e-15 relative, so no true pair can be culled — then the survivors
     (few) are re-scored with the interpreted JVM fold that is
     bit-identical to the DuckDB oracle. Without the pre-score, a 500k
-    candidate set costs 500k × 2·dim lambda evaluations."""
+    candidate set costs 500k × 2·dim lambda evaluations.
+
+    The candidate frame is 16 bytes/row but each row costs ~2·dim
+    doubles of join fan-out plus an Arrow crossing — far more CPU per
+    byte than AQE's byte-based partition sizing assumes, so when the
+    corpus itself is harness-small (scan narrower than the core count)
+    the post-distinct verify chain would run on 2-3 AQE-coalesced
+    partitions; spread it across cores first (guide §2.5 — measured
+    3.4 s + 2.6 s three-task stages on s03). Corpora already wider than
+    the core count skip the extra 16-byte-row shuffle entirely.
+
+    The spread keys on id_a ALONE deliberately: the candidate distinct
+    already hash-partitions by (id_a, id_b), so a repartition on the
+    same pair is elided by EnsureRequirements and AQE keeps coalescing
+    the existing exchange — keying on the single column forces a real
+    core-count exchange (verified against the stage task counts).
+    ``spread=False`` is for callers whose candidate generation already
+    yields adequately-parallel small sets (the blocked-GEMM cosine_pairs
+    path, where the in-session A/B measured the extra exchange as a
+    +0.3 s pure loss on s02)."""
+    if spread:
+        from censo_escolar_spark.operators.skew import spread_small_input
+
+        cands = spread_small_input(cands, "id_a", gate=df)
     v = as_double_array(vec_col)
     va = df.select(F.col(id_col).alias("id_a"), v.alias("__va"))
     vb = df.select(F.col(id_col).alias("id_b"), v.alias("__vb"))
@@ -262,7 +291,10 @@ def cosine_pairs(
             )
 
     cands = block_pairs.mapInPandas(score_blocks, "id_a long, id_b long")
-    return _verify_exact(cands, df, id_col, vec_col, threshold)
+    # spread=False: the GEMM prescore already emits a small, epsilon-
+    # guarded candidate set from block-parallel tasks; the §2.5 spread's
+    # extra exchange measured as a +0.3 s pure loss here (s02 A/B).
+    return _verify_exact(cands, df, id_col, vec_col, threshold, spread=False)
 
 
 def knn_join(

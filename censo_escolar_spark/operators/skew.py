@@ -33,7 +33,41 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["salted_join"]
+__all__ = ["salted_join", "spread_small_input"]
+
+
+def spread_small_input(
+    target: DataFrame, *key_cols: str, gate: DataFrame | None = None
+) -> DataFrame:
+    """Hash-repartition ``target`` to cluster core count when ``gate``
+    (default: ``target`` itself) has fewer partitions than cores — the
+    guide-§2.5 "unsplittable input" remedy, shared by every CPU-dense
+    operator stage that would otherwise inherit a tiny scan's
+    parallelism (a single-row-group parquet file scans as ONE task, and
+    AQE coalesces small-BYTE exchanges to a handful of partitions even
+    when the per-row work downstream is heavy: shingle hashing, regex
+    cleaning, vector verification all cost orders of magnitude more CPU
+    per byte than AQE's byte-based sizing assumes).
+
+    The repartition is deterministic (hash of ``key_cols``) and
+    results are partition-count invariant for every caller (asserted by
+    tests/test_determinism.py). Inputs already at or above core count —
+    any real corpus — skip the extra shuffle entirely: at 100 TB the
+    gate is a no-op by construction, exactly like the inlined guard in
+    ``dedup.portable_minhash_signatures`` this generalizes.
+
+    ``gate`` must be a NARROW plan (a scan/filter/union) or an already
+    materialized frame: reading ``.rdd.getNumPartitions()`` on a plan
+    with unexecuted exchanges would trigger partial execution under AQE.
+    Callers here pass the raw table scan or a localCheckpoint.
+    """
+    sc = target.sparkSession.sparkContext
+    probe = target if gate is None else gate
+    if probe.rdd.getNumPartitions() < sc.defaultParallelism:
+        return target.repartition(
+            sc.defaultParallelism, *[F.col(c) for c in key_cols]
+        )
+    return target
 
 
 def salted_join(

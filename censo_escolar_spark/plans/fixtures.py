@@ -100,9 +100,20 @@ def prime(spark: SparkSession, sf_dir: str) -> None:
         gated_image_base,        # m14
         stats_store_base,        # e36/e49
     )
+    import sys
+    import time
+
+    def timed(b):
+        t0 = time.perf_counter()
+        b(spark, sf_dir)
+        print(
+            f"fixtures.prime: {b.__name__} {time.perf_counter() - t0:.2f}s",
+            file=sys.stderr,
+        )
+
     with state_shuffle(spark, PARITY_SHUFFLE):
         with ThreadPoolExecutor(max_workers=len(builders)) as pool:
-            futures = [pool.submit(b, spark, sf_dir) for b in builders]
+            futures = [pool.submit(timed, b) for b in builders]
             for f in futures:
                 f.result()
 

@@ -4361,7 +4361,13 @@ def t36_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def t37_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    from censo_escolar_spark.operators.skew import spread_small_input
+
+    # the 8-gram explode over 90% of the corpus is CPU-dense per input
+    # byte; spread an unsplittable scan across cores first (guide §2.5 —
+    # a 1.7 s single-task explode stage measured on the harness; no-op
+    # for real many-file corpora)
+    docs = spread_small_input(load_table(spark, sf_dir, "documents"), "doc_id")
     ev_sh = (
         docs.filter(F.col("doc_id") % 10 == 0)
         .select(
