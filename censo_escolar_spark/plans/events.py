@@ -3881,7 +3881,13 @@ def e45_stateful_timeout_segments(spark: SparkSession, sf_dir: str) -> DataFrame
             .withWatermark("ts", f"{delay} seconds")
         )
         segs = user_activity_segments(stream, gap_s=gap)
-        with state_shuffle(spark):
+        # 16 state partitions, not the PARITY_SHUFFLE 4: this row's
+        # per-batch cost is the PYTHON update call per (key, batch) —
+        # more partitions mean more parallel Python workers, the
+        # opposite trade from the JVM-state parity rows (in-session
+        # sweep: 6.3/4.9/4.5/4.8/5.3 s at 4/8/12/16/32; results are
+        # partition-count invariant and the checkpoint is per-run)
+        with state_shuffle(spark, 16):
             q = (
                 segs.writeStream.format("parquet")
                 .option("path", out)

@@ -25,8 +25,22 @@ from censo_escolar_spark.sources.readers import load_table
 _PLANT = {0: "FFD8FF", 1: "89504E47", 2: "52494646"}
 
 
-def _staged_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _staged_payloads(
+    spark: SparkSession, sf_dir: str, *, spread: bool = False
+) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    if spread:
+        # consumers that run the full Arrow DECODE pass over these
+        # payloads (m02's feature pipeline, m03's frame sampling) are
+        # CPU-dense per byte, so an unsplittable harness-scale scan must
+        # not serialize them onto one task (guide §2.5; m02 measured a
+        # 2.7 s single-task decode stage; in-session A/B: m02 −0.27 s,
+        # m03 −0.37 s). Header-only or matmul-light consumers measured
+        # the extra exchange as a LOSS (m01 +0.19, m09 +0.37) and stay
+        # un-spread. No-op for many-file corpora either way.
+        from censo_escolar_spark.operators.skew import spread_small_input
+
+        docs = spread_small_input(docs, "doc_id")
     magic = (
         F.when(F.col("doc_id") % 3 == 0, F.unhex(F.lit(_PLANT[0])))
         .when(F.col("doc_id") % 3 == 1, F.unhex(F.lit(_PLANT[1])))
@@ -172,7 +186,7 @@ def m02_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (see _M02_ORACLE), so even the Python-side decode path is
     value-hash-checked end to end. Golden values additionally pinned in
     tests/test_multimodal.py."""
-    staged = _staged_payloads(spark, sf_dir)
+    staged = _staged_payloads(spark, sf_dir, spread=True)
     decoded = M.decode_media(staged, bytes_col="payload", decoder=M.fake_decode)
     return (
         M.media_features(decoded)
@@ -253,7 +267,7 @@ ORDER BY doc_id, frame_idx
 
 @register("m03_frame_samples", oracle=_M03_ORACLE)
 def m03_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    staged = _staged_payloads(spark, sf_dir).withColumn(
+    staged = _staged_payloads(spark, sf_dir, spread=True).withColumn(
         "n_frames", (F.col("doc_id") % 10 + 1).cast("int")
     )
     return M.sample_frames(

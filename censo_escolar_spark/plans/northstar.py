@@ -658,7 +658,12 @@ def t05_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def t03_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    from censo_escolar_spark.operators.skew import spread_small_input
+
+    # md5 + the min-shingle Arrow pass are CPU-dense per byte; spread an
+    # unsplittable scan across cores first (guide §2.5 — two ~0.8 s
+    # single-task stages measured; no-op for many-file corpora)
+    docs = spread_small_input(load_table(spark, sf_dir, "documents"), "doc_id")
     return (
         docs.select(
             "doc_id",

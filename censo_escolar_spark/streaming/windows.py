@@ -202,19 +202,34 @@ def user_activity_segments(
             state.remove()
             yield emit(seg)
             return
-        rows = pd.concat(list(pdfs), ignore_index=True)
-        kept = rows[rows[sec_col] * 1000 >= wm]
+        # fold the on-time rows incrementally per Arrow batch — this
+        # function runs once per (key, micro-batch), so the per-call
+        # constant matters (guide §4.2): the previous
+        # pd.concat + boolean-index path paid two frame copies per key;
+        # the numpy fold computes the same exact integers with none
+        # (late-drop mask, counts, min/max/sum are all order-free)
+        n, f_, l_, c_ = 0, None, None, 0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            secs = pdf[sec_col].to_numpy()
+            mask = secs * 1000 >= wm
+            k = int(mask.sum())
+            if not k:
+                continue
+            ks = secs[mask]
+            n += k
+            c_ += int(pdf[cents_col].to_numpy()[mask].sum())
+            mn, mx = int(ks.min()), int(ks.max())
+            f_ = mn if f_ is None else min(f_, mn)
+            l_ = mx if l_ is None else max(l_, mx)
         old = state.get if state.exists else None
         closed = None
         # the engine would have timed this segment out before this
         # batch's data iff the watermark STRICTLY passed its arm point
         if old is not None and wm > (old[2] + gap_s) * 1000:
             closed, old = old, None
-        if len(kept):
-            n = int(len(kept))
-            f_ = int(kept[sec_col].min())
-            l_ = int(kept[sec_col].max())
-            c_ = int(kept[cents_col].sum())
+        if n:
             if old is not None:
                 n += old[0]
                 f_ = min(f_, old[1])
