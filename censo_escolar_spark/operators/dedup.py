@@ -370,10 +370,19 @@ def connected_components(
     frame (decimal(38,0): exact, no int64 overflow at any node count),
     instead of an old-vs-new join + count.
     """
-    sym = edges.select(
+    # Materialize the edge list ONCE before symmetrizing: the two union
+    # branches below reference the same logical subtree, and Spark does
+    # not share work across union branches — without this cut the whole
+    # upstream pair pipeline (LSH banding + candidate join + exact
+    # verification for the cosine path; shingle index + Jaccard verify
+    # for the text path) executes TWICE inside the sym checkpoint
+    # (guide §2.4 "duplicated subtrees"; measured 2× the verify stage's
+    # CPU on d07). Edge rows are O(pairs) ids — tiny blocks either way.
+    ed = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).unionByName(
-        edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+    ).localCheckpoint(eager=True)
+    sym = ed.unionByName(
+        ed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     sym = sym.distinct().localCheckpoint(eager=True)
 

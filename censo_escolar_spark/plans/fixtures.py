@@ -87,19 +87,23 @@ def prime(spark: SparkSession, sf_dir: str) -> None:
     from concurrent.futures import ThreadPoolExecutor
 
     builders = (
-        dedup_full_store,        # builds dedup_stream_base too (d19/d22/d23/d25)
-        image_deletes_store,     # builds image_store_base too (m12/m15/m16)
-        merge_full_store,        # builds cdc slices + merge base (q72/q74/q75)
-        lex_deletes_store,       # builds lex_base too (t40/t41/t44)
-        ivf_deletes_store,       # builds ivf_meta_base too (s22/s23/s28/s29)
-        ivfpq_base,              # s30
-        ivf_plain_base,          # s31
-        scd2_store_base,         # e33
-        merge_compacted_base,    # q73
-        curated_dedup_base,      # d24
-        gated_image_base,        # m14
-        stats_store_base,        # e36/e49
+        # Longest chains FIRST: with a bounded pool the makespan is set
+        # by when the longest chain STARTS + its duration (classic LPT
+        # scheduling); measured per-builder times are in the comments.
+        image_deletes_store,     # ~20 s chain: image base (3 applies) + 2 (m12/m15/m16)
+        dedup_full_store,        # ~19 s chain: real stream (2 batches) + 1 apply (d19/d22/d23/d25)
+        lex_deletes_store,       # ~17 s chain: lex base (2) + delete + ingest (t40/t41/t44)
+        curated_dedup_base,      # ~16 s: gate + 2 applies (d24)
+        merge_full_store,        # ~15 s chain: real stream (2 waves) + 1 apply (q72/q74/q75)
+        gated_image_base,        # ~14 s: 2 gated applies (m14)
+        merge_compacted_base,    # ~14 s: 2 applies, fold each (q73)
+        scd2_store_base,         # ~12 s: 2 applies (e33)
+        ivf_deletes_store,       # ~12 s chain: ivf_meta_base too (s22/s23/s28/s29)
+        stats_store_base,        # ~10 s: 3 applies (e36/e49)
+        ivfpq_base,              # ~10 s (s30)
+        ivf_plain_base,          # ~8 s (s31)
     )
+    import os
     import sys
     import time
 
@@ -111,8 +115,9 @@ def prime(spark: SparkSession, sf_dir: str) -> None:
             file=sys.stderr,
         )
 
+    workers = int(os.environ.get("SPARK_GRAFT_PRIME_POOL", "0")) or len(builders)
     with state_shuffle(spark, PARITY_SHUFFLE):
-        with ThreadPoolExecutor(max_workers=len(builders)) as pool:
+        with ThreadPoolExecutor(max_workers=workers) as pool:
             futures = [pool.submit(timed, b) for b in builders]
             for f in futures:
                 f.result()
