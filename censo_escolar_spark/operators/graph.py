@@ -96,7 +96,16 @@ def triangle_counts(
     closing = oriented.select(
         F.least("src", "dst").alias("x"), F.greatest("src", "dst").alias("y")
     )
-    tris = wedges.join(closing, ["x", "y"]).select("p", "x", "y")
+    # the corner union references tris THREE times and Spark does not
+    # share work across union branches — without this cut the wedge
+    # self-join + closure join (the heaviest stages) would execute 3×;
+    # tris is O(#triangles) rows of 3 longs (bounded: callers contract
+    # identical fingerprints before graph analytics)
+    tris = (
+        wedges.join(closing, ["x", "y"])
+        .select("p", "x", "y")
+        .localCheckpoint(eager=True)
+    )
     corners = (
         tris.select(F.col("p").alias("node"))
         .unionByName(tris.select(F.col("x").alias("node")))
@@ -128,9 +137,15 @@ def pagerank(
         rank'(v)   = ((100 - d) * SCALE) // 100
                      + (d * Σ_{u→v} contrib(u)) // 100
     """
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).distinct()
+    # materialize the deduped edge list once: it feeds the node union
+    # (two branches), the degree aggregation, and the e_deg join — four
+    # references to one lazy subtree would re-run the caller's edge
+    # pipeline 4× (union branches and separate consumers share no work)
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
