@@ -462,6 +462,15 @@ def mmr_rerank(
         .select("query_id", "cand_id", F.lit(1).alias("mmr_rank"), "score")
     )
     for step in range(2, k + 1):
+        # cut the selection frame each round: it feeds THREE lazy
+        # references (the penalty join, the remaining anti-join, and
+        # the next round's union), and Spark shares no work between
+        # them — unrolled round r would otherwise replay every prior
+        # round's join+window subtree 3× and the final plan grows
+        # exponentially in k (s16 measured a 1066-line physical plan
+        # with 34 exchanges at k=3; 199 lines / 7 exchanges after the
+        # cut). Bounded rows: nq·(step−1).
+        sel = sel.localCheckpoint(eager=True)
         sel_ids = sel.select("query_id", F.col("cand_id").alias("other_id"))
         penal = (
             pair.join(sel_ids, ["query_id", "other_id"])
