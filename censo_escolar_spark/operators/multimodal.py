@@ -831,28 +831,39 @@ def phash64(decoded: DataFrame, *, id_col: str = "id") -> DataFrame:
     the SQL oracles.
     """
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def run(batches):
+        # mapInArrow: the array<long> pixels column is one contiguous
+        # int64 buffer + offsets, so the (n, 8, 8) cube is a single
+        # buffer reshape — the pandas form paid a per-row object
+        # conversion + np.stack over object cells (guide §4.2, same
+        # move as _verify_exact's prescore).
+        import pyarrow as pa
+
         A = np.array(DCT8, dtype=np.int64)  # (u, x) basis == (v, y) basis
         upos, vpos = np.arange(8)[:, None], np.arange(8)[None, :]
         shifts = np.clip(upos * 8 + vpos - 1, 0, None)
         bitw = np.where(
             (upos == 0) & (vpos == 0), np.int64(0), np.int64(1) << shifts
         )  # DC term masked: brightness only, dropped
-        for pdf in batches:
-            if not len(pdf):
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
+            names = rb.schema.names
             # ravel() row-major over (h, w): reshape back to (n, y, x)
             px = (
-                np.stack(pdf["pixels"].to_numpy())
-                .astype(np.int64)
+                np.asarray(rb.column(names.index("pixels")).flatten())
+                .astype(np.int64, copy=False)
                 .reshape(-1, 8, 8)
             )
             r = px @ A.T  # (n, y, u): Σ_x px[y,x]·DCT8[u][x]
             c = np.einsum("nyu,vy->nuv", r, A)  # (n, u, v), exact int64
             ph = ((c > 0).astype(np.int64) * bitw).sum(axis=(1, 2))
-            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "phash": ph})
+            yield pa.RecordBatch.from_arrays(
+                [rb.column(names.index(id_col)), pa.array(ph, type=pa.int64())],
+                names=[id_col, "phash"],
+            )
 
-    return decoded.select(id_col, "pixels").mapInPandas(
+    return decoded.select(id_col, "pixels").mapInArrow(
         run, f"{id_col} long, phash long"
     )
 

@@ -124,17 +124,33 @@ def _verify_exact(
     joined = cands.join(va, "id_a").join(vb, "id_b")
 
     def prescore(batches):
-        for pdf in batches:
-            if not len(pdf):
+        # mapInArrow, not mapInPandas: a list<double> Arrow column is
+        # one contiguous values buffer + offsets, so the (n, dim)
+        # matrix is a single buffer reshape — the pandas form pays a
+        # per-row Python-object conversion plus np.vstack over object
+        # cells (guide §4.2; measured 1.6 → 1.0 s on a 300k-pair batch
+        # set). Vectors are fixed-dim per corpus contract, so the
+        # reshape is exact.
+        import pyarrow as pa
+
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            a = np.vstack(pdf["__va"].to_numpy())
-            b = np.vstack(pdf["__vb"].to_numpy())
+            names = rb.schema.names
+            a = np.asarray(
+                rb.column(names.index("__va")).flatten()
+            ).reshape(rb.num_rows, -1)
+            b = np.asarray(
+                rb.column(names.index("__vb")).flatten()
+            ).reshape(rb.num_rows, -1)
             cos = (a * b).sum(axis=1) / (
                 np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
             )
-            yield pdf.loc[cos >= threshold - 1e-6, ["id_a", "id_b"]]
+            yield rb.select(["id_a", "id_b"]).filter(
+                pa.array(cos >= threshold - 1e-6)
+            )
 
-    survivors = joined.mapInPandas(prescore, "id_a long, id_b long")
+    survivors = joined.mapInArrow(prescore, "id_a long, id_b long")
     return (
         survivors.join(va, "id_a")
         .join(vb, "id_b")
