@@ -882,7 +882,14 @@ def t09_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def t10_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    from censo_escolar_spark.operators.skew import spread_small_input
+
+    # Both branches (the repetition-stats expressions and the token
+    # explode + per-doc top-count) are CPU-dense array work whose map
+    # side otherwise inherits the scan's parallelism (guide §2.5, the
+    # t37 pattern); the spread also pre-partitions the base side of the
+    # final doc_id join. No-op on multi-file corpora by construction.
+    docs = spread_small_input(load_table(spark, sf_dir, "documents"), "doc_id")
     stats = T.repetition_stats("text")
     base = docs.select(
         "doc_id",
