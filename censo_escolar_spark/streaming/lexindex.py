@@ -82,15 +82,15 @@ def _bucket(col) -> Column:
 
 def _buckets_for(spark: SparkSession, terms: list[str]) -> list[int]:
     """Partition-prune list for a bounded term list: each term's stored
-    bucket, recomputed with the same hash the writers used."""
-    return sorted(
-        {
-            r["b"]
-            for r in spark.createDataFrame([(t,) for t in terms], "term string")
-            .select(_bucket(F.col("term")).alias("b"))
-            .collect()
-        }
-    )
+    bucket, recomputed with the same hash the writers used
+    (``pmod(xxhash64(term), N_BUCKETS)``) — driver-side via the
+    Spark-parity pure-Python XXH64 (functions/hashing.py; parity with
+    the JVM expression pinned by tests/test_sketches.py), because a
+    createDataFrame+collect per probe is a whole tiny Spark job just to
+    hash a bounded term list (guide §5)."""
+    from censo_escolar_spark.functions.hashing import xxhash64_str
+
+    return sorted({xxhash64_str(t) % N_BUCKETS for t in terms})
 
 
 def apply_lex_index_batch(

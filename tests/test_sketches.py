@@ -80,3 +80,36 @@ def test_kll_merge_estimates_population(spark):
         ).alias("m")
     ).collect()[0]["m"]
     assert abs(merged_med - 25_000) / 50_000 < 0.05
+
+
+def test_python_xxhash64_matches_spark(spark):
+    """The driver-side XXH64 (functions/hashing.xxhash64_str) must be
+    bit-identical to Spark's xxhash64() on strings at the default seed
+    42 — it replaces a per-probe createDataFrame+collect in the lexical
+    index's partition-prune bucket computation, so a mismatch would
+    silently prune the WRONG buckets (missing postings, not an error)."""
+    from censo_escolar_spark.functions.hashing import xxhash64_str
+    from censo_escolar_spark.streaming.dedup import N_BUCKETS
+
+    cases = [
+        "",
+        "a",
+        "the",
+        "censo",
+        "ação-escolar",  # multi-byte UTF-8
+        "日本語のテキスト",
+        "x" * 7,
+        "y" * 8,
+        "z" * 31,
+        "w" * 32,
+        "v" * 33,
+        "mixed × unicode ∑ tail" + "t" * 100,
+    ]
+    rows = (
+        spark.createDataFrame([(s,) for s in cases], "s string")
+        .select("s", F.xxhash64("s").alias("h"))
+        .collect()
+    )
+    for r in rows:
+        assert xxhash64_str(r["s"]) == r["h"], r["s"]
+        assert xxhash64_str(r["s"]) % N_BUCKETS == (r["h"] % N_BUCKETS)
