@@ -57,7 +57,9 @@ class CorpusJobConfig:
     )
 
 
-def curate(df: DataFrame, cfg: CorpusJobConfig) -> DataFrame:
+def curate(
+    df: DataFrame, cfg: CorpusJobConfig, *, n_rows: int | None = None
+) -> DataFrame:
     """Stages 2-6: clean → quality filter → dedup → enrich → split.
 
     EAGER contract: calling this triggers Spark jobs immediately (the
@@ -71,8 +73,10 @@ def curate(df: DataFrame, cfg: CorpusJobConfig) -> DataFrame:
     # regex-heavy cleaning + quality signals are CPU-dense per byte:
     # spread a harness-small/unsplittable source across cores first
     # (guide §2.5 — the checkpoint below measured 2.3 s on ONE task);
-    # no-op when the source already scans at core count (real corpora)
-    df = spread_small_input(df, i)
+    # no-op when the source already scans at core count (real corpora).
+    # n_rows (optional, parquet-footer metadata from the caller) caps
+    # the spread width scale-aware; see spread_small_input.
+    df = spread_small_input(df, i, rows=n_rows)
     cleaned = df.withColumn(t, T.strip_boilerplate(t)).filter(
         T.quality_keep(
             t,

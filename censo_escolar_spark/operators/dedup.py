@@ -836,6 +836,7 @@ def minhash_pairs(
     *,
     n: int = 3,
     threshold: float = 0.5,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs with exact Jaccard verification.
 
@@ -858,10 +859,13 @@ def minhash_pairs(
     # serialize them onto 1-3 tasks (d20 measured a 1.8 s three-task
     # band explode). No-op for inputs already at core count. Batch-
     # analytics entry point only — the streaming batch applies keep
-    # their own (state_shuffle-sized) layout.
+    # their own (state_shuffle-sized) layout. ``n_rows`` (when the
+    # caller knows the input size without a job — parquet footer
+    # metadata) caps the spread width scale-aware; see
+    # spread_small_input.
     from censo_escolar_spark.operators.skew import spread_small_input
 
-    df = spread_small_input(df, id_col)
+    df = spread_small_input(df, id_col, rows=n_rows)
     sketches = minhash_sketches(df, id_col, text_col, n=n).localCheckpoint(eager=True)
     cands = minhash_candidates(
         sketches.select(id_col, "signature"), id_col, materialize=False

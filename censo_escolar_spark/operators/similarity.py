@@ -85,6 +85,7 @@ def _verify_exact(
     threshold: float,
     *,
     spread: bool = True,
+    rows: int | None = None,
 ) -> DataFrame:
     """Join candidate (id_a, id_b) pairs back to their vectors and keep
     pairs whose EXACT fold-order cosine clears the threshold.
@@ -113,11 +114,13 @@ def _verify_exact(
     ``spread=False`` is for callers whose candidate generation already
     yields adequately-parallel small sets (the blocked-GEMM cosine_pairs
     path, where the in-session A/B measured the extra exchange as a
-    +0.3 s pure loss on s02)."""
+    +0.3 s pure loss on s02). ``rows`` (corpus row count, when the
+    caller knows it without a job) caps the spread width scale-aware —
+    see ``spread_small_input``."""
     if spread:
         from censo_escolar_spark.operators.skew import spread_small_input
 
-        cands = spread_small_input(cands, "id_a", gate=df)
+        cands = spread_small_input(cands, "id_a", gate=df, rows=rows)
     v = as_double_array(vec_col)
     va = df.select(F.col(id_col).alias("id_a"), v.alias("__va"))
     vb = df.select(F.col(id_col).alias("id_b"), v.alias("__vb"))
@@ -1066,9 +1069,9 @@ def lsh_bucketed_pairs(
     """
     df = df.filter(F.col(vec_col).isNotNull())  # same rule as _prep
     if n_planes is None:
-        rows_per_band = auto_rows_per_band(
-            df.count() if n_rows is None else n_rows
-        )
+        if n_rows is None:
+            n_rows = df.count()
+        rows_per_band = auto_rows_per_band(n_rows)
         if n_bands is None:
             n_bands = auto_n_bands(rows_per_band)
         n_planes = rows_per_band * n_bands
@@ -1114,7 +1117,9 @@ def lsh_bucketed_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    return _verify_exact(cands, df, id_col, vec_col, threshold)
+    # n_rows is known here whenever the auto-sizing ran (or the caller
+    # passed it): reuse it to cap the verify spread width scale-aware
+    return _verify_exact(cands, df, id_col, vec_col, threshold, rows=n_rows)
 
 
 def ivf_bucketed_pairs(
@@ -1124,6 +1129,7 @@ def ivf_bucketed_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """SemDeDup-shaped near-dup pairs: candidates are generated only
     WITHIN each coarse-quantizer cell (ids self-joined on centroid id),
@@ -1153,7 +1159,7 @@ def ivf_bucketed_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    return _verify_exact(cands, df, id_col, vec_col, threshold)
+    return _verify_exact(cands, df, id_col, vec_col, threshold, rows=n_rows)
 
 
 def cosine_dedup_clusters(

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from censo_escolar_spark.operators import multimodal as M
 from censo_escolar_spark.plans.registry import register
-from censo_escolar_spark.sources.readers import load_table
+from censo_escolar_spark.sources.readers import load_table, table_rows
 
 #: doc_id % 3 → planted magic prefix (hex) and the format it sniffs as.
 _PLANT = {0: "FFD8FF", 1: "89504E47", 2: "52494646"}
@@ -40,7 +40,9 @@ def _staged_payloads(
         # un-spread. No-op for many-file corpora either way.
         from censo_escolar_spark.operators.skew import spread_small_input
 
-        docs = spread_small_input(docs, "doc_id")
+        docs = spread_small_input(
+            docs, "doc_id", rows=table_rows(sf_dir, "documents")
+        )
     magic = (
         F.when(F.col("doc_id") % 3 == 0, F.unhex(F.lit(_PLANT[0])))
         .when(F.col("doc_id") % 3 == 1, F.unhex(F.lit(_PLANT[1])))

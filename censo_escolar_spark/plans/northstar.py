@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from censo_escolar_spark.functions import text as T
 from censo_escolar_spark.operators import dedup, retrieval, similarity
 from censo_escolar_spark.plans.registry import register
-from censo_escolar_spark.sources.readers import load_table
+from censo_escolar_spark.sources.readers import load_table, table_rows
 
 # Shared SQL fragment: 60-bit md5 token hash (DuckDB side of
 # functions.text.token_hash60 — verified to equal Spark's conv()).
@@ -88,9 +88,10 @@ def d02_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("d03_minhash_lsh_pairs", oracle=_D02_ORACLE)
 def d03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.minhash_pairs(docs, "doc_id", "text", n=3, threshold=0.5).orderBy(
-        "id_a", "id_b"
-    )
+    return dedup.minhash_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5,
+        n_rows=table_rows(sf_dir, "documents"),
+    ).orderBy("id_a", "id_b")
 
 
 # ---------------------------------------------------------------------------
@@ -505,9 +506,14 @@ def s05_ivf_bucketed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # planted-dup result is invariant while within-cell quadratic work
     # stays bounded as the corpus grows (the s05 scale-probe fix)
     centroids = similarity.train_centroids(allv, iters=1)
-    return similarity.ivf_bucketed_pairs(allv, centroids, threshold=0.9).orderBy(
-        "id_a", "id_b"
-    )
+    emb_rows = table_rows(sf_dir, "embeddings")
+    return similarity.ivf_bucketed_pairs(
+        allv,
+        centroids,
+        threshold=0.9,
+        # corpus = embeddings + the 100 planted dups; footer metadata only
+        n_rows=None if emb_rows is None else emb_rows + 100,
+    ).orderBy("id_a", "id_b")
 
 
 # ---------------------------------------------------------------------------
@@ -663,7 +669,11 @@ def t03_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # md5 + the min-shingle Arrow pass are CPU-dense per byte; spread an
     # unsplittable scan across cores first (guide §2.5 — two ~0.8 s
     # single-task stages measured; no-op for many-file corpora)
-    docs = spread_small_input(load_table(spark, sf_dir, "documents"), "doc_id")
+    docs = spread_small_input(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        rows=table_rows(sf_dir, "documents"),
+    )
     return (
         docs.select(
             "doc_id",
@@ -887,9 +897,15 @@ def t10_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Both branches (the repetition-stats expressions and the token
     # explode + per-doc top-count) are CPU-dense array work whose map
     # side otherwise inherits the scan's parallelism (guide §2.5, the
-    # t37 pattern); the spread also pre-partitions the base side of the
-    # final doc_id join. No-op on multi-file corpora by construction.
-    docs = spread_small_input(load_table(spark, sf_dir, "documents"), "doc_id")
+    # t37 pattern); the repartition also satisfies the two doc_id
+    # aggregations' clustering requirement, replacing their
+    # ENSURE_REQUIREMENTS exchanges. No-op on multi-file corpora by
+    # construction.
+    docs = spread_small_input(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        rows=table_rows(sf_dir, "documents"),
+    )
     stats = T.repetition_stats("text")
     base = docs.select(
         "doc_id",
@@ -1808,7 +1824,7 @@ def c02_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from censo_escolar_spark.etl.corpus_job import CorpusJobConfig, curate
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
-    out = curate(docs, CorpusJobConfig())
+    out = curate(docs, CorpusJobConfig(), n_rows=table_rows(sf_dir, "documents"))
     return out.select(
         "doc_id", "lang", "cluster_id", "n_tokens", "avg_token_len", "split"
     ).orderBy("doc_id")
@@ -2008,7 +2024,10 @@ ORDER BY id_a, id_b
 @register("d12_eval_contamination", oracle=_D12_ORACLE)
 def d12_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.minhash_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    pairs = dedup.minhash_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5,
+        n_rows=table_rows(sf_dir, "documents"),
+    )
     is_eval = lambda c: F.col(c) % 10 == 0  # noqa: E731
     return (
         pairs.filter(is_eval("id_a") != is_eval("id_b"))
@@ -4379,7 +4398,11 @@ def t37_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     # byte; spread an unsplittable scan across cores first (guide §2.5 —
     # a 1.7 s single-task explode stage measured on the harness; no-op
     # for real many-file corpora)
-    docs = spread_small_input(load_table(spark, sf_dir, "documents"), "doc_id")
+    docs = spread_small_input(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        rows=table_rows(sf_dir, "documents"),
+    )
     ev_sh = (
         docs.filter(F.col("doc_id") % 10 == 0)
         .select(

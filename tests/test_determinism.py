@@ -62,6 +62,10 @@ CASES = [
     # incremental IVF-PQ ADC + two-phase exact re-rank
     "e45_stateful_timeout_segments",
     "s30_ivfpq_incremental",
+    # round-12: t10 runs through spread_small_input (a partition-count-
+    # sensitive repartition guard), so its result must be invariant to
+    # the shuffle-partition setting like every other spread caller
+    "t10_repetition_stats",
 ]
 
 
