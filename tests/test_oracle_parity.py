@@ -24,19 +24,20 @@ def test_every_oracle_key_has_query():
 
 @pytest.mark.parametrize("name", sorted(_ORACLE))
 def test_query_matches_oracle(spark, sf_dir, name):
-    df = _QUERIES[name](spark, sf_dir)
-    assert_matches_oracle(df, _ORACLE[name], sf_dir)
+    """Value parity AND typed-hash parity on ONE DataFrame build —
+    building a query is the expensive part for the fixture-backed
+    parity rows (a build replays live batch applies), so the previously
+    separate hash-type sweep doubled that cost for no extra coverage
+    (round-12 pytest-wall-time fix; assertions unchanged).
 
-
-@pytest.mark.parametrize("name", sorted(_ORACLE))
-def test_oracle_hash_types(spark, sf_dir, name):
-    """Typed-hash lint: the driver hashes TYPED values, so DuckDB's
-    result types must land in the same hash family as Spark's output
-    schema (q13/q20 went red twice on bare SUM(int) -> HUGEINT vs
-    BIGINT before this gate existed). Binds the oracle via DESCRIBE —
-    no execution — and compares column-by-column."""
+    The typed-hash lint runs FIRST (DESCRIBE-only, no execution): the
+    driver hashes TYPED values, so DuckDB's result types must land in
+    the same hash family as Spark's output schema (q13/q20 went red
+    twice on bare SUM(int) -> HUGEINT vs BIGINT before this gate
+    existed)."""
     df = _QUERIES[name](spark, sf_dir)
     assert_hash_types_match(df, _ORACLE[name], sf_dir)
+    assert_matches_oracle(df, _ORACLE[name], sf_dir)
 
 
 def test_hash_type_lint_catches_bare_sum(spark, sf_dir):

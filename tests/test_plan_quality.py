@@ -46,20 +46,6 @@ def _formatted_plan(spark, df) -> str:
     )
 
 
-@pytest.mark.parametrize("name", sorted(entrymod.queries()))
-def test_no_rowwise_python_in_any_plan(spark, sf_dir, name):
-    """Row-at-a-time Python UDFs (BatchEvalPython) are banned everywhere;
-    Arrow nodes only in the operators designed around them."""
-    plan = _formatted_plan(spark, entrymod.queries()[name](spark, sf_dir))
-    assert "BatchEvalPython" not in plan, f"{name}: row-wise Python UDF in plan"
-    if name not in ARROW_OK:
-        assert (
-            "ArrowEvalPython" not in plan
-            and "MapInPandas" not in plan
-            and "FlatMapGroupsInPandas" not in plan
-        ), f"{name}: unexpected Python boundary in a JVM-native operator"
-
-
 def _iter_physical_nodes(jplan):
     """Depth-first walk of a JVM SparkPlan tree (pre-AQE, so Window nodes
     are directly visible, not hidden inside AdaptiveSparkPlan)."""
@@ -73,12 +59,40 @@ def _iter_physical_nodes(jplan):
 
 
 @pytest.mark.parametrize("name", sorted(entrymod.queries()))
-def test_no_unpartitioned_window(spark, sf_dir, name):
-    """A Window with an empty partitionSpec serializes EVERY row through
-    one task ("No Partition Defined for Window operation!") — correct at
-    sf0.01, fatal at 100 TB. Global rankings must go through
-    operators/ranking.py (range-repartition two-phase) instead."""
+def test_plan_quality_gates(spark, sf_dir, name):
+    """ONE registry sweep asserting all three per-query plan gates on a
+    SINGLE DataFrame build — building a query is the expensive part for
+    the fixture-backed parity rows (a build replays live batch applies),
+    so the previously separate Python-boundary / unpartitioned-window /
+    nested-loop sweeps tripled that cost for no extra coverage
+    (round-12 pytest-wall-time fix; assertions unchanged).
+
+    Gate 1 — Python boundary: row-at-a-time Python UDFs
+    (BatchEvalPython) are banned everywhere; Arrow nodes only in the
+    operators designed around them (ARROW_OK).
+
+    Gate 2 — unpartitioned window: a Window with an empty partitionSpec
+    serializes EVERY row through one task ("No Partition Defined for
+    Window operation!") — correct at sf0.01, fatal at 100 TB. Global
+    rankings must go through operators/ranking.py (range-repartition
+    two-phase) instead.
+
+    Gate 3 — nested-loop joins: a BroadcastNestedLoopJoin or
+    CartesianProduct outside the bounded-side allowlist (BNL_OK) is a
+    plan regression: some join lost its equi-key (or a cross join crept
+    in) and would replicate — or pairwise-expand — a data-sized side at
+    scale."""
     df = entrymod.queries()[name](spark, sf_dir)
+
+    plan = _formatted_plan(spark, df)
+    assert "BatchEvalPython" not in plan, f"{name}: row-wise Python UDF in plan"
+    if name not in ARROW_OK:
+        assert (
+            "ArrowEvalPython" not in plan
+            and "MapInPandas" not in plan
+            and "FlatMapGroupsInPandas" not in plan
+        ), f"{name}: unexpected Python boundary in a JVM-native operator"
+
     jplan = df._jdf.queryExecution().sparkPlan()
     for node in _iter_physical_nodes(jplan):
         if node.nodeName() in ("Window", "WindowGroupLimit"):
@@ -86,6 +100,16 @@ def test_no_unpartitioned_window(spark, sf_dir, name):
                 f"{name}: unpartitioned {node.nodeName()} — single-task "
                 "window; use operators.ranking.global_row_number/global_ntile"
             )
+
+    if name not in BNL_OK:
+        assert "BroadcastNestedLoop" not in plan, (
+            f"{name}: unexpected BroadcastNestedLoopJoin — a join lost its "
+            "equi-key, or add a justified allowlist entry"
+        )
+        assert "CartesianProduct" not in plan, (
+            f"{name}: CartesianProduct — neither side broadcastable; a "
+            "join lost its equi-key"
+        )
 
 
 def test_filter_pushdown_reaches_scan(spark, sf_dir):
@@ -182,23 +206,6 @@ BNL_OK = {
 }
 
 
-@pytest.mark.parametrize("name", sorted(entrymod.queries()))
-def test_no_unbounded_nested_loop_join(spark, sf_dir, name):
-    """A BroadcastNestedLoopJoin or CartesianProduct outside the
-    bounded-side allowlist is a plan regression: some join lost its
-    equi-key (or a cross join crept in) and would replicate — or
-    pairwise-expand — a data-sized side at scale. CartesianProduct is
-    the same hazard as BNL without even a broadcast bound (Spark plans
-    it when neither side can broadcast), so the two share an
-    allowlist."""
-    df = entrymod.queries()[name](spark, sf_dir)
-    plan = _formatted_plan(spark, df)
-    if name not in BNL_OK:
-        assert "BroadcastNestedLoop" not in plan, (
-            f"{name}: unexpected BroadcastNestedLoopJoin — a join lost its "
-            "equi-key, or add a justified allowlist entry"
-        )
-        assert "CartesianProduct" not in plan, (
-            f"{name}: unexpected CartesianProduct — a join lost its "
-            "equi-key entirely, or add a justified allowlist entry"
-        )
+# (the per-query BNL/CartesianProduct gate is Gate 3 of
+# test_plan_quality_gates above — one DataFrame build per query serves
+# all three plan gates)
