@@ -3884,10 +3884,18 @@ def e45_stateful_timeout_segments(spark: SparkSession, sf_dir: str) -> DataFrame
         # 16 state partitions, not the PARITY_SHUFFLE 4: this row's
         # per-batch cost is the PYTHON update call per (key, batch) —
         # more partitions mean more parallel Python workers, the
-        # opposite trade from the JVM-state parity rows (in-session
-        # sweep: 6.3/4.9/4.5/4.8/5.3 s at 4/8/12/16/32; results are
-        # partition-count invariant and the checkpoint is per-run)
-        with state_shuffle(spark, 16):
+        # opposite trade from the JVM-state parity rows (round-11
+        # warm in-session sweep: 6.3/4.9/4.5/4.8/5.3 s at 4/8/12/16/32;
+        # round-12 COLD sweep, first-invocation min-of-3 per fresh JVM:
+        # 11.6/8.9/7.6/9.7/11.2 s at 4/8/16/24/32 — 16 is the cold knee
+        # too; results are partition-count invariant and the checkpoint
+        # is per-run). SPARK_GRAFT_E45_STATE pins the value for sweep
+        # measurement only, same role as SPARK_GRAFT_SPREAD_WIDTH.
+        import os as _os
+
+        with state_shuffle(
+            spark, int(_os.environ.get("SPARK_GRAFT_E45_STATE", "16"))
+        ):
             q = (
                 segs.writeStream.format("parquet")
                 .option("path", out)

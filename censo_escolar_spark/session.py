@@ -47,6 +47,13 @@ def get_spark(app_name: str = "censo_escolar_spark", **overrides: str) -> SparkS
     builder = SparkSession.builder.appName(app_name).master(f"local[{cpus}]")
     conf = dict(_LOCAL_DEFAULTS)
     conf.update({k: str(v) for k, v in overrides.items()})
+    # Measurement hook (same role as SPARK_GRAFT_SPREAD_WIDTH): lets a
+    # cold-JVM A/B arm override session confs without a code edit, e.g.
+    # SPARK_GRAFT_EXTRA_CONF="spark.sql.adaptive.enabled=false;k2=v2".
+    extra = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for pair in filter(None, extra.split(";")):
+        k, _, v = pair.partition("=")
+        conf[k.strip()] = v.strip()
     for k, v in conf.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
