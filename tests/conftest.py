@@ -16,7 +16,10 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 def spark():
     from censo_escolar_spark.session import get_spark
 
-    spark = get_spark("censo_escolar_spark-tests")
+    spark = get_spark(
+        "censo_escolar_spark-tests",
+        **{"spark.sql.shuffle.partitions": "8"},
+    )
     yield spark
 
 
